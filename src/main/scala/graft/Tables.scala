@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * Every query receives the scale-factor directory at call time, so the
+  * same code runs at sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench).
+  * Reads are plain parquet scans — Catalyst pushes filters/projections
+  * down to the scan, so no manual column selection is needed here.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read it as a long and truncate to micros — the
+    * same truncation DuckDB applies, so event times agree engine-side
+    * and oracle-side. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** A named batch query plus (optionally) the ANSI-SQL twin DuckDB runs
+  * as the correctness oracle. Column names and value types must match
+  * exactly between the two (driver hashes values under sorted column
+  * names) — see the conventions in `Numeric`.
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
+}
+
+/** Conventions that make Spark and DuckDB results hash-identical:
+  *
+  *  - Money/measures: cast doubles to DECIMAL(12,2) *before* any
+  *    arithmetic, keep arithmetic exact (no division), and cast the
+  *    final column to an explicit DECIMAL(p,s) on BOTH sides so the
+  *    textual scale matches.
+  *  - Ratios: compute on exact integers/decimals, then cast operands
+  *    to DOUBLE and divide — IEEE doubles are deterministic across
+  *    engines for the same expression shape.
+  *  - Timestamps in outputs: format to strings ("yyyy-MM-dd HH:mm:ss")
+  *    to dodge physical-type mismatches.
+  *  - Every query ends with a total ORDER BY (unique tiebreak) so row
+  *    order is deterministic even if the driver doesn't sort rows.
+  */
+object Conventions

@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The eight ADS analytical queries of the reference (SURVEY.md §2.B),
+  * re-expressed over the synthetic star schema:
+  *
+  *  - product_stats → lineitem ⋈ part/supplier (sku → part, trademark →
+  *    supplier, category → p_type, spu → p_brand)
+  *  - province_stats → orders ⋈ customer ⋈ nation ⋈ region
+  *  - visitor_stats → events (user_id ≈ mid, event_type ≈ page_id)
+  *  - keyword_stats → documents tokens weighted by source
+  *
+  * Reference semantics cited per query; e.g. B1 GMV is
+  * `gmall-publisher/.../ProductStatsMapper.java:15-17`.
+  *
+  * All money arithmetic is exact DECIMAL (cast before arithmetic, final
+  * cast to a fixed scale with no rounding) so DuckDB hashes match.
+  */
+object AdsQueries extends QueryModule {
+
+  private val dec2 = DecimalType(12, 2)
+
+  /** B1 GMV: total order revenue for one month (reference filters one
+    * day via toYYYYMMDD(stt)=date; month keeps sf0.001 non-empty). */
+  def b1Gmv(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(date_format(col("o_orderdate"), "yyyyMM") === "199806")
+      .agg(sum(col("o_totalprice").cast(dec2)).cast(DecimalType(38, 2)).as("gmv"))
+
+  /** B2 Top-N "SPU" by revenue → top 10 part brands.
+    * ProductStatsMapper.java:20-24: group, sum, HAVING >0, ORDER DESC LIMIT. */
+  def b2TopSpu(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val pt = Tables.part(s, d)
+    li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("l_extendedprice").cast(dec2) * (lit(1) - col("l_discount").cast(DecimalType(8, 4))))
+          .cast(DecimalType(38, 6)).as("order_amount"),
+        count(lit(1)).as("order_ct"))
+      .filter(col("order_amount") > 0)
+      .orderBy(col("order_amount").desc, col("p_brand"))
+      .limit(10)
+  }
+
+  /** B3 Top-N "category3" by revenue → top 10 part types. */
+  def b3TopCategory(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val pt = Tables.part(s, d)
+    li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(
+        sum(col("l_extendedprice").cast(dec2) * (lit(1) - col("l_discount").cast(DecimalType(8, 4))))
+          .cast(DecimalType(38, 6)).as("order_amount"),
+        count(lit(1)).as("order_ct"))
+      .filter(col("order_amount") > 0)
+      .orderBy(col("order_amount").desc, col("p_type"))
+      .limit(10)
+  }
+
+  /** B4 Top-N "trademark" by revenue → top 10 suppliers. */
+  def b4TopTrademark(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(
+        sum(col("l_extendedprice").cast(dec2) * (lit(1) - col("l_discount").cast(DecimalType(8, 4))))
+          .cast(DecimalType(38, 6)).as("order_amount"),
+        count(lit(1)).as("order_ct"))
+      .filter(col("order_amount") > 0)
+      .orderBy(col("order_amount").desc, col("s_suppkey"))
+      .limit(10)
+  }
+
+  /** B5 Province revenue map → revenue per nation (orders side; dims
+    * broadcast). ProvinceStatsMapper.java:13-16. */
+  def b5ProvinceMap(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_nationkey").as("province_id"), col("n_name").as("province_name"))
+      .agg(
+        sum(col("o_totalprice").cast(dec2)).cast(DecimalType(38, 2)).as("order_amount"),
+        countDistinct(col("o_orderkey")).as("order_count"))
+      .orderBy(col("province_id"))
+  }
+
+  /** B6 Visitor stats by new/old flag + derived ratios
+    * (VisitorStatsMapper.java:13-16, ratios bean/VisitorStats.java:33-62).
+    * is_new ≈ user_id parity; ratios computed as IEEE doubles over
+    * exact counts — deterministic across engines. */
+  def b6VisitorRatios(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("is_new", (col("user_id") % 2).cast(StringType))
+      .groupBy(col("is_new"))
+      .agg(
+        countDistinct(col("user_id")).as("uv_ct"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("pv_ct"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("sv_ct"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("uj_ct"),
+        sum(col("value").cast(dec2)).cast(DecimalType(38, 2)).as("dur_sum"))
+      .withColumn("uj_rate", col("uj_ct").cast(DoubleType) * 100.0 / col("sv_ct").cast(DoubleType))
+      .withColumn("pv_per_sv", col("pv_ct").cast(DoubleType) / col("sv_ct").cast(DoubleType))
+      .orderBy(col("is_new"))
+
+  /** B7 Hourly traffic curve with 24-hour zero-fill
+    * (VisitorStatsMapper.java:19-22 + SugarController.java:256-281). */
+  def b7HourlyCurve(s: SparkSession, d: String): DataFrame = {
+    val byHour = Tables.events(s, d)
+      .groupBy(hour(col("ts")).cast(LongType).as("hr"))
+      .agg(
+        countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("new_uv"),
+        countDistinct(col("user_id")).as("uv_ct"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("pv_ct"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("uj_ct"))
+    s.range(0, 24).toDF("hr")
+      .join(byHour, Seq("hr"), "left")
+      .select(
+        col("hr"),
+        coalesce(col("new_uv"), lit(0L)).as("new_uv"),
+        coalesce(col("uv_ct"), lit(0L)).as("uv_ct"),
+        coalesce(col("pv_ct"), lit(0L)).as("pv_ct"),
+        coalesce(col("uj_ct"), lit(0L)).as("uj_ct"))
+      .orderBy(col("hr"))
+  }
+
+  /** B8 Weighted keyword ranking (KeywordStatsMapper.java:13-19):
+    * sum(ct * multiIf(source,…)) → chained `when`. Tokens from
+    * documents.text, weights keyed on the source column. */
+  def b8KeywordWeighted(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("keyword"))
+      .filter(col("keyword") =!= "")
+      .groupBy(col("keyword"))
+      .agg(sum(
+        when(col("source").isin("src0", "src1"), 10L)
+          .when(col("source").isin("src2", "src3"), 3L)
+          .when(col("source").isin("src4", "src5"), 2L)
+          .otherwise(1L)).as("ct"))
+      .orderBy(col("ct").desc, col("keyword"))
+      .limit(20)
+
+  private val rev =
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4))))"
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b1_gmv" -> b1Gmv,
+    "b2_topn_spu" -> b2TopSpu,
+    "b3_topn_category" -> b3TopCategory,
+    "b4_topn_trademark" -> b4TopTrademark,
+    "b5_province_map" -> b5ProvinceMap,
+    "b6_visitor_ratios" -> b6VisitorRatios,
+    "b7_hourly_curve" -> b7HourlyCurve,
+    "b8_keyword_weighted" -> b8KeywordWeighted)
+
+  override val oracle: Map[String, String] = Map(
+    "b1_gmv" ->
+      """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS gmv
+        |FROM orders WHERE strftime(o_orderdate, '%Y%m') = '199806'""".stripMargin,
+    "b2_topn_spu" ->
+      s"""SELECT p_brand, CAST($rev AS DECIMAL(38,6)) AS order_amount, COUNT(*) AS order_ct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand HAVING order_amount > 0
+         |ORDER BY order_amount DESC, p_brand LIMIT 10""".stripMargin,
+    "b3_topn_category" ->
+      s"""SELECT p_type, CAST($rev AS DECIMAL(38,6)) AS order_amount, COUNT(*) AS order_ct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_type HAVING order_amount > 0
+         |ORDER BY order_amount DESC, p_type LIMIT 10""".stripMargin,
+    "b4_topn_trademark" ->
+      s"""SELECT s_suppkey, s_name, CAST($rev AS DECIMAL(38,6)) AS order_amount, COUNT(*) AS order_ct
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_suppkey, s_name HAVING order_amount > 0
+         |ORDER BY order_amount DESC, s_suppkey LIMIT 10""".stripMargin,
+    "b5_province_map" ->
+      """SELECT n_nationkey AS province_id, n_name AS province_name,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS order_amount,
+        |       COUNT(DISTINCT o_orderkey) AS order_count
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY province_id""".stripMargin,
+    "b6_visitor_ratios" ->
+      """SELECT *,
+        |       CAST(uj_ct AS DOUBLE) * 100.0 / CAST(sv_ct AS DOUBLE) AS uj_rate,
+        |       CAST(pv_ct AS DOUBLE) / CAST(sv_ct AS DOUBLE) AS pv_per_sv
+        |FROM (
+        |  SELECT CAST(user_id % 2 AS VARCHAR) AS is_new,
+        |         COUNT(DISTINCT user_id) AS uv_ct,
+        |         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
+        |         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS sv_ct,
+        |         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct,
+        |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS dur_sum
+        |  FROM events GROUP BY 1
+        |) ORDER BY is_new""".stripMargin,
+    "b7_hourly_curve" ->
+      """SELECT g.hr,
+        |       COALESCE(e.new_uv, 0) AS new_uv, COALESCE(e.uv_ct, 0) AS uv_ct,
+        |       COALESCE(e.pv_ct, 0) AS pv_ct, COALESCE(e.uj_ct, 0) AS uj_ct
+        |FROM (SELECT UNNEST(generate_series(0, 23)) AS hr) g
+        |LEFT JOIN (
+        |  SELECT CAST(hour(ts) AS BIGINT) AS hr,
+        |         COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS new_uv,
+        |         COUNT(DISTINCT user_id) AS uv_ct,
+        |         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
+        |         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct
+        |  FROM events GROUP BY 1
+        |) e ON g.hr = e.hr ORDER BY g.hr""".stripMargin,
+    "b8_keyword_weighted" ->
+      """SELECT keyword,
+        |       CAST(SUM(CASE WHEN source IN ('src0','src1') THEN 10
+        |                WHEN source IN ('src2','src3') THEN 3
+        |                WHEN source IN ('src4','src5') THEN 2
+        |                ELSE 1 END) AS BIGINT) AS ct
+        |FROM (SELECT source, UNNEST(regexp_split_to_array(text, '\s+')) AS keyword FROM documents)
+        |WHERE keyword <> '' GROUP BY keyword
+        |ORDER BY ct DESC, keyword LIMIT 20""".stripMargin)
+}
