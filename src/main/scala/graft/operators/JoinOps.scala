@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DWM-layer joins (SURVEY.md §2 A14/A15).
+  *
+  * A14 interval join (OrderWideApp.java:96-105, between(-5s,+5s)): in
+  * batch, an equi-join plus a time-range predicate — Catalyst plans the
+  * equi-key as the shuffle/join key and the range as a post-filter, so
+  * it scales like a plain hash join. The streaming twin (watermarked
+  * stream-stream join) is in graft.streaming.
+  *
+  * A15 dim enrichment (OrderWideApp.java:109-214): the reference's
+  * async+Redis lookup machinery collapses into chained broadcast hash
+  * joins — dims are small, facts never shuffle.
+  */
+object JoinOps extends QueryModule {
+
+  private val dec2 = DecimalType(12, 2)
+
+  /** A14: orders ⋈ lineitem on order key, shipment within [order date,
+    * order date + 90 days] — same shape as the reference's ±5s bound. */
+  def a14IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(
+        col("o_orderkey"), col("l_linenumber"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        col("l_extendedprice").cast(dec2).as("amount"))
+      .orderBy(col("o_orderkey"), col("l_linenumber"))
+  }
+
+  /** A15: order-wide — fact stream enriched by chained broadcast dim
+    * joins (customer → nation → region), with a derived column standing
+    * in for the reference's BIRTHDAY→age computation. */
+  def a15OrderWide(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").cast(dec2).as("total_amount"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("create_date"),
+        col("c_name").as("user_name"),
+        col("c_mktsegment").as("user_segment"),
+        floor(datediff(lit("2002-01-01").cast(DateType), col("o_orderdate")) / 365)
+          .cast(LongType).as("order_age_years"),
+        col("n_name").as("province_name"),
+        col("r_name").as("region_name"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment_filled"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a14_interval_join" -> a14IntervalJoin,
+    "a15_order_wide" -> a15OrderWide)
+
+  override val oracle: Map[String, String] = Map(
+    "a14_interval_join" ->
+      """SELECT o_orderkey, l_linenumber,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |       CAST(l_extendedprice AS DECIMAL(12,2)) AS amount
+        |FROM orders JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "a15_order_wide" ->
+      """SELECT o_orderkey,
+        |       CAST(o_totalprice AS DECIMAL(12,2)) AS total_amount,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS create_date,
+        |       c_name AS user_name,
+        |       c_mktsegment AS user_segment,
+        |       CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') / 365.0) AS BIGINT)
+        |         AS order_age_years,
+        |       n_name AS province_name,
+        |       r_name AS region_name,
+        |       COALESCE(c_mktsegment, 'UNKNOWN') AS segment_filled
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY o_orderkey""".stripMargin)
+}
