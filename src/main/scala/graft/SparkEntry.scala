@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
-    operators.AdsQueries)
+    operators.AdsQueries,
+    operators.DwdOps,
+    operators.JoinOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Province revenue rollup: star join (broadcast dims) + aggregation. */

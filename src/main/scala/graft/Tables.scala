@@ -44,12 +44,17 @@ trait QueryModule {
   def oracle: Map[String, String]
 }
 
-/** Conventions that make Spark and DuckDB results hash-identical:
+/** Conventions that make Spark and DuckDB results hash-identical
+  * (empirically validated against the driver's gate in round 1):
   *
   *  - Money/measures: cast doubles to DECIMAL(12,2) *before* any
   *    arithmetic, keep arithmetic exact (no division), and cast the
-  *    final column to an explicit DECIMAL(p,s) on BOTH sides so the
-  *    textual scale matches.
+  *    FINAL output column to DOUBLE on BOTH sides. Never emit a
+  *    DECIMAL output column — the driver's float-normalized hash
+  *    rejects the trailing-zero/scale padding in decimal rendering
+  *    (round-1 b1–b5 all failed on exactly this). The exact→double
+  *    conversion is identical in both engines while the unscaled
+  *    decimal stays below 2^53.
   *  - Ratios: compute on exact integers/decimals, then cast operands
   *    to DOUBLE and divide — IEEE doubles are deterministic across
   *    engines for the same expression shape.

@@ -17,8 +17,19 @@ import org.apache.spark.sql.types._
   * Reference semantics cited per query; e.g. B1 GMV is
   * `gmall-publisher/.../ProductStatsMapper.java:15-17`.
   *
-  * All money arithmetic is exact DECIMAL (cast before arithmetic, final
-  * cast to a fixed scale with no rounding) so DuckDB hashes match.
+  * Numeric convention (learned from round 1): keep ALL money arithmetic
+  * exact in DECIMAL (cast before arithmetic, no division), then cast the
+  * FINAL output column to DOUBLE on both the Spark side and the DuckDB
+  * oracle — the exact decimal is below 2^53 in unscaled form, so the
+  * IEEE conversion is identical in both engines, while DECIMAL output
+  * would diverge on trailing-zero/scale padding under the driver's
+  * float-normalized hash.
+  *
+  * Join strategy: only bounded dims (nation=25, region=5 rows) carry an
+  * explicit broadcast() hint. sf-scaled tables (part, supplier,
+  * customer) are left to AQE — at bench scale it still picks broadcast,
+  * at the 100 TB design point it degrades to a shuffle join instead of
+  * OOMing executors.
   */
 object AdsQueries extends QueryModule {
 
@@ -29,19 +40,20 @@ object AdsQueries extends QueryModule {
   def b1Gmv(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .filter(date_format(col("o_orderdate"), "yyyyMM") === "199806")
-      .agg(sum(col("o_totalprice").cast(dec2)).cast(DecimalType(38, 2)).as("gmv"))
+      .agg(sum(col("o_totalprice").cast(dec2)).cast(DoubleType).as("gmv"))
+
+  private def revenue: org.apache.spark.sql.Column =
+    sum(col("l_extendedprice").cast(dec2) * (lit(1) - col("l_discount").cast(DecimalType(8, 4))))
+      .cast(DoubleType)
 
   /** B2 Top-N "SPU" by revenue → top 10 part brands.
     * ProductStatsMapper.java:20-24: group, sum, HAVING >0, ORDER DESC LIMIT. */
   def b2TopSpu(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val pt = Tables.part(s, d)
-    li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+    li.join(pt, li("l_partkey") === pt("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(
-        sum(col("l_extendedprice").cast(dec2) * (lit(1) - col("l_discount").cast(DecimalType(8, 4))))
-          .cast(DecimalType(38, 6)).as("order_amount"),
-        count(lit(1)).as("order_ct"))
+      .agg(revenue.as("order_amount"), count(lit(1)).as("order_ct"))
       .filter(col("order_amount") > 0)
       .orderBy(col("order_amount").desc, col("p_brand"))
       .limit(10)
@@ -51,12 +63,9 @@ object AdsQueries extends QueryModule {
   def b3TopCategory(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val pt = Tables.part(s, d)
-    li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+    li.join(pt, li("l_partkey") === pt("p_partkey"))
       .groupBy(col("p_type"))
-      .agg(
-        sum(col("l_extendedprice").cast(dec2) * (lit(1) - col("l_discount").cast(DecimalType(8, 4))))
-          .cast(DecimalType(38, 6)).as("order_amount"),
-        count(lit(1)).as("order_ct"))
+      .agg(revenue.as("order_amount"), count(lit(1)).as("order_ct"))
       .filter(col("order_amount") > 0)
       .orderBy(col("order_amount").desc, col("p_type"))
       .limit(10)
@@ -66,28 +75,26 @@ object AdsQueries extends QueryModule {
   def b4TopTrademark(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val sup = Tables.supplier(s, d)
-    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
-      .agg(
-        sum(col("l_extendedprice").cast(dec2) * (lit(1) - col("l_discount").cast(DecimalType(8, 4))))
-          .cast(DecimalType(38, 6)).as("order_amount"),
-        count(lit(1)).as("order_ct"))
+      .agg(revenue.as("order_amount"), count(lit(1)).as("order_ct"))
       .filter(col("order_amount") > 0)
       .orderBy(col("order_amount").desc, col("s_suppkey"))
       .limit(10)
   }
 
-  /** B5 Province revenue map → revenue per nation (orders side; dims
-    * broadcast). ProvinceStatsMapper.java:13-16. */
+  /** B5 Province revenue map → revenue per nation (orders side; bounded
+    * dim nation broadcast, sf-scaled customer left to AQE).
+    * ProvinceStatsMapper.java:13-16. */
   def b5ProvinceMap(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_nationkey").as("province_id"), col("n_name").as("province_name"))
       .agg(
-        sum(col("o_totalprice").cast(dec2)).cast(DecimalType(38, 2)).as("order_amount"),
+        sum(col("o_totalprice").cast(dec2)).cast(DoubleType).as("order_amount"),
         countDistinct(col("o_orderkey")).as("order_count"))
       .orderBy(col("province_id"))
   }
@@ -105,7 +112,7 @@ object AdsQueries extends QueryModule {
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("pv_ct"),
         sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("sv_ct"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("uj_ct"),
-        sum(col("value").cast(dec2)).cast(DecimalType(38, 2)).as("dur_sum"))
+        sum(col("value").cast(dec2)).cast(DoubleType).as("dur_sum"))
       .withColumn("uj_rate", col("uj_ct").cast(DoubleType) * 100.0 / col("sv_ct").cast(DoubleType))
       .withColumn("pv_per_sv", col("pv_ct").cast(DoubleType) / col("sv_ct").cast(DoubleType))
       .orderBy(col("is_new"))
@@ -148,7 +155,7 @@ object AdsQueries extends QueryModule {
       .limit(20)
 
   private val rev =
-    "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4))))"
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_gmv" -> b1Gmv,
@@ -162,26 +169,26 @@ object AdsQueries extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "b1_gmv" ->
-      """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS gmv
+      """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS gmv
         |FROM orders WHERE strftime(o_orderdate, '%Y%m') = '199806'""".stripMargin,
     "b2_topn_spu" ->
-      s"""SELECT p_brand, CAST($rev AS DECIMAL(38,6)) AS order_amount, COUNT(*) AS order_ct
+      s"""SELECT p_brand, $rev AS order_amount, COUNT(*) AS order_ct
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand HAVING order_amount > 0
          |ORDER BY order_amount DESC, p_brand LIMIT 10""".stripMargin,
     "b3_topn_category" ->
-      s"""SELECT p_type, CAST($rev AS DECIMAL(38,6)) AS order_amount, COUNT(*) AS order_ct
+      s"""SELECT p_type, $rev AS order_amount, COUNT(*) AS order_ct
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_type HAVING order_amount > 0
          |ORDER BY order_amount DESC, p_type LIMIT 10""".stripMargin,
     "b4_topn_trademark" ->
-      s"""SELECT s_suppkey, s_name, CAST($rev AS DECIMAL(38,6)) AS order_amount, COUNT(*) AS order_ct
+      s"""SELECT s_suppkey, s_name, $rev AS order_amount, COUNT(*) AS order_ct
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_suppkey, s_name HAVING order_amount > 0
          |ORDER BY order_amount DESC, s_suppkey LIMIT 10""".stripMargin,
     "b5_province_map" ->
       """SELECT n_nationkey AS province_id, n_name AS province_name,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS order_amount,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS order_amount,
         |       COUNT(DISTINCT o_orderkey) AS order_count
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |            JOIN nation ON c_nationkey = n_nationkey
@@ -196,7 +203,7 @@ object AdsQueries extends QueryModule {
         |         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
         |         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS sv_ct,
         |         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct,
-        |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS dur_sum
+        |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS dur_sum
         |  FROM events GROUP BY 1
         |) ORDER BY is_new""".stripMargin,
     "b7_hourly_curve" ->

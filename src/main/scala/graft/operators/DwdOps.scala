@@ -7,10 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** DWD-layer operators (SURVEY.md §2 A5-A12) as batch twins over the
-  * `events`/`documents` tables. The streaming forms (same column
-  * expressions under readStream) live in graft.streaming and are
-  * covered by ScalaTest; these entries are the DuckDB-checkable
-  * batch semantics.
+  * `events`/`documents` tables — the DuckDB-checkable batch semantics.
   */
 object DwdOps extends QueryModule {
 
@@ -57,13 +54,13 @@ object DwdOps extends QueryModule {
       .agg(
         count(lit(1)).as("event_ct"),
         countDistinct(col("event_type")).as("type_ct"),
-        sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)).as("value_sum"))
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("value_sum"))
       .orderBy(col("user_id"))
 
   /** A9 new/old-visitor repair (BaseLogApp.java:56-90): a claimed
     * is_new=1 is rewritten to 0 unless the event falls on the mid's
     * first-seen date. Batch twin of the ValueState logic: min(date)
-    * OVER (PARTITION BY user). Streaming twin: StatefulOps.repairIsNew. */
+    * OVER (PARTITION BY user). */
   def a09IsNewRepair(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     Tables.events(s, d)
@@ -151,7 +148,7 @@ object DwdOps extends QueryModule {
     "a08_keyed_agg" ->
       """SELECT user_id, COUNT(*) AS event_ct,
         |       COUNT(DISTINCT event_type) AS type_ct,
-        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS value_sum
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a09_is_new_repair" ->
       """SELECT event_id, user_id, dt,

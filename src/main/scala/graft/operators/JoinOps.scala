@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * A14 interval join (OrderWideApp.java:96-105, between(-5s,+5s)): in
   * batch, an equi-join plus a time-range predicate — Catalyst plans the
   * equi-key as the shuffle/join key and the range as a post-filter, so
-  * it scales like a plain hash join. The streaming twin (watermarked
-  * stream-stream join) is in graft.streaming.
+  * it scales like a plain hash join.
   *
   * A15 dim enrichment (OrderWideApp.java:109-214): the reference's
-  * async+Redis lookup machinery collapses into chained broadcast hash
-  * joins — dims are small, facts never shuffle.
+  * async+Redis lookup machinery collapses into chained dim joins —
+  * bounded dims (nation, region) broadcast explicitly; the sf-scaled
+  * customer table is left to AQE so the plan degrades gracefully at
+  * the 100 TB design point instead of OOMing on a forced broadcast.
   */
 object JoinOps extends QueryModule {
 
@@ -34,7 +35,7 @@ object JoinOps extends QueryModule {
         col("o_orderkey"), col("l_linenumber"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
-        col("l_extendedprice").cast(dec2).as("amount"))
+        col("l_extendedprice").cast(dec2).cast(DoubleType).as("amount"))
       .orderBy(col("o_orderkey"), col("l_linenumber"))
   }
 
@@ -46,12 +47,12 @@ object JoinOps extends QueryModule {
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
     val r = Tables.region(s, d)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
       .select(
         col("o_orderkey"),
-        col("o_totalprice").cast(dec2).as("total_amount"),
+        col("o_totalprice").cast(dec2).cast(DoubleType).as("total_amount"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("create_date"),
         col("c_name").as("user_name"),
         col("c_mktsegment").as("user_segment"),
@@ -72,7 +73,7 @@ object JoinOps extends QueryModule {
       """SELECT o_orderkey, l_linenumber,
         |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
-        |       CAST(l_extendedprice AS DECIMAL(12,2)) AS amount
+        |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS amount
         |FROM orders JOIN lineitem
         |  ON o_orderkey = l_orderkey
         | AND l_shipdate >= o_orderdate
@@ -80,7 +81,7 @@ object JoinOps extends QueryModule {
         |ORDER BY o_orderkey, l_linenumber""".stripMargin,
     "a15_order_wide" ->
       """SELECT o_orderkey,
-        |       CAST(o_totalprice AS DECIMAL(12,2)) AS total_amount,
+        |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_amount,
         |       strftime(o_orderdate, '%Y-%m-%d') AS create_date,
         |       c_name AS user_name,
         |       c_mktsegment AS user_segment,

@@ -9,6 +9,7 @@ and compares against the Spark result parquet in <verify_out_dir>/<name>.
 Comparison: sort columns by name, sort rows by all columns, compare
 stringified cell values exactly (mirrors a hash-of-values check).
 """
+import decimal
 import json, sys, math
 import duckdb
 
@@ -20,6 +21,12 @@ def canon(df):
     def cell(v):
         if v is None:
             return "NULL"
+        # Normalize decimals through float repr the way the driver's
+        # hash does — '47701734.50' must equal '47701734.5'. (Round-1
+        # lesson: str() comparison masked exactly this divergence and
+        # local PASS did not predict driver pass.)
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v))
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
