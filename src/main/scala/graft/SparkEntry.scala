@@ -12,7 +12,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.AdsQueries,
     operators.DwdOps,
-    operators.JoinOps)
+    operators.JoinOps,
+    operators.DwsWindows)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Province revenue rollup: star join (broadcast dims) + aggregation. */

@@ -1,0 +1,293 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DWS-layer windowed aggregations (SURVEY.md §2 A16-A25) as batch
+  * twins over `events` — the same Column expressions run unchanged
+  * under readStream (graft.streaming.WindowedAggs reuses them).
+  *
+  * Semantics mirrored from the reference:
+  *  - VisitorStats: 4 per-source measure projections → union → 10s
+  *    tumbling event-time window → additive reduce → stt/edt finisher
+  *    (gmall-realtime/.../dws/VisitorStatsApp.java:77-195).
+  *  - ProductStats: one-hot measures + exact distinct via set state
+  *    (ProductStatsApp.java:90-249, HashSet fields ProductStats.java:62-69).
+  *  - ProvinceStats: SQL windowed agg with COUNT(DISTINCT)
+  *    (ProvinceStatsSqlApp.java:48-56).
+  *  - KeywordStats: filter → tokenize (lateral) → windowed count
+  *    (KeywordStatsApp.java:52-67).
+  *  - UserJumpDetail (CEP bounce): entry page twice strictly
+  *    consecutively within 10s, plus timed-out partial matches
+  *    (UserJumpDetailApp.java:84-123). Batch twin via lead() below;
+  *    the stateful streaming form lives in graft.streaming.StatefulOps.
+  *
+  * Window alignment: Spark's window() buckets are epoch-aligned and
+  * DuckDB's time_bucket origin (2000-01-03 00:00:00) is a whole
+  * multiple of 10s from the epoch, so 10-second buckets agree exactly.
+  *
+  * Scale notes (100 TB design point): the union is a zero-shuffle
+  * concatenation of narrow projections; the only shuffle is the final
+  * hash aggregation on (window, dims) — partial aggregation happens
+  * map-side for the additive measures. Exact windowed distinct keeps
+  * per-(window,key) sets; at production scale swap order_ct to
+  * approx_count_distinct or a two-level agg — kept exact here because
+  * the oracle demands hash equality.
+  */
+object DwsWindows extends QueryModule {
+
+  private val dec2 = DecimalType(12, 2)
+  private def fmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Events with the is_new dimension (user parity, as in AdsQueries). */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("is_new", (col("user_id") % 2).cast(StringType))
+
+  /** A17+A18: the four per-source measure projections unioned to the
+    * common VisitorStats measure-row schema. dur_sum stays DECIMAL here
+    * so downstream window sums are exact; a17's public output casts it
+    * to DOUBLE per row (no aggregation → no float-order issue). */
+  private def measureRows(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val zero = lit(0L)
+    val zdec = lit(0).cast(dec2)
+    // pv: every page view carries pv=1 and its dwell time
+    val pv = e.filter(col("event_type") === "view").select(
+      col("event_id"), col("ts"), col("is_new"),
+      zero.as("uv_ct"), lit(1L).as("pv_ct"), zero.as("sv_ct"), zero.as("uj_ct"),
+      col("value").cast(dec2).as("dur_sum"))
+    // uv: first qualifying view per user per day (UniqueVisitApp twin)
+    val w = Window.partitionBy(col("user_id"), col("dt")).orderBy(col("ts"), col("event_id"))
+    val uv = e.filter(col("event_type") === "view")
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_id"), col("ts"), col("is_new"),
+        lit(1L).as("uv_ct"), zero.as("pv_ct"), zero.as("sv_ct"), zero.as("uj_ct"),
+        zdec.as("dur_sum"))
+    // sv: session starts (reference: last_page_id empty)
+    val sv = e.filter(col("event_type") === "signup").select(
+      col("event_id"), col("ts"), col("is_new"),
+      zero.as("uv_ct"), zero.as("pv_ct"), lit(1L).as("sv_ct"), zero.as("uj_ct"),
+      zdec.as("dur_sum"))
+    // uj: user jumps (bounce stream stand-in)
+    val uj = e.filter(col("event_type") === "error").select(
+      col("event_id"), col("ts"), col("is_new"),
+      zero.as("uv_ct"), zero.as("pv_ct"), zero.as("sv_ct"), lit(1L).as("uj_ct"),
+      zdec.as("dur_sum"))
+    pv.unionByName(uv).unionByName(sv).unionByName(uj)
+  }
+
+  /** A17 union of per-source projections, row-level (pre-aggregation). */
+  def a17UnionStats(s: SparkSession, d: String): DataFrame =
+    measureRows(s, d)
+      .select(
+        col("event_id"), col("is_new"),
+        col("uv_ct"), col("pv_ct"), col("sv_ct"), col("uj_ct"),
+        col("dur_sum").cast(DoubleType).as("dur_sum"))
+      .orderBy(col("event_id"), col("uv_ct"))
+
+  /** A19-A21: 10s tumbling event-time window over the unioned measure
+    * rows, additive reduce, stt/edt formatted from the window bounds. */
+  def a20TumbleVisitor(s: SparkSession, d: String): DataFrame =
+    measureRows(s, d)
+      .groupBy(window(col("ts"), "10 seconds"), col("is_new"))
+      .agg(
+        sum(col("uv_ct")).as("uv_ct"), sum(col("pv_ct")).as("pv_ct"),
+        sum(col("sv_ct")).as("sv_ct"), sum(col("uj_ct")).as("uj_ct"),
+        sum(col("dur_sum")).cast(DoubleType).as("dur_sum"))
+      .select(
+        fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
+        col("is_new"), col("uv_ct"), col("pv_ct"), col("sv_ct"), col("uj_ct"),
+        col("dur_sum"))
+      .orderBy(col("stt"), col("is_new"))
+
+  /** A21+A22: ProductStats twin — one-hot measures per event kind,
+    * 10s tumble per sku, exact distinct buyer count via collect_set
+    * (mirrors the reference's HashSet-in-reduce-state trick). */
+  def a21ProductStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("sku_id", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(window(col("ts"), "10 seconds"), col("sku_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("click_ct"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("display_ct"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("favor_ct"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("refund_ct"),
+        sum(when(col("event_type") === "purchase", col("value").cast(dec2)))
+          .cast(DoubleType).as("order_amount"),
+        size(collect_set(when(col("event_type") === "purchase", col("user_id"))))
+          .cast(LongType).as("order_ct"))
+      .select(
+        fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
+        col("sku_id"), col("click_ct"), col("display_ct"), col("favor_ct"),
+        col("refund_ct"), col("order_amount"), col("order_ct"))
+      .orderBy(col("stt"), col("sku_id"))
+
+  /** A23: SQL windowed agg with COUNT(DISTINCT) — province stats over
+    * orders (order event time = o_orderdate; day-granular data, same
+    * 10s tumble as the reference's DDL). nation/region broadcast
+    * (bounded dims); customer joins via shuffle/AQE. */
+  def a23ProvinceWindow(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(window(col("o_orderdate"), "10 seconds"),
+        col("n_nationkey").as("province_id"), col("n_name").as("province_name"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("order_count"),
+        sum(col("o_totalprice").cast(dec2)).cast(DoubleType).as("order_amount"))
+      .select(
+        fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
+        col("province_id"), col("province_name"), col("order_count"),
+        col("order_amount"))
+      .orderBy(col("stt"), col("province_id"))
+  }
+
+  /** A24+A25: filter → tokenize (explode ≡ LATERAL TABLE(ik_analyze))
+    * → keyword count per 10s window. The "search phrase" is derived
+    * from the event (type + the props key), standing in for page['item']. */
+  def a25KeywordWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "view" &&
+        get_json_object(col("props"), "$.k").isNotNull)
+      .select(col("ts"), explode(split(
+        concat(col("event_type"), lit(" k"),
+          get_json_object(col("props"), "$.k")), " ")).as("keyword"))
+      .groupBy(window(col("ts"), "10 seconds"), col("keyword"))
+      .agg(count(lit(1)).as("ct"))
+      .select(
+        fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
+        col("keyword"), col("ct"))
+      .orderBy(col("stt"), col("keyword"))
+
+  /** A16 batch twin of the CEP bounce detector. An "entry page" event
+    * (event_type=view here; last_page_id empty in the reference)
+    * bounces when the user's strictly-next event either
+    *   (a) is itself an entry and arrives within 10s  → 'match', or
+    *   (b) does not exist / arrives at ≥ 10s          → 'timeout'
+    * ("within" is exclusive of the 10s boundary, matching Flink's
+    * within(Time.seconds(10)); the exactly-10s case times out — pinned
+    * by BounceSpec). Streaming form: graft.streaming.StatefulOps. */
+  def a16Bounce(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("entry", col("event_type") === "view")
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("next_entry", lead(col("entry"), 1).over(w))
+      .filter(col("entry"))
+      .withColumn("gap_ok",
+        col("next_ts").isNotNull &&
+          col("next_ts") < col("ts") + expr("INTERVAL 10 SECONDS"))
+      .filter((col("gap_ok") && col("next_entry")) || !col("gap_ok"))
+      .select(
+        col("event_id"), col("user_id"), fmt(col("ts")).as("ts"),
+        when(col("gap_ok"), "match").otherwise("timeout").as("reason"))
+      .orderBy(col("event_id"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a16_bounce" -> a16Bounce,
+    "a17_union_stats" -> a17UnionStats,
+    "a20_tumble_visitor" -> a20TumbleVisitor,
+    "a21_product_stats" -> a21ProductStats,
+    "a23_province_window" -> a23ProvinceWindow,
+    "a25_keyword_window" -> a25KeywordWindow)
+
+  // DuckDB twins. time_bucket(INTERVAL '10 seconds', ts) ≡ Spark's
+  // window(ts, "10 seconds").start (alignment argument in the scaladoc).
+  private val measureRowsSql =
+    """SELECT event_id, ts, CAST(user_id % 2 AS VARCHAR) AS is_new,
+      |       0 AS uv_ct, 1 AS pv_ct, 0 AS sv_ct, 0 AS uj_ct,
+      |       CAST(value AS DECIMAL(12,2)) AS dur_sum
+      |FROM events WHERE event_type = 'view'
+      |UNION ALL
+      |SELECT event_id, ts, CAST(user_id % 2 AS VARCHAR),
+      |       1, 0, 0, 0, CAST(0 AS DECIMAL(12,2))
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+      |    ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE event_type = 'view') WHERE rn = 1
+      |UNION ALL
+      |SELECT event_id, ts, CAST(user_id % 2 AS VARCHAR),
+      |       0, 0, 1, 0, CAST(0 AS DECIMAL(12,2))
+      |FROM events WHERE event_type = 'signup'
+      |UNION ALL
+      |SELECT event_id, ts, CAST(user_id % 2 AS VARCHAR),
+      |       0, 0, 0, 1, CAST(0 AS DECIMAL(12,2))
+      |FROM events WHERE event_type = 'error'""".stripMargin
+
+  override val oracle: Map[String, String] = Map(
+    "a16_bounce" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       CASE WHEN gap_ok THEN 'match' ELSE 'timeout' END AS reason
+        |FROM (
+        |  SELECT event_id, user_id, ts, entry,
+        |         (next_ts IS NOT NULL AND next_ts < ts + INTERVAL 10 SECOND) AS gap_ok,
+        |         next_entry
+        |  FROM (
+        |    SELECT event_id, user_id, ts, event_type = 'view' AS entry,
+        |           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+        |           LEAD(event_type = 'view') OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_entry
+        |    FROM events))
+        |WHERE entry AND ((gap_ok AND next_entry) OR NOT gap_ok)
+        |ORDER BY event_id""".stripMargin,
+    "a17_union_stats" ->
+      s"""SELECT event_id, is_new, CAST(uv_ct AS BIGINT) AS uv_ct,
+         |       CAST(pv_ct AS BIGINT) AS pv_ct, CAST(sv_ct AS BIGINT) AS sv_ct,
+         |       CAST(uj_ct AS BIGINT) AS uj_ct, CAST(dur_sum AS DOUBLE) AS dur_sum
+         |FROM ($measureRowsSql)
+         |ORDER BY event_id, uv_ct""".stripMargin,
+    "a20_tumble_visitor" ->
+      s"""SELECT strftime(time_bucket(INTERVAL '10 seconds', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+         |       strftime(time_bucket(INTERVAL '10 seconds', ts) + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+         |       is_new,
+         |       CAST(SUM(uv_ct) AS BIGINT) AS uv_ct, CAST(SUM(pv_ct) AS BIGINT) AS pv_ct,
+         |       CAST(SUM(sv_ct) AS BIGINT) AS sv_ct, CAST(SUM(uj_ct) AS BIGINT) AS uj_ct,
+         |       CAST(SUM(dur_sum) AS DOUBLE) AS dur_sum
+         |FROM ($measureRowsSql)
+         |GROUP BY time_bucket(INTERVAL '10 seconds', ts), is_new
+         |ORDER BY stt, is_new""".stripMargin,
+    "a21_product_stats" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 seconds', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(time_bucket(INTERVAL '10 seconds', ts) + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS sku_id,
+        |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_ct,
+        |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS display_ct,
+        |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS favor_ct,
+        |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS refund_ct,
+        |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS order_amount,
+        |       CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS order_ct
+        |FROM events
+        |GROUP BY time_bucket(INTERVAL '10 seconds', ts), 3
+        |ORDER BY stt, sku_id""".stripMargin,
+    "a23_province_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 seconds', o_orderdate), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(time_bucket(INTERVAL '10 seconds', o_orderdate) + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+        |       n_nationkey AS province_id, n_name AS province_name,
+        |       COUNT(DISTINCT o_orderkey) AS order_count,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS order_amount
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY time_bucket(INTERVAL '10 seconds', o_orderdate), 3, 4
+        |ORDER BY stt, province_id""".stripMargin,
+    "a25_keyword_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 seconds', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(time_bucket(INTERVAL '10 seconds', ts) + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+        |       keyword, COUNT(*) AS ct
+        |FROM (
+        |  SELECT ts, UNNEST(string_split(
+        |    event_type || ' k' || json_extract_string(props, '$.k'), ' ')) AS keyword
+        |  FROM events
+        |  WHERE event_type = 'view' AND json_extract_string(props, '$.k') IS NOT NULL)
+        |GROUP BY time_bucket(INTERVAL '10 seconds', ts), keyword
+        |ORDER BY stt, keyword""".stripMargin)
+}
