@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Hadoop's RawLocalFileSystem shells out (chmod) for state-store
+  // checkpoint dirs; the JDK's posix_spawn helper is flaky in this
+  // container ("Failed to exec spawn helper"). Plain fork() is not.
+  "-Djdk.lang.Process.launchMechanism=FORK",
 )
+// Streaming specs share one SparkSession; running suites in parallel
+// makes concurrent streaming queries race (observed as an
+// endless-micro-batch hang). Serialize them.
+Test / parallelExecution := false

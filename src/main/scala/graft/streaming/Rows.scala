@@ -1,0 +1,42 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+/** Typed rows for the streaming operators (Dataset[T] + product
+  * encoders). Mirrors the reference's Lombok beans (SURVEY.md §1.1):
+  * fixed schemas on the DWM/DWS path, epoch-ms event time surfaced as
+  * java.sql.Timestamp so watermarks/windows apply directly.
+  */
+final case class EventRow(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    props: String)
+
+/** Output of the is_new repair (BaseLogApp.java:56-90 semantics). */
+final case class RepairedVisit(
+    event_id: Long,
+    user_id: Long,
+    dt: String,
+    is_new: String)
+
+/** Output of the daily-unique-visit filter (UniqueVisitApp.java:67-106). */
+final case class UniqueVisit(event_id: Long, user_id: Long, dt: String)
+
+/** Output of the bounce detector (UserJumpDetailApp.java:84-123):
+  * reason ∈ {match, timeout}, mirroring CEP select vs timeout side. */
+final case class BounceHit(event_id: Long, user_id: Long, ts: Timestamp, reason: String)
+
+/** Keyed state for the is_new repair: the user's first-seen date. */
+final case class FirstVisitState(firstDate: String)
+
+/** Keyed state for the UV filter: last date a visit was emitted.
+  * The reference's 1-day state TTL (UniqueVisitApp.java:78-81) is
+  * subsumed: a new day never compares equal, and the processing-time
+  * timeout set by the operator evicts stale keys. */
+final case class LastVisitState(lastDate: String)
+
+/** Keyed state for the bounce detector: the pending entry event. */
+final case class PendingEntry(event_id: Long, tsMs: Long)

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** The three genuinely stateful streaming operators of the reference,
+  * built on flatMapGroupsWithState (SURVEY.md §2 A9/A10/A16).
+  *
+  * Each works identically on a bounded Dataset (batch execution of
+  * flatMapGroupsWithState) and on a streaming Dataset — the specs
+  * assert parity against the declarative batch twins in
+  * graft.operators (DwdOps.a09/a10, DwsWindows.a16Bounce).
+  *
+  * Scale notes: state is partitioned by the group key across the
+  * cluster's state store; per-key state is O(1) (a date string or one
+  * pending event), so 10^9 users ⇒ ~tens of GB state cluster-wide,
+  * evicted by event-time/processing-time timeouts. No driver-side
+  * state, no collect.
+  */
+object StatefulOps {
+
+  private val dayFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
+  private def day(ts: Timestamp): String =
+    dayFmt.format(Instant.ofEpochMilli(ts.getTime))
+
+  /** A9 — new/old visitor repair (BaseLogApp.java:56-90): a claimed
+    * is_new=1 is kept only on the user's first-seen date; the state
+    * stores that date forever (the reference keeps this ValueState
+    * unexpired too). Events inside a micro-batch are ordered by
+    * (ts, event_id) before applying state, so intra-batch ordering
+    * matches the reference's per-record arrival order. */
+  def repairIsNew(spark: SparkSession, events: Dataset[EventRow]): Dataset[RepairedVisit] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[EventRow], state: GroupState[FirstVisitState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var first = state.getOption.map(_.firstDate)
+          val out = sorted.map { e =>
+            val dt = day(e.ts)
+            if (first.isEmpty) first = Some(dt)
+            RepairedVisit(e.event_id, userId, dt,
+              if (first.contains(dt)) "1" else "0")
+          }
+          first.foreach(f => state.update(FirstVisitState(f)))
+          out.iterator
+        })
+  }
+
+  /** A10 — daily-unique-visit filter (UniqueVisitApp.java:67-106):
+    * emit only the first qualifying view per user per day. State is
+    * the last emitted date; a processing-time timeout (the reference's
+    * 1-day StateTtlConfig) evicts idle keys so state stays bounded.
+    *
+    * `ttl=None` runs without the eviction timeout. Note for callers:
+    * with a processing-time timeout, Spark's micro-batch engine always
+    * schedules another batch (shouldRunAnotherBatch is never false),
+    * so `processAllAvailable` on such a query may block forever —
+    * synchronize on the sink instead (see StatefulOpsSpec). */
+  def dailyFirstVisit(spark: SparkSession, events: Dataset[EventRow],
+      ttl: Option[String] = Some("1 day")): Dataset[UniqueVisit] = {
+    import spark.implicits._
+    val streaming = events.isStreaming // plain val: the closure must not capture the Dataset
+    val useTtl = streaming && ttl.isDefined
+    val timeoutConf =
+      if (useTtl) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    val ttlDuration = ttl.getOrElse("")
+    events
+      .filter(_.event_type == "view")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (userId: Long, it: Iterator[EventRow], state: GroupState[LastVisitState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var last = state.getOption.map(_.lastDate)
+            val out = sorted.flatMap { e =>
+              val dt = day(e.ts)
+              if (last.contains(dt)) None
+              else { last = Some(dt); Some(UniqueVisit(e.event_id, userId, dt)) }
+            }
+            last.foreach(l => state.update(LastVisitState(l)))
+            // 1-day TTL, OnCreateAndWrite — mirrors UniqueVisitApp.java:78-81
+            if (useTtl) state.setTimeoutDuration(ttlDuration)
+            out.iterator
+          }
+        })
+  }
+
+  /** A16 — CEP bounce detector (UserJumpDetailApp.java:84-123).
+    * Pattern: an entry event (event_type=view) followed *strictly
+    * next* by another entry within <10s emits the first ('match');
+    * an entry whose next event arrives at ≥10s or never arrives emits
+    * on watermark timeout ('timeout'). The union of both is the
+    * bounce stream — the reference's declared intent (its null
+    * OutputTag is a latent bug, SURVEY.md §7.4).
+    *
+    * Call with a watermarked stream (withWatermark on ts) so
+    * EventTimeTimeout fires; in batch execution every pending entry
+    * times out at EOF, which matches the batch twin's semantics. */
+  def detectBounce(spark: SparkSession, events: Dataset[EventRow]): Dataset[BounceHit] = {
+    import spark.implicits._
+    val tenSecMs = 10000L
+    val streaming = events.isStreaming // plain val: the closure must not capture the Dataset
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[EventRow], state: GroupState[PendingEntry]) => {
+          def hit(p: PendingEntry, reason: String) =
+            BounceHit(p.event_id, userId, new Timestamp(p.tsMs), reason)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(hit(_, "timeout")).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var pending = state.getOption
+            val out = Seq.newBuilder[BounceHit]
+            sorted.foreach { e =>
+              val entry = e.event_type == "view"
+              pending match {
+                case Some(p) if e.ts.getTime - p.tsMs >= tenSecMs =>
+                  out += hit(p, "timeout") // gap ≥ 10s: pattern timed out
+                  pending = if (entry) Some(PendingEntry(e.event_id, e.ts.getTime)) else None
+                case Some(p) =>
+                  if (entry) out += hit(p, "match") // entry,entry strictly consecutive
+                  pending = if (entry) Some(PendingEntry(e.event_id, e.ts.getTime)) else None
+                case None =>
+                  pending = if (entry) Some(PendingEntry(e.event_id, e.ts.getTime)) else None
+              }
+            }
+            pending match {
+              case Some(p) =>
+                state.update(p)
+                if (streaming) state.setTimeoutTimestamp(p.tsMs + tenSecMs)
+              case None => state.remove()
+            }
+            // In batch execution timeouts never fire; emit the pending
+            // entry now — EOF means no further event can complete it.
+            if (!streaming) pending.foreach(p => out += hit(p, "timeout"))
+            out.result().iterator
+          }
+        })
+  }
+}
