@@ -13,7 +13,11 @@ object SparkEntry {
     operators.AdsQueries,
     operators.DwdOps,
     operators.JoinOps,
-    operators.DwsWindows)
+    operators.DwsWindows,
+    operators.TextOps,
+    operators.DedupOps,
+    operators.VectorOps,
+    operators.MediaOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Province revenue rollup: star join (broadcast dims) + aggregation. */

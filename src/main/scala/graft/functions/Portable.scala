@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Engine-portable primitives: every helper here has a Spark Column
+  * form and a DuckDB SQL twin that produce BIT-IDENTICAL values, so
+  * hash-based oracle comparison works even for derived numerics.
+  *
+  *  - Hashing goes through md5 (hex string), which both engines
+  *    implement identically; the first 15 hex digits give a 60-bit
+  *    non-negative BIGINT. No engine-specific hash (xxhash, DuckDB
+  *    hash()) appears anywhere in an oracle-checked path.
+  *  - Dot products fold left sequentially in DOUBLE. Both engines
+  *    evaluate the same IEEE operation sequence, so results match to
+  *    the last bit — float summation-order divergence is designed out
+  *    rather than rounded away.
+  */
+object Portable {
+
+  /** 60-bit hash of a string column (non-negative, fits a BIGINT). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB twin of [[h60]]; `e` is a SQL expression string. */
+  def h60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Sequential left-fold dot product of two float-array columns in
+    * DOUBLE precision: ((0 + a1*b1) + a2*b2) + ... */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** DuckDB twin of [[dot]] for fixed dimension `dim`. list_reduce
+    * seeds with the first element — `0.0 + p1 == p1` exactly, so the
+    * fold matches Spark's zero-seeded aggregate bit-for-bit. */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+}

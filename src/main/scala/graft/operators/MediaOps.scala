@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A media row: opaque binary payload + typed metadata — the
+  * multimodal column convention (image/audio/video as `binary`,
+  * metadata alongside, never parsed by the engine itself). */
+final case class MediaRow(
+    doc_id: Long,
+    media: Array[Byte],
+    mime: String,
+    width: Int,
+    height: Int)
+
+/** Deterministic features a decoder would emit per media payload. */
+final case class MediaFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    histogram: Array[Long],   // 16-bin byte histogram ("pixel stats")
+    sample_checksum: Long,    // checksum over every 8th byte ("frame sample")
+    batch_size: Int)          // decode-batch the row was processed in
+
+/** Multimodal-column operators: treat image/audio/video as opaque
+  * binary columns with typed metadata, processed in batches by a
+  * per-partition decoder.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * DETERMINISTIC FAKE decoder (byte histogram + strided checksum) —
+  * clearly marked; swap `decodeStub` for a real JNI/codec call and
+  * everything around it (schema, batching, partitioning, the m01
+  * metadata query) stays as-is. The Spark-side plumbing is real:
+  *  - binary payloads travel as BinaryType columns;
+  *  - decoding runs via mapPartitions in fixed-size batches (the
+  *    shape a vectorized decoder wants — one codec init per batch,
+  *    not per row);
+  *  - partition count controls decoder parallelism, not row order.
+  *
+  * Scale stance: decode is embarrassingly parallel, no shuffle; at
+  * 100 TB the only knob is input split size (media blobs dominate,
+  * so spark.sql.files.maxPartitionBytes sizes decoder memory).
+  */
+object MediaOps extends QueryModule {
+
+  val DECODE_BATCH = 64
+
+  /** Attach a synthetic media payload + metadata to each document
+    * (the corpus has no real blobs; payload = UTF-8 bytes of text,
+    * dimensions derived portably from the content hash). */
+  def attachMedia(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        col("text").cast(BinaryType).as("media"),
+        lit("application/octet-stream").as("mime"),
+        (lit(320) + Portable.h60(concat(col("text"), lit(":w"))) % 1600)
+          .cast(IntegerType).as("width"),
+        (lit(240) + Portable.h60(concat(col("text"), lit(":h"))) % 840)
+          .cast(IntegerType).as("height"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder — deterministic fake of decode/feature-extract.
+    * Processes rows in DECODE_BATCH groups per partition, mirroring a
+    * vectorized decoder's batch shape. */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.grouped(DECODE_BATCH).flatMap { batch =>
+      // (real decoder: init codec once per batch here)
+      batch.map { r =>
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < r.media.length) {
+          hist((r.media(i) & 0xFF) % 16) += 1L
+          i += 1
+        }
+        var checksum = 0L
+        var j = 0
+        while (j < r.media.length) {
+          checksum = checksum * 31 + (r.media(j) & 0xFF)
+          j += 8 // strided sampling — the "frame sample" stand-in
+        }
+        MediaFeatures(r.doc_id, r.media.length.toLong, hist, checksum, batch.size)
+      }
+    }
+
+  /** The full batch pipeline: attach → repartition (decoder
+    * parallelism) → batched decode. */
+  def decodeAll(s: SparkSession, d: String, partitions: Int = 0): Dataset[MediaFeatures] = {
+    import s.implicits._
+    val media = attachMedia(s, d)
+    val parted = if (partitions > 0) media.repartition(partitions) else media
+    parted.mapPartitions(decodeStub)
+  }
+
+  /** m01 — the oracle-checkable slice: binary payload length and
+    * hash-derived metadata, computed engine-portably (byte length via
+    * the binary column on the Spark side, BLOB cast in DuckDB). */
+  def m01MediaMeta(s: SparkSession, d: String): DataFrame =
+    attachMedia(s, d)
+      .select(
+        col("doc_id"),
+        length(col("media")).cast(LongType).as("n_bytes"),
+        col("mime"),
+        col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"))
+      .orderBy(col("doc_id"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_meta" -> ((s, d) => m01MediaMeta(s, d)))
+
+  override val oracle: Map[String, String] = Map(
+    "m01_media_meta" ->
+      s"""SELECT doc_id,
+         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         |  'application/octet-stream' AS mime,
+         |  CAST(320 + ${Portable.h60Sql("text || ':w'")} % 1600 AS BIGINT) AS width,
+         |  CAST(240 + ${Portable.h60Sql("text || ':h'")} % 840 AS BIGINT) AS height
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language ID, quality scoring, token counting,
+  * and rolling-hash fingerprinting. These extend the reference's
+  * keyword/tokenize surface (KeywordStatsApp) to the document-corpus
+  * operations a 100 TB ingest actually needs.
+  *
+  * All of it is single-pass, per-row, whole-stage-codegen'd column
+  * arithmetic — no shuffle except the final verification ORDER BY, so
+  * the operators scale linearly with input splits. No UDFs: the
+  * tokenizer/scorers are built-ins (split/filter/aggregate/transform),
+  * and every numeric output is engine-portable (see graft.functions
+  * .Portable) so the DuckDB oracle hash-matches bit-for-bit.
+  */
+object TextOps extends QueryModule {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword
+    * language-ID heuristic. Real deployments swap in fuller lists;
+    * the classifier shape (per-language hit ratio, argmax with a
+    * fixed priority order) is what matters. */
+  private val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est"),
+    "es" -> Seq("el", "los", "de", "y", "un", "es"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  private def toks: Column = split(col("text"), "\\s+")
+
+  /** t01 — language ID: per-language stopword hit counts over the
+    * token stream; prediction = first language (in `langWords` order)
+    * with the maximal count, 'und' (undetermined) when no list hits. */
+  def t01LangId(s: SparkSession, d: String): DataFrame = {
+    val hitCols = langWords.map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      size(filter(toks, t => array_contains(arr, t))).cast(LongType).as(s"${lang}_hits")
+    }
+    val maxHits = greatest(langWords.map { case (l, _) => col(s"${l}_hits") }: _*)
+    // when-chain in langWords order: earlier language wins ties.
+    val predOrdered = langWords.map { case (l, _) =>
+      (l, col(s"${l}_hits") === maxHits && maxHits > 0)
+    }.foldLeft[Option[Column]](None) {
+      case (None, (l, cond)) => Some(when(cond, l))
+      case (Some(c), (l, cond)) => Some(c.when(cond, l))
+    }.get.otherwise("und")
+    Tables.documents(s, d)
+      .select(Seq(col("doc_id"), col("lang")) ++ hitCols: _*)
+      .withColumn("pred_lang", predOrdered)
+      .orderBy(col("doc_id"))
+  }
+
+  /** t02 — quality scoring: length/stopword/word-length features and
+    * a bounded linear score. Linear arithmetic only (no exp/log) so
+    * both engines produce identical doubles. */
+  def t02Quality(s: SparkSession, d: String): DataFrame = {
+    val en = array(langWords.head._2.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(toks).cast(LongType))
+      .withColumn("n_char", length(col("text")).cast(LongType))
+      .withColumn("stop_hits",
+        size(filter(toks, t => array_contains(en, t))).cast(LongType))
+      .withColumn("avg_word_len",
+        (col("n_char") - (col("n_tok") - lit(1))).cast(DoubleType) / col("n_tok").cast(DoubleType))
+      .withColumn("stop_ratio", col("stop_hits").cast(DoubleType) / col("n_tok").cast(DoubleType))
+      .withColumn("len_score",
+        least(col("n_tok").cast(DoubleType) / lit(100.0), lit(1.0)))
+      .withColumn("quality",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.4) * col("len_score") + lit(3.0) * col("stop_ratio") +
+            lit(0.05) * col("avg_word_len"))))
+      .select(col("doc_id"), col("n_tok"), col("n_char"), col("stop_hits"),
+        col("avg_word_len"), col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t03 — token counting: whitespace tokens and a BPE-ish regex
+    * tokenization (letter runs | digit runs | single other glyph). */
+  def t03TokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast(LongType).as("bpe_tokens"),
+        length(col("text")).cast(LongType).as("n_char"))
+      .orderBy(col("doc_id"))
+
+  /** t04 — document fingerprinting: rolling 8-char windows hashed
+    * portably; the fingerprint is the window-hash minimum (the
+    * 1-sample winnowing sketch) — identical docs ⇒ identical prints,
+    * and near-identical docs usually share them. */
+  def t04Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_windows",
+        greatest(length(col("text")) - lit(7), lit(1)).cast(LongType))
+      .withColumn("fp", expr(
+        """array_min(transform(sequence(1, int(greatest(length(text) - 7, 1))),
+          |  i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("fp"), col("n_windows"))
+      .orderBy(col("doc_id"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_lang_id" -> t01LangId,
+    "t02_quality" -> t02Quality,
+    "t03_token_count" -> t03TokenCount,
+    "t04_fingerprint" -> t04Fingerprint)
+
+  private def hitsSql(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> list_contains($arr, t))) AS BIGINT)"
+  }
+
+  override val oracle: Map[String, String] = Map(
+    "t01_lang_id" -> {
+      val hits = langWords.map { case (l, ws) => s"${hitsSql(ws)} AS ${l}_hits" }
+        .mkString(",\n       ")
+      val maxExpr = langWords.map { case (l, _) => s"${l}_hits" }
+        .mkString("greatest(", ", ", ")")
+      val cases = langWords.map { case (l, _) =>
+        s"WHEN ${l}_hits = $maxExpr AND $maxExpr > 0 THEN '$l'"
+      }.mkString("\n       ")
+      s"""SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+         |  CASE $cases ELSE 'und' END AS pred_lang
+         |FROM (
+         |  SELECT doc_id, lang,
+         |       $hits
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "t02_quality" -> {
+      val stop = hitsSql(langWords.head._2)
+      s"""SELECT doc_id, n_tok, n_char, stop_hits, avg_word_len, stop_ratio,
+         |  least(1.0, greatest(0.0,
+         |    0.4 * len_score + 3.0 * stop_ratio + 0.05 * avg_word_len)) AS quality
+         |FROM (
+         |  SELECT *,
+         |    CAST(n_char - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE) AS avg_word_len,
+         |    CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+         |    least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS len_score
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+         |      CAST(length(text) AS BIGINT) AS n_char,
+         |      $stop AS stop_hits
+         |    FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
+    "t03_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_char
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_min(list_transform(range(1, CAST(greatest(length(text) - 7, 1) AS BIGINT) + 1),
+         |    i -> ${Portable.h60Sql("substr(text, CAST(i AS INT), 8)")})) AS fp,
+         |  CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_windows
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (64-dim unit-norm
+  * float vectors ⇒ cosine ≡ dot product).
+  *
+  *  - c05 near-dup pairs: sign-LSH (16 hyperplanes, 4 bands × 4 bits)
+  *    for candidates, exact-dot verify ≥ 0.4.
+  *  - c06 brute-force top-k: the exactness baseline — broadcast the
+  *    (small) query set, one scan over the corpus, per-query top-10.
+  *  - c07 IVF top-k: the scale path — assign vectors to their nearest
+  *    of 16 centroids once, probe only the query's top-4 cells
+  *    (25% of the corpus scanned instead of 100%).
+  *
+  * Scale stance: c06 is O(|Q|·N) per scan with no shuffle of the
+  * corpus (query side broadcast; per-query top-k via the rank-limit
+  * window, which Spark turns into a WindowGroupLimit partial top-k
+  * before the shuffle). c05/c07 prune candidates with equi-joins on
+  * derived keys (band value / cell id) — no cartesian product
+  * anywhere; at 10^9 vectors the cell assignment is one narrow pass
+  * and only the probed cells shuffle.
+  *
+  * Determinism: hyperplanes/centroids are the first 16 vectors of the
+  * corpus itself (deterministic, engine-portable); all dots are
+  * sequential left-folds in DOUBLE (graft.functions.Portable), so the
+  * DuckDB oracle reproduces every score bit-for-bit, and ties break
+  * on vector id.
+  */
+object VectorOps extends QueryModule {
+
+  private val DIM = 64
+  private val PLANES = 16     // c05 hyperplanes = vec_id < 16
+  private val BAND_BITS = 4   // c05: 4 bands × 4 sign bits
+  private val NEAR_T = 0.4    // c05 verify threshold (data max ≈ 0.51)
+  private val NQ = 20         // c06/c07 query set = vec_id < 20
+  private val TOPK = 10
+  private val CELLS = 16      // c07 centroids = vec_id < 16
+  private val PROBES = 4      // c07 cells probed per query
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+
+  /** c05 — embedding near-duplicate pairs via sign-LSH. */
+  def c05EmbedNeardup(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val planes = e.filter(col("vec_id") < PLANES)
+      .select(col("vec_id").as("hid"), col("embedding").as("hemb"))
+    val bits = e.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("hid"),
+        when(Portable.dot(col("embedding"), col("hemb")) >= 0, 1L).otherwise(0L).as("bit"))
+    val sig = bits.groupBy(col("vec_id"))
+      .agg(sum(expr("bit << hid")).as("sig"))
+    val nBands = PLANES / BAND_BITS
+    val bands = sig.select(col("vec_id"), posexplode(array(
+      (0 until nBands).map(b =>
+        shiftright(col("sig"), b * BAND_BITS).bitwiseAND((1 << BAND_BITS) - 1)): _*)))
+      .toDF("vec_id", "band", "bv")
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("ia"), col("embedding").as("ea")), "ia")
+      .join(e.select(col("vec_id").as("ib"), col("embedding").as("eb")), "ib")
+      .withColumn("score", Portable.dot(col("ea"), col("eb")))
+      .filter(col("score") >= NEAR_T)
+      .select(col("ia"), col("ib"), col("score"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** c06 — exact cosine top-k: broadcast query set, scan, rank-limit. */
+  def c06AnnBrute(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        Portable.dot(col("embedding"), col("qemb")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** c07 — IVF top-k: coarse-quantize once, probe top cells only. */
+  def c07AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cent = e.filter(col("vec_id") < CELLS)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    // one narrow pass: every vector → its nearest centroid (cell)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        Portable.dot(col("embedding"), col("cemb")).as("cscore"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    // queries probe their PROBES closest cells
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("pscore").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qemb"), col("cid"),
+        Portable.dot(col("qemb"), col("cemb")).as("pscore"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= PROBES)
+      .select(col("qid"), col("qemb"), col("cid"))
+    // exact search inside the probed cells only
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        Portable.dot(col("embedding"), col("qemb")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c05_embed_neardup" -> c05EmbedNeardup,
+    "c06_ann_brute" -> c06AnnBrute,
+    "c07_ann_ivf" -> c07AnnIvf)
+
+  private val dotEQ = Portable.dotSql("e.embedding", "q.qemb", DIM)
+
+  override val oracle: Map[String, String] = Map(
+    "c05_embed_neardup" -> {
+      val dotEH = Portable.dotSql("e.embedding", "h.hemb", DIM)
+      val dotAB = Portable.dotSql("a.embedding", "b.embedding", DIM)
+      val nBands = PLANES / BAND_BITS
+      val bandRows = (0 until nBands).map(b =>
+        s"SELECT vec_id, $b AS band, (sig >> ${b * BAND_BITS}) & ${(1 << BAND_BITS) - 1} AS bv FROM sig")
+        .mkString("\n       UNION ALL ")
+      s"""WITH planes AS (SELECT vec_id AS hid, embedding AS hemb FROM embeddings WHERE vec_id < $PLANES),
+         |bits AS (SELECT e.vec_id, h.hid,
+         |           CASE WHEN $dotEH >= 0 THEN 1 ELSE 0 END AS bit
+         |         FROM embeddings e CROSS JOIN planes h),
+         |sig AS (SELECT vec_id, CAST(SUM(bit << hid) AS BIGINT) AS sig FROM bits GROUP BY vec_id),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
+         |SELECT ia, ib, $dotAB AS score
+         |FROM cand JOIN embeddings a ON ia = a.vec_id
+         |          JOIN embeddings b ON ib = b.vec_id
+         |WHERE $dotAB >= $NEAR_T
+         |ORDER BY ia, ib""".stripMargin
+    },
+    "c06_ann_brute" ->
+      s"""SELECT qid, rank, nid, score FROM (
+         |  SELECT q.qid, e.vec_id AS nid, $dotEQ AS score,
+         |         row_number() OVER (PARTITION BY q.qid ORDER BY $dotEQ DESC, e.vec_id) AS rank
+         |  FROM embeddings e CROSS JOIN
+         |       (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < $NQ) q
+         |  WHERE e.vec_id <> q.qid)
+         |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin,
+    "c07_ann_ivf" -> {
+      val dotEC = Portable.dotSql("e.embedding", "c.cemb", DIM)
+      val dotQC = Portable.dotSql("q.qemb", "c.cemb", DIM)
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $CELLS),
+         |assign AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dotEC DESC, c.cid) AS crn
+         |  FROM embeddings e CROSS JOIN cent c) WHERE crn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id < $NQ),
+         |probes AS (SELECT qid, qemb, cid FROM (
+         |  SELECT q.qid, q.qemb, c.cid,
+         |         row_number() OVER (PARTITION BY q.qid ORDER BY $dotQC DESC, c.cid) AS prn
+         |  FROM q CROSS JOIN cent c) WHERE prn <= $PROBES)
+         |SELECT qid, rank, nid, score FROM (
+         |  SELECT p.qid, e.vec_id AS nid,
+         |         ${Portable.dotSql("e.embedding", "p.qemb", DIM)} AS score,
+         |         row_number() OVER (PARTITION BY p.qid
+         |           ORDER BY ${Portable.dotSql("e.embedding", "p.qemb", DIM)} DESC, e.vec_id) AS rank
+         |  FROM probes p JOIN assign e ON p.cid = e.cid
+         |  WHERE e.vec_id <> p.qid)
+         |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin
+    })
+}

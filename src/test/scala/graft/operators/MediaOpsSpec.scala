@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: binary columns, batched per-partition decode,
+  * determinism across partitionings. */
+class MediaOpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("attachMedia carries binary payload + typed metadata") {
+    val rows = MediaOps.attachMedia(spark, sf).limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.media.nonEmpty)
+      assert(r.mime == "application/octet-stream")
+      assert(r.width >= 320 && r.width < 1920)
+      assert(r.height >= 240 && r.height < 1080)
+    }
+  }
+
+  test("decode batches respect DECODE_BATCH and cover every row") {
+    val feats = MediaOps.decodeAll(spark, sf, partitions = 4).collect()
+    val n = MediaOps.attachMedia(spark, sf).count()
+    assert(feats.length.toLong === n)
+    assert(feats.forall(f => f.batch_size > 0 && f.batch_size <= MediaOps.DECODE_BATCH))
+    // histogram bins must sum to the payload size — the decoder saw
+    // every byte exactly once
+    assert(feats.forall(f => f.histogram.sum == f.n_bytes))
+  }
+
+  test("decode output is independent of partitioning") {
+    def run(p: Int) = MediaOps.decodeAll(spark, sf, partitions = p)
+      .collect().map(f => f.doc_id -> (f.n_bytes, f.sample_checksum, f.histogram.toSeq))
+      .toMap
+    assert(run(2) === run(8))
+  }
+}
