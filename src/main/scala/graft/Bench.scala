@@ -1,23 +1,57 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line on stdout.
+  *
+  * Methodology (round-1 lessons):
+  *  - one untimed warmup query first, so JIT/codegen/session init
+  *    doesn't land in the first timed query;
+  *  - timings materialize the full result through the noop sink
+  *    (count() lets the optimizer drop final sorts/projections);
+  *  - the headline `value` sums the SAME query set as BENCH_r01
+  *    (b1-b8) so rounds stay comparable against BASELINE.md; newer
+  *    operators are timed as extra per-query entries. Verification
+  *    probes that end in a full-table ORDER BY (a05, a07, a09-a12,
+  *    a14-a17) are excluded — they time the determinism sort, not the
+  *    operator.
+  */
 object Bench {
+  private val headline = Seq(
+    "b1_gmv", "b2_topn_spu", "b3_topn_category", "b4_topn_trademark",
+    "b5_province_map", "b6_visitor_ratios", "b7_hourly_curve",
+    "b8_keyword_weighted")
+  private val extras = Seq(
+    "a20_tumble_visitor", "a21_product_stats", "a23_province_window",
+    "c01_dedup_exact", "c02_dedup_minhash", "c03_dedup_simhash",
+    "c04_dedup_ngram", "c05_embed_neardup", "c06_ann_brute",
+    "c07_ann_ivf", "t04_fingerprint")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    materialize("b5_province_map") // warmup, untimed
+
+    val results = (headline ++ extras).map(n => n -> materialize(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.collect { case (k, v) if headline.contains(k) && v > 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

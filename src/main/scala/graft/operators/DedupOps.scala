@@ -148,22 +148,27 @@ object DedupOps extends QueryModule {
   }
 
   // ---------------------------------------------------------------
-  // c04 — word-bigram Jaccard with prefix filtering (t = 0.85)
+  // c04 — word-4-gram Jaccard with prefix + size filtering (t = 0.85)
   // ---------------------------------------------------------------
 
   private val NGRAM_T = 0.85
+  private val NGRAM_N = 4
 
-  private def bigrams(s: SparkSession, d: String): DataFrame =
+  /** 4-word ngrams: distinctive enough that the global-df prefix
+    * order has real discriminating power even on a small vocabulary
+    * (bigrams of a 40-word vocabulary all have huge df, which
+    * made every prefix bucket quadratic — measured 72s at sf0.1). */
+  private def ngrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), "\\s+"))
-      .where(size(col("toks")) >= 2)
+      .where(size(col("toks")) >= NGRAM_N)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))"))
+        s"transform(sequence(0, size(toks) - $NGRAM_N), i -> concat_ws(' ', slice(toks, i + 1, $NGRAM_N)))"))
         .as("sh"))
       .distinct()
 
   def c04NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val ng = bigrams(s, d).cache()
+    val ng = ngrams(s, d).cache()
     val df = ng.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val sized = ng.join(df, "sh")
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
@@ -174,10 +179,13 @@ object DedupOps extends QueryModule {
     // order (rarest first, so candidate buckets stay small).
     val prefix = sized
       .filter(col("rn") <= col("n") - expr(s"CAST(ceil($NGRAM_T * n) AS BIGINT)") + lit(1))
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("sh"), col("n"))
+    // size filter: jac >= t forces t <= |A|/|B| <= 1/t.
     val cand = prefix.as("x")
       .join(prefix.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.n").cast(DoubleType) >= lit(NGRAM_T) * col("x.n") &&
+          col("x.n").cast(DoubleType) >= lit(NGRAM_T) * col("y.n"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
     verifyJaccard(cand, ng, NGRAM_T)
@@ -200,12 +208,12 @@ object DedupOps extends QueryModule {
       |  FROM (SELECT doc_id, string_split_regex(text, '\s+') t FROM documents)
       |  WHERE len(t) >= 3)""".stripMargin
 
-  private val bigramsSql =
-    """SELECT DISTINCT doc_id, s AS sh FROM (
-      |  SELECT doc_id, unnest(list_transform(range(0, len(t) - 1),
-      |    i -> array_to_string(t[i + 1:i + 2], ' '))) AS s
-      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') t FROM documents)
-      |  WHERE len(t) >= 2)""".stripMargin
+  private val ngramsSql =
+    s"""SELECT DISTINCT doc_id, s AS sh FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(t) - ${NGRAM_N - 1}),
+       |    i -> array_to_string(t[i + 1:i + $NGRAM_N], ' '))) AS s
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') t FROM documents)
+       |  WHERE len(t) >= $NGRAM_N)""".stripMargin
 
   private def verifySql(t: Double): String =
     s"""SELECT da, db, za.n AS na, zb.n AS nb, i.inter,
@@ -269,17 +277,19 @@ object DedupOps extends QueryModule {
          |ORDER BY da, db""".stripMargin
     },
     "c04_dedup_ngram" ->
-      s"""WITH sh AS ($bigramsSql),
+      s"""WITH sh AS ($ngramsSql),
          |dft AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
          |sized AS (SELECT s.doc_id, s.sh, dft.df,
          |            count(*) OVER (PARTITION BY s.doc_id) AS n,
          |            row_number() OVER (PARTITION BY s.doc_id ORDER BY dft.df, s.sh) AS rn
          |          FROM sh s JOIN dft ON s.sh = dft.sh),
-         |prefix AS (SELECT doc_id, sh FROM sized
+         |prefix AS (SELECT doc_id, sh, n FROM sized
          |           WHERE rn <= n - CAST(ceil($NGRAM_T * n) AS BIGINT) + 1),
          |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
          |         FROM prefix x JOIN prefix y
-         |           ON x.sh = y.sh AND x.doc_id < y.doc_id),
+         |           ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |          AND CAST(y.n AS DOUBLE) >= $NGRAM_T * x.n
+         |          AND CAST(x.n AS DOUBLE) >= $NGRAM_T * y.n),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
          |${verifySql(NGRAM_T)}""".stripMargin)
 }
