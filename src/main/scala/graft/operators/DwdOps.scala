@@ -87,26 +87,116 @@ object DwdOps extends QueryModule {
       .orderBy(col("event_id"))
   }
 
-  /** A11 broadcast-config dynamic routing (TableProcessFunction.java:
-    * 24-170): a small config table decides, per record kind, the sink
-    * type, target table and column projection. Config joins broadcast;
-    * unmatched kinds are dropped (reference logs & drops, :150-153). */
-  def a11DynamicRoute(s: SparkSession, d: String): DataFrame = {
+  /** The routing-config table (TableProcess bean, TableProcess.java:
+    * 11-30): sink target + a sinkColumns projection list per source
+    * kind. In production this arrives as a CDC stream / catalog table;
+    * the content here is the fixture. Exposed so tests can exercise
+    * the DDL side-effect (ensureSinkTables) against the same config. */
+  def routingConfig(s: SparkSession): DataFrame = {
     import s.implicits._
-    val config = Seq(
-      // (source_kind, sink_type, sink_table, keep_value, keep_user)
-      ("click", "kafka", "dwd_click", true, true),
-      ("view", "kafka", "dwd_page", true, false),
-      ("purchase", "clickhouse", "dws_purchase", true, true),
-      ("signup", "hbase", "dim_user", false, true)
-    ).toDF("source_kind", "sink_type", "sink_table", "keep_value", "keep_user")
+    Seq(
+      ("click", "kafka", "dwd_click", "event_id,user_id,value", "event_id"),
+      ("view", "kafka", "dwd_page", "event_id,value", "event_id"),
+      ("purchase", "clickhouse", "dws_purchase", "event_id,user_id,value", "event_id"),
+      ("signup", "hbase", "dim_user", "event_id,user_id", "user_id")
+    ).toDF("source_kind", "sink_type", "sink_table", "sink_columns", "sink_pk")
+  }
+
+  /** DDL side-effect of new routing config (TableProcessFunction
+    * .checkTable, :79-126): CREATE TABLE IF NOT EXISTS per hbase-bound
+    * config row, with sink_pk as the leading column. Idempotent. */
+  def ensureSinkTables(s: SparkSession): Unit = {
+    val rows = routingConfig(s).filter(col("sink_type") === "hbase").collect()
+    rows.foreach { r =>
+      val table = r.getAs[String]("sink_table")
+      val pk = r.getAs[String]("sink_pk")
+      val cols = r.getAs[String]("sink_columns").split(",")
+      val rest = cols.filterNot(_ == pk).map(c => s"$c STRING").mkString(", ")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $table ($pk STRING, $rest) USING parquet")
+    }
+  }
+
+  /** A11 broadcast-config dynamic routing (TableProcessFunction.java:
+    * 24-170): the config table decides, per record kind, the sink
+    * type, target table, and — via its sinkColumns list — the column
+    * projection (filterColumn, :157-170). A column survives iff its
+    * name appears in the matched config row's sink_columns; unmatched
+    * kinds are dropped (reference logs & drops, :150-153). */
+  def a11DynamicRoute(s: SparkSession, d: String): DataFrame = {
+    val config = routingConfig(s)
     val ev = Tables.events(s, d)
+    def keep(c: String) =
+      when(array_contains(split(col("sink_columns"), ","), c), col(c)).as(c)
     ev.join(broadcast(config), ev("event_type") === config("source_kind"))
       .select(
         col("event_id"), col("event_type"), col("sink_type"), col("sink_table"),
-        when(col("keep_value"), col("value")).as("value"),
-        when(col("keep_user"), col("user_id")).as("user_id"))
+        keep("value"), keep("user_id"))
       .orderBy(col("event_id"))
+  }
+
+  /** A4 CDC envelope parse (BaseDBApp.java:52-62, custom deserializer
+    * :67-112): the Maxwell/Debezium {database, table, type, ts, data}
+    * JSON envelope → typed fields, keeping inserts/updates. The
+    * envelope string is constructed portably (pure string concat of
+    * integer/string columns) so both engines parse byte-identical
+    * JSON; in production the same from_json runs on the Kafka value
+    * column (graft.streaming.Sources.cdcSchema). */
+  def a04CdcEnvelope(s: SparkSession, d: String): DataFrame = {
+    val envSchema = StructType(Seq(
+      StructField("database", StringType),
+      StructField("table", StringType),
+      StructField("type", StringType),
+      StructField("ts", LongType),
+      StructField("data", StructType(Seq(
+        StructField("id", LongType),
+        StructField("cust", LongType),
+        StructField("status", StringType))))))
+    Tables.orders(s, d)
+      .withColumn("env", expr(
+        """concat('{"database":"gmall","table":"orders","type":"',
+          |  CASE WHEN o_orderkey % 10 = 0 THEN 'update'
+          |       WHEN o_orderkey % 10 = 1 THEN 'delete'
+          |       ELSE 'insert' END,
+          |  '","ts":', CAST(o_orderkey AS STRING),
+          |  ',"data":{"id":', CAST(o_orderkey AS STRING),
+          |  ',"cust":', CAST(o_custkey AS STRING),
+          |  ',"status":"', o_orderstatus, '"}}')""".stripMargin))
+      .select(from_json(col("env"), envSchema).as("j"))
+      .filter(col("j.type") =!= "delete")
+      .select(
+        col("j.database").as("database"), col("j.table").as("tbl"),
+        col("j.type").as("op"), col("j.ts").as("ts"),
+        col("j.data.id").as("id"), col("j.data.cust").as("cust"),
+        col("j.data.status").as("status"))
+      .orderBy(col("id"))
+  }
+
+  /** A12 (full form) 3-way log split + displays[] fan-out with the
+    * parent page_id attached (BaseLogApp.java:95-134): start records
+    * to one stream, page records to another, and each display element
+    * fanned out carrying its parent page's key and position. The
+    * display cardinality per page derives deterministically from the
+    * event id (the corpus has no nested array column). */
+  def a12LogSplit(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+    val start = e.filter(col("event_type") === "signup").select(
+      col("event_id"), lit("start").as("stream"),
+      lit(null).cast(LongType).as("page_id"),
+      lit(null).cast(StringType).as("item"),
+      lit(null).cast(LongType).as("pos"))
+    val page = e.filter(col("event_type") =!= "signup").select(
+      col("event_id"), lit("page").as("stream"), col("k").as("page_id"),
+      lit(null).cast(StringType).as("item"),
+      lit(null).cast(LongType).as("pos"))
+    val displays = e.filter(col("event_type") =!= "signup" && col("k").isNotNull)
+      .select(col("event_id"), col("k"),
+        explode(expr("sequence(1L, 1L + event_id % 3)")).as("pos"))
+      .select(
+        col("event_id"), lit("display").as("stream"), col("k").as("page_id"),
+        expr("concat('item_', k, '_', pos)").as("item"), col("pos"))
+    start.unionByName(page).unionByName(displays)
+      .orderBy(col("event_id"), col("stream"), col("pos"))
   }
 
   /** A12 multi-way split + array fan-out (BaseLogApp.java:95-134): the
@@ -121,6 +211,8 @@ object DwdOps extends QueryModule {
       .orderBy(col("doc_id"), col("pos"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a04_cdc_envelope" -> a04CdcEnvelope,
+    "a12_log_split" -> a12LogSplit,
     "a05_json_parse" -> a05JsonParse,
     "a06_dirty_split" -> a06DirtySplit,
     "a07_filter" -> a07Filter,
@@ -131,6 +223,41 @@ object DwdOps extends QueryModule {
     "a12_explode_pos" -> a12ExplodePos)
 
   override val oracle: Map[String, String] = Map(
+    "a04_cdc_envelope" ->
+      """SELECT json_extract_string(env, '$.database') AS database,
+        |       json_extract_string(env, '$.table') AS tbl,
+        |       json_extract_string(env, '$.type') AS op,
+        |       CAST(json_extract(env, '$.ts') AS BIGINT) AS ts,
+        |       CAST(json_extract(env, '$.data.id') AS BIGINT) AS id,
+        |       CAST(json_extract(env, '$.data.cust') AS BIGINT) AS cust,
+        |       json_extract_string(env, '$.data.status') AS status
+        |FROM (
+        |  SELECT '{"database":"gmall","table":"orders","type":"' ||
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'update'
+        |         WHEN o_orderkey % 10 = 1 THEN 'delete'
+        |         ELSE 'insert' END ||
+        |    '","ts":' || CAST(o_orderkey AS VARCHAR) ||
+        |    ',"data":{"id":' || CAST(o_orderkey AS VARCHAR) ||
+        |    ',"cust":' || CAST(o_custkey AS VARCHAR) ||
+        |    ',"status":"' || o_orderstatus || '"}}' AS env
+        |  FROM orders)
+        |WHERE json_extract_string(env, '$.type') <> 'delete'
+        |ORDER BY id""".stripMargin,
+    "a12_log_split" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |            FROM events)
+        |SELECT event_id, 'start' AS stream, CAST(NULL AS BIGINT) AS page_id,
+        |       CAST(NULL AS VARCHAR) AS item, CAST(NULL AS BIGINT) AS pos
+        |FROM ev WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT event_id, 'page', k, NULL, NULL
+        |FROM ev WHERE event_type <> 'signup'
+        |UNION ALL
+        |SELECT event_id, 'display', k, 'item_' || k || '_' || pos, pos
+        |FROM (SELECT event_id, k, unnest(range(1, 2 + event_id % 3)) AS pos
+        |      FROM ev WHERE event_type <> 'signup' AND k IS NOT NULL)
+        |ORDER BY event_id, stream, pos""".stripMargin,
     "a05_json_parse" ->
       """SELECT event_id, event_type,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
@@ -164,14 +291,14 @@ object DwdOps extends QueryModule {
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "a11_dynamic_route" ->
       """SELECT event_id, event_type, sink_type, sink_table,
-        |       CASE WHEN keep_value THEN value END AS value,
-        |       CASE WHEN keep_user THEN user_id END AS user_id
+        |       CASE WHEN list_contains(string_split(sink_columns, ','), 'value') THEN value END AS value,
+        |       CASE WHEN list_contains(string_split(sink_columns, ','), 'user_id') THEN user_id END AS user_id
         |FROM events JOIN (
-        |  VALUES ('click','kafka','dwd_click',true,true),
-        |         ('view','kafka','dwd_page',true,false),
-        |         ('purchase','clickhouse','dws_purchase',true,true),
-        |         ('signup','hbase','dim_user',false,true)
-        |) AS cfg(source_kind, sink_type, sink_table, keep_value, keep_user)
+        |  VALUES ('click','kafka','dwd_click','event_id,user_id,value','event_id'),
+        |         ('view','kafka','dwd_page','event_id,value','event_id'),
+        |         ('purchase','clickhouse','dws_purchase','event_id,user_id,value','event_id'),
+        |         ('signup','hbase','dim_user','event_id,user_id','user_id')
+        |) AS cfg(source_kind, sink_type, sink_table, sink_columns, sink_pk)
         |  ON event_type = source_kind
         |ORDER BY event_id""".stripMargin,
     "a12_explode_pos" ->
