@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension entry point: register with
+  * `spark.sql.extensions=graft.GraftExtensions` (Verify/Bench/tests
+  * do). Currently injects the dictionary tokenizer UDTF
+  * (`graft_tokenize`, SURVEY.md §2 A24) as a native Generator so SQL
+  * and DataFrame queries can LATERAL-expand tokens without a UDF. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_tokenize"),
+      new ExpressionInfo(classOf[functions.DictTokenize].getName, "graft_tokenize"),
+      (children: Seq[Expression]) => functions.DictTokenize(children.head)))
+  }
+}

@@ -210,9 +210,21 @@ object DwdOps extends QueryModule {
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("keyword"))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** A24 — the dictionary tokenizer UDTF applied laterally
+    * (KeywordStatsApp.java:58-59's LATERAL TABLE(ik_analyze(...))).
+    * graft_tokenize is the native Generator registered by
+    * graft.GraftExtensions (graft.functions.DictTokenize). */
+  def a24Tokenize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 10 === 0) // LATERAL over a filtered slice, like the reference
+      .selectExpr("doc_id", "graft_tokenize(text) AS (token, pos)")
+      .select(col("doc_id"), col("pos"), col("token"))
+      .orderBy(col("doc_id"), col("pos"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a04_cdc_envelope" -> a04CdcEnvelope,
     "a12_log_split" -> a12LogSplit,
+    "a24_tokenize" -> a24Tokenize,
     "a05_json_parse" -> a05JsonParse,
     "a06_dirty_split" -> a06DirtySplit,
     "a07_filter" -> a07Filter,
@@ -223,6 +235,31 @@ object DwdOps extends QueryModule {
     "a12_explode_pos" -> a12ExplodePos)
 
   override val oracle: Map[String, String] = Map(
+    // Twin of the greedy dictionary merge: with phrase heads/tails
+    // disjoint (DictTokenize.phrases invariant), greedy == pairwise:
+    // a token merges with its successor iff the pair is a phrase, and
+    // a token is consumed iff it closed the previous pair.
+    "a24_tokenize" ->
+      """WITH toks AS (
+        |  SELECT doc_id, pos, tok,
+        |         lag(tok) OVER w AS prev, lead(tok) OVER w AS next
+        |  FROM (
+        |    SELECT doc_id,
+        |           unnest(range(0, len(string_split_regex(text, '\s+')))) AS pos,
+        |           unnest(string_split_regex(text, '\s+')) AS tok
+        |    FROM documents WHERE doc_id % 10 = 0)
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |emitted AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN (tok, next) IN (('hash','join'), ('table','scan'), ('group','value'))
+        |              THEN tok || '_' || next ELSE tok END AS token
+        |  FROM toks
+        |  WHERE tok <> ''
+        |    AND NOT (prev, tok) IN (('hash','join'), ('table','scan'), ('group','value')))
+        |SELECT doc_id,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+        |       token
+        |FROM emitted ORDER BY doc_id, pos""".stripMargin,
     "a04_cdc_envelope" ->
       """SELECT json_extract_string(env, '$.database') AS database,
         |       json_extract_string(env, '$.table') AS tbl,
