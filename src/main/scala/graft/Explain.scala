@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: executes selected queries at the given SF and
+  * prints the FINAL (post-AQE) physical plan, plus a one-line summary
+  * of the facts that matter at scale — join strategies chosen, scan
+  * pushdown, window group limits, codegen coverage. Usage:
+  *   runMain graft.Explain <sfDir> [queryName ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
+        .findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k×${v.size}" }
+      val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan).toSeq.count(!_.contains("[]"))
+      val wgl = "WindowGroupLimit".r.findAllIn(plan).size
+      val codegen = "WholeStageCodegen".r.findAllIn(plan).size
+      println(s"##### $name joins=${joins.mkString(",")} pushedFilterScans=$pushed " +
+        s"windowGroupLimit=$wgl codegenSpans=$codegen")
+      println(plan)
+      println()
+    }
+    spark.stop()
+  }
+}

@@ -36,10 +36,14 @@ object AdsQueries extends QueryModule {
   private val dec2 = DecimalType(12, 2)
 
   /** B1 GMV: total order revenue for one month (reference filters one
-    * day via toYYYYMMDD(stt)=date; month keeps sf0.001 non-empty). */
+    * day via toYYYYMMDD(stt)=date; month keeps sf0.001 non-empty).
+    * The month is a RANGE predicate, not date_format(...)='199806':
+    * a function on the column blocks parquet filter pushdown (the
+    * scan would read every row-group at 100 TB); the range reaches
+    * PushedFilters and prunes on column statistics. */
   def b1Gmv(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .filter(date_format(col("o_orderdate"), "yyyyMM") === "199806")
+      .filter(col("o_orderdate") >= "1998-06-01" && col("o_orderdate") < "1998-07-01")
       .agg(sum(col("o_totalprice").cast(dec2)).cast(DoubleType).as("gmv"))
 
   private def revenue: org.apache.spark.sql.Column =
@@ -170,7 +174,8 @@ object AdsQueries extends QueryModule {
   override val oracle: Map[String, String] = Map(
     "b1_gmv" ->
       """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS gmv
-        |FROM orders WHERE strftime(o_orderdate, '%Y%m') = '199806'""".stripMargin,
+        |FROM orders
+        |WHERE o_orderdate >= '1998-06-01' AND o_orderdate < '1998-07-01'""".stripMargin,
     "b2_topn_spu" ->
       s"""SELECT p_brand, $rev AS order_amount, COUNT(*) AS order_ct
          |FROM lineitem JOIN part ON l_partkey = p_partkey
