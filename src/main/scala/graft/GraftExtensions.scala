@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tokenize"),
       new ExpressionInfo(classOf[functions.DictTokenize].getName, "graft_tokenize"),
       (children: Seq[Expression]) => functions.DictTokenize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[functions.DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => functions.DotProduct(children(0), children(1))))
   }
 }
