@@ -191,11 +191,38 @@ object DedupOps extends QueryModule {
     verifyJaccard(cand, ng, NGRAM_T)
   }
 
+  // ---------------------------------------------------------------
+  // c08 — corpus curation: the composed training-data pipeline
+  // ---------------------------------------------------------------
+
+  private val QUALITY_T = 0.6
+
+  /** c08 — quality-filter + near-dup removal, summarized per
+    * language: the end-to-end shape of a corpus-curation pass. A
+    * document survives iff quality ≥ 0.6 (TextOps feature scorer) and
+    * it is not the higher-id member of a MinHash-LSH near-dup pair
+    * (canonical-keeps-lowest-id policy). At scale both inputs are the
+    * operators benchmarked separately — this stage adds one anti-join
+    * and one aggregation. */
+  def c08CorpusCurate(s: SparkSession, d: String): DataFrame = {
+    val dupIds = c02MinhashLsh(s, d).select(col("db").as("doc_id")).distinct()
+    TextOps.withQualityCols(Tables.documents(s, d))
+      .filter(col("quality") >= QUALITY_T)
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_char")).as("n_chars"))
+      .orderBy(col("lang"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_dedup_exact" -> c01Exact,
     "c02_dedup_minhash" -> c02MinhashLsh,
     "c03_dedup_simhash" -> c03Simhash,
-    "c04_dedup_ngram" -> c04NgramJaccard)
+    "c04_dedup_ngram" -> c04NgramJaccard,
+    "c08_corpus_curate" -> c08CorpusCurate)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
@@ -215,6 +242,27 @@ object DedupOps extends QueryModule {
        |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') t FROM documents)
        |  WHERE len(t) >= $NGRAM_N)""".stripMargin
 
+  /** The c02 MinHash-LSH candidate pipeline as a WITH-clause body
+    * (sh, sig, bands, cand, sizes) — shared by the c02 and c08
+    * oracles. */
+  private lazy val c02Ctes: String = {
+    val mins = (0 until K).map(i =>
+      s"MIN(${Portable.h60Sql(s"'$i:' || sh")}) AS m$i").mkString(",\n         ")
+    val bandRows = (0 until BANDS).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws(',', " +
+        (0 until R).map(r => s"m${b * R + r}").mkString(", ") + ") AS key FROM sig")
+      .mkString("\n       UNION ALL ")
+    s"""sh AS ($shinglesSql),
+       |sig AS (SELECT doc_id,
+       |         $mins
+       |        FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
   private def verifySql(t: Double): String =
     s"""SELECT da, db, za.n AS na, zb.n AS nb, i.inter,
        |       CAST(i.inter AS DOUBLE) / CAST(za.n + zb.n - i.inter AS DOUBLE) AS jac
@@ -232,24 +280,21 @@ object DedupOps extends QueryModule {
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
         |       MIN(doc_id) AS canonical_id, COUNT(*) AS dup_ct
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
-    "c02_dedup_minhash" -> {
-      val mins = (0 until K).map(i =>
-        s"MIN(${Portable.h60Sql(s"'$i:' || sh")}) AS m$i").mkString(",\n         ")
-      val bandRows = (0 until BANDS).map(b =>
-        s"SELECT doc_id, $b AS band, concat_ws(',', " +
-          (0 until R).map(r => s"m${b * R + r}").mkString(", ") + ") AS key FROM sig")
-        .mkString("\n       UNION ALL ")
-      s"""WITH sh AS ($shinglesSql),
-         |sig AS (SELECT doc_id,
-         |         $mins
-         |        FROM sh GROUP BY doc_id),
-         |bands AS ($bandRows),
-         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-         |${verifySql(JACCARD_T)}""".stripMargin
-    },
+    "c02_dedup_minhash" ->
+      s"""WITH $c02Ctes
+         |${verifySql(JACCARD_T)}""".stripMargin,
+    "c08_corpus_curate" ->
+      s"""WITH $c02Ctes,
+         |neardup AS (SELECT DISTINCT db AS doc_id FROM (
+         |  ${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
+         |qual AS (${TextOps.qualityColsSql})
+         |SELECT lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(n_char) AS BIGINT) AS n_chars
+         |FROM qual
+         |WHERE quality >= $QUALITY_T
+         |  AND doc_id NOT IN (SELECT doc_id FROM neardup)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "c03_dedup_simhash" -> {
       val sums = (0 until BITS).map(j =>
         s"SUM(freq * (((h >> $j) & 1) * 2 - 1)) AS s$j").mkString(",\n         ")

@@ -56,12 +56,14 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  /** t02 — quality scoring: length/stopword/word-length features and
-    * a bounded linear score. Linear arithmetic only (no exp/log) so
-    * both engines produce identical doubles. */
-  def t02Quality(s: SparkSession, d: String): DataFrame = {
+  /** Adds the quality-feature columns (n_tok, n_char, stop_hits,
+    * avg_word_len, stop_ratio, len_score, quality) to a documents
+    * DataFrame. Linear arithmetic only (no exp/log) so both engines
+    * produce identical doubles. Shared by t02 and the corpus-curation
+    * pipeline (DedupOps c08). */
+  def withQualityCols(df: DataFrame): DataFrame = {
     val en = array(langWords.head._2.map(lit): _*)
-    Tables.documents(s, d)
+    df
       .withColumn("n_tok", size(toks).cast(LongType))
       .withColumn("n_char", length(col("text")).cast(LongType))
       .withColumn("stop_hits",
@@ -75,10 +77,34 @@ object TextOps extends QueryModule {
         least(lit(1.0), greatest(lit(0.0),
           lit(0.4) * col("len_score") + lit(3.0) * col("stop_ratio") +
             lit(0.05) * col("avg_word_len"))))
+  }
+
+  /** DuckDB twin of [[withQualityCols]] as a derived-table SQL
+    * fragment over `documents`. */
+  val qualityColsSql: String = {
+    val stop = hitsSql(langWords.head._2)
+    s"""SELECT *,
+       |  least(1.0, greatest(0.0,
+       |    0.4 * len_score + 3.0 * stop_ratio + 0.05 * avg_word_len)) AS quality
+       |FROM (
+       |  SELECT *,
+       |    CAST(n_char - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE) AS avg_word_len,
+       |    CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+       |    least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS len_score
+       |  FROM (
+       |    SELECT doc_id, lang, source,
+       |      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+       |      CAST(length(text) AS BIGINT) AS n_char,
+       |      $stop AS stop_hits
+       |    FROM documents))""".stripMargin
+  }
+
+  /** t02 — quality scoring per document. */
+  def t02Quality(s: SparkSession, d: String): DataFrame =
+    withQualityCols(Tables.documents(s, d))
       .select(col("doc_id"), col("n_tok"), col("n_char"), col("stop_hits"),
         col("avg_word_len"), col("stop_ratio"), col("quality"))
       .orderBy(col("doc_id"))
-  }
 
   /** t03 — token counting: whitespace tokens and a BPE-ish regex
     * tokenization (letter runs | digit runs | single other glyph). */

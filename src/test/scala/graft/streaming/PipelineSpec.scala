@@ -84,6 +84,58 @@ class PipelineSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("windowed product stats: streaming append matches batch") {
+    implicit val sq = spark.sqlContext
+    val data = Seq(
+      ev(1, 0, 1, "click"), ev(2, 3, 2, "view"),
+      ev(3, 9, 1, "purchase", 42.5), ev(4, 12, 2, "purchase", 10.0),
+      ev(5, 15, 1, "purchase", 7.25))
+    val batch = WindowedAggs.productStats(spark.createDataset(data).toDF())
+      .orderBy("stt", "sku_id").collect().toSeq
+
+    val mem = MemoryStream[EventRow]
+    val q = WindowedAggs.productStats(
+        mem.toDF().withWatermark("ts", "1 second"))
+      .writeStream.format("memory").queryName("wp_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(data)
+      q.processAllAvailable()
+      mem.addData(Seq(ev(99, 3600, 9, "noop"))) // close all windows
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("wp_out")
+      .filter($"stt" < "2024-01-01 01:00:00")
+      .orderBy("stt", "sku_id").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("tokenizer UDTF runs inside a streaming windowed count") {
+    // A24+A25 in streaming form: LATERAL tokenize → 10s tumble count.
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val words = mem.toDF()
+      .withColumn("text", concat_ws(" ", lit("hash"), lit("join"), $"event_type"))
+      .withWatermark("ts", "1 second")
+      .selectExpr("ts", "graft_tokenize(text) AS (token, pos)")
+    val q = words
+      .groupBy(window($"ts", "10 seconds"), $"token")
+      .count()
+      .writeStream.format("memory").queryName("tok_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Seq(ev(1, 0, 1, "view"), ev(2, 3, 1, "click")))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(99, 3600, 9, "noop")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("tok_out")
+      .filter($"window.start" < "2024-01-01 01:00:00")
+      .select($"token", $"count").as[(String, Long)].collect().toMap
+    // "hash join" merges into one phrase token per event
+    assert(got === Map("hash_join" -> 2L, "view" -> 1L, "click" -> 1L))
+  }
+
   // ---- A5/A6/A12 source parsing + split ---------------------------
 
   test("log parse + dirty side-channel + displays fan-out") {
