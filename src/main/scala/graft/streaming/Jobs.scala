@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A page-view row after parse + typed projection, keyed by device id
+  * (FIXTURES.md §1; BaseLogApp.java:53-90's working shape). */
+final case class PageLog(
+    mid: String,
+    is_new: String,
+    last_page_id: String,
+    page_id: String,
+    during_time: Long,
+    ts: Timestamp)
+
+/** Job-level composition: the reference's stream jobs as wired
+  * pipelines over the operator library — what a user runs, not just
+  * what they compose from. Each function is pure DataFrame→DataFrame
+  * so the same wiring executes in batch (tests, backfills) and
+  * streaming (production) mode.
+  *
+  *  - [[splitLog]] + [[repairIsNew]]: BaseLogApp (parse, dirty
+  *    side-channel via Sources.parseWithDirty, is_new repair, 3-way
+  *    split with display fan-out, BaseLogApp.java:48-138).
+  *  - [[visitorMeasures]] + [[visitorStats10s]]: VisitorStatsApp
+  *    (per-source measure projection, union, 10s event-time tumble,
+  *    VisitorStatsApp.java:77-195).
+  */
+object Jobs {
+
+  private val dayFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
+
+  /** 3-way split of a parsed log DataFrame (Sources.logSchema):
+    * (start records, page records, display fan-out rows with the
+    * parent page_id attached) — BaseLogApp.java:95-134. */
+  def splitLog(parsed: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val start = parsed.filter(col("start").isNotNull)
+    val page = parsed.filter(col("start").isNull)
+    val displays = page
+      .filter(col("displays").isNotNull)
+      .select(
+        col("common")("mid").as("mid"),
+        col("page")("page_id").as("page_id"),
+        col("ts"),
+        explode(col("displays")).as("d"))
+      .select(col("mid"), col("page_id"), col("ts"),
+        col("d.item").as("item"), col("d.item_type").as("item_type"),
+        col("d.order").as("display_order"))
+    (start, page, displays)
+  }
+
+  /** Page records → typed PageLog rows (epoch-ms ts → Timestamp). */
+  def toPageLog(spark: SparkSession, page: DataFrame): Dataset[PageLog] = {
+    import spark.implicits._
+    page.select(
+      col("common")("mid").as("mid"),
+      coalesce(col("common")("is_new"), lit("0")).as("is_new"),
+      coalesce(col("page")("last_page_id"), lit("")).as("last_page_id"),
+      coalesce(col("page")("page_id"), lit("")).as("page_id"),
+      coalesce(col("page")("during_time").cast("long"), lit(0L)).as("during_time"),
+      timestamp_millis(col("ts")).as("ts"))
+      .as[PageLog]
+  }
+
+  /** is_new repair keyed by mid (BaseLogApp.java:56-90): a claimed
+    * is_new=1 survives only on the device's first-seen date. Works on
+    * bounded and streaming Datasets alike. */
+  def repairIsNew(spark: SparkSession, pages: Dataset[PageLog]): Dataset[PageLog] = {
+    import spark.implicits._
+    pages
+      .groupByKey(_.mid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (mid: String, it: Iterator[PageLog], state: GroupState[FirstVisitState]) => {
+          val sorted = it.toSeq.sortBy(p => (p.ts.getTime, p.page_id))
+          var first = state.getOption.map(_.firstDate)
+          val out = sorted.map { p =>
+            val dt = dayFmt.format(Instant.ofEpochMilli(p.ts.getTime))
+            if (first.isEmpty) first = Some(dt)
+            p.copy(is_new =
+              if (p.is_new == "1" && first.contains(dt)) "1" else "0")
+          }
+          first.foreach(f => state.update(FirstVisitState(f)))
+          out.iterator
+        })
+  }
+
+  /** Per-source measure projection to the VisitorStats measure row
+    * (VisitorStatsApp.java:77-130): pv=1 per page view, sv=1 on
+    * session entry (empty last_page_id), dur_sum = dwell ms. */
+  def visitorMeasures(pages: Dataset[PageLog]): DataFrame =
+    pages.toDF()
+      .select(
+        col("is_new"), col("ts"),
+        lit(1L).as("pv_ct"),
+        when(col("last_page_id") === "", 1L).otherwise(0L).as("sv_ct"),
+        col("during_time").as("dur_sum"))
+
+  /** 10s tumbling event-time aggregation with stt/edt finishers
+    * (VisitorStatsApp.java:164-195). Input must be watermarked when
+    * streaming. */
+  def visitorStats10s(measures: DataFrame): DataFrame =
+    measures
+      .groupBy(window(col("ts"), "10 seconds"), col("is_new"))
+      .agg(
+        sum(col("pv_ct")).as("pv_ct"),
+        sum(col("sv_ct")).as("sv_ct"),
+        sum(col("dur_sum")).as("dur_sum"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("is_new"), col("pv_ct"), col("sv_ct"), col("dur_sum"))
+}
