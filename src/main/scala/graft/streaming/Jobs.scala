@@ -115,4 +115,46 @@ object Jobs {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("is_new"), col("pv_ct"), col("sv_ct"), col("dur_sum"))
+
+  // ---------------------------------------------------------------
+  // Entry point 2: the order path (BaseDBApp → OrderWideApp →
+  // PaymentWideApp, SURVEY.md §3.2)
+  // ---------------------------------------------------------------
+
+  /** BaseDBApp twin (BaseDBApp.java:52-62 + TableProcessFunction
+    * routing): one parsed CDC stream → one filtered substream per
+    * routed table, keeping only non-empty insert/update payloads.
+    * `data` map fields become typed columns per the caller's pick. */
+  def splitDb(parsed: DataFrame, table: String): DataFrame =
+    parsed
+      .filter(col("table") === table &&
+        col("type").isin("insert", "update") &&
+        col("data").isNotNull && size(map_keys(col("data"))) > 0)
+
+  /** OrderWideApp twin (OrderWideApp.java:96-105 + 109-214): orders ⋈
+    * details within ±5s on order id, then broadcast dim enrichment.
+    * Both inputs must be watermarked when streaming; `dimUser` is the
+    * (bounded) dim snapshot, broadcast like DimAsyncFunction's cache
+    * but planner-visible. */
+  def orderWide(orders: DataFrame, details: DataFrame, dimUser: DataFrame): DataFrame =
+    IntervalJoins.intervalJoin(
+      orders, details, "order_id", "detail_order_id", "ts", "dts",
+      loSec = -5, hiSec = 5)
+      .select(
+        col("l.order_id").as("order_id"), col("r.detail_id").as("detail_id"),
+        col("l.user_id").as("user_id"), col("l.ts").as("ts"),
+        col("r.sku_id").as("sku_id"), col("r.amount").as("amount"))
+      .join(broadcast(dimUser), Seq("user_id"), "left")
+
+  /** PaymentWideApp twin (PaymentWideApp.java:88-96): payments ⋈
+    * order-wides within [-15min, 0] on order id. */
+  def paymentWide(payments: DataFrame, wides: DataFrame): DataFrame =
+    IntervalJoins.intervalJoin(
+      wides, payments, "order_id", "pay_order_id", "ts", "pts",
+      loSec = 0, hiSec = 900)
+      .select(
+        col("r.payment_id").as("payment_id"), col("l.order_id").as("order_id"),
+        col("l.detail_id").as("detail_id"), col("l.user_id").as("user_id"),
+        col("l.user_name").as("user_name"), col("l.sku_id").as("sku_id"),
+        col("l.amount").as("amount"), col("r.pts").as("payment_ts"))
 }
