@@ -17,7 +17,8 @@ object SparkEntry {
     operators.TextOps,
     operators.DedupOps,
     operators.VectorOps,
-    operators.MediaOps)
+    operators.MediaOps,
+    operators.ScaleOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Province revenue rollup: star join (broadcast dims) + aggregation. */
