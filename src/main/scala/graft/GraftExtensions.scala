@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[functions.DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => functions.DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_h60"),
+      new ExpressionInfo(classOf[functions.H60].getName, "graft_h60"),
+      (children: Seq[Expression]) => functions.H60(children.head)))
   }
 }

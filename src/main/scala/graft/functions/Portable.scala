@@ -19,8 +19,14 @@ import org.apache.spark.sql.types._
   */
 object Portable {
 
-  /** 60-bit hash of a string column (non-negative, fits a BIGINT). */
+  /** 60-bit hash of a string column (non-negative, fits a BIGINT).
+    * Resolves to the native [[graft.functions.H60]] expression; the
+    * built-in-only form is [[h60Builtin]] (spec asserts equality). */
   def h60(c: Column): Column =
+    call_function("graft_h60", c)
+
+  /** The same value via built-ins only: first 15 md5 hex digits. */
+  def h60Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** DuckDB twin of [[h60]]; `e` is a SQL expression string. */

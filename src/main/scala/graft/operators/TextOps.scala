@@ -128,7 +128,7 @@ object TextOps extends QueryModule {
         greatest(length(col("text")) - lit(7), lit(1)).cast(LongType))
       .withColumn("fp", expr(
         """array_min(transform(sequence(1, int(greatest(length(text) - 7, 1))),
-          |  i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
+          |  i -> graft_h60(substring(text, i, 8))))""".stripMargin))
       .select(col("doc_id"), col("fp"), col("n_windows"))
       .orderBy(col("doc_id"))
 
