@@ -107,10 +107,10 @@ object DwsWindows extends QueryModule {
         col("dur_sum"))
       .orderBy(col("stt"), col("is_new"))
 
-  /** A21+A22: ProductStats twin — one-hot measures per event kind,
-    * 10s tumble per sku, exact distinct buyer count via collect_set
-    * (mirrors the reference's HashSet-in-reduce-state trick). */
-  def a21ProductStats(s: SparkSession, d: String): DataFrame =
+  /** A21 internals with order_amount still DECIMAL-exact, so
+    * downstream (ADS-over-stats) re-aggregation stays exact; the
+    * public a21 casts to DOUBLE per row. */
+  private[operators] def productStatsExact(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("sku_id", get_json_object(col("props"), "$.k").cast(LongType))
       .groupBy(window(col("ts"), "10 seconds"), col("sku_id"))
@@ -120,14 +120,59 @@ object DwsWindows extends QueryModule {
         sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("favor_ct"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("refund_ct"),
         sum(when(col("event_type") === "purchase", col("value").cast(dec2)))
-          .cast(DoubleType).as("order_amount"),
+          .as("order_amount_exact"),
         size(collect_set(when(col("event_type") === "purchase", col("user_id"))))
           .cast(LongType).as("order_ct"))
       .select(
         fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
         col("sku_id"), col("click_ct"), col("display_ct"), col("favor_ct"),
-        col("refund_ct"), col("order_amount"), col("order_ct"))
+        col("refund_ct"), col("order_amount_exact"), col("order_ct"))
+
+  /** A21+A22: ProductStats twin — one-hot measures per event kind,
+    * 10s tumble per sku, exact distinct buyer count via collect_set
+    * (mirrors the reference's HashSet-in-reduce-state trick). */
+  def a21ProductStats(s: SparkSession, d: String): DataFrame =
+    productStatsExact(s, d)
+      .withColumn("order_amount", col("order_amount_exact").cast(DoubleType))
+      .drop("order_amount_exact")
+      .select(
+        col("stt"), col("edt"), col("sku_id"), col("click_ct"),
+        col("display_ct"), col("favor_ct"), col("refund_ct"),
+        col("order_amount"), col("order_ct"))
       .orderBy(col("stt"), col("sku_id"))
+
+  /** B1-over-stats (the reference's actual ADS shape: GMV answered
+    * FROM product_stats, ProductStatsMapper.java:15-17): total order
+    * amount re-aggregated from the windowed stats. The re-aggregation
+    * runs on the exact DECIMAL column — summing the per-window DOUBLE
+    * would make the result depend on float summation order. */
+  def b1sGmvFromStats(s: SparkSession, d: String): DataFrame =
+    productStatsExact(s, d)
+      .agg(sum(col("order_amount_exact")).cast(DoubleType).as("gmv"),
+        sum(col("order_ct")).as("order_ct"))
+
+  /** B5-over-stats: province revenue re-aggregated from the windowed
+    * province stats (ProvinceStatsMapper.java:13-16 reads
+    * province_stats, not orders). order_count sums the per-window
+    * exact distincts, as the reference's ADS does. */
+  def b5sProvinceFromStats(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val windowed = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(window(col("o_orderdate"), "10 seconds"),
+        col("n_nationkey").as("province_id"), col("n_name").as("province_name"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("order_count"),
+        sum(col("o_totalprice").cast(dec2)).as("order_amount_exact"))
+    windowed
+      .groupBy(col("province_id"), col("province_name"))
+      .agg(
+        sum(col("order_count")).as("order_count"),
+        sum(col("order_amount_exact")).cast(DoubleType).as("order_amount"))
+      .orderBy(col("province_id"))
+  }
 
   /** A23: SQL windowed agg with COUNT(DISTINCT) — province stats over
     * orders (order event time = o_orderdate; day-granular data, same
@@ -199,7 +244,9 @@ object DwsWindows extends QueryModule {
     "a20_tumble_visitor" -> a20TumbleVisitor,
     "a21_product_stats" -> a21ProductStats,
     "a23_province_window" -> a23ProvinceWindow,
-    "a25_keyword_window" -> a25KeywordWindow)
+    "a25_keyword_window" -> a25KeywordWindow,
+    "b1s_gmv_from_stats" -> b1sGmvFromStats,
+    "b5s_province_from_stats" -> b5sProvinceFromStats)
 
   // DuckDB twins. time_bucket(INTERVAL '10 seconds', ts) ≡ Spark's
   // window(ts, "10 seconds").start (alignment argument in the scaladoc).
@@ -226,6 +273,27 @@ object DwsWindows extends QueryModule {
       |FROM events WHERE event_type = 'error'""".stripMargin
 
   override val oracle: Map[String, String] = Map(
+    "b1s_gmv_from_stats" ->
+      """SELECT CAST(SUM(oa) AS DOUBLE) AS gmv, CAST(SUM(oc) AS BIGINT) AS order_ct
+        |FROM (
+        |  SELECT SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS oa,
+        |         COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS oc
+        |  FROM events
+        |  GROUP BY time_bucket(INTERVAL '10 seconds', ts),
+        |           CAST(json_extract_string(props, '$.k') AS BIGINT))""".stripMargin,
+    "b5s_province_from_stats" ->
+      """SELECT province_id, province_name,
+        |       CAST(SUM(order_count) AS BIGINT) AS order_count,
+        |       CAST(SUM(oa) AS DOUBLE) AS order_amount
+        |FROM (
+        |  SELECT n_nationkey AS province_id, n_name AS province_name,
+        |         COUNT(DISTINCT o_orderkey) AS order_count,
+        |         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS oa
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY time_bucket(INTERVAL '10 seconds', o_orderdate), 1, 2)
+        |GROUP BY province_id, province_name
+        |ORDER BY province_id""".stripMargin,
     "a16_bounce" ->
       """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
         |       CASE WHEN gap_ok THEN 'match' ELSE 'timeout' END AS reason
