@@ -107,6 +107,30 @@ object DwsWindows extends QueryModule {
         col("dur_sum"))
       .orderBy(col("stt"), col("is_new"))
 
+  /** A20 in the reference's full keying: the 10s tumble grouped by
+    * the Tuple4 dimension key (vc, ch, ar, is_new) of
+    * VisitorStatsApp.java:148-160. The events table carries no
+    * version/channel/area columns, so the dims derive
+    * deterministically from ids (portable arithmetic on both
+    * engines); the keying/aggregation shape is the point. */
+  def a20b4DimVisitor(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("vc", expr("concat('v', user_id % 3)"))
+      .withColumn("ch", expr("concat('c', (user_id div 3) % 4)"))
+      .withColumn("ar", expr("concat('a', user_id % 5)"))
+      .groupBy(window(col("ts"), "10 seconds"),
+        col("vc"), col("ch"), col("ar"), col("is_new"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("pv_ct"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("sv_ct"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("uj_ct"),
+        sum(col("value").cast(dec2)).cast(DoubleType).as("dur_sum"))
+      .select(
+        fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
+        col("vc"), col("ch"), col("ar"), col("is_new"),
+        col("pv_ct"), col("sv_ct"), col("uj_ct"), col("dur_sum"))
+      .orderBy(col("stt"), col("vc"), col("ch"), col("ar"), col("is_new"))
+
   /** A21 internals with order_amount still DECIMAL-exact, so
     * downstream (ADS-over-stats) re-aggregation stays exact; the
     * public a21 casts to DOUBLE per row. */
@@ -242,6 +266,7 @@ object DwsWindows extends QueryModule {
     "a16_bounce" -> a16Bounce,
     "a17_union_stats" -> a17UnionStats,
     "a20_tumble_visitor" -> a20TumbleVisitor,
+    "a20b_4dim_visitor" -> a20b4DimVisitor,
     "a21_product_stats" -> a21ProductStats,
     "a23_province_window" -> a23ProvinceWindow,
     "a25_keyword_window" -> a25KeywordWindow,
@@ -294,6 +319,20 @@ object DwsWindows extends QueryModule {
         |  GROUP BY time_bucket(INTERVAL '10 seconds', o_orderdate), 1, 2)
         |GROUP BY province_id, province_name
         |ORDER BY province_id""".stripMargin,
+    "a20b_4dim_visitor" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 seconds', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(time_bucket(INTERVAL '10 seconds', ts) + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+        |       'v' || (user_id % 3) AS vc,
+        |       'c' || ((user_id // 3) % 4) AS ch,
+        |       'a' || (user_id % 5) AS ar,
+        |       CAST(user_id % 2 AS VARCHAR) AS is_new,
+        |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
+        |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS sv_ct,
+        |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS dur_sum
+        |FROM events
+        |GROUP BY 1, 2, 3, 4, 5, 6
+        |ORDER BY stt, vc, ch, ar, is_new""".stripMargin,
     "a16_bounce" ->
       """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
         |       CASE WHEN gap_ok THEN 'match' ELSE 'timeout' END AS reason

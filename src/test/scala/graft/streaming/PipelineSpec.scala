@@ -110,6 +110,36 @@ class PipelineSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("multi-stream union feeds one windowed aggregation (A17)") {
+    // The reference unions up to 7 per-source measure streams before
+    // the 10s tumble (ProductStatsApp.java:186-189). Two independent
+    // sources here, projected to the common measure schema.
+    implicit val sq = spark.sqlContext
+    val memA = MemoryStream[EventRow]
+    val memB = MemoryStream[EventRow]
+    def measures(df: org.apache.spark.sql.DataFrame, src: String) =
+      df.select($"ts", lit(src).as("src"), lit(1L).as("ct"))
+    val unioned = measures(memA.toDF(), "a")
+      .unionByName(measures(memB.toDF(), "b"))
+      .withWatermark("ts", "1 second")
+      .groupBy(window($"ts", "10 seconds"), $"src")
+      .agg(sum($"ct").as("ct"))
+    val q = unioned.writeStream.format("memory").queryName("un_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      memA.addData(Seq(ev(1, 0, 1, "view"), ev(2, 3, 1, "view")))
+      memB.addData(Seq(ev(3, 5, 2, "click")))
+      q.processAllAvailable()
+      memA.addData(Seq(ev(99, 3600, 9, "noop"))) // advance watermark
+      memB.addData(Seq(ev(98, 3600, 9, "noop")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("un_out")
+      .filter($"window.start" < "2024-01-01 01:00:00")
+      .select($"src", $"ct").as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("tokenizer UDTF runs inside a streaming windowed count") {
     // A24+A25 in streaming form: LATERAL tokenize → 10s tumble count.
     implicit val sq = spark.sqlContext
