@@ -34,17 +34,12 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
 
-/** A named batch query plus (optionally) the ANSI-SQL twin DuckDB runs
-  * as the correctness oracle. Column names and value types must match
-  * exactly between the two (driver hashes values under sorted column
-  * names) — see the conventions in `Numeric`.
-  */
-trait QueryModule {
-  def queries: Map[String, (SparkSession, String) => DataFrame]
-  def oracle: Map[String, String]
-}
-
-/** Conventions that make Spark and DuckDB results hash-identical
+/** A named batch query plus the ANSI-SQL twin DuckDB runs as the
+  * correctness oracle. Column names and value types must match
+  * exactly between the two (the driver hashes values under sorted
+  * column names).
+  *
+  * Conventions that make Spark and DuckDB results hash-identical
   * (empirically validated against the driver's gate in round 1):
   *
   *  - Money/measures: cast doubles to DECIMAL(12,2) *before* any
@@ -57,10 +52,15 @@ trait QueryModule {
   *    decimal stays below 2^53.
   *  - Ratios: compute on exact integers/decimals, then cast operands
   *    to DOUBLE and divide — IEEE doubles are deterministic across
-  *    engines for the same expression shape.
+  *    engines for the same expression shape. Derived floats that are
+  *    folds (dot products) must fold in the same order on both sides
+  *    (graft.functions.Portable).
   *  - Timestamps in outputs: format to strings ("yyyy-MM-dd HH:mm:ss")
   *    to dodge physical-type mismatches.
   *  - Every query ends with a total ORDER BY (unique tiebreak) so row
   *    order is deterministic even if the driver doesn't sort rows.
   */
-object Conventions
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
+}
