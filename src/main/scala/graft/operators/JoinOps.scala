@@ -64,11 +64,61 @@ object JoinOps extends QueryModule {
       .orderBy(col("o_orderkey"))
   }
 
+  /** As-of join: each event paired with the user's MOST RECENT order
+    * at or before the event time (the temporal lookup Spark has no
+    * built-in operator for; composed per the preference order from
+    * equi-join + range filter + per-(event) rank — the keyed shuffle
+    * makes it data-proportional, no cross product). DuckDB's native
+    * ASOF JOIN is deliberately NOT used in the oracle so both engines
+    * share identical tie-break semantics (latest date, then highest
+    * order key). Left-join semantics: events with no prior order keep
+    * nulls. */
+  def a14bAsofJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast(dec2).as("o_total"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    e.join(o,
+        e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"),
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_ts"),
+        col("o_orderkey").as("asof_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_orderdate"),
+        col("o_total").cast(DoubleType).as("asof_total"))
+      .orderBy(col("event_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a14_interval_join" -> a14IntervalJoin,
+    "a14b_asof_join" -> a14bAsofJoin,
     "a15_order_wide" -> a15OrderWide)
 
   override val oracle: Map[String, String] = Map(
+    "a14b_asof_join" ->
+      """SELECT event_id, user_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        |       o_orderkey AS asof_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS asof_orderdate,
+        |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS asof_total
+        |FROM (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |         o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM (SELECT event_id, user_id, ts FROM events
+        |        WHERE event_type = 'purchase') e
+        |  LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "a14_interval_join" ->
       """SELECT o_orderkey, l_linenumber,
         |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
