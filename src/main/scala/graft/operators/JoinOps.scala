@@ -97,12 +97,86 @@ object JoinOps extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Range join: each event banded by a bounded value-range dim
+    * (broadcast — a range condition against a small dim is a
+    * BroadcastNestedLoopJoin, which is exactly right when the build
+    * side is tiny and the probe side streams through). */
+  def a14cRangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("low", 0.0, 25.0), ("mid", 25.0, 50.0),
+      ("high", 50.0, 75.0), ("top", 75.0, 1e18)
+    ).toDF("band", "lo", "hi")
+    val e = Tables.events(s, d)
+    e.join(broadcast(bands), e("value") >= bands("lo") && e("value") < bands("hi"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("ct"),
+        sum(col("value").cast(dec2)).cast(DoubleType).as("value_sum"))
+      .orderBy(col("band"))
+  }
+
+  /** Sessionization: Spark's session_window (5-minute gap) per user —
+    * the gaps-and-islands operation every log pipeline needs. Output
+    * sticks to quantities both engines define identically (first/last
+    * event time, counts, exact sums); Spark's synthetic window end
+    * (last + gap) stays internal. */
+  def a17bSessionize(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "5 minutes").as("sw"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        sum(col("value").cast(dec2)).cast(DoubleType).as("value_sum"))
+      .select(
+        col("user_id"),
+        date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("value_sum"))
+      .orderBy(col("user_id"), col("session_start"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a14_interval_join" -> a14IntervalJoin,
     "a14b_asof_join" -> a14bAsofJoin,
+    "a14c_range_join" -> a14cRangeJoin,
+    "a17b_sessionize" -> a17bSessionize,
     "a15_order_wide" -> a15OrderWide)
 
   override val oracle: Map[String, String] = Map(
+    "a14c_range_join" ->
+      """SELECT band, COUNT(*) AS ct,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        |FROM events JOIN (
+        |  VALUES ('low', 0.0, 25.0), ('mid', 25.0, 50.0),
+        |         ('high', 50.0, 75.0), ('top', 75.0, 1e18)
+        |) AS bands(band, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    // gaps-and-islands twin of session_window(ts, '5 minutes'):
+    // a new session starts when the gap from the previous event of
+    // the same user is >= 5 minutes (Spark merges events with gap
+    // strictly less than the duration).
+    "a17b_sessionize" ->
+      """SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, value, event_id,
+        |           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                     IS NULL THEN 1
+        |                WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                     >= INTERVAL 5 MINUTE THEN 1
+        |                ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "a14b_asof_join" ->
       """SELECT event_id, user_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
