@@ -155,8 +155,9 @@ object JoinOps extends QueryModule {
         |GROUP BY band ORDER BY band""".stripMargin,
     // gaps-and-islands twin of session_window(ts, '5 minutes'):
     // a new session starts when the gap from the previous event of
-    // the same user is >= 5 minutes (Spark merges events with gap
-    // strictly less than the duration).
+    // the same user EXCEEDS 5 minutes — Spark merges an event at
+    // exactly the gap distance (pinned by the streaming session spec
+    // in PipelineSpec; '>=' here would diverge at the boundary).
     "a17b_sessionize" ->
       """SELECT user_id,
         |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -172,7 +173,7 @@ object JoinOps extends QueryModule {
         |           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |                     IS NULL THEN 1
         |                WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |                     >= INTERVAL 5 MINUTE THEN 1
+        |                     > INTERVAL 5 MINUTE THEN 1
         |                ELSE 0 END AS new_session
         |    FROM events))
         |GROUP BY user_id, session_id

@@ -110,6 +110,49 @@ class PipelineSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("session windows merge across micro-batches (streaming = batch)") {
+    implicit val sq = spark.sqlContext
+    // u1: events at 0s, 100s, 400s — the 400s event sits EXACTLY 5min
+    // after 100s and still merges (session_window's boundary is
+    // inclusive; the DuckDB oracle twin encodes gap > 5min for a new
+    // session accordingly) — then 701s opens a second session (gap
+    // 301s). u2: single event.
+    val data = Seq(
+      ev(1, 0, 1, "view"), ev(2, 100, 1, "click"),
+      ev(3, 400, 1, "view"), ev(5, 701, 1, "view"),
+      ev(4, 50, 2, "view"))
+    def sessions(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(session_window($"ts", "5 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"user_id", $"session_window.start".cast("string").as("s"), $"n")
+    val batch = sessions(spark.createDataset(data).toDF())
+      .as[(Long, String, Long)].collect().toSet
+
+    val mem = MemoryStream[EventRow]
+    val q = sessions(mem.toDF().withWatermark("ts", "1 second"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split delivery: session continuation arrives in a later batch
+      mem.addData(Seq(ev(1, 0, 1, "view"), ev(4, 50, 2, "view")))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(2, 100, 1, "click"), ev(3, 400, 1, "view"),
+        ev(5, 701, 1, "view")))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(99, 7200, 9, "noop"))) // close all sessions
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_out")
+      .filter($"user_id" =!= 9)
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed === batch.filter(_._1 != 9))
+    // u1: events 0/100/400 merged into one session (even split across
+    // micro-batches, and across the exact-5min boundary); 701 opens
+    // the second
+    assert(streamed.count(_._1 == 1L) === 2)
+    assert(streamed.contains((1L, "2024-01-01 00:00:00", 3L)))
+  }
+
   test("multi-stream union feeds one windowed aggregation (A17)") {
     // The reference unions up to 7 per-source measure streams before
     // the 10s tumble (ProductStatsApp.java:186-189). Two independent
