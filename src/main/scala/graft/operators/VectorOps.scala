@@ -46,16 +46,27 @@ object VectorOps extends QueryModule {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
 
+  /** The first `n` vectors as driver-side literals — a BOUNDED dim
+    * (16×64 floats), collected the way the reference collects its
+    * broadcast config. Embedding them as literal arrays lets the
+    * signature/assignment be a single-pass projection instead of a
+    * crossJoin + 16×-row shuffle of the whole corpus. */
+  private def anchorVectors(s: SparkSession, d: String, n: Int): Seq[(Int, Seq[Float])] =
+    emb(s, d).filter(col("vec_id") < n)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+      .sortBy(_._1)
+
   /** c05 — embedding near-duplicate pairs via sign-LSH. */
   def c05EmbedNeardup(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val planes = e.filter(col("vec_id") < PLANES)
-      .select(col("vec_id").as("hid"), col("embedding").as("hemb"))
-    val bits = e.crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("hid"),
-        when(Portable.dot(col("embedding"), col("hemb")) >= 0, 1L).otherwise(0L).as("bit"))
-    val sig = bits.groupBy(col("vec_id"))
-      .agg(sum(expr("bit << hid")).as("sig"))
+    // sig computed in one narrow pass: bit k = sign of dot with the
+    // k-th literal plane; no shuffle until the band join.
+    val sigExpr = anchorVectors(s, d, PLANES).map { case (hid, v) =>
+      when(Portable.dot(col("embedding"), typedLit(v)) >= 0, 1L << hid).otherwise(0L)
+    }.reduce(_ + _)
+    val sig = e.select(col("vec_id"), sigExpr.as("sig"))
     val nBands = PLANES / BAND_BITS
     val bands = sig.select(col("vec_id"), posexplode(array(
       (0 until nBands).map(b =>
@@ -95,26 +106,29 @@ object VectorOps extends QueryModule {
   /** c07 — IVF top-k: coarse-quantize once, probe top cells only. */
   def c07AnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val cent = e.filter(col("vec_id") < CELLS)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-    // one narrow pass: every vector → its nearest centroid (cell)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cid"))
-    val assign = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        Portable.dot(col("embedding"), col("cemb")).as("cscore"))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
-    // queries probe their PROBES closest cells
+    val cents = anchorVectors(s, d, CELLS)
+    // assignment is a single narrow pass: argmax-dot over the literal
+    // centroids via array_min on (-score, cid) structs — the struct
+    // ordering ties on the smaller cid, identical to the oracle's
+    // ORDER BY score DESC, cid. No window shuffle over the corpus.
+    val cellStructs = array(cents.map { case (cid, v) =>
+      struct((-Portable.dot(col("embedding"), typedLit(v))).as("neg"),
+        lit(cid).as("cid"))
+    }: _*)
+    val assign = e.select(col("vec_id"), col("embedding"),
+      array_min(cellStructs).getField("cid").as("cid"))
+    // queries probe their PROBES closest cells (tiny: sort the struct
+    // array and slice)
     val q = e.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("pscore").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(cent))
-      .select(col("qid"), col("qemb"), col("cid"),
-        Portable.dot(col("qemb"), col("cemb")).as("pscore"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= PROBES)
-      .select(col("qid"), col("qemb"), col("cid"))
+    val probeStructs = array(cents.map { case (cid, v) =>
+      struct((-Portable.dot(col("qemb"), typedLit(v))).as("neg"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probes = q
+      .select(col("qid"), col("qemb"),
+        explode(slice(array_sort(probeStructs), 1, PROBES)).as("p"))
+      .select(col("qid"), col("qemb"), col("p.cid").as("cid"))
     // exact search inside the probed cells only
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
     probes.join(assign, "cid")
