@@ -30,7 +30,9 @@ object Explain {
         .findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k×${v.size}" }
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan).toSeq.count(!_.contains("[]"))
       val wgl = "WindowGroupLimit".r.findAllIn(plan).size
-      val codegen = "WholeStageCodegen".r.findAllIn(plan).size
+      // final plans mark whole-stage codegen regions as "*(n)"
+      val codegen = "\\*\\(\\d+\\)".r.findAllIn(plan).toSeq
+        .distinct.size
       println(s"##### $name joins=${joins.mkString(",")} pushedFilterScans=$pushed " +
         s"windowGroupLimit=$wgl codegenSpans=$codegen")
       println(plan)

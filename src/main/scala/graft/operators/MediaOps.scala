@@ -109,10 +109,28 @@ object MediaOps extends QueryModule {
         col("height").cast(LongType).as("height"))
       .orderBy(col("doc_id"))
 
+  /** m02 — frame-sample slice: strided prefix bytes of the payload
+    * (hex, so both engines render identically) + sample cardinality —
+    * the oracle-checkable face of the strided sampling decodeStub
+    * does per batch. */
+  def m02FrameSample(s: SparkSession, d: String): DataFrame =
+    attachMedia(s, d)
+      .select(
+        col("doc_id"),
+        substring(hex(col("media")), 1, 16).as("head_hex"),
+        expr("CAST(ceil(octet_length(media) / 8.0) AS BIGINT)").as("n_samples"))
+      .orderBy(col("doc_id"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_media_meta" -> ((s, d) => m01MediaMeta(s, d)))
+    "m01_media_meta" -> ((s, d) => m01MediaMeta(s, d)),
+    "m02_frame_sample" -> ((s, d) => m02FrameSample(s, d)))
 
   override val oracle: Map[String, String] = Map(
+    "m02_frame_sample" ->
+      """SELECT doc_id,
+        |  substr(hex(CAST(text AS BLOB)), 1, 16) AS head_hex,
+        |  CAST(ceil(octet_length(CAST(text AS BLOB)) / 8.0) AS BIGINT) AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "m01_media_meta" ->
       s"""SELECT doc_id,
          |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
