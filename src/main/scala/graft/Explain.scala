@@ -24,8 +24,14 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save() // finalize AQE
+      // collect() executes THIS DataFrame's adaptive plan; a noop
+      // save would execute a copy and leave df's plan unfinalized
+      // (isFinalPlan=false, no codegen markers). Audit at small SF.
+      df.collect()
+      // summarize only the FINAL plan (the toString appends the
+      // pre-AQE "Initial Plan" section, which would double-count)
       val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
       val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
         .findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k×${v.size}" }
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan).toSeq.count(!_.contains("[]"))
