@@ -116,6 +116,22 @@ object Jobs {
         date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("is_new"), col("pv_ct"), col("sv_ct"), col("dur_sum"))
 
+  /** KeywordStatsApp twin (SURVEY.md §3.3, KeywordStatsApp.java:
+    * 52-67): filter page views carrying a search phrase → LATERAL
+    * tokenize via the graft_tokenize Generator → keyword count per
+    * 10s tumble. `pages` needs (ts: Timestamp, item: String);
+    * watermark upstream when streaming. */
+  def keywordStats10s(pages: DataFrame): DataFrame =
+    pages
+      .filter(col("item").isNotNull && col("item") =!= "")
+      .selectExpr("ts", "graft_tokenize(item) AS (keyword, pos)")
+      .groupBy(window(col("ts"), "10 seconds"), col("keyword"))
+      .agg(count(lit(1)).as("ct"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("keyword"), col("ct"))
+
   // ---------------------------------------------------------------
   // Entry point 2: the order path (BaseDBApp → OrderWideApp →
   // PaymentWideApp, SURVEY.md §3.2)

@@ -110,6 +110,21 @@ class JobsSpec extends SparkSpec {
       }.start()
     assert(qStats.awaitTermination(120000))
 
+    // ---- KeywordStatsApp twin (entry point 3): the good_detail
+    // page's item phrase tokenized laterally, counted per window ----
+    val kwPages = spark.read.schema(Sources.logSchema)
+      .json(spark.createDataset(lines))
+      .filter($"common".isNotNull && $"start".isNull)
+      .select(timestamp_millis($"ts").as("ts"),
+        concat_ws(" ", lit("hash"), lit("join"), $"page"("page_id")).as("item"))
+    val kw = Jobs.keywordStats10s(kwPages)
+      .groupBy($"keyword").agg(sum($"ct").as("ct"))
+      .as[(String, Long)].collect().toMap
+    // 5 page rows (incl. sentinel): phrase merges per the dictionary
+    assert(kw("hash_join") === 5L)
+    assert(kw("home") === 4L)
+    assert(kw("good_detail") === 1L)
+
     // ADS over the written stats dir equals the batch twin (both
     // restricted to closed windows — the sentinel's stays open).
     def ads(df: org.apache.spark.sql.DataFrame) =
