@@ -220,6 +220,28 @@ object DwsWindows extends QueryModule {
       .orderBy(col("stt"), col("province_id"))
   }
 
+  /** A23 in the reference's ACTUAL form — SQL text executed by the
+    * engine (ProvinceStatsSqlApp.java:48-56 is a sqlQuery string, not
+    * DataFrame code). Same semantics as a23ProvinceWindow, same
+    * oracle; proves the SQL API surface (temp views, window() in
+    * GROUP BY, ANSI functions) end to end. */
+  def a23bProvinceSql(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    Tables.nation(s, d).createOrReplaceTempView("v_nation")
+    s.sql(
+      """SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+        |       date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS edt,
+        |       n_nationkey AS province_id, n_name AS province_name,
+        |       count(DISTINCT o_orderkey) AS order_count,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS order_amount
+        |FROM v_orders
+        |JOIN v_customer ON o_custkey = c_custkey
+        |JOIN v_nation ON c_nationkey = n_nationkey
+        |GROUP BY window(o_orderdate, '10 seconds'), n_nationkey, n_name
+        |ORDER BY stt, province_id""".stripMargin)
+  }
+
   /** A24+A25: filter → tokenize (explode ≡ LATERAL TABLE(ik_analyze))
     * → keyword count per 10s window. The "search phrase" is derived
     * from the event (type + the props key), standing in for page['item']. */
@@ -269,6 +291,7 @@ object DwsWindows extends QueryModule {
     "a20b_4dim_visitor" -> a20b4DimVisitor,
     "a21_product_stats" -> a21ProductStats,
     "a23_province_window" -> a23ProvinceWindow,
+    "a23b_province_sql" -> a23bProvinceSql,
     "a25_keyword_window" -> a25KeywordWindow,
     "b1s_gmv_from_stats" -> b1sGmvFromStats,
     "b5s_province_from_stats" -> b5sProvinceFromStats)
@@ -376,6 +399,16 @@ object DwsWindows extends QueryModule {
         |FROM events
         |GROUP BY time_bucket(INTERVAL '10 seconds', ts), 3
         |ORDER BY stt, sku_id""".stripMargin,
+    "a23b_province_sql" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 seconds', o_orderdate), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(time_bucket(INTERVAL '10 seconds', o_orderdate) + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+        |       n_nationkey AS province_id, n_name AS province_name,
+        |       COUNT(DISTINCT o_orderkey) AS order_count,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS order_amount
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY time_bucket(INTERVAL '10 seconds', o_orderdate), 3, 4
+        |ORDER BY stt, province_id""".stripMargin,
     "a23_province_window" ->
       """SELECT strftime(time_bucket(INTERVAL '10 seconds', o_orderdate), '%Y-%m-%d %H:%M:%S') AS stt,
         |       strftime(time_bucket(INTERVAL '10 seconds', o_orderdate) + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
