@@ -23,5 +23,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_h60"),
       new ExpressionInfo(classOf[functions.H60].getName, "graft_h60"),
       (children: Seq[Expression]) => functions.H60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[functions.SimHash60].getName, "graft_simhash60"),
+      (children: Seq[Expression]) => functions.SimHash60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash60"),
+      new ExpressionInfo(classOf[functions.MinHash60].getName, "graft_minhash60"),
+      (children: Seq[Expression]) => functions.MinHash60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow60"),
+      new ExpressionInfo(classOf[functions.Winnow60].getName, "graft_winnow60"),
+      (children: Seq[Expression]) => functions.Winnow60(children.head)))
   }
 }

@@ -49,9 +49,17 @@ object H60 {
 
   /** First 60 bits of md5(s): 8 digest bytes big-endian >>> 4. */
   def hash(s: UTF8String): Long = {
+    val b = s.getBytes
+    hashBytes(b, 0, b.length)
+  }
+
+  /** Same, over a byte slice — lets window-hashing callers
+    * ([[Winnow60]]) avoid a per-window substring allocation. */
+  def hashBytes(bytes: Array[Byte], offset: Int, len: Int): Long = {
     val m = md.get()
     m.reset()
-    val d = m.digest(s.getBytes)
+    m.update(bytes, offset, len)
+    val d = m.digest()
     val hi =
       ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
         ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |

@@ -33,6 +33,12 @@ object Portable {
   def h60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** 60-bit tf-weighted SimHash of a text column — the native
+    * [[graft.functions.SimHash60]] expression (per-row, no shuffle).
+    * The DuckDB twin stays relational (DedupOps oracle SQL). */
+  def simhash60(c: Column): Column =
+    call_function("graft_simhash60", c)
+
   /** Sequential left-fold dot product of two float-array columns in
     * DOUBLE precision: ((0 + a1*b1) + a2*b2) + ...
     *
@@ -51,10 +57,13 @@ object Portable {
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** DuckDB twin of [[dot]] for fixed dimension `dim`. list_reduce
-    * seeds with the first element — `0.0 + p1 == p1` exactly, so the
-    * fold matches Spark's zero-seeded aggregate bit-for-bit. */
+  /** DuckDB twin of [[dot]] for fixed dimension `dim`. The product
+    * list is prepended with an explicit 0.0 seed so the fold is
+    * ((0 + p1) + p2) + … exactly like Spark's zero-seeded aggregate —
+    * including the signed-zero edge: a leading -0.0 product folds to
+    * +0.0 on both sides (list_reduce alone would seed with p1 itself
+    * and keep -0.0, diverging in the float's string form). */
   def dotSql(a: String, b: String, dim: Int): String =
-    s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+    s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, ${dim + 1}), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 }

@@ -20,7 +20,11 @@ import org.apache.spark.sql.types._
   * all-pairs product. Candidates come from equi-joins on derived keys
   * (content hash / LSH band / SimHash chunk / prefix ngram), so the
   * shuffle is keyed and data-proportional; the quadratic step only
-  * touches rows sharing a bucket. Guarantees:
+  * touches rows sharing a bucket. Shingle/signature generation is a
+  * single narrow pass (per-doc array_distinct + per-row hashing — no
+  * pre-join shuffles), and the exact-Jaccard verify only ever sees
+  * shingles of docs that appear in a candidate pair (semi-join), so
+  * nothing unbounded is cached. Guarantees:
   *  - c02: a pair sharing any of the 4 bands collides; with r=4 rows
   *    per band, P(collide) = 1-(1-j^4)^4 (≈0.98 at j=0.8).
   *  - c03: Hamming ≤ 3 over 60 bits with 4 blocking chunks — by
@@ -61,18 +65,58 @@ object DedupOps extends QueryModule {
   private val R = 4
   private val JACCARD_T = 0.8
 
-  /** Distinct 3-word shingles per document. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** Universal min-hash family over the prime P = 2^31-1:
+    * h_i(x) = (A_i * (h60(x) mod P) + B_i) mod P — evaluated by the
+    * native one-pass [[graft.functions.MinHash60]] expression (one
+    * md5 per shingle; round 2 paid K=16 md5 calls per shingle). The
+    * constants live there; the oracle SQL below embeds the identical
+    * literals, and every product stays below 2^62 so the arithmetic
+    * is exact in both Spark and DuckDB BIGINTs. */
+  private val MH_P = graft.functions.MinHash60.P
+  private val MH_A = graft.functions.MinHash60.A
+  private val MH_B = graft.functions.MinHash60.B
+
+  /** (doc_id, shs = per-doc DISTINCT n-word shingle array) in ONE
+    * narrow pass: `array_distinct` replaces round 2's
+    * (doc_id, shingle) DISTINCT — a full shuffle of the exploded
+    * shingle table — because shingle sets are per-document.
+    *
+    * Deliberately does NOT also project size(shs): any second use of
+    * `shs` in the consuming projection would make CollapseProject
+    * inline the whole transform+array_distinct twice per row (there
+    * is no common-subexpression elimination across a Generate
+    * boundary — measured as a 2× scan cost on exactly this shape).
+    *
+    * `hashed` swaps each shingle string for its 60-bit portable hash
+    * BEFORE the distinct: everything downstream (df counts, prefix
+    * rank, intersection joins) then moves 8-byte longs instead of
+    * multi-word strings — ~4× less shuffle volume at 100 TB. The
+    * oracle applies the same hash, so the engines agree exactly
+    * (including on the astronomically-unlikely collision). */
+  private def shingleDocs(s: SparkSession, d: String, n: Int,
+      hashed: Boolean = false): DataFrame = {
+    val shingle = s"concat_ws(' ', slice(toks, i + 1, $n))"
+    val elem = if (hashed) s"graft_h60($shingle)" else shingle
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), "\\s+"))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
-        .as("sh"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> $elem)"))
+        .as("shs"))
+  }
+
+  /** da ∪ db of a candidate-pair set, as a (small) doc_id column. */
+  private def candIds(cand: DataFrame): DataFrame =
+    cand.select(col("da").as("doc_id"))
+      .union(cand.select(col("db")))
       .distinct()
 
-  /** Exact-Jaccard verification of a candidate-pair set against the
-    * distinct-shingle table; keeps pairs with jac ≥ t. */
+  /** Exact-Jaccard verification of a candidate-pair set against a
+    * (doc_id, sh) shingle table; keeps pairs with jac ≥ t. Callers
+    * pass a shingle table ALREADY semi-joined to the candidate docs:
+    * at 100 TB candidates are a tiny fraction of the corpus, so the
+    * three uses below (sizes, sa, sb) touch bounded data instead of
+    * the full shingle explosion round 2 tried to cache(). */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, t: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
@@ -91,13 +135,19 @@ object DedupOps extends QueryModule {
   }
 
   def c02MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
-    val minCols = (0 until K).map(i =>
-      min(Portable.h60(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-    val bands = sig.select(col("doc_id"), posexplode(array(
+    val docs = shingleDocs(s, d, 3)
+    // Signatures per-row via the native one-pass expression — ZERO
+    // shuffles before the band self-join (round 2 shuffled the full
+    // shingle table into a groupBy(doc_id) agg of 16 md5-min columns).
+    val sig = docs.select(col("doc_id"),
+      call_function("graft_minhash60", col("shs")).as("ms"))
+    // posexplode_outer (≡ posexplode here: the band array is a fixed
+    // 4-element non-null literal array) dodges InferFiltersFromGenerate,
+    // which would re-evaluate the full minhash expression per row in an
+    // inferred size()>0 filter — measured as a 2× scan cost.
+    val bands = sig.select(col("doc_id"), posexplode_outer(array(
       (0 until BANDS).map(b =>
-        concat_ws(",", (0 until R).map(r => col(s"m${b * R + r}")): _*)): _*)))
+        concat_ws(",", (0 until R).map(r => col("ms").getItem(b * R + r)): _*)): _*)))
       .toDF("doc_id", "band", "key")
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -105,7 +155,15 @@ object DedupOps extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    verifyJaccard(cand, sh, JACCARD_T)
+      // Materialize the (tiny) pair set once: it feeds both the
+      // semi-join below and the verify join. localCheckpoint blocks
+      // are freed by the ContextCleaner when the plan is collected —
+      // unlike round 2's session-lifetime cache() of the shingles.
+      .localCheckpoint()
+    val shCand = docs.join(candIds(cand), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+      .localCheckpoint()
+    verifyJaccard(cand, shCand, JACCARD_T)
   }
 
   // ---------------------------------------------------------------
@@ -119,17 +177,16 @@ object DedupOps extends QueryModule {
   private val HAMMING_T = 3
 
   def c03Simhash(s: SparkSession, d: String): DataFrame = {
-    val tf = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("freq"))
-      .withColumn("h", Portable.h60(col("tok")))
-    val sumCols = (0 until BITS).map(j =>
-      sum(col("freq") * (shiftright(col("h"), j).bitwiseAND(1) * 2 - 1)).as(s"s$j"))
-    val sums = tf.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
-    val fp = sums.select(col("doc_id"),
-      (0 until BITS).map(j =>
-        when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("fp"))
-    val chunks = fp.select(col("doc_id"), col("fp"), posexplode(array(
+    // The fingerprint is a per-document function, so it is ONE
+    // codegen'd expression (graft.functions.SimHash60): no (doc,tok)
+    // explode, no 60-column hash aggregate, no shuffle until the
+    // chunk self-join. Round 2's relational form was the slowest
+    // bench query (23.3 s at sf0.1); the oracle SQL keeps that
+    // relational shape, which pins the expression's equivalence.
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), Portable.simhash60(col("text")).as("fp"))
+      .where(col("fp").isNotNull)
+    val chunks = fp.select(col("doc_id"), col("fp"), posexplode_outer(array(
       (0 until CHUNKS).map(c =>
         shiftright(col("fp"), c * CHUNK_BITS).bitwiseAND((1 << CHUNK_BITS) - 1)): _*)))
       .toDF("doc_id", "fp", "chunk", "cv")
@@ -154,32 +211,41 @@ object DedupOps extends QueryModule {
   private val NGRAM_T = 0.85
   private val NGRAM_N = 4
 
-  /** 4-word ngrams: distinctive enough that the global-df prefix
-    * order has real discriminating power even on a small vocabulary
-    * (bigrams of a 40-word vocabulary all have huge df, which
-    * made every prefix bucket quadratic — measured 72s at sf0.1). */
-  private def ngrams(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), "\\s+"))
-      .where(size(col("toks")) >= NGRAM_N)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks) - $NGRAM_N), i -> concat_ws(' ', slice(toks, i + 1, $NGRAM_N)))"))
-        .as("sh"))
-      .distinct()
-
+  /** 4-word ngrams (via [[shingleDocs]]): distinctive enough that the
+    * global-df prefix order has real discriminating power even on a
+    * small vocabulary (bigrams of a 40-word vocabulary all have huge
+    * df, which made every prefix bucket quadratic — measured 72s at
+    * sf0.1 in round 1). */
   def c04NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val ng = ngrams(s, d).cache()
-    val df = ng.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val sized = ng.join(df, "sh")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val docs = shingleDocs(s, d, NGRAM_N, hashed = true)
+    // n = |distinct ngrams| rides along from size(shs), so the only
+    // work before the prefix self-join is the global-df count and the
+    // per-doc (df, sh) rank — round 2 additionally paid a per-doc
+    // COUNT window and a full (doc_id, sh) DISTINCT shuffle.
+    // explode_outer ≡ explode (shs has ≥1 element after the token-count
+    // filter) but skips the inferred filter that would re-evaluate the
+    // whole shingle transform twice per row.
+    val ng = docs.select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+    // global df via a count window (not a groupBy + self-join back):
+    // the ngram table is computed ONCE and flows through the df
+    // window (shuffle by sh) into the rank window (shuffle by doc) —
+    // two keyed exchanges total for the whole candidate path. n (the
+    // per-doc distinct-ngram count) is a third window that reuses the
+    // rank window's doc_id partitioning, so it adds no exchange.
+    val sized = ng
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     // prefix bound: a pair with jac >= t shares one of each side's
     // first |A| - ceil(t*|A|) + 1 ngrams under the global (df, sh)
     // order (rarest first, so candidate buckets stay small).
     val prefix = sized
       .filter(col("rn") <= col("n") - expr(s"CAST(ceil($NGRAM_T * n) AS BIGINT)") + lit(1))
       .select(col("doc_id"), col("sh"), col("n"))
+      // ~0.15·n rows per doc; materialize once so the self-join does
+      // not replay the two window shuffles on both sides.
+      .localCheckpoint()
     // size filter: jac >= t forces t <= |A|/|B| <= 1/t.
     val cand = prefix.as("x")
       .join(prefix.as("y"),
@@ -188,7 +254,11 @@ object DedupOps extends QueryModule {
           col("x.n").cast(DoubleType) >= lit(NGRAM_T) * col("y.n"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    verifyJaccard(cand, ng, NGRAM_T)
+      .localCheckpoint()
+    val ngCand = docs.join(candIds(cand), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+      .localCheckpoint()
+    verifyJaccard(cand, ngCand, NGRAM_T)
   }
 
   // ---------------------------------------------------------------
@@ -236,7 +306,7 @@ object DedupOps extends QueryModule {
       |  WHERE len(t) >= 3)""".stripMargin
 
   private val ngramsSql =
-    s"""SELECT DISTINCT doc_id, s AS sh FROM (
+    s"""SELECT DISTINCT doc_id, ${Portable.h60Sql("s")} AS sh FROM (
        |  SELECT doc_id, unnest(list_transform(range(0, len(t) - ${NGRAM_N - 1}),
        |    i -> array_to_string(t[i + 1:i + $NGRAM_N], ' '))) AS s
        |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') t FROM documents)
@@ -246,8 +316,11 @@ object DedupOps extends QueryModule {
     * (sh, sig, bands, cand, sizes) — shared by the c02 and c08
     * oracles. */
   private lazy val c02Ctes: String = {
+    // Same universal family as the Spark side: one md5 per shingle,
+    // 16 LCG-derived minima — identical literals, exact BIGINT math.
     val mins = (0 until K).map(i =>
-      s"MIN(${Portable.h60Sql(s"'$i:' || sh")}) AS m$i").mkString(",\n         ")
+      s"MIN((${MH_A(i)} * (${Portable.h60Sql("sh")} % $MH_P) + ${MH_B(i)}) % $MH_P) AS m$i")
+      .mkString(",\n         ")
     val bandRows = (0 until BANDS).map(b =>
       s"SELECT doc_id, $b AS band, concat_ws(',', " +
         (0 until R).map(r => s"m${b * R + r}").mkString(", ") + ") AS key FROM sig")

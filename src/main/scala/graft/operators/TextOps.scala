@@ -126,9 +126,10 @@ object TextOps extends QueryModule {
     Tables.documents(s, d)
       .withColumn("n_windows",
         greatest(length(col("text")) - lit(7), lit(1)).cast(LongType))
-      .withColumn("fp", expr(
-        """array_min(transform(sequence(1, int(greatest(length(text) - 7, 1))),
-          |  i -> graft_h60(substring(text, i, 8))))""".stripMargin))
+      // native one-pass winnow (graft.functions.Winnow60): the HOF
+      // form evaluated an interpreted md5 lambda per window (~len
+      // per doc); the oracle keeps the list_transform twin.
+      .withColumn("fp", call_function("graft_winnow60", col("text")))
       .select(col("doc_id"), col("fp"), col("n_windows"))
       .orderBy(col("doc_id"))
 

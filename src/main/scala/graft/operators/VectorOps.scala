@@ -68,7 +68,10 @@ object VectorOps extends QueryModule {
     }.reduce(_ + _)
     val sig = e.select(col("vec_id"), sigExpr.as("sig"))
     val nBands = PLANES / BAND_BITS
-    val bands = sig.select(col("vec_id"), posexplode(array(
+    // _outer ≡ plain here (fixed-size non-null array) but skips the
+    // InferFiltersFromGenerate filter that would re-evaluate the 16
+    // hyperplane dot products per row.
+    val bands = sig.select(col("vec_id"), posexplode_outer(array(
       (0 until nBands).map(b =>
         shiftright(col("sig"), b * BAND_BITS).bitwiseAND((1 << BAND_BITS) - 1)): _*)))
       .toDF("vec_id", "band", "bv")
@@ -127,7 +130,7 @@ object VectorOps extends QueryModule {
     }: _*)
     val probes = q
       .select(col("qid"), col("qemb"),
-        explode(slice(array_sort(probeStructs), 1, PROBES)).as("p"))
+        explode_outer(slice(array_sort(probeStructs), 1, PROBES)).as("p"))
       .select(col("qid"), col("qemb"), col("p.cid").as("cid"))
     // exact search inside the probed cells only
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
