@@ -45,17 +45,28 @@ object Bench {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
-    materialize("b5_province_map") // warmup, untimed
+    // Warmup with a query that is NOT timed below (neither headline
+    // nor extras), so no timed number is flattered by its own warmup.
+    materialize("a08_keyed_agg")
 
     val results = (headline ++ extras).map(n => n -> materialize(n))
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (k, v) if headline.contains(k) && v > 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A total with a silently-missing member would look FASTER than
+    // the baseline; refuse to print a comparable number instead.
+    val total =
+      if (failed.exists(headline.contains)) -1.0
+      else results.collect { case (k, v) if headline.contains(k) => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

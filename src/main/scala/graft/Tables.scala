@@ -23,9 +23,16 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects; read it as a long and truncate to micros — the
     * same truncation DuckDB applies, so event times agree engine-side
-    * and oracle-side. */
+    * and oracle-side.
+    *
+    * The nanosAsLong switch is only honored as a SESSION conf (a
+    * per-read `.option(...)` is ignored by the parquet schema
+    * converter — verified empirically), so this loader must set it;
+    * it does so idempotently and never unsets, because the scan reads
+    * the conf lazily at plan/execution time. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -103,36 +103,27 @@ object DwdOps extends QueryModule {
   }
 
   /** DDL side-effect of new routing config (TableProcessFunction
-    * .checkTable, :79-126): CREATE TABLE IF NOT EXISTS per hbase-bound
-    * config row, with sink_pk as the leading column. Idempotent. */
-  def ensureSinkTables(s: SparkSession): Unit = {
-    val rows = routingConfig(s).filter(col("sink_type") === "hbase").collect()
-    rows.foreach { r =>
-      val table = r.getAs[String]("sink_table")
-      val pk = r.getAs[String]("sink_pk")
-      val cols = r.getAs[String]("sink_columns").split(",")
-      val rest = cols.filterNot(_ == pk).map(c => s"$c STRING").mkString(", ")
-      s.sql(s"CREATE TABLE IF NOT EXISTS $table ($pk STRING, $rest) USING parquet")
-    }
-  }
+    * .checkTable, :79-126) over the fixture config; the generic form
+    * (config passed in, used by the streaming routing job) lives in
+    * graft.streaming.ConfigRouting. */
+  def ensureSinkTables(s: SparkSession): Unit =
+    graft.streaming.ConfigRouting.ensureSinkTables(s, routingConfig(s))
 
   /** A11 broadcast-config dynamic routing (TableProcessFunction.java:
     * 24-170): the config table decides, per record kind, the sink
     * type, target table, and — via its sinkColumns list — the column
     * projection (filterColumn, :157-170). A column survives iff its
     * name appears in the matched config row's sink_columns; unmatched
-    * kinds are dropped (reference logs & drops, :150-153). */
-  def a11DynamicRoute(s: SparkSession, d: String): DataFrame = {
-    val config = routingConfig(s)
-    val ev = Tables.events(s, d)
-    def keep(c: String) =
-      when(array_contains(split(col("sink_columns"), ","), c), col(c)).as(c)
-    ev.join(broadcast(config), ev("event_type") === config("source_kind"))
-      .select(
-        col("event_id"), col("event_type"), col("sink_type"), col("sink_table"),
-        keep("value"), keep("user_id"))
+    * kinds are dropped (reference logs & drops, :150-153). The
+    * streaming form — config re-read and re-broadcast per micro-batch
+    * — is graft.streaming.ConfigRouting.routedJob over the same
+    * routing core. */
+  def a11DynamicRoute(s: SparkSession, d: String): DataFrame =
+    graft.streaming.ConfigRouting.route(
+      Tables.events(s, d), routingConfig(s), "event_type",
+      passCols = Seq("event_id", "event_type"),
+      candidateCols = Seq("value", "user_id"))
       .orderBy(col("event_id"))
-  }
 
   /** A4 CDC envelope parse (BaseDBApp.java:52-62, custom deserializer
     * :67-112): the Maxwell/Debezium {database, table, type, ts, data}

@@ -47,16 +47,17 @@ object Sinks {
         writeStatsBatch(batch, path, transientCols)
       }
 
-  /** The batch body of statsSink, callable directly in tests/batch. */
-  def writeStatsBatch(batch: DataFrame, path: String, transientCols: Seq[String]): Unit = {
-    val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  /** The batch body of statsSink, callable directly in tests/batch.
+    * Dynamic partition overwrite is a PER-WRITE option here — setting
+    * it on the session would silently change overwrite semantics for
+    * every other partitioned write in the shared session. */
+  def writeStatsBatch(batch: DataFrame, path: String, transientCols: Seq[String]): Unit =
     batch.drop(transientCols: _*)
       .withColumn("dt", substring(col("stt"), 1, 10))
       .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("dt")
       .parquet(path)
-  }
 
   /** A13 — dim upsert: MERGE-style overwrite by primary key against a
     * parquet dim snapshot (the Phoenix `upsert into` equivalent;
@@ -67,10 +68,17 @@ object Sinks {
   def upsertDim(spark: SparkSession, updates: DataFrame, dimPath: String,
       keyCol: String, versionCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
+    // Only a MISSING snapshot means "no existing dims". Any other read
+    // failure (corrupt footer, transient IO) must propagate — treating
+    // it as empty would silently discard the whole dim table on merge.
     val existing =
       try spark.read.parquet(dimPath)
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], updates.schema) }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], updates.schema)
+      }
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(versionCol).desc, col("__src").desc)
     val merged = existing.withColumn("__src", lit(0))
@@ -78,14 +86,96 @@ object Sinks {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
-    // Write via temp dir then swap: parquet can't overwrite its own input.
-    val tmp = dimPath + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // Write to a temp dir (parquet can't overwrite its own input),
+    // then swap RENAME-ASIDE: dst -> dst__old, tmp -> dst, drop old.
+    // A crash at any point leaves the full snapshot on disk (at dst
+    // or at dst__old) — never the round-2 delete-then-rename window
+    // where no dim table existed at all. Recovery: if dst is missing,
+    // rename dst__old back.
+    val tmp = new org.apache.hadoop.fs.Path(dimPath + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(dimPath + "__old")
+    val dst = new org.apache.hadoop.fs.Path(dimPath)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(dimPath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, true)
+    if (fs.exists(dst)) fs.rename(dst, old)
+    fs.rename(tmp, dst)
+    fs.delete(old, true)
+  }
+
+  /** A27 JDBC twin (ClickHouseUtil.java:17-50): batched positional
+    * INSERT into a JDBC warehouse with @TransientSink-style column
+    * skip. The reference builds `insert into t values(?,…)` and skips
+    * bean fields carrying @TransientSink (:24-36); Spark's JDBC writer
+    * is the same positional prepared-statement batch, so the twin is
+    * drop(transient) + write.jdbc with an explicit batchsize (the
+    * JdbcExecutionOptions knob, ClickHouseUtil.java:44). Mode=Append:
+    * ClickHouse-style warehouses are insert-only; idempotence comes
+    * from replacing-merge semantics downstream, not the writer. */
+  def writeStatsJdbcBatch(batch: DataFrame, url: String, table: String,
+      transientCols: Seq[String], batchSize: Int = 1000,
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    val p = new java.util.Properties()
+    p.putAll(props)
+    p.setProperty("batchsize", batchSize.toString)
+    batch.drop(transientCols: _*)
+      .write.mode(SaveMode.Append)
+      .jdbc(url, table, p)
+  }
+
+  /** Streaming form of [[writeStatsJdbcBatch]] — foreachBatch +
+    * checkpoint, the exactly-once story the reference gets from the
+    * Flink JDBC sink's batched flush. */
+  def statsJdbcSink(df: DataFrame, url: String, table: String,
+      checkpoint: String, transientCols: Seq[String],
+      batchSize: Int = 1000): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeStatsJdbcBatch(batch, url, table, transientCols, batchSize)
+      }
+
+  /** A13 JDBC twin (DimSink.java:28-69, Phoenix `upsert into`): true
+    * row-level upsert via SQL-standard MERGE in PreparedStatement
+    * batches, one connection per partition (the executor-side shape;
+    * Derby/H2/Postgres all accept this statement). Last writer per
+    * key within the batch wins by `versionCol` first, exactly like
+    * the parquet-snapshot [[upsertDim]]. */
+  def upsertDimJdbc(updates: DataFrame, url: String, table: String,
+      keyCol: String, versionCol: String, batchSize: Int = 100): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)
+    val deduped = updates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val cols = deduped.columns.toSeq
+    val nonKey = cols.filterNot(_ == keyCol)
+    // MERGE with the 1-row dummy table as source: one parameterized
+    // upsert per input row, batched.
+    val sql =
+      s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON t.$keyCol = ?
+         |WHEN MATCHED THEN UPDATE SET ${nonKey.map(c => s"t.$c = ?").mkString(", ")}
+         |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+         |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin
+    val colIdx = cols.zipWithIndex.toMap
+    deduped.foreachPartition { (rows: Iterator[Row]) =>
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.prepareStatement(sql)
+        var n = 0
+        rows.foreach { r =>
+          var i = 1
+          def bind(c: String): Unit = { st.setObject(i, r.get(colIdx(c))); i += 1 }
+          bind(keyCol); nonKey.foreach(bind); cols.foreach(bind)
+          st.addBatch(); n += 1
+          if (n % batchSize == 0) st.executeBatch()
+        }
+        st.executeBatch()
+        conn.commit()
+      } finally conn.close()
+    }
   }
 
   /** A12/A3 fan-out in the broker-less harness: one foreachBatch, N
