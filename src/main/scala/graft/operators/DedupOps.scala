@@ -134,7 +134,10 @@ object DedupOps extends QueryModule {
       .orderBy(col("da"), col("db"))
   }
 
-  def c02MinhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** The c02 candidate-pair stage (exposed for the scale probe:
+    * candidate counts are the quantity the LSH equi-join bound is
+    * about). */
+  private[graft] def c02Cand(s: SparkSession, d: String): DataFrame = {
     val docs = shingleDocs(s, d, 3)
     // Signatures per-row via the native one-pass expression — ZERO
     // shuffles before the band self-join (round 2 shuffled the full
@@ -149,17 +152,21 @@ object DedupOps extends QueryModule {
       (0 until BANDS).map(b =>
         concat_ws(",", (0 until R).map(r => col("ms").getItem(b * R + r)): _*)): _*)))
       .toDF("doc_id", "band", "key")
-    val cand = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-      // Materialize the (tiny) pair set once: it feeds both the
-      // semi-join below and the verify join. localCheckpoint blocks
-      // are freed by the ContextCleaner when the plan is collected —
-      // unlike round 2's session-lifetime cache() of the shingles.
-      .localCheckpoint()
+  }
+
+  def c02MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = shingleDocs(s, d, 3)
+    // Materialize the (tiny) pair set once: it feeds both the
+    // semi-join below and the verify join. localCheckpoint blocks
+    // are freed by the ContextCleaner when the plan is collected —
+    // unlike round 2's session-lifetime cache() of the shingles.
+    val cand = c02Cand(s, d).localCheckpoint()
     val shCand = docs.join(candIds(cand), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
       .localCheckpoint()
@@ -211,12 +218,13 @@ object DedupOps extends QueryModule {
   private val NGRAM_T = 0.85
   private val NGRAM_N = 4
 
-  /** 4-word ngrams (via [[shingleDocs]]): distinctive enough that the
+  /** The c04 candidate-pair stage (exposed for the scale probe).
+    * 4-word ngrams (via [[shingleDocs]]): distinctive enough that the
     * global-df prefix order has real discriminating power even on a
     * small vocabulary (bigrams of a 40-word vocabulary all have huge
     * df, which made every prefix bucket quadratic — measured 72s at
     * sf0.1 in round 1). */
-  def c04NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  private[graft] def c04Cand(s: SparkSession, d: String): DataFrame = {
     val docs = shingleDocs(s, d, NGRAM_N, hashed = true)
     // n = |distinct ngrams| rides along from size(shs), so the only
     // work before the prefix self-join is the global-df count and the
@@ -247,14 +255,18 @@ object DedupOps extends QueryModule {
       // not replay the two window shuffles on both sides.
       .localCheckpoint()
     // size filter: jac >= t forces t <= |A|/|B| <= 1/t.
-    val cand = prefix.as("x")
+    prefix.as("x")
       .join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
           col("y.n").cast(DoubleType) >= lit(NGRAM_T) * col("x.n") &&
           col("x.n").cast(DoubleType) >= lit(NGRAM_T) * col("y.n"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-      .localCheckpoint()
+  }
+
+  def c04NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = shingleDocs(s, d, NGRAM_N, hashed = true)
+    val cand = c04Cand(s, d).localCheckpoint()
     val ngCand = docs.join(candIds(cand), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
       .localCheckpoint()

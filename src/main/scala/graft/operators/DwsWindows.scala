@@ -284,14 +284,70 @@ object DwsWindows extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** A22 production swap, runnable first-class: order_ct via
+    * approx_count_distinct (HyperLogLog++) instead of the exact
+    * set-in-state distinct. rsd is tuned to 3%: Spark's HLL++ has no
+    * sparse encoding, so every group carries its full register array
+    * through the shuffle — at rsd 1% that is ~13 KB/group and
+    * benchmarked SLOWER than the exact distinct at this group count,
+    * while at rsd 3% (m=1024 registers, ~0.8 KB) per-group counts
+    * ≪ m sit in the linear-counting small-range correction and stay
+    * near-exact. The sketch wins over the exact set once per-group
+    * cardinality ≫ registers — the 10^9-buyers-per-window regime the
+    * swap exists for. No DuckDB oracle (different HLL implementations
+    * cannot hash-match) — the driver records the rows/schema check,
+    * and ApproxAndRecallSpec pins relative error < 2% against the
+    * exact twin. */
+  def a21xProductStatsApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("sku_id", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(window(col("ts"), "10 seconds"), col("sku_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("click_ct"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("display_ct"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("favor_ct"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("refund_ct"),
+        sum(when(col("event_type") === "purchase", col("value").cast(dec2)))
+          .cast(DoubleType).as("order_amount"),
+        approx_count_distinct(
+          when(col("event_type") === "purchase", col("user_id")), 0.03)
+          .as("order_ct"))
+      .select(
+        fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
+        col("sku_id"), col("click_ct"), col("display_ct"), col("favor_ct"),
+        col("refund_ct"), col("order_amount"), col("order_ct"))
+      .orderBy(col("stt"), col("sku_id"))
+
+  /** A23 approx twin: COUNT(DISTINCT o_orderkey) → HLL++ rsd 3%
+    * (see a21x for the rsd/shuffle-size reasoning). */
+  def a23xProvinceApprox(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(window(col("o_orderdate"), "10 seconds"),
+        col("n_nationkey").as("province_id"), col("n_name").as("province_name"))
+      .agg(
+        approx_count_distinct(col("o_orderkey"), 0.03).as("order_count"),
+        sum(col("o_totalprice").cast(dec2)).cast(DoubleType).as("order_amount"))
+      .select(
+        fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
+        col("province_id"), col("province_name"), col("order_count"),
+        col("order_amount"))
+      .orderBy(col("stt"), col("province_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a16_bounce" -> a16Bounce,
     "a17_union_stats" -> a17UnionStats,
     "a20_tumble_visitor" -> a20TumbleVisitor,
     "a20b_4dim_visitor" -> a20b4DimVisitor,
     "a21_product_stats" -> a21ProductStats,
+    "a21x_product_stats_approx" -> a21xProductStatsApprox,
     "a23_province_window" -> a23ProvinceWindow,
     "a23b_province_sql" -> a23bProvinceSql,
+    "a23x_province_approx" -> a23xProvinceApprox,
     "a25_keyword_window" -> a25KeywordWindow,
     "b1s_gmv_from_stats" -> b1sGmvFromStats,
     "b5s_province_from_stats" -> b5sProvinceFromStats)

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Error/recall gates for the approximate operators:
+  *  - a21x/a23x (HLL++ rsd 1%) against their exact twins — relative
+  *    error bounded, all group keys identical;
+  *  - c07 IVF (nprobe=4 of 16 cells) recall@10 against c06's exact
+  *    brute-force top-k.
+  */
+class ApproxAndRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("a21x approx order_ct within 2% of the exact set-distinct") {
+    val exact = DwsWindows.a21ProductStats(spark, sf)
+      .select($"stt", $"sku_id", $"order_ct".as("exact_ct"))
+    val approx = DwsWindows.a21xProductStatsApprox(spark, sf)
+      .select($"stt", $"sku_id", $"order_ct".as("approx_ct"))
+    val joined = exact.join(approx, Seq("stt", "sku_id"), "full_outer")
+    // same group keys on both sides
+    assert(joined.filter($"exact_ct".isNull || $"approx_ct".isNull).count() === 0L)
+    val maxRelErr = joined
+      .filter($"exact_ct" > 0)
+      .select(max(abs($"approx_ct" - $"exact_ct") / $"exact_ct"))
+      .as[Double].collect().head
+    assert(maxRelErr <= 0.02, s"max relative error $maxRelErr > 2%")
+    // empty windows agree exactly (HLL of the empty set is 0)
+    assert(joined.filter($"exact_ct" === 0 && $"approx_ct" =!= 0).count() === 0L)
+  }
+
+  test("a23x approx order_count within 2% of COUNT(DISTINCT)") {
+    val exact = DwsWindows.a23ProvinceWindow(spark, sf)
+      .select($"stt", $"province_id", $"order_count".as("exact_ct"))
+    val approx = DwsWindows.a23xProvinceApprox(spark, sf)
+      .select($"stt", $"province_id", $"order_count".as("approx_ct"))
+    val joined = exact.join(approx, Seq("stt", "province_id"), "full_outer")
+    assert(joined.filter($"exact_ct".isNull || $"approx_ct".isNull).count() === 0L)
+    val maxRelErr = joined
+      .select(max(abs($"approx_ct" - $"exact_ct") / $"exact_ct"))
+      .as[Double].collect().head
+    assert(maxRelErr <= 0.02, s"max relative error $maxRelErr > 2%")
+  }
+
+  test("c07 IVF recall@10 vs c06 exact top-k, and the nprobe knob") {
+    val exact = VectorOps.c06AnnBrute(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallAt(probes: Int): Double = {
+      val ivf = VectorOps.c07AnnIvfProbes(spark, sf, probes)
+        .select($"qid", $"nid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(ivf.keySet === exact.keySet)
+      val recalls = exact.map { case (q, truth) =>
+        (ivf(q) intersect truth).size.toDouble / truth.size
+      }
+      recalls.sum / recalls.size
+    }
+    // The recall/cost tradeoff, pinned: nprobe=4 (25% of the corpus
+    // scanned) measured 0.805 at sf0.01 — gate at ≥0.75 so a
+    // centroid/probe regression is caught; nprobe=CELLS degenerates
+    // to exact brute force and MUST be lossless.
+    val r4 = recallAt(4)
+    assert(r4 >= 0.75, s"mean recall@10 at nprobe=4 was $r4")
+    assert(recallAt(16) === 1.0)
+  }
+}
