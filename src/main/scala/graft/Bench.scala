@@ -28,7 +28,8 @@ object Bench {
     "b1s_gmv_from_stats", "b5s_province_from_stats",
     "c01_dedup_exact", "c02_dedup_minhash", "c03_dedup_simhash",
     "c04_dedup_ngram", "c05_embed_neardup", "c06_ann_brute",
-    "c07_ann_ivf", "c08_corpus_curate", "t04_fingerprint")
+    "c07_ann_ivf", "c08_corpus_curate", "c09_decontaminate",
+    "c10_dedup_cluster", "t04_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -299,12 +299,109 @@ object DedupOps extends QueryModule {
       .orderBy(col("lang"))
   }
 
+  // ---------------------------------------------------------------
+  // c09 — benchmark decontamination
+  // ---------------------------------------------------------------
+
+  private val DECON_N = 8
+  private val EVAL_MOD = 10L
+
+  /** c09 — benchmark decontamination: flag corpus documents whose
+    * 8-word-ngram sets overlap a held-out evaluation set (the
+    * standard pre-training hygiene pass — a train doc sharing long
+    * ngrams with an eval benchmark leaks the benchmark). The eval
+    * set here is the deterministic fixture doc_id % 10 == 0 — wide
+    * enough that the corpus's synthetic near-dup pairs straddle the
+    * boundary, so the query demonstrably catches real leaks.
+    *
+    * Scale shape: ngrams are 60-bit hashes from one narrow pass
+    * ([[shingleDocs]] hashed=true); the eval ngram set is small and
+    * DISTINCT (benchmarks are ~10^3-10^5 docs at 100 TB corpus
+    * scale), so the overlap test is a broadcast-able equi-join on
+    * longs and the corpus never shuffles — only matched rows reach
+    * the per-doc count. */
+  def c09Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val ng = shingleDocs(s, d, DECON_N, hashed = true)
+      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+    val evalNg = ng.filter(col("doc_id") % EVAL_MOD === 0)
+      .select(col("sh")).distinct()
+      .withColumn("__hit", lit(1L))
+    ng.filter(col("doc_id") % EVAL_MOD =!= 0)
+      .join(broadcast(evalNg), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(coalesce(col("__hit"), lit(0L))).as("overlap_ct"))
+      .filter(col("overlap_ct") > 0)
+      .withColumn("overlap_ratio",
+        col("overlap_ct").cast(DoubleType) / col("n").cast(DoubleType))
+      .select(col("doc_id"), col("n"), col("overlap_ct"), col("overlap_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // c10 — near-dup clustering (connected components over c02 pairs)
+  // ---------------------------------------------------------------
+
+  /** c10 — connected components over the MinHash near-dup pairs:
+    * transitively-linked documents form one cluster whose canonical
+    * id is the minimum member (A~B, B~C ⇒ {A,B,C} dedup to A even if
+    * A~C was never emitted as a pair). This is the step between pair
+    * detection and actually dropping duplicates.
+    *
+    * Spark-first shape: iterative min-label propagation — per round,
+    * every node takes min(own label, neighbors' labels); the loop is
+    * DRIVER-ORCHESTRATED (a handful of rounds ≤ graph diameter, each
+    * a keyed aggregation over the EDGE set only), the data never
+    * leaves executors, and each round's frontier is localCheckpointed
+    * so lineage stays flat. Near-dup graphs are overwhelmingly tiny
+    * stars/paths, so this converges in 2-3 rounds; at 10^9 edges the
+    * same loop runs with the large-star/small-star refinement. The
+    * oracle computes the same components via a recursive-CTE
+    * transitive closure — feasible because true clusters are small,
+    * and a different algorithm entirely, which makes the agreement a
+    * strong check. */
+  /** Min-label propagation over an undirected (da, db) pair list →
+    * (doc_id, cluster_id, cluster_sz). See [[c10DedupCluster]]. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // symmetric edge list + self-loops double as the node set
+    val edges = pairs
+      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+      .localCheckpoint()
+    var lbl = edges.select(col("da").as("node"), col("da").as("lbl"))
+      .unionByName(edges.select(col("da").as("node"), col("db").as("lbl")))
+      .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val next = edges
+        .join(lbl, edges("db") === lbl("node"))
+        .select(edges("da").as("node"), col("lbl"))
+        .unionByName(lbl.select(col("node"), col("lbl")))
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.as("n").join(lbl.as("o"), "node")
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      lbl = next
+    }
+    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_sz"))
+    lbl.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_sz"))
+      .orderBy(col("doc_id"))
+  }
+
+  def c10DedupCluster(s: SparkSession, d: String): DataFrame =
+    connectedComponents(c02MinhashLsh(s, d).select(col("da"), col("db")))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_dedup_exact" -> c01Exact,
     "c02_dedup_minhash" -> c02MinhashLsh,
     "c03_dedup_simhash" -> c03Simhash,
     "c04_dedup_ngram" -> c04NgramJaccard,
-    "c08_corpus_curate" -> c08CorpusCurate)
+    "c08_corpus_curate" -> c08CorpusCurate,
+    "c09_decontaminate" -> c09Decontaminate,
+    "c10_dedup_cluster" -> c10DedupCluster)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
@@ -317,12 +414,16 @@ object DedupOps extends QueryModule {
       |  FROM (SELECT doc_id, string_split_regex(text, '\s+') t FROM documents)
       |  WHERE len(t) >= 3)""".stripMargin
 
-  private val ngramsSql =
+  /** Hashed distinct word-n-grams per doc, DuckDB form (twin of
+    * [[shingleDocs]] with hashed=true). */
+  private def hashedNgramsSql(n: Int): String =
     s"""SELECT DISTINCT doc_id, ${Portable.h60Sql("s")} AS sh FROM (
-       |  SELECT doc_id, unnest(list_transform(range(0, len(t) - ${NGRAM_N - 1}),
-       |    i -> array_to_string(t[i + 1:i + $NGRAM_N], ' '))) AS s
+       |  SELECT doc_id, unnest(list_transform(range(0, len(t) - ${n - 1}),
+       |    i -> array_to_string(t[i + 1:i + $n], ' '))) AS s
        |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') t FROM documents)
-       |  WHERE len(t) >= $NGRAM_N)""".stripMargin
+       |  WHERE len(t) >= $n)""".stripMargin
+
+  private val ngramsSql = hashedNgramsSql(NGRAM_N)
 
   /** The c02 MinHash-LSH candidate pipeline as a WITH-clause body
     * (sh, sig, bands, cand, sizes) — shared by the c02 and c08
@@ -406,6 +507,33 @@ object DedupOps extends QueryModule {
          |FROM cand WHERE bit_count(xor(fpa, fpb)) <= $HAMMING_T
          |ORDER BY da, db""".stripMargin
     },
+    "c10_dedup_cluster" ->
+      s"""WITH RECURSIVE $c02Ctes,
+         |pairs AS (SELECT da, db FROM (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
+         |edges AS (SELECT da, db FROM pairs UNION SELECT db AS da, da AS db FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT da, da FROM edges
+         |  UNION
+         |  SELECT r.a, e.db FROM reach r JOIN edges e ON r.b = e.da),
+         |lbl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+         |csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_sz
+         |        FROM lbl GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_id, s.cluster_sz
+         |FROM lbl l JOIN csz s ON l.cluster_id = s.cluster_id
+         |ORDER BY l.doc_id""".stripMargin,
+    "c09_decontaminate" ->
+      s"""WITH ng AS (${hashedNgramsSql(DECON_N)}),
+         |evalng AS (SELECT DISTINCT sh FROM ng WHERE doc_id % $EVAL_MOD = 0)
+         |SELECT doc_id, n, overlap_ct,
+         |       CAST(overlap_ct AS DOUBLE) / CAST(n AS DOUBLE) AS overlap_ratio
+         |FROM (
+         |  SELECT ng.doc_id, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap_ct
+         |  FROM ng LEFT JOIN evalng e ON ng.sh = e.sh
+         |  WHERE ng.doc_id % $EVAL_MOD <> 0
+         |  GROUP BY ng.doc_id)
+         |WHERE overlap_ct > 0
+         |ORDER BY doc_id""".stripMargin,
     "c04_dedup_ngram" ->
       s"""WITH sh AS ($ngramsSql),
          |dft AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),

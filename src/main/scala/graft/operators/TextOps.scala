@@ -133,11 +133,44 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("fp"), col("n_windows"))
       .orderBy(col("doc_id"))
 
+  /** t05 — deterministic train/valid/test split: bucket =
+    * h60("split:" + doc_id) mod 100, train < 80 ≤ valid < 90 ≤ test.
+    * The standard reproducible-split idiom at corpus scale: no
+    * global shuffle, no stored assignment table, any engine (or
+    * later rerun over 100 TB) derives the identical split per-row
+    * from the portable hash. */
+  def t05TrainSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        Portable.h60(concat(lit("split:"), col("doc_id").cast(StringType))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** t06 — corpus length histogram: documents and tokens per
+    * 32-token bucket — the shape-of-the-corpus summary every curation
+    * pass reports. One narrow pass + one small aggregation; exact. */
+  def t06LengthHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(toks).cast(LongType))
+      .groupBy(expr("n_tok div 32").as("bucket"))
+      .agg(
+        count(lit(1)).as("doc_ct"),
+        sum(col("n_tok")).as("tok_sum"),
+        min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .orderBy(col("bucket"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
     "t03_token_count" -> t03TokenCount,
-    "t04_fingerprint" -> t04Fingerprint)
+    "t04_fingerprint" -> t04Fingerprint,
+    "t05_train_split" -> t05TrainSplit,
+    "t06_length_histogram" -> t06LengthHistogram)
 
   private def hitsSql(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -190,5 +223,22 @@ object TextOps extends QueryModule {
          |  list_min(list_transform(range(1, CAST(greatest(length(text) - 7, 1) AS BIGINT) + 1),
          |    i -> ${Portable.h60Sql("substr(text, CAST(i AS INT), 8)")})) AS fp,
          |  CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_windows
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t05_train_split" ->
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        ${Portable.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "t06_length_histogram" ->
+      """SELECT n_tok // 32 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS doc_ct,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+        |  MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+        |FROM (SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin)
 }
