@@ -133,6 +133,27 @@ object Jobs {
         col("keyword"), col("ct"))
 
   // ---------------------------------------------------------------
+  // Entry point 4 (extension): streaming corpus ingest-curation —
+  // the training-data pipeline as a wired job, not just queries.
+  // ---------------------------------------------------------------
+
+  /** Quality-gate + exact-dedup an ingest stream of documents:
+    * the streaming form of the c08 curation shape (TextOps scoring →
+    * filter → first-seen-wins dedup via keyed state). Works on
+    * bounded and streaming DataFrames alike; `raw` needs (doc_id,
+    * text). Downstream near-dup removal stays a batch compaction pass
+    * (DedupOps c02/c10) — LSH banding needs corpus-global candidate
+    * joins that have no bounded-state streaming form. */
+  def curateIngest(spark: SparkSession, raw: DataFrame,
+      qualityT: Double = 0.6): Dataset[DocRow] = {
+    import spark.implicits._
+    val kept = graft.operators.TextOps.withQualityCols(raw)
+      .filter(col("quality") >= qualityT)
+      .select(col("doc_id"), col("text")).as[DocRow]
+    StatefulOps.streamDedupExact(spark, kept)
+  }
+
+  // ---------------------------------------------------------------
   // Entry point 2: the order path (BaseDBApp → OrderWideApp →
   // PaymentWideApp, SURVEY.md §3.2)
   // ---------------------------------------------------------------

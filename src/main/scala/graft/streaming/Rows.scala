@@ -40,3 +40,10 @@ final case class LastVisitState(lastDate: String)
 
 /** Keyed state for the bounce detector: the pending entry event. */
 final case class PendingEntry(event_id: Long, tsMs: Long)
+
+/** A document flowing through an ingest stream (curation ops). */
+final case class DocRow(doc_id: Long, text: String)
+
+/** Keyed state for streaming exact dedup: whether the content hash
+  * has already emitted a document. */
+final case class SeenContent(seen: Boolean)

@@ -93,6 +93,45 @@ object StatefulOps {
         })
   }
 
+  /** Streaming exact dedup — c01's batch content-hash dedup as an
+    * INGEST-TIME filter: the first document per normalized content
+    * hash passes, every later duplicate is dropped, across
+    * micro-batches (state = one flag per seen hash). Within a batch,
+    * the lowest doc_id wins, matching c01's min(doc_id) canonical
+    * policy, so batch execution reproduces c01's canonical set
+    * exactly (StreamDedupSpec).
+    *
+    * Scale: state is one boolean per DISTINCT content hash, keyed and
+    * store-partitioned — the RocksDB provider (RocksDbStateSpec
+    * pattern) holds 10^9 hashes on local disk. For bounded retention
+    * add a processing-time timeout exactly as [[dailyFirstVisit]]
+    * does; kept unexpiring here because dedup recall over the full
+    * corpus is the point. */
+  def streamDedupExact(spark: SparkSession, docs: Dataset[DocRow]): Dataset[DocRow] = {
+    import spark.implicits._
+    docs
+      .groupByKey(d => normContentKey(d.text))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[DocRow], state: GroupState[SeenContent]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(SeenContent(true))
+            it.toSeq.sortBy(_.doc_id).headOption.iterator
+          }
+        })
+  }
+
+  /** The normalization+hash key of [[streamDedupExact]]: lowercase,
+    * collapse whitespace runs, md5 — the same normalization as
+    * DedupOps.c01Exact's norm(). (Key equality is all that matters
+    * for grouping; the hex form keeps state keys small.) */
+  private[streaming] def normContentKey(text: String): String = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map("%02x".format(_)).mkString
+  }
+
   /** A16 — CEP bounce detector (UserJumpDetailApp.java:84-123).
     * Pattern: an entry event (event_type=view) followed *strictly
     * next* by another entry within <10s emits the first ('match');
