@@ -56,14 +56,22 @@ object ScaleProbe {
       .format("noop").mode("overwrite").save()
 
     for (sf <- sfs; (name, fn) <- qs) {
+      // settle + drain listener events from the PREVIOUS query before
+      // resetting counters (the bus is async and its drain API is
+      // private; 3s on an idle probe box empirically suffices — the
+      // byte totals are stable across repeat runs)
+      Thread.sleep(3000)
       shufRead.set(0); shufWrite.set(0)
+      // noop-sink materialization, same methodology as graft.Bench
+      // (count() would let the optimizer drop final sorts/projections)
       val t0 = System.nanoTime()
-      val df = fn(spark, sf)
-      val rows = df.count()
+      fn(spark, sf).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1000) // let async listener events drain
+      Thread.sleep(3000)
+      val (r, w) = (shufRead.get, shufWrite.get)
+      val rows = fn(spark, sf).count() // outside the measured window
       println(s"""{"probe":"$name","sf":"$sf","rows":$rows,"wall_sec":$wall,""" +
-        s""""shuffle_read_bytes":${shufRead.get},"shuffle_write_bytes":${shufWrite.get}}""")
+        s""""shuffle_read_bytes":$r,"shuffle_write_bytes":$w}""")
     }
     spark.stop()
   }

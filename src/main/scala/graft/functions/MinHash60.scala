@@ -62,12 +62,18 @@ object MinHash60 {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val hm = H60.hash(arr.getUTF8String(i)) % P
-      var k = 0
-      while (k < K) {
-        val v = (A(k) * hm + B(k)) % P
-        if (v < mins(k)) mins(k) = v
-        k += 1
+      val s = arr.getUTF8String(i)
+      // null elements are skipped, matching MIN-over-rows semantics
+      // (the dedup pipeline never produces them, but the function is
+      // registered session-wide and must not NPE on nullable arrays)
+      if (s != null) {
+        val hm = H60.hash(s) % P
+        var k = 0
+        while (k < K) {
+          val v = (A(k) * hm + B(k)) % P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
       }
       i += 1
     }

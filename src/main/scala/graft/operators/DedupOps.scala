@@ -315,11 +315,14 @@ object DedupOps extends QueryModule {
     * boundary, so the query demonstrably catches real leaks.
     *
     * Scale shape: ngrams are 60-bit hashes from one narrow pass
-    * ([[shingleDocs]] hashed=true); the eval ngram set is small and
-    * DISTINCT (benchmarks are ~10^3-10^5 docs at 100 TB corpus
-    * scale), so the overlap test is a broadcast-able equi-join on
-    * longs and the corpus never shuffles — only matched rows reach
-    * the per-doc count. */
+    * ([[shingleDocs]] hashed=true). In production the eval side is a
+    * REAL benchmark suite (~10^3-10^5 docs — tiny relative to the
+    * corpus), so its distinct ngram set broadcasts and the corpus
+    * never shuffles; the join strategy is left to AQE rather than a
+    * forced broadcast() because THIS fixture's eval set is a 10%
+    * corpus slice (big enough to contain near-dup partners), which
+    * would not be broadcast-safe at 100× — AQE broadcasts when the
+    * side is actually small, degrades to shuffle when not. */
   def c09Decontaminate(s: SparkSession, d: String): DataFrame = {
     val ng = shingleDocs(s, d, DECON_N, hashed = true)
       .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
@@ -327,7 +330,7 @@ object DedupOps extends QueryModule {
       .select(col("sh")).distinct()
       .withColumn("__hit", lit(1L))
     ng.filter(col("doc_id") % EVAL_MOD =!= 0)
-      .join(broadcast(evalNg), Seq("sh"), "left")
+      .join(evalNg, Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n"),

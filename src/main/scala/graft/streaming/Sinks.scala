@@ -68,6 +68,18 @@ object Sinks {
   def upsertDim(spark: SparkSession, updates: DataFrame, dimPath: String,
       keyCol: String, versionCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dstP = new org.apache.hadoop.fs.Path(dimPath)
+    val oldP = new org.apache.hadoop.fs.Path(dimPath + "__old")
+    // Crash recovery FIRST: a crash between the two swap renames below
+    // leaves the only full snapshot at __old with dst missing — restore
+    // it before reading, or the read-miss would look like an empty
+    // table and the merge would silently rebuild from one batch.
+    if (!fs0.exists(dstP) && fs0.exists(oldP)) {
+      require(fs0.rename(oldP, dstP),
+        s"upsertDim recovery: rename $oldP -> $dstP failed")
+    }
     // Only a MISSING snapshot means "no existing dims". Any other read
     // failure (corrupt footer, transient IO) must propagate — treating
     // it as empty would silently discard the whole dim table on merge.
@@ -93,15 +105,13 @@ object Sinks {
     // where no dim table existed at all. Recovery: if dst is missing,
     // rename dst__old back.
     val tmp = new org.apache.hadoop.fs.Path(dimPath + "__tmp")
-    val old = new org.apache.hadoop.fs.Path(dimPath + "__old")
-    val dst = new org.apache.hadoop.fs.Path(dimPath)
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(old, true)
-    if (fs.exists(dst)) fs.rename(dst, old)
-    fs.rename(tmp, dst)
-    fs.delete(old, true)
+    fs0.delete(oldP, true)
+    if (fs0.exists(dstP)) {
+      require(fs0.rename(dstP, oldP), s"upsertDim: rename $dstP -> $oldP failed")
+    }
+    require(fs0.rename(tmp, dstP), s"upsertDim: rename $tmp -> $dstP failed")
+    fs0.delete(oldP, true)
   }
 
   /** A27 JDBC twin (ClickHouseUtil.java:17-50): batched positional
@@ -137,11 +147,14 @@ object Sinks {
       }
 
   /** A13 JDBC twin (DimSink.java:28-69, Phoenix `upsert into`): true
-    * row-level upsert via SQL-standard MERGE in PreparedStatement
-    * batches, one connection per partition (the executor-side shape;
-    * Derby/H2/Postgres all accept this statement). Last writer per
-    * key within the batch wins by `versionCol` first, exactly like
-    * the parquet-snapshot [[upsertDim]]. */
+    * row-level upsert via MERGE in PreparedStatement batches, one
+    * connection per partition (the executor-side shape). The one-row
+    * source table `SYSIBM.SYSDUMMY1` ties this statement to
+    * Derby/DB2 dialects; other warehouses swap the MERGE text
+    * (Postgres `INSERT … ON CONFLICT`, ClickHouse ReplacingMergeTree
+    * plain insert) behind the same method shape. Last writer per key
+    * within the batch wins by `versionCol` first, exactly like the
+    * parquet-snapshot [[upsertDim]]. */
   def upsertDimJdbc(updates: DataFrame, url: String, table: String,
       keyCol: String, versionCol: String, batchSize: Int = 100): Unit = {
     import org.apache.spark.sql.expressions.Window

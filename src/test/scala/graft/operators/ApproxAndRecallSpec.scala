@@ -4,7 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Error/recall gates for the approximate operators:
-  *  - a21x/a23x (HLL++ rsd 1%) against their exact twins — relative
+  *  - a21x/a23x (HLL++ rsd 3%) against their exact twins — relative
   *    error bounded, all group keys identical;
   *  - c07 IVF (nprobe=4 of 16 cells) recall@10 against c06's exact
   *    brute-force top-k.

@@ -116,4 +116,26 @@ class DbJobsSpec extends SparkSpec {
     // p1 joins both order-1 wide rows; p2 within 899s; p3 at 901s out
     assert(gotPay === Set((91L, 1L, 11L), (91L, 1L, 12L), (92L, 2L, 21L)))
   }
+
+  test("upsertDim recovers a snapshot stranded mid-swap at __old") {
+    val root = java.nio.file.Files.createTempDirectory("dimrec").toString
+    val dim = s"$root/dim_user"
+    Sinks.upsertDim(spark,
+      Seq((1L, "alice", 1L), (2L, "bob", 1L)).toDF("user_id", "user_name", "ver"),
+      dim, "user_id", "ver")
+    // simulate a crash between the two swap renames: the full
+    // snapshot sits at __old, dst is missing
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dim),
+      new org.apache.hadoop.fs.Path(dim + "__old")))
+    // next upsert must restore the backup and merge against it —
+    // NOT treat the table as empty and discard alice/bob
+    Sinks.upsertDim(spark,
+      Seq((3L, "carol", 1L)).toDF("user_id", "user_name", "ver"),
+      dim, "user_id", "ver")
+    val got = spark.read.parquet(dim)
+      .select($"user_id", $"user_name").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "alice", 2L -> "bob", 3L -> "carol"))
+  }
 }
