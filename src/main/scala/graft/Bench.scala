@@ -23,7 +23,8 @@ object Bench {
     "b8_keyword_weighted")
   private val extras = Seq(
     "a14b_asof_join", "a14c_range_join", "a17b_sessionize",
-    "a20_tumble_visitor", "a20b_4dim_visitor", "a21_product_stats",
+    "a20_tumble_visitor", "a20b_4dim_visitor", "a20c_sliding_visitor",
+    "a21_product_stats",
     "a21x_product_stats_approx", "a23_province_window", "a23x_province_approx",
     "b1s_gmv_from_stats", "b5s_province_from_stats",
     "c01_dedup_exact", "c02_dedup_minhash", "c03_dedup_simhash",

@@ -131,6 +131,28 @@ object DwsWindows extends QueryModule {
         col("pv_ct"), col("sv_ct"), col("uj_ct"), col("dur_sum"))
       .orderBy(col("stt"), col("vc"), col("ch"), col("ar"), col("is_new"))
 
+  /** A19/A20 in the third standard window shape — SLIDING (hopping):
+    * 20s windows every 10s, so each event lands in exactly two
+    * windows. The reference only uses tumbling (its engine supports
+    * sliding; a complete engine must too — session windows are
+    * a17b). Spark's window(ts, "20 seconds", "10 seconds") generates
+    * slide-aligned starts; the oracle expands each event into its
+    * two windows with an unnest([0,1]) cross join — every event's
+    * offset into its k-th window is k·10s + (ts mod 10s) < 20s, so
+    * membership needs no extra filter. */
+  def a20cSlidingVisitor(s: SparkSession, d: String): DataFrame =
+    measureRows(s, d)
+      .groupBy(window(col("ts"), "20 seconds", "10 seconds"), col("is_new"))
+      .agg(
+        sum(col("uv_ct")).as("uv_ct"), sum(col("pv_ct")).as("pv_ct"),
+        sum(col("sv_ct")).as("sv_ct"), sum(col("uj_ct")).as("uj_ct"),
+        sum(col("dur_sum")).cast(DoubleType).as("dur_sum"))
+      .select(
+        fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
+        col("is_new"), col("uv_ct"), col("pv_ct"), col("sv_ct"), col("uj_ct"),
+        col("dur_sum"))
+      .orderBy(col("stt"), col("is_new"))
+
   /** A21 internals with order_amount still DECIMAL-exact, so
     * downstream (ADS-over-stats) re-aggregation stays exact; the
     * public a21 casts to DOUBLE per row. */
@@ -343,6 +365,7 @@ object DwsWindows extends QueryModule {
     "a17_union_stats" -> a17UnionStats,
     "a20_tumble_visitor" -> a20TumbleVisitor,
     "a20b_4dim_visitor" -> a20b4DimVisitor,
+    "a20c_sliding_visitor" -> a20cSlidingVisitor,
     "a21_product_stats" -> a21ProductStats,
     "a21x_product_stats_approx" -> a21xProductStatsApprox,
     "a23_province_window" -> a23ProvinceWindow,
@@ -441,6 +464,18 @@ object DwsWindows extends QueryModule {
          |       CAST(SUM(dur_sum) AS DOUBLE) AS dur_sum
          |FROM ($measureRowsSql)
          |GROUP BY time_bucket(INTERVAL '10 seconds', ts), is_new
+         |ORDER BY stt, is_new""".stripMargin,
+    "a20c_sliding_visitor" ->
+      s"""SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+         |       strftime(wstart + INTERVAL 20 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+         |       is_new,
+         |       CAST(SUM(uv_ct) AS BIGINT) AS uv_ct, CAST(SUM(pv_ct) AS BIGINT) AS pv_ct,
+         |       CAST(SUM(sv_ct) AS BIGINT) AS sv_ct, CAST(SUM(uj_ct) AS BIGINT) AS uj_ct,
+         |       CAST(SUM(dur_sum) AS DOUBLE) AS dur_sum
+         |FROM (
+         |  SELECT m.*, time_bucket(INTERVAL '10 seconds', ts) - k * (INTERVAL 10 SECOND) AS wstart
+         |  FROM ($measureRowsSql) m CROSS JOIN (SELECT unnest([0, 1]) AS k))
+         |GROUP BY wstart, is_new
          |ORDER BY stt, is_new""".stripMargin,
     "a21_product_stats" ->
       """SELECT strftime(time_bucket(INTERVAL '10 seconds', ts), '%Y-%m-%d %H:%M:%S') AS stt,

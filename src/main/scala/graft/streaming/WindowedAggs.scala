@@ -40,6 +40,26 @@ object WindowedAggs {
         fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
         col("is_new"), col("pv_ct"), col("sv_ct"), col("uj_ct"), col("dur_sum"))
 
+  /** VisitorStats in the SLIDING (hopping) shape — 20s windows every
+    * 10s, each event counted in two windows; identical Append/
+    * watermark semantics (a window emits when the watermark passes
+    * its own end, so overlapping windows close in slide order).
+    * Batch twin: operators.DwsWindows.a20cSlidingVisitor's window
+    * spec. */
+  def visitorStatsSliding(events: DataFrame): DataFrame =
+    events
+      .withColumn("is_new", (col("user_id") % 2).cast(StringType))
+      .groupBy(window(col("ts"), "20 seconds", "10 seconds"), col("is_new"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("pv_ct"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("sv_ct"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("uj_ct"),
+        sum(when(col("event_type") === "view", col("value").cast(dec2)))
+          .cast(DoubleType).as("dur_sum"))
+      .select(
+        fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
+        col("is_new"), col("pv_ct"), col("sv_ct"), col("uj_ct"), col("dur_sum"))
+
   /** ProductStats: one-hot measures + exact distinct buyers per
     * (window, sku) via collect_set — streaming-legal exact distinct. */
   def productStats(events: DataFrame): DataFrame =

@@ -84,6 +84,35 @@ class PipelineSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("sliding visitor stats: streaming append matches batch, 2 windows per event") {
+    implicit val sq = spark.sqlContext
+    val data = Seq(
+      ev(1, 0, 1, "view", 10.0), ev(2, 3, 2, "view", 5.5),
+      ev(3, 9, 1, "signup"), ev(4, 12, 2, "error"),
+      ev(5, 15, 3, "view", 2.25))
+    val batch = WindowedAggs.visitorStatsSliding(spark.createDataset(data).toDF())
+      .orderBy("stt", "is_new").collect().toSeq
+    // hopping invariant: every event contributes to exactly 2 windows
+    assert(batch.map(r => r.getLong(3) + r.getLong(4) + r.getLong(5)).sum
+      === 2L * data.size)
+
+    val mem = MemoryStream[EventRow]
+    val q = WindowedAggs.visitorStatsSliding(
+        mem.toDF().withWatermark("ts", "1 second"))
+      .writeStream.format("memory").queryName("ws_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(data)
+      q.processAllAvailable()
+      mem.addData(Seq(ev(99, 3600, 9, "click"))) // close all windows
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ws_out")
+      .filter($"stt" < "2024-01-01 01:00:00")
+      .orderBy("stt", "is_new").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("windowed product stats: streaming append matches batch") {
     implicit val sq = spark.sqlContext
     val data = Seq(
