@@ -164,13 +164,46 @@ object TextOps extends QueryModule {
         max(col("n_tok")).as("max_tok"))
       .orderBy(col("bucket"))
 
+  /** PII patterns shared by t07's Spark and DuckDB sides. Written
+    * with character classes only (no backslash escapes) so the Java
+    * and RE2-family regex dialects cannot diverge on escaping, and
+    * both produce the same maximal matches. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val longNumRe = "[0-9]{7,}"
+
+  /** t07 — PII scrub: redact emails then long digit runs (phone/id
+    * numbers) before training — pure per-row regexp work, codegen'd,
+    * no shuffle. The corpus text is synthetic word soup with no real
+    * PII, so each doc gets a DETERMINISTIC contact line appended
+    * (same construction in the oracle) — the redaction logic is then
+    * actually exercised, and the md5 of the redacted text verifies
+    * the full output byte-for-byte without hauling long strings
+    * through the compare. */
+  def t07PiiScrub(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast(StringType),
+      lit("@example.com tel 555"),
+      lpad(col("doc_id").cast(StringType), 7, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(aug, emailRe, "<EMAIL>"), longNumRe, "<NUM>")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(aug, lit(emailRe), lit(0))).cast(LongType).as("n_emails"),
+        size(regexp_extract_all(aug, lit(longNumRe), lit(0))).cast(LongType).as("n_long_nums"),
+        length(redacted).cast(LongType).as("redacted_len"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
     "t03_token_count" -> t03TokenCount,
     "t04_fingerprint" -> t04Fingerprint,
     "t05_train_split" -> t05TrainSplit,
-    "t06_length_histogram" -> t06LengthHistogram)
+    "t06_length_histogram" -> t06LengthHistogram,
+    "t07_pii_scrub" -> t07PiiScrub)
 
   private def hitsSql(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -240,5 +273,18 @@ object TextOps extends QueryModule {
         |  MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
         |FROM (SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
         |      FROM documents)
-        |GROUP BY 1 ORDER BY bucket""".stripMargin)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "t07_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '$longNumRe')) AS BIGINT) AS n_long_nums,
+         |  CAST(length(regexp_replace(regexp_replace(aug, '$emailRe', '<EMAIL>', 'g'),
+         |    '$longNumRe', '<NUM>', 'g')) AS BIGINT) AS redacted_len,
+         |  md5(regexp_replace(regexp_replace(aug, '$emailRe', '<EMAIL>', 'g'),
+         |    '$longNumRe', '<NUM>', 'g')) AS redacted_md5
+         |FROM (SELECT doc_id,
+         |        text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+         |        '@example.com tel 555' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS aug
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin)
 }
