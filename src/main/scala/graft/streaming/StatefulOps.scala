@@ -116,7 +116,9 @@ object StatefulOps {
           if (state.exists) Iterator.empty
           else {
             state.update(SeenContent(true))
-            it.toSeq.sortBy(_.doc_id).headOption.iterator
+            // duplicate groups are exactly the skewed hot keys dedup
+            // exists for - one-pass min, not a buffered sort
+            Iterator.single(it.minBy(_.doc_id))
           }
         })
   }
@@ -126,6 +128,10 @@ object StatefulOps {
     * DedupOps.c01Exact's norm(). (Key equality is all that matters
     * for grouping; the hex form keeps state keys small.) */
   private[streaming] def normContentKey(text: String): String = {
+    // null text groups under its own sentinel key (c01's md5(NULL)
+    // behaves the same way: all null-text docs form one group);
+    // 4 chars can never collide with a 32-char md5 hex
+    if (text == null) return "null"
     val norm = text.toLowerCase.replaceAll("\\s+", " ")
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))

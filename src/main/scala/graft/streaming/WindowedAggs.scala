@@ -27,18 +27,7 @@ object WindowedAggs {
     * call .withWatermark("ts", delay) upstream for streaming input
     * (the reference uses 1s, VisitorStatsApp.java:142). */
   def visitorStats(events: DataFrame): DataFrame =
-    events
-      .withColumn("is_new", (col("user_id") % 2).cast(StringType))
-      .groupBy(window(col("ts"), "10 seconds"), col("is_new"))
-      .agg(
-        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("pv_ct"),
-        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("sv_ct"),
-        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("uj_ct"),
-        sum(when(col("event_type") === "view", col("value").cast(dec2)))
-          .cast(DoubleType).as("dur_sum"))
-      .select(
-        fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
-        col("is_new"), col("pv_ct"), col("sv_ct"), col("uj_ct"), col("dur_sum"))
+    visitorStatsBy(events, window(col("ts"), "10 seconds"))
 
   /** VisitorStats in the SLIDING (hopping) shape — 20s windows every
     * 10s, each event counted in two windows; identical Append/
@@ -47,9 +36,15 @@ object WindowedAggs {
     * Batch twin: operators.DwsWindows.a20cSlidingVisitor's window
     * spec. */
   def visitorStatsSliding(events: DataFrame): DataFrame =
+    visitorStatsBy(events, window(col("ts"), "20 seconds", "10 seconds"))
+
+  /** Shared measure/finisher body — tumbling and sliding differ only
+    * in the window spec, and must never diverge on the measures. */
+  private def visitorStatsBy(events: DataFrame,
+      win: org.apache.spark.sql.Column): DataFrame =
     events
       .withColumn("is_new", (col("user_id") % 2).cast(StringType))
-      .groupBy(window(col("ts"), "20 seconds", "10 seconds"), col("is_new"))
+      .groupBy(win, col("is_new"))
       .agg(
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("pv_ct"),
         sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("sv_ct"),

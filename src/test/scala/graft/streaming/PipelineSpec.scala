@@ -107,8 +107,11 @@ class PipelineSpec extends SparkSpec {
       mem.addData(Seq(ev(99, 3600, 9, "click"))) // close all windows
       q.processAllAvailable()
     } finally q.stop()
+    // exclude BOTH sentinel hop windows (00:59:50 and 01:00:00) by a
+    // margin - the earlier one only stays unemitted by watermark
+    // timing, which another trigger cycle would change
     val streamed = spark.table("ws_out")
-      .filter($"stt" < "2024-01-01 01:00:00")
+      .filter($"stt" < "2024-01-01 00:50:00")
       .orderBy("stt", "is_new").collect().toSeq
     assert(streamed === batch)
   }

@@ -25,9 +25,14 @@ class StreamDedupSpec extends SparkSpec with StreamRunner {
   test("curateIngest job: quality gate + dedup, streaming end-to-end") {
     val root = java.nio.file.Files.createTempDirectory("curate").toString
     val good = ("the a of and to is in " * 20).trim // long, stopword-rich
+    // doc 2 differs only in whitespace: it PASSES the quality gate
+    // (same tokens, same stopword hits) and must be removed by the
+    // DEDUP stage - an uppercase twin would be dropped by the
+    // case-sensitive stopword scorer before dedup ever saw it
+    val dup = good.replace(" of and ", "  of  and  ")
     val lines = Seq(
       s"""{"doc_id": 1, "text": "$good"}""",
-      s"""{"doc_id": 2, "text": "${good.toUpperCase}"}""", // exact dup mod case
+      s"""{"doc_id": 2, "text": "$dup"}""",
       s"""{"doc_id": 3, "text": "xxxxx"}""")               // junk: quality < 0.6
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$root/in.json"), lines.mkString("\n").getBytes)
