@@ -27,20 +27,27 @@ case class MinHash60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  private def isPreHashed: Boolean =
+    child.dataType match { case ArrayType(LongType, _) => true; case _ => false }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(StringType, _) | ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"graft_minhash60 expects array<string>, got ${t.catalogString}")
+          s"graft_minhash60 expects array<string> or array<bigint> (pre-hashed), " +
+            s"got ${t.catalogString}")
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHash60.minima(input.asInstanceOf[ArrayData])
+    if (isPreHashed) MinHash60.minimaHashed(input.asInstanceOf[ArrayData])
+    else MinHash60.minima(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash60.minima($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isPreHashed) "minimaHashed" else "minima"
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash60.$m($c)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHash60 =
     copy(child = newChild)
@@ -66,17 +73,34 @@ object MinHash60 {
       // null elements are skipped, matching MIN-over-rows semantics
       // (the dedup pipeline never produces them, but the function is
       // registered session-wide and must not NPE on nullable arrays)
-      if (s != null) {
-        val hm = H60.hash(s) % P
-        var k = 0
-        while (k < K) {
-          val v = (A(k) * hm + B(k)) % P
-          if (v < mins(k)) mins(k) = v
-          k += 1
-        }
-      }
+      if (s != null) update(mins, H60.hash(s) % P)
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** Same minima over PRE-HASHED 60-bit shingle values (the dedup
+    * pipelines already carry h60(shingle) longs — re-hashing here
+    * would double the md5 work; minima are invariant under element
+    * dedup and ordering, so the hashed and string forms agree
+    * whenever the long array holds h60 of the strings). */
+  def minimaHashed(arr: ArrayData): ArrayData = {
+    val mins = Array.fill(K)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) update(mins, arr.getLong(i) % P)
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private def update(mins: Array[Long], hm: Long): Unit = {
+    var k = 0
+    while (k < K) {
+      val v = (A(k) * hm + B(k)) % P
+      if (v < mins(k)) mins(k) = v
+      k += 1
+    }
   }
 }

@@ -138,7 +138,7 @@ object DedupOps extends QueryModule {
     * candidate counts are the quantity the LSH equi-join bound is
     * about). */
   private[graft] def c02Cand(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleDocs(s, d, 3)
+    val docs = shingleDocs(s, d, 3, hashed = true)
     // Signatures per-row via the native one-pass expression — ZERO
     // shuffles before the band self-join (round 2 shuffled the full
     // shingle table into a groupBy(doc_id) agg of 16 md5-min columns).
@@ -161,7 +161,7 @@ object DedupOps extends QueryModule {
   }
 
   def c02MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleDocs(s, d, 3)
+    val docs = shingleDocs(s, d, 3, hashed = true)
     // Materialize the (tiny) pair set once: it feeds both the
     // semi-join below and the verify join. localCheckpoint blocks
     // are freed by the ContextCleaner when the plan is collected —
@@ -410,13 +410,6 @@ object DedupOps extends QueryModule {
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
   // ---------------------------------------------------------------
 
-  private val shinglesSql =
-    """SELECT DISTINCT doc_id, s AS sh FROM (
-      |  SELECT doc_id, unnest(list_transform(range(0, len(t) - 2),
-      |    i -> array_to_string(t[i + 1:i + 3], ' '))) AS s
-      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') t FROM documents)
-      |  WHERE len(t) >= 3)""".stripMargin
-
   /** Hashed distinct word-n-grams per doc, DuckDB form (twin of
     * [[shingleDocs]] with hashed=true). */
   private def hashedNgramsSql(n: Int): String =
@@ -432,16 +425,18 @@ object DedupOps extends QueryModule {
     * (sh, sig, bands, cand, sizes) — shared by the c02 and c08
     * oracles. */
   private lazy val c02Ctes: String = {
-    // Same universal family as the Spark side: one md5 per shingle,
-    // 16 LCG-derived minima — identical literals, exact BIGINT math.
+    // Same universal family as the Spark side — the sh CTE already
+    // carries the 60-bit h60 hashes (one md5 per shingle), so the 16
+    // LCG-derived minima are pure integer arithmetic on identical
+    // literals with exact BIGINT math.
     val mins = (0 until K).map(i =>
-      s"MIN((${MH_A(i)} * (${Portable.h60Sql("sh")} % $MH_P) + ${MH_B(i)}) % $MH_P) AS m$i")
+      s"MIN((${MH_A(i)} * (sh % $MH_P) + ${MH_B(i)}) % $MH_P) AS m$i")
       .mkString(",\n         ")
     val bandRows = (0 until BANDS).map(b =>
       s"SELECT doc_id, $b AS band, concat_ws(',', " +
         (0 until R).map(r => s"m${b * R + r}").mkString(", ") + ") AS key FROM sig")
       .mkString("\n       UNION ALL ")
-    s"""sh AS ($shinglesSql),
+    s"""sh AS (${hashedNgramsSql(3)}),
        |sig AS (SELECT doc_id,
        |         $mins
        |        FROM sh GROUP BY doc_id),

@@ -65,6 +65,21 @@ class SketchExprSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("minhash60 over pre-hashed longs equals the string form") {
+    val arrs = docs
+      .withColumn("toks", split($"text", "\\s+"))
+      .where(size($"toks") >= 3)
+      .select($"doc_id",
+        expr("array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3))))")
+          .as("strs"))
+      .withColumn("hs", expr("transform(strs, x -> graft_h60(x))"))
+    val bad = arrs.select(
+      call_function("graft_minhash60", $"strs").as("a"),
+      call_function("graft_minhash60", $"hs").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(bad === 0L)
+  }
+
   test("winnow60 equals the HOF sliding-window form incl. multi-byte text") {
     val hof = expr(
       """array_min(transform(sequence(1, int(greatest(length(text) - 7, 1))),
