@@ -26,7 +26,12 @@ import org.apache.spark.sql.types._
   * shingles of docs that appear in a candidate pair (semi-join), so
   * nothing unbounded is cached. Guarantees:
   *  - c02: a pair sharing any of the 4 bands collides; with r=4 rows
-  *    per band, P(collide) = 1-(1-j^4)^4 (≈0.98 at j=0.8).
+  *    per band, P(collide) ≈ 1-(1-j^4)^4 (≈0.98 at j=0.8). Approximate,
+  *    not exact: the K=16 family in MinHash60 derives every h_k as an
+  *    affine transform of one shared base hash, so band minima are
+  *    mildly correlated and the independent-hash bound is slightly
+  *    optimistic. Oracle parity is unaffected (DuckDB embeds the
+  *    identical family literals).
   *  - c03: Hamming ≤ 3 over 60 bits with 4 blocking chunks — by
   *    pigeonhole one chunk is clean, so recall is 1.0 (exact).
   *  - c04: prefix length |A| - ceil(t|A|) + 1 under the global

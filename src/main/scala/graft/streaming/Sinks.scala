@@ -80,17 +80,15 @@ object Sinks {
       require(fs0.rename(oldP, dstP),
         s"upsertDim recovery: rename $oldP -> $dstP failed")
     }
-    // Only a MISSING snapshot means "no existing dims". Any other read
-    // failure (corrupt footer, transient IO) must propagate — treating
-    // it as empty would silently discard the whole dim table on merge.
+    // Only a MISSING snapshot means "no existing dims" — checked
+    // explicitly with the FileSystem handle rather than by classifying
+    // AnalysisException message text (brittle across Spark versions /
+    // locales). Any read failure on an EXISTING path (corrupt footer,
+    // transient IO) propagates — treating it as empty would silently
+    // discard the whole dim table on merge.
     val existing =
-      try spark.read.parquet(dimPath)
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.contains("Path does not exist") =>
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], updates.schema)
-      }
+      if (fs0.exists(dstP)) spark.read.parquet(dimPath)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], updates.schema)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(versionCol).desc, col("__src").desc)
     val merged = existing.withColumn("__src", lit(0))
@@ -156,7 +154,8 @@ object Sinks {
     * within the batch wins by `versionCol` first, exactly like the
     * parquet-snapshot [[upsertDim]]. */
   def upsertDimJdbc(updates: DataFrame, url: String, table: String,
-      keyCol: String, versionCol: String, batchSize: Int = 100): Unit = {
+      keyCol: String, versionCol: String, batchSize: Int = 100,
+      props: java.util.Properties = new java.util.Properties): Unit = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc)
     val deduped = updates
@@ -164,6 +163,27 @@ object Sinks {
       .filter(col("__rn") === 1).drop("__rn")
     val cols = deduped.columns.toSeq
     val nonKey = cols.filterNot(_ == keyCol)
+    // java.sql.Types per column, resolved from the DataFrame schema on
+    // the driver: a null value must bind via setNull(idx, TYPE) —
+    // setObject(idx, null) carries no type info and several drivers
+    // (Derby included) reject it.
+    val jdbcTypes: Array[Int] = deduped.schema.fields.map { f =>
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case LongType => java.sql.Types.BIGINT
+        case IntegerType => java.sql.Types.INTEGER
+        case ShortType => java.sql.Types.SMALLINT
+        case ByteType => java.sql.Types.TINYINT
+        case DoubleType => java.sql.Types.DOUBLE
+        case FloatType => java.sql.Types.REAL
+        case BooleanType => java.sql.Types.BOOLEAN
+        case _: DecimalType => java.sql.Types.DECIMAL
+        case DateType => java.sql.Types.DATE
+        case TimestampType => java.sql.Types.TIMESTAMP
+        case BinaryType => java.sql.Types.BINARY
+        case _ => java.sql.Types.VARCHAR
+      }
+    }
     // MERGE with the 1-row dummy table as source: one parameterized
     // upsert per input row, batched.
     val sql =
@@ -173,20 +193,33 @@ object Sinks {
          |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin
     val colIdx = cols.zipWithIndex.toMap
     deduped.foreachPartition { (rows: Iterator[Row]) =>
-      val conn = java.sql.DriverManager.getConnection(url)
+      val conn = java.sql.DriverManager.getConnection(url, props)
       try {
         conn.setAutoCommit(false)
-        val st = conn.prepareStatement(sql)
-        var n = 0
-        rows.foreach { r =>
-          var i = 1
-          def bind(c: String): Unit = { st.setObject(i, r.get(colIdx(c))); i += 1 }
-          bind(keyCol); nonKey.foreach(bind); cols.foreach(bind)
-          st.addBatch(); n += 1
-          if (n % batchSize == 0) st.executeBatch()
+        try {
+          val st = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            var i = 1
+            def bind(c: String): Unit = {
+              val j = colIdx(c)
+              val v = r.get(j)
+              if (v == null) st.setNull(i, jdbcTypes(j)) else st.setObject(i, v)
+              i += 1
+            }
+            bind(keyCol); nonKey.foreach(bind); cols.foreach(bind)
+            st.addBatch(); n += 1
+            if (n % batchSize == 0) st.executeBatch()
+          }
+          st.executeBatch()
+          conn.commit()
+        } catch {
+          // Roll back the open transaction before propagating so the
+          // connection never closes with a half-applied batch pending.
+          case e: Throwable =>
+            try conn.rollback() catch { case s: Throwable => e.addSuppressed(s) }
+            throw e
         }
-        st.executeBatch()
-        conn.commit()
       } finally conn.close()
     }
   }

@@ -63,4 +63,26 @@ class JdbcSinkSpec extends SparkSpec {
       .select($"user_id", $"user_name").as[(Long, String)].collect().toMap
     assert(dims === Map(1L -> "alice2", 2L -> "bob", 3L -> "carol"))
   }
+
+  test("dim upsert binds null columns with typed setNull (Derby rejects untyped)") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE dim_nullable (id BIGINT PRIMARY KEY, label VARCHAR(64), score DOUBLE, ver BIGINT)")
+    conn.close()
+
+    // null VARCHAR and null DOUBLE on insert, then a null overwriting a
+    // non-null on update — both go through the setNull path.
+    val b1 = Seq((1L, Some("x"), Some(1.5), 1L), (2L, None, None, 1L))
+      .toDF("id", "label", "score", "ver")
+    Sinks.upsertDimJdbc(b1, url, "dim_nullable", "id", "ver")
+    val b2 = Seq((1L, Option.empty[String], Some(2.5), 2L))
+      .toDF("id", "label", "score", "ver")
+    Sinks.upsertDimJdbc(b2, url, "dim_nullable", "id", "ver")
+
+    val rows = spark.read.jdbc(url, "dim_nullable", new java.util.Properties)
+      .select($"id", $"label", $"score").as[(Long, Option[String], Option[Double])]
+      .collect().map { case (k, l, s) => k -> (l, s) }.toMap
+    assert(rows(1L) === ((None, Some(2.5))))
+    assert(rows(2L) === ((None, None)))
+  }
 }
