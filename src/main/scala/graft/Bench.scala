@@ -30,7 +30,9 @@ object Bench {
     "c01_dedup_exact", "c02_dedup_minhash", "c03_dedup_simhash",
     "c04_dedup_ngram", "c05_embed_neardup", "c06_ann_brute",
     "c07_ann_ivf", "c08_corpus_curate", "c09_decontaminate",
-    "c10_dedup_cluster", "t04_fingerprint", "t07_pii_scrub")
+    "c10_dedup_cluster", "c11_semantic_dedup", "t04_fingerprint",
+    "t07_pii_scrub", "t08_repetition", "t09_pack_sequences",
+    "t10_mix_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,8 +1,9 @@
 package graft
 
+import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Empirical scaling probe for the dedup/ANN family: runs each query
@@ -12,8 +13,59 @@ import org.apache.spark.sql.SparkSession
   * LSH/prefix CANDIDATE-PAIR counts whose data-proportional growth is
   * the equi-join bound's empirical check. Output: one JSON line per
   * (query, sf). Results are recorded in BASELINE.md.
+  *
+  * Shuffle bytes are attributed PER JOB GROUP (each measured query
+  * runs under its own `setJobGroup`), so late-arriving stage-completed
+  * events from a previous query land in that query's own counter and
+  * can never bleed into the next measurement — the failure mode of
+  * the earlier global-counter + fixed-sleep design. The untimed row
+  * count after each measurement runs under a separate throwaway group
+  * for the same reason.
   */
 object ScaleProbe {
+
+  /** Stage-completed shuffle metrics bucketed by the owning job group
+    * (stage → group resolved from SparkListenerJobStart properties). */
+  private final class GroupShuffleListener extends SparkListener {
+    private val stageGroup = new ConcurrentHashMap[Int, String]()
+    private val read = new ConcurrentHashMap[String, AtomicLong]()
+    private val write = new ConcurrentHashMap[String, AtomicLong]()
+
+    override def onJobStart(ev: SparkListenerJobStart): Unit = {
+      val g = Option(ev.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        .getOrElse("")
+      ev.stageIds.foreach(id => stageGroup.put(id, g))
+    }
+
+    override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+      val g = stageGroup.getOrDefault(ev.stageInfo.stageId, "")
+      val m = ev.stageInfo.taskMetrics
+      if (m != null) {
+        read.computeIfAbsent(g, _ => new AtomicLong)
+          .addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.computeIfAbsent(g, _ => new AtomicLong)
+          .addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+
+    def bytes(g: String): (Long, Long) =
+      (Option(read.get(g)).fold(0L)(_.get), Option(write.get(g)).fold(0L)(_.get))
+
+    /** Wait until the async listener bus has delivered everything for
+      * `g`: two identical reads 200 ms apart, capped at 5 s. */
+    def settled(g: String): (Long, Long) = {
+      var prev = (-1L, -1L)
+      var cur = bytes(g)
+      var waited = 0
+      while (cur != prev && waited < 5000) {
+        Thread.sleep(200); waited += 200
+        prev = cur; cur = bytes(g)
+      }
+      cur
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -25,17 +77,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val shufRead = new AtomicLong
-    val shufWrite = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
-        val m = ev.stageInfo.taskMetrics
-        if (m != null) {
-          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        }
-      }
-    })
+    val listener = new GroupShuffleListener
+    spark.sparkContext.addSparkListener(listener)
 
     val qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
       "c01_dedup_exact" -> operators.DedupOps.c01Exact _,
@@ -46,7 +89,8 @@ object ScaleProbe {
       "c04_dedup_ngram" -> operators.DedupOps.c04NgramJaccard _,
       "c05_embed_neardup" -> operators.VectorOps.c05EmbedNeardup _,
       "c06_ann_brute" -> operators.VectorOps.c06AnnBrute _,
-      "c07_ann_ivf" -> operators.VectorOps.c07AnnIvf _)
+      "c07_ann_ivf" -> operators.VectorOps.c07AnnIvf _,
+      "c11_semantic_dedup" -> operators.VectorOps.c11SemanticDedup _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
@@ -56,20 +100,19 @@ object ScaleProbe {
       .format("noop").mode("overwrite").save()
 
     for (sf <- sfs; (name, fn) <- qs) {
-      // settle + drain listener events from the PREVIOUS query before
-      // resetting counters (the bus is async and its drain API is
-      // private; 3s on an idle probe box empirically suffices — the
-      // byte totals are stable across repeat runs)
-      Thread.sleep(3000)
-      shufRead.set(0); shufWrite.set(0)
+      val group = s"$name@$sf"
       // noop-sink materialization, same methodology as graft.Bench
       // (count() would let the optimizer drop final sorts/projections)
+      spark.sparkContext.setJobGroup(group, name)
       val t0 = System.nanoTime()
       fn(spark, sf).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(3000)
-      val (r, w) = (shufRead.get, shufWrite.get)
-      val rows = fn(spark, sf).count() // outside the measured window
+      spark.sparkContext.clearJobGroup()
+      val (r, w) = listener.settled(group)
+      // row count outside the measured window, under its own group
+      spark.sparkContext.setJobGroup(s"$group:count", name)
+      val rows = fn(spark, sf).count()
+      spark.sparkContext.clearJobGroup()
       println(s"""{"probe":"$name","sf":"$sf","rows":$rows,"wall_sec":$wall,""" +
         s""""shuffle_read_bytes":$r,"shuffle_write_bytes":$w}""")
     }

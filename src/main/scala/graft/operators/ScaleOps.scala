@@ -43,6 +43,19 @@ object ScaleOps extends QueryModule {
       .agg(finalCols.head, finalCols.tail: _*)
   }
 
+  /** Write `df` as a bucketed + bucket-sorted managed parquet table —
+    * the co-location layout for the 100 TB fact tables: a later join
+    * or aggregation on `key` between tables bucketed the same way
+    * needs NO shuffle exchange (Spark matches HashPartitioning(key,
+    * buckets) on both sides) and no sort for sort-merge. At scale this
+    * converts the nightly fact⋈fact joins from full-network shuffles
+    * into local map-side merges; BucketingSpec pins the zero-Exchange
+    * plan and value parity vs the plain-parquet join. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** a08 restated through the salted path — hot-key-safe keyed
     * aggregation with identical results (shared oracle). The
     * countDistinct becomes exact set-union across salt partitions. */

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryModule, Tables}
 import graft.functions.Portable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -162,7 +163,11 @@ object TextOps extends QueryModule {
         sum(col("n_tok")).as("tok_sum"),
         min(col("n_tok")).as("min_tok"),
         max(col("n_tok")).as("max_tok"))
-      .orderBy(col("bucket"))
+      // Explicit NULLS FIRST (matched in the oracle): null text ⇒ null
+      // bucket, and Spark's asc default (NULLS FIRST) differs from
+      // DuckDB's (NULLS LAST) — pin it so a null-text fixture can't
+      // diverge the ordered compare.
+      .orderBy(col("bucket").asc_nulls_first)
 
   /** PII patterns shared by t07's Spark and DuckDB sides. Written
     * with character classes only (no backslash escapes) so the Java
@@ -196,6 +201,131 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** t08 — repetition/duplication quality signals (the Gopher-style
+    * repetition filters): distinct-token ratio, most-frequent-token
+    * fraction, and duplicate-bigram fraction. All computed per row
+    * with higher-order functions over the token array — no explode,
+    * no shuffle, so the operator is a narrow codegen'd pass that
+    * scales with input splits. Documents are short (max ~600 chars in
+    * the fixture; cap any real corpus at tokenizer time), so the
+    * O(distinct·n) per-row count is bounded. */
+  /** Sort BEFORE the projection: orderBy on top would make the range
+    * partitioner's sampling pass evaluate the expensive HOF columns a
+    * second time (measured 2.4 s vs 1.0 s at sf0.1). The global Sort
+    * stays below the Projects (order-preserving), so the output order
+    * contract is identical. */
+  def t08Repetition(s: SparkSession, d: String): DataFrame =
+    repetitionCols(Tables.documents(s, d).orderBy(col("doc_id")))
+
+  /** Core of t08 over any `(doc_id, text, …)` frame. */
+  def repetitionCols(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", toks)
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast(LongType))
+      // top token count = longest equal-run in the SORTED array: one
+      // O(n log n) pass instead of the O(distinct·n) nested
+      // filter-per-distinct-token (measured 2× faster at sf0.1; HOFs
+      // are interpreted, so the constant matters). Any total order
+      // groups equal tokens adjacently, so run length ≡ frequency.
+      .withColumn("top_tok_ct",
+        aggregate(array_sort(col("toks")),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best")))
+      // sequence(1, n-1) would DESCEND for n_tok = 1 (Spark's sequence
+      // auto-reverses) — guard to an empty array; DuckDB's range(1, n)
+      // is already empty there.
+      .withColumn("bigrams",
+        when(col("n_tok") >= 2,
+          transform(sequence(lit(1), (col("n_tok") - 1).cast(IntegerType)),
+            i => concat(element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1))))
+          .otherwise(array().cast(ArrayType(StringType))))
+      .withColumn("n_bigram", size(col("bigrams")).cast(LongType))
+      .select(
+        col("doc_id"), col("n_tok"), col("n_distinct"),
+        (col("n_distinct").cast(DoubleType) / col("n_tok").cast(DoubleType))
+          .as("distinct_ratio"),
+        col("top_tok_ct"),
+        (col("top_tok_ct").cast(DoubleType) / col("n_tok").cast(DoubleType))
+          .as("top_tok_frac"),
+        col("n_bigram"),
+        when(col("n_bigram") > 0,
+          (col("n_bigram") - size(array_distinct(col("bigrams"))).cast(LongType))
+            .cast(DoubleType) / col("n_bigram").cast(DoubleType))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+
+  /** t09 — sequence packing: assign documents to fixed-size context
+    * windows (2048 tokens) for training-batch construction. Packing
+    * is contiguous-fill per SHARD, not global: a single global
+    * cumulative sum would serialize 100 TB through one window
+    * partition, so docs are first sprayed across 64 deterministic
+    * hash shards and packed independently within each — the window
+    * runs shard-way parallel (shards ≈ executors·4 at scale; 8 in the
+    * fixture so sf0.01 already fills multiple bins per shard) and
+    * every shard's bins are reproducible from the portable hash
+    * alone. A doc longer than the window spans bins (standard packed
+    * pretraining layout); `bin` is where the doc STARTS. */
+  def t09PackSequences(s: SparkSession, d: String): DataFrame =
+    packSequences(Tables.documents(s, d), shards = 8, ctx = 2048)
+      .orderBy(col("doc_id"))
+
+  /** Core of t09 over any `(doc_id, text, …)` frame. */
+  def packSequences(docs: DataFrame, shards: Int, ctx: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tok", size(toks).cast(LongType))
+      .withColumn("shard",
+        Portable.h60(concat(lit("pack:"), col("doc_id").cast(StringType))) % shards)
+      .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        expr(s"start_tok div $ctx").as("bin"),
+        (col("start_tok") % ctx).as("tok_offset"))
+  }
+
+  /** Per-language mixing rates for t10 as (lang, whole-epoch copies,
+    * fractional-part threshold out of 10000): en 0.5×, de 1.0×,
+    * fr 0.25×, es 1.5×, zh 2.5×. Integer thresholds keep the
+    * sampling decision float-free and portable across engines. */
+  private val mixRates: Seq[(String, Int, Int)] = Seq(
+    ("en", 0, 5000), ("de", 1, 0), ("fr", 0, 2500), ("es", 1, 5000), ("zh", 2, 5000))
+
+  /** t10 — deterministic stratified mixing: each document is emitted
+    * `copies` times where copies = floor(rate) + Bernoulli(frac(rate))
+    * decided by the portable hash — the standard "epochs per source"
+    * data-mixing op (downsample rate<1, upsample rate>1). No shuffle:
+    * the decision is per-row arithmetic and the fan-out is a bounded
+    * explode; any engine recomputes the identical mix from doc_id
+    * alone (same property as t05's split). */
+  def t10MixSample(s: SparkSession, d: String): DataFrame =
+    mixSample(Tables.documents(s, d), mixRates)
+      .orderBy(col("doc_id"), col("epoch"))
+
+  /** Core of t10 over any `(doc_id, lang, …)` frame; `rates` rows are
+    * (lang, whole copies, fractional threshold / 10000). */
+  def mixSample(docs: DataFrame, rates: Seq[(String, Int, Int)]): DataFrame = {
+    def chain(f: ((String, Int, Int)) => Int): Column =
+      rates.tail.foldLeft(
+        when(col("lang") === rates.head._1, f(rates.head))) {
+        case (c, r) => c.when(col("lang") === r._1, f(r))
+      }.otherwise(1)
+    docs
+      .withColumn("roll",
+        Portable.h60(concat(lit("mix:"), col("doc_id").cast(StringType))) % 10000)
+      .withColumn("copies",
+        (chain(_._2) + when(col("roll") < chain(_._3), 1).otherwise(0)).cast(LongType))
+      .filter(col("copies") >= 1)
+      .select(col("doc_id"), col("lang"), col("copies"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
@@ -203,7 +333,10 @@ object TextOps extends QueryModule {
     "t04_fingerprint" -> t04Fingerprint,
     "t05_train_split" -> t05TrainSplit,
     "t06_length_histogram" -> t06LengthHistogram,
-    "t07_pii_scrub" -> t07PiiScrub)
+    "t07_pii_scrub" -> t07PiiScrub,
+    "t08_repetition" -> t08Repetition,
+    "t09_pack_sequences" -> t09PackSequences,
+    "t10_mix_sample" -> t10MixSample)
 
   private def hitsSql(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -273,7 +406,63 @@ object TextOps extends QueryModule {
         |  MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
         |FROM (SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
         |      FROM documents)
-        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+        |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin,
+    "t08_repetition" ->
+      """SELECT doc_id, n_tok, n_distinct,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS distinct_ratio,
+        |  top_tok_ct,
+        |  CAST(top_tok_ct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_tok_frac,
+        |  n_bigram,
+        |  CASE WHEN n_bigram > 0
+        |       THEN CAST(n_bigram - n_bigram_distinct AS DOUBLE) / CAST(n_bigram AS DOUBLE)
+        |       ELSE 0.0 END AS dup_bigram_frac
+        |FROM (
+        |  SELECT doc_id, n_tok,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    CAST(list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS top_tok_ct,
+        |    CAST(len(bigrams) AS BIGINT) AS n_bigram,
+        |    CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_bigram_distinct
+        |  FROM (
+        |    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+        |      list_transform(range(1, CAST(len(toks) AS BIGINT)),
+        |        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |          FROM documents)))
+        |ORDER BY doc_id""".stripMargin,
+    "t09_pack_sequences" ->
+      // CAST the windowed-sum derivatives back to BIGINT: DuckDB's
+      // SUM(BIGINT) widens to HUGEINT, which would diverge from
+      // Spark's LongType schema.
+      s"""SELECT doc_id, shard, n_tok,
+         |  CAST((running - n_tok) // 2048 AS BIGINT) AS bin,
+         |  CAST((running - n_tok) % 2048 AS BIGINT) AS tok_offset
+         |FROM (
+         |  SELECT doc_id, shard, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         |  FROM (SELECT doc_id,
+         |          CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+         |          ${Portable.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "t10_mix_sample" -> {
+      val baseCase = mixRates.map { case (l, b, _) => s"WHEN lang = '$l' THEN $b" }
+        .mkString("CASE ", " ", " ELSE 1 END")
+      val thrCase = mixRates.map { case (l, _, t) => s"WHEN lang = '$l' THEN $t" }
+        .mkString("CASE ", " ", " ELSE 1 END")
+      s"""SELECT doc_id, lang, copies, epoch FROM (
+         |  SELECT doc_id, lang, copies,
+         |    unnest(range(1, copies + 1)) AS epoch
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      CAST($baseCase +
+         |        CASE WHEN ${Portable.h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000
+         |               < $thrCase THEN 1 ELSE 0 END AS BIGINT) AS copies
+         |    FROM documents)
+         |  WHERE copies >= 1)
+         |ORDER BY doc_id, epoch""".stripMargin
+    },
     "t07_pii_scrub" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_emails,

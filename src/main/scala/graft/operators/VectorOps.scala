@@ -51,7 +51,7 @@ object VectorOps extends QueryModule {
     * broadcast config. Embedding them as literal arrays lets the
     * signature/assignment be a single-pass projection instead of a
     * crossJoin + 16×-row shuffle of the whole corpus. */
-  private def anchorVectors(s: SparkSession, d: String, n: Int): Seq[(Int, Seq[Float])] =
+  private[operators] def anchorVectors(s: SparkSession, d: String, n: Int): Seq[(Int, Seq[Float])] =
     emb(s, d).filter(col("vec_id") < n)
       .select(col("vec_id"), col("embedding"))
       .collect()
@@ -117,20 +117,25 @@ object VectorOps extends QueryModule {
   def c07AnnIvf(s: SparkSession, d: String): DataFrame =
     c07AnnIvfProbes(s, d, PROBES)
 
-  /** [[c07AnnIvf]] with an explicit nprobe (recall/cost knob). */
-  def c07AnnIvfProbes(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    val e = emb(s, d)
-    val cents = anchorVectors(s, d, CELLS)
-    // assignment is a single narrow pass: argmax-dot over the literal
-    // centroids via array_min on (-score, cid) structs — the struct
-    // ordering ties on the smaller cid, identical to the oracle's
-    // ORDER BY score DESC, cid. No window shuffle over the corpus.
+  /** Coarse-quantizer assignment `(vec_id, embedding, cid)` — a
+    * single narrow pass: argmax-dot over the literal centroids via
+    * array_min on (-score, cid) structs — the struct ordering ties on
+    * the smaller cid, identical to the oracle's ORDER BY score DESC,
+    * cid. No window shuffle over the corpus. Shared by c07 and c11. */
+  private[operators] def cellAssign(e: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame = {
     val cellStructs = array(cents.map { case (cid, v) =>
       struct((-Portable.dot(col("embedding"), typedLit(v))).as("neg"),
         lit(cid).as("cid"))
     }: _*)
-    val assign = e.select(col("vec_id"), col("embedding"),
+    e.select(col("vec_id"), col("embedding"),
       array_min(cellStructs).getField("cid").as("cid"))
+  }
+
+  /** [[c07AnnIvf]] with an explicit nprobe (recall/cost knob). */
+  def c07AnnIvfProbes(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val e = emb(s, d)
+    val cents = anchorVectors(s, d, CELLS)
+    val assign = cellAssign(e, cents)
     // queries probe their PROBES closest cells (tiny: sort the struct
     // array and slice)
     val q = e.filter(col("vec_id") < NQ)
@@ -155,10 +160,34 @@ object VectorOps extends QueryModule {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** c11 — semantic dedup, SemDeDup-shaped: cluster embeddings with
+    * the coarse quantizer (same 16 literal centroids as c07), then
+    * score pairs ONLY within a cluster — near-dup pairs are `dot ≥
+    * NEAR_T` inside their cell. The within-cell equi-join bounds the
+    * candidate set exactly like c05's LSH bands but uses the learned
+    * partition of the space instead of random hyperplanes; at corpus
+    * scale CELLS grows ~√N so each cell stays small and the self-join
+    * never degenerates toward all-pairs (16 cells here only because
+    * the fixture is tiny). Recall is approximate — a pair straddling
+    * a cell boundary is missed — which is the documented SemDeDup
+    * trade (c05 is the tunable-recall alternative). */
+  def c11SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val assign = cellAssign(emb(s, d), anchorVectors(s, d, CELLS))
+    assign.as("a")
+      .join(assign.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cid"),
+        col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Portable.dot(col("a.embedding"), col("b.embedding")).as("score"))
+      .filter(col("score") >= NEAR_T)
+      .orderBy(col("ia"), col("ib"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c05_embed_neardup" -> c05EmbedNeardup,
     "c06_ann_brute" -> c06AnnBrute,
-    "c07_ann_ivf" -> c07AnnIvf)
+    "c07_ann_ivf" -> c07AnnIvf,
+    "c11_semantic_dedup" -> c11SemanticDedup)
 
   private val dotEQ = Portable.dotSql("e.embedding", "q.qemb", DIM)
 
@@ -214,5 +243,18 @@ object VectorOps extends QueryModule {
          |  FROM probes p JOIN assign e ON p.cid = e.cid
          |  WHERE e.vec_id <> p.qid)
          |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin
+    },
+    "c11_semantic_dedup" -> {
+      val dotEC = Portable.dotSql("e.embedding", "c.cemb", DIM)
+      val dotAB = Portable.dotSql("a.embedding", "b.embedding", DIM)
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $CELLS),
+         |assign AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dotEC DESC, c.cid) AS crn
+         |  FROM embeddings e CROSS JOIN cent c) WHERE crn = 1)
+         |SELECT a.cid AS cid, a.vec_id AS ia, b.vec_id AS ib, $dotAB AS score
+         |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |WHERE $dotAB >= $NEAR_T
+         |ORDER BY ia, ib""".stripMargin
     })
 }

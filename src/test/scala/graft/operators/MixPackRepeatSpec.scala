@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed pins for the round-4 pipeline operators: t08
+  * repetition signals, t09 sharded sequence packing, t10 stratified
+  * mixing, c11 within-cell semantic dedup.
+  */
+class MixPackRepeatSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t08 repetition signals on crafted texts") {
+    val docs = Seq(
+      (1L, "a a a b"), // 4 toks, 2 distinct, top=3; bigrams [a a, a a, a b] → dup 1/3
+      (2L, "x"),       // 1 tok → no bigrams, dup 0.0
+      (3L, "p q p q")  // bigrams [p q, q p, p q] → dup 1/3; top 2/4
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionCols(docs)
+      .as[(Long, Long, Long, Double, Long, Double, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 2L, 0.5, 3L, 0.75, 3L, 1.0 / 3.0)))
+    assert(got(2L) === ((2L, 1L, 1L, 1.0, 1L, 1.0, 0L, 0.0)))
+    assert(got(3L) === ((3L, 4L, 2L, 0.5, 2L, 0.5, 3L, 1.0 / 3.0)))
+  }
+
+  test("t09 packing fills bins contiguously per shard") {
+    // one shard → packing order is doc_id order; ctx=10 exercises
+    // bin rollover and a doc spanning a boundary (doc 3 starts at 9).
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(4)), (2L, words(5)), (3L, words(3)), (4L, words(7)))
+      .toDF("doc_id", "text")
+    val got = TextOps.packSequences(docs, shards = 1, ctx = 10)
+      .select($"doc_id", $"bin", $"tok_offset").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((0L, 0L)), 2L -> ((0L, 4L)), 3L -> ((0L, 9L)), 4L -> ((1L, 2L))))
+  }
+
+  test("t10 mixing: whole rates exact, fractional rates bounded + deterministic") {
+    val docs = (0L until 200L).map { i =>
+      (i, if (i % 2 == 0) "whole" else "frac", "t")
+    }.toDF("doc_id", "lang", "text")
+    val rates = Seq(("whole", 2, 0), ("frac", 0, 5000)) // 2.0× and 0.5×
+    val out = TextOps.mixSample(docs, rates)
+      .select($"doc_id", $"lang", $"copies", $"epoch")
+      .as[(Long, String, Long, Long)].collect()
+    val whole = out.filter(_._2 == "whole")
+    // every even doc appears exactly twice, epochs 1 and 2
+    assert(whole.length === 200)
+    assert(whole.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._4).sorted.toSeq == Seq(1L, 2L) && rs.forall(_._3 == 2L)
+    })
+    val frac = out.filter(_._2 == "frac")
+    // ~50 of 100 expected; the portable hash fixes the exact subset
+    assert(frac.forall(r => r._3 == 1L && r._4 == 1L))
+    assert(frac.length > 30 && frac.length < 70)
+    val again = TextOps.mixSample(docs, rates)
+      .select($"doc_id", $"lang", $"copies", $"epoch")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._4)).toSeq === again.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
+  test("c11 semantic dedup: exact within cells, subset of global near-dups") {
+    val d = "/root/testdata/sf0.001"
+    val got = VectorOps.c11SemanticDedup(spark, d)
+      .select($"ia", $"ib", $"score").as[(Long, Long, Double)].collect()
+    assert(got.forall(_._3 >= 0.4)) // every pair is a genuine near-dup
+    val e = graft.Tables.embeddings(spark, d)
+    val cid = VectorOps.cellAssign(e, VectorOps.anchorVectors(spark, d, 16))
+      .select($"vec_id", $"cid").as[(Long, Int)].collect().toMap
+    val all = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val brute = (for {
+      (ia, ea) <- all; (ib, eb) <- all if ia < ib && dot(ea, eb) >= 0.4
+    } yield (ia, ib)).toSet
+    val sameCell = brute.filter { case (a, b) => cid(a) == cid(b) }
+    // c11 = exactly the same-cell near-dups: no false pairs, and no
+    // same-cell pair missed; cross-cell misses are the documented
+    // recall trade.
+    assert(got.map(p => (p._1, p._2)).toSet === sameCell)
+  }
+}
