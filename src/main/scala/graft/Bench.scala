@@ -30,7 +30,8 @@ object Bench {
     "c01_dedup_exact", "c02_dedup_minhash", "c03_dedup_simhash",
     "c04_dedup_ngram", "c05_embed_neardup", "c06_ann_brute",
     "c07_ann_ivf", "c08_corpus_curate", "c09_decontaminate",
-    "c10_dedup_cluster", "c11_semantic_dedup", "t04_fingerprint",
+    "c10_dedup_cluster", "c11_semantic_dedup", "c12_kmeans_cells",
+    "t04_fingerprint",
     "t07_pii_scrub", "t08_repetition", "t09_pack_sequences",
     "t10_mix_sample")
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import graft.functions.Portable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -183,11 +183,77 @@ object VectorOps extends QueryModule {
       .orderBy(col("ia"), col("ib"))
   }
 
+  private val KM_Q = 1L << 24  // fixed-point scale for c12
+  private val KM_ITERS = 2
+
+  /** Quantize a float-array column to 64 fixed-point longs:
+    * floor(x · 2^24). Multiplying a float by a power of two is exact
+    * in double, floor+cast truncates identically in both engines, so
+    * every downstream sum/dot/division is INTEGER arithmetic —
+    * order-independent and bit-portable (float SUMs would diverge
+    * between engines on partial-aggregation order). */
+  private def quantize(c: Column): Column =
+    transform(c, x => floor(x.cast(DoubleType) * KM_Q).cast(LongType))
+
+  private def intDot(v: Column, qc: Seq[Long]): Column =
+    aggregate(zip_with(v, typedLit(qc), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+
+  /** c12 — k-means (Lloyd) refinement of the IVF/SemDeDup coarse
+    * quantizer: 2 iterations from the first-16-vectors seed, on the
+    * fixed-point embeddings. Output = iteration-2 per-(cell, dim)
+    * member counts, coordinate sums and means.
+    *
+    * Spark shape (the MLlib pattern): each iteration is (1) a NARROW
+    * assignment pass — argmax integer dot against the K current
+    * centroids embedded as literals (K·DIM longs, driver-held, the
+    * bounded broadcast-config pattern), no shuffle of the corpus; and
+    * (2) one posexplode + hash aggregation on (cell, dim) — the only
+    * shuffle, and map-side partial aggregation collapses every
+    * partition to ≤ K·DIM rows before it, so shuffle volume is
+    * O(partitions · K · DIM) regardless of corpus size. New centroid
+    * coordinates are truncating integer division sum/count (Scala
+    * `/`, Spark `div` and DuckDB `//` all truncate — verified — so
+    * the oracle replays the identical iteration). Products stay below
+    * 2^52 (64 dims · (2^23)^2 / 2^24-scale), no overflow. */
+  def c12KmeansCells(s: SparkSession, d: String): DataFrame = {
+    val qe = emb(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+
+    def assignTo(cents: Seq[(Int, Seq[Long])]): DataFrame =
+      qe.select(col("vec_id"), col("qv"), array_min(array(cents.map { case (cid, qc) =>
+        struct((-intDot(col("qv"), qc)).as("neg"), lit(cid).as("cid"))
+      }: _*)).getField("cid").as("cid"))
+
+    def dimStats(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"), posexplode(col("qv")))
+        .select(col("cid"), (col("pos") + 1).cast(LongType).as("dim"), col("col").as("q"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n_members"), sum(col("q")).as("sum_q"))
+
+    var cents: Seq[(Int, Seq[Long])] =
+      anchorVectors(s, d, CELLS).map { case (cid, v) =>
+        (cid, v.map(x => math.floor(x.toDouble * KM_Q).toLong))
+      }
+    for (_ <- 1 until KM_ITERS) {
+      // K·DIM rows collected — bounded by the centroid count, not data
+      cents = dimStats(assignTo(cents)).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).toSeq
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_._2).map { case (_, _, n, sq) => sq / n }.toSeq)
+        }.sortBy(_._1)
+    }
+    dimStats(assignTo(cents))
+      .select(col("cid"), col("dim"), col("n_members"), col("sum_q"),
+        (col("sum_q").cast(DoubleType) / col("n_members").cast(DoubleType)).as("mean_q"))
+      .orderBy(col("cid"), col("dim"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c05_embed_neardup" -> c05EmbedNeardup,
     "c06_ann_brute" -> c06AnnBrute,
     "c07_ann_ivf" -> c07AnnIvf,
-    "c11_semantic_dedup" -> c11SemanticDedup)
+    "c11_semantic_dedup" -> c11SemanticDedup,
+    "c12_kmeans_cells" -> c12KmeansCells)
 
   private val dotEQ = Portable.dotSql("e.embedding", "q.qemb", DIM)
 
@@ -256,5 +322,36 @@ object VectorOps extends QueryModule {
          |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
          |WHERE $dotAB >= $NEAR_T
          |ORDER BY ia, ib""".stripMargin
+    },
+    "c12_kmeans_cells" -> {
+      // integer dot of the quantized vectors — order-independent, so
+      // no fold-order pinning is needed (unlike the float dots above)
+      def idot(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, ${DIM + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+      s"""WITH qe AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KM_Q) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, qv AS qc FROM qe WHERE vec_id < $CELLS),
+         |a1 AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT e.vec_id, e.qv, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${idot("e.qv", "c.qc")} DESC, c.cid) AS rn
+         |  FROM qe e CROSS JOIN c0 c) WHERE rn = 1),
+         |s1 AS (SELECT cid, dim, COUNT(*) AS n, SUM(q) AS s FROM (
+         |  SELECT cid, unnest(qv) AS q, generate_subscripts(qv, 1) AS dim FROM a1)
+         |  GROUP BY cid, dim),
+         |c1 AS (SELECT cid, list(s // n ORDER BY dim) AS qc FROM s1 GROUP BY cid),
+         |a2 AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT e.vec_id, e.qv, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${idot("e.qv", "c.qc")} DESC, c.cid) AS rn
+         |  FROM qe e CROSS JOIN c1 c) WHERE rn = 1)
+         |SELECT cid, CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n_members,
+         |       CAST(s AS BIGINT) AS sum_q,
+         |       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q
+         |FROM (SELECT cid, dim, COUNT(*) AS n, SUM(q) AS s FROM (
+         |  SELECT cid, unnest(qv) AS q, generate_subscripts(qv, 1) AS dim FROM a2)
+         |  GROUP BY cid, dim)
+         |ORDER BY cid, dim""".stripMargin
     })
 }

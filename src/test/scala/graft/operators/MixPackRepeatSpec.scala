@@ -62,6 +62,28 @@ class MixPackRepeatSpec extends SparkSpec {
     assert(out.sortBy(r => (r._1, r._4)).toSeq === again.sortBy(r => (r._1, r._4)).toSeq)
   }
 
+  test("c12 k-means: every vector assigned once, per-cell stats consistent") {
+    val d = "/root/testdata/sf0.001"
+    val rows = VectorOps.c12KmeansCells(spark, d)
+      .select($"cid", $"dim", $"n_members", $"sum_q", $"mean_q")
+      .as[(Int, Long, Long, Long, Double)].collect()
+    val nVec = graft.Tables.embeddings(spark, d).count()
+    // each member contributes one row per dim: per-cid n is constant
+    // across the 64 dims, and cids partition the corpus
+    val byCid = rows.groupBy(_._1)
+    byCid.foreach { case (_, rs) =>
+      assert(rs.map(_._3).distinct.length === 1)
+      assert(rs.map(_._2).sorted.toSeq === (1L to 64L))
+    }
+    assert(byCid.map { case (_, rs) => rs.head._3 }.sum === nVec)
+    // mean is exactly sum/n in double
+    rows.foreach { case (_, _, n, s, m) => assert(m === s.toDouble / n.toDouble) }
+    // deterministic across runs (the literal-centroid collect path)
+    val again = VectorOps.c12KmeansCells(spark, d)
+      .select($"cid", $"dim", $"sum_q").as[(Int, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._2, r._4)).sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("c11 semantic dedup: exact within cells, subset of global near-dups") {
     val d = "/root/testdata/sf0.001"
     val got = VectorOps.c11SemanticDedup(spark, d)
