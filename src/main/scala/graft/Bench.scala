@@ -31,9 +31,9 @@ object Bench {
     "c04_dedup_ngram", "c05_embed_neardup", "c06_ann_brute",
     "c07_ann_ivf", "c08_corpus_curate", "c09_decontaminate",
     "c10_dedup_cluster", "c11_semantic_dedup", "c12_kmeans_cells",
-    "t04_fingerprint",
+    "c13_incremental_dedup", "t04_fingerprint",
     "t07_pii_scrub", "t08_repetition", "t09_pack_sequences",
-    "t10_mix_sample")
+    "t10_mix_sample", "t11_top_quality_per_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

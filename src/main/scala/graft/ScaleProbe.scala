@@ -90,7 +90,8 @@ object ScaleProbe {
       "c05_embed_neardup" -> operators.VectorOps.c05EmbedNeardup _,
       "c06_ann_brute" -> operators.VectorOps.c06AnnBrute _,
       "c07_ann_ivf" -> operators.VectorOps.c07AnnIvf _,
-      "c11_semantic_dedup" -> operators.VectorOps.c11SemanticDedup _)
+      "c11_semantic_dedup" -> operators.VectorOps.c11SemanticDedup _,
+      "c13_incremental_dedup" -> operators.DedupOps.c13IncrementalDedup _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

@@ -99,15 +99,34 @@ object DedupOps extends QueryModule {
     * oracle applies the same hash, so the engines agree exactly
     * (including on the astronomically-unlikely collision). */
   private def shingleDocs(s: SparkSession, d: String, n: Int,
-      hashed: Boolean = false): DataFrame = {
+      hashed: Boolean = false): DataFrame =
+    shingleDocsOf(Tables.documents(s, d), n, hashed)
+
+  /** [[shingleDocs]] over an arbitrary `(doc_id, text, …)` frame. */
+  private def shingleDocsOf(docs: DataFrame, n: Int,
+      hashed: Boolean): DataFrame = {
     val shingle = s"concat_ws(' ', slice(toks, i + 1, $n))"
     val elem = if (hashed) s"graft_h60($shingle)" else shingle
-    Tables.documents(s, d)
+    docs
       .withColumn("toks", split(col("text"), "\\s+"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), array_distinct(expr(
         s"transform(sequence(0, size(toks) - $n), i -> $elem)"))
         .as("shs"))
+  }
+
+  /** MinHash signature → exploded (doc_id, band, key) LSH band keys
+    * (the c02 blocking scheme, shared with c13's cross-corpus join). */
+  private def bandKeys(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("doc_id"),
+      call_function("graft_minhash60", col("shs")).as("ms"))
+    // posexplode_outer (≡ posexplode here: fixed non-null band array)
+    // dodges InferFiltersFromGenerate re-evaluating the minhash per
+    // row in an inferred size()>0 filter — see c02Cand.
+    sig.select(col("doc_id"), posexplode_outer(array(
+      (0 until BANDS).map(b =>
+        concat_ws(",", (0 until R).map(r => col("ms").getItem(b * R + r)): _*)): _*)))
+      .toDF("doc_id", "band", "key")
   }
 
   /** da ∪ db of a candidate-pair set, as a (small) doc_id column. */
@@ -147,16 +166,7 @@ object DedupOps extends QueryModule {
     // Signatures per-row via the native one-pass expression — ZERO
     // shuffles before the band self-join (round 2 shuffled the full
     // shingle table into a groupBy(doc_id) agg of 16 md5-min columns).
-    val sig = docs.select(col("doc_id"),
-      call_function("graft_minhash60", col("shs")).as("ms"))
-    // posexplode_outer (≡ posexplode here: the band array is a fixed
-    // 4-element non-null literal array) dodges InferFiltersFromGenerate,
-    // which would re-evaluate the full minhash expression per row in an
-    // inferred size()>0 filter — measured as a 2× scan cost.
-    val bands = sig.select(col("doc_id"), posexplode_outer(array(
-      (0 until BANDS).map(b =>
-        concat_ws(",", (0 until R).map(r => col("ms").getItem(b * R + r)): _*)): _*)))
-      .toDF("doc_id", "band", "key")
+    val bands = bandKeys(docs)
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -402,6 +412,64 @@ object DedupOps extends QueryModule {
   def c10DedupCluster(s: SparkSession, d: String): DataFrame =
     connectedComponents(c02MinhashLsh(s, d).select(col("da"), col("db")))
 
+  // ---------------------------------------------------------------
+  // c13 — incremental dedup: new batch vs existing corpus
+  // ---------------------------------------------------------------
+
+  /** c13 — incremental (cross-corpus) dedup: classify every document
+    * of an INCOMING batch against an EXISTING corpus — `exact_dup`
+    * (normalized content hash already present), `near_dup` (verified
+    * MinHash-LSH Jaccard ≥ 0.8 against some existing doc), else
+    * `kept`. This is the steady-state ingest shape at 100 TB: the
+    * corpus is deduped once, and every new crawl slice is checked
+    * against it, never against itself all-pairs.
+    *
+    * Scale stance: both probes are equi-joins keyed by derived values
+    * — content hash for exact (a left-semi join; the existing side is
+    * a hash set that never rescans text), LSH band keys for near (new
+    * bands ⋈ old bands only — strictly cheaper than c02's self-join),
+    * and the Jaccard verify touches only candidate docs' shingles
+    * (semi-join, same as c02). The incoming batch is typically ≪
+    * corpus, so AQE broadcasts the new side's bands.
+    *
+    * The fixture split reuses t05's deterministic hash bucketing:
+    * existing = bucket < 80 (the "train" corpus), incoming = the
+    * rest — so the split itself is reproducible in the oracle. */
+  def incrementalDedup(docs: DataFrame): DataFrame = {
+    val newDocs = docs.filter(col("__new")).localCheckpoint()
+    val oldDocs = docs.filter(!col("__new"))
+    val exactIds = newDocs
+      .select(col("doc_id"), md5(norm(col("text"))).as("h"))
+      .join(oldDocs.select(md5(norm(col("text"))).as("h")).distinct(),
+        Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("__ex", lit(1))
+    val shNew = shingleDocsOf(newDocs, 3, hashed = true)
+    val shOld = shingleDocsOf(oldDocs, 3, hashed = true)
+    val cand = bandKeys(shNew).as("x")
+      .join(bandKeys(shOld).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct().localCheckpoint()
+    val sh = shNew.unionByName(shOld)
+      .join(candIds(cand), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+      .localCheckpoint()
+    val nearIds = verifyJaccard(cand, sh, JACCARD_T)
+      .select(col("da").as("doc_id")).distinct().withColumn("__nd", lit(1))
+    newDocs.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__ex") === 1, "exact_dup")
+          .when(col("__nd") === 1, "near_dup")
+          .otherwise("kept").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  def c13IncrementalDedup(s: SparkSession, d: String): DataFrame =
+    incrementalDedup(Tables.documents(s, d).withColumn("__new",
+      Portable.h60(concat(lit("split:"), col("doc_id").cast(StringType))) % 100 >= 80))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_dedup_exact" -> c01Exact,
     "c02_dedup_minhash" -> c02MinhashLsh,
@@ -409,7 +477,8 @@ object DedupOps extends QueryModule {
     "c04_dedup_ngram" -> c04NgramJaccard,
     "c08_corpus_curate" -> c08CorpusCurate,
     "c09_decontaminate" -> c09Decontaminate,
-    "c10_dedup_cluster" -> c10DedupCluster)
+    "c10_dedup_cluster" -> c10DedupCluster,
+    "c13_incremental_dedup" -> c13IncrementalDedup)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
@@ -429,11 +498,13 @@ object DedupOps extends QueryModule {
   /** The c02 MinHash-LSH candidate pipeline as a WITH-clause body
     * (sh, sig, bands, cand, sizes) — shared by the c02 and c08
     * oracles. */
-  private lazy val c02Ctes: String = {
-    // Same universal family as the Spark side — the sh CTE already
-    // carries the 60-bit h60 hashes (one md5 per shingle), so the 16
-    // LCG-derived minima are pure integer arithmetic on identical
-    // literals with exact BIGINT math.
+  /** sh + sig + bands CTEs (MinHash band keys over the full corpus),
+    * shared by the c02-family and c13 oracles. Same universal family
+    * as the Spark side — the sh CTE already carries the 60-bit h60
+    * hashes (one md5 per shingle), so the 16 LCG-derived minima are
+    * pure integer arithmetic on identical literals with exact BIGINT
+    * math. */
+  private lazy val shSigBandsCtes: String = {
     val mins = (0 until K).map(i =>
       s"MIN((${MH_A(i)} * (sh % $MH_P) + ${MH_B(i)}) % $MH_P) AS m$i")
       .mkString(",\n         ")
@@ -445,12 +516,15 @@ object DedupOps extends QueryModule {
        |sig AS (SELECT doc_id,
        |         $mins
        |        FROM sh GROUP BY doc_id),
-       |bands AS ($bandRows),
+       |bands AS ($bandRows)""".stripMargin
+  }
+
+  private lazy val c02Ctes: String =
+    s"""$shSigBandsCtes,
        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
-  }
 
   private def verifySql(t: Double): String =
     s"""SELECT da, db, za.n AS na, zb.n AS nb, i.inter,
@@ -552,5 +626,28 @@ object DedupOps extends QueryModule {
          |          AND CAST(y.n AS DOUBLE) >= $NGRAM_T * x.n
          |          AND CAST(x.n AS DOUBLE) >= $NGRAM_T * y.n),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-         |${verifySql(NGRAM_T)}""".stripMargin)
+         |${verifySql(NGRAM_T)}""".stripMargin,
+    "c13_incremental_dedup" -> {
+      val bucket = Portable.h60Sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
+      s"""WITH $shSigBandsCtes,
+         |flags AS (SELECT doc_id, $bucket >= 80 AS isnew FROM documents),
+         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |         FROM bands x JOIN flags fx ON x.doc_id = fx.doc_id AND fx.isnew
+         |              JOIN bands y ON x.band = y.band AND x.key = y.key
+         |              JOIN flags fy ON y.doc_id = fy.doc_id AND NOT fy.isnew),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |near AS (SELECT DISTINCT da AS doc_id FROM (
+         |  ${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
+         |oldh AS (SELECT DISTINCT md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS h
+         |         FROM documents d JOIN flags f ON d.doc_id = f.doc_id AND NOT f.isnew),
+         |exact AS (SELECT d.doc_id FROM documents d
+         |          JOIN flags f ON d.doc_id = f.doc_id AND f.isnew
+         |          WHERE md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) IN (SELECT h FROM oldh))
+         |SELECT f.doc_id,
+         |       CASE WHEN f.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+         |            WHEN f.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+         |            ELSE 'kept' END AS status
+         |FROM flags f WHERE f.isnew
+         |ORDER BY f.doc_id""".stripMargin
+    })
 }

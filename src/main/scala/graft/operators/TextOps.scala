@@ -326,6 +326,22 @@ object TextOps extends QueryModule {
         explode(sequence(lit(1L), col("copies"))).as("epoch"))
   }
 
+  /** t11 — top-3 documents per source by quality score: the
+    * "best-of-each-stratum" sampling report every curation pass
+    * produces. The rank-filter compiles to WindowGroupLimit, so each
+    * partition keeps only its running top-3 BEFORE the shuffle —
+    * at corpus scale the exchange carries ≤ 3·partitions rows per
+    * source, not the corpus. */
+  def t11TopQualityPerSource(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    withQualityCols(Tables.documents(s, d))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk"), col("doc_id"), col("quality"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
@@ -336,7 +352,8 @@ object TextOps extends QueryModule {
     "t07_pii_scrub" -> t07PiiScrub,
     "t08_repetition" -> t08Repetition,
     "t09_pack_sequences" -> t09PackSequences,
-    "t10_mix_sample" -> t10MixSample)
+    "t10_mix_sample" -> t10MixSample,
+    "t11_top_quality_per_source" -> t11TopQualityPerSource)
 
   private def hitsSql(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -446,6 +463,14 @@ object TextOps extends QueryModule {
          |          ${Portable.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
          |        FROM documents))
          |ORDER BY doc_id""".stripMargin,
+    "t11_top_quality_per_source" ->
+      s"""SELECT source, rk, doc_id, quality FROM (
+         |  SELECT source, doc_id, quality,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+         |  FROM (${qualityColsSql}))
+         |WHERE rk <= 3
+         |ORDER BY source, rk""".stripMargin,
     "t10_mix_sample" -> {
       val baseCase = mixRates.map { case (l, b, _) => s"WHEN lang = '$l' THEN $b" }
         .mkString("CASE ", " ", " ELSE 1 END")

@@ -62,6 +62,27 @@ class MixPackRepeatSpec extends SparkSpec {
     assert(out.sortBy(r => (r._1, r._4)).toSeq === again.sortBy(r => (r._1, r._4)).toSeq)
   }
 
+  test("c13 incremental dedup: exact/near/kept statuses, batch-internal dups ignored") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, false),                                    // existing
+      (2L, Seq.fill(10)("alpha beta gamma delta").mkString(" "), false),
+      (10L, base.toUpperCase, true),                        // exact dup of 1 (norm lowercases)
+      (11L, base + " extra", true),                         // near dup of 1 (jac 38/39)
+      (12L, "completely different words here entirely novel", true),
+      (13L, Seq.fill(8)("sibling batch duplicate text").mkString(" "), true),
+      (14L, Seq.fill(8)("sibling batch duplicate text").mkString(" "), true))
+      .toDF("doc_id", "text", "__new")
+    val got = DedupOps.incrementalDedup(docs)
+      .as[(Long, String)].collect().toMap
+    // 13/14 duplicate EACH OTHER but nothing in the existing corpus —
+    // incremental dedup must NOT flag batch-internal pairs (that's
+    // the in-batch c02 pass's job)
+    assert(got === Map(
+      10L -> "exact_dup", 11L -> "near_dup", 12L -> "kept",
+      13L -> "kept", 14L -> "kept"))
+  }
+
   test("c12 k-means: every vector assigned once, per-cell stats consistent") {
     val d = "/root/testdata/sf0.001"
     val rows = VectorOps.c12KmeansCells(spark, d)
