@@ -49,7 +49,7 @@ object DedupOps extends QueryModule {
   // ---------------------------------------------------------------
 
   /** Normalization: lowercase + collapse whitespace runs. */
-  private def norm(c: Column): Column =
+  private[graft] def norm(c: Column): Column =
     regexp_replace(lower(c), "\\s+", " ")
 
   def c01Exact(s: SparkSession, d: String): DataFrame =
@@ -66,9 +66,9 @@ object DedupOps extends QueryModule {
   // ---------------------------------------------------------------
 
   private val K = 16
-  private val BANDS = 4
-  private val R = 4
-  private val JACCARD_T = 0.8
+  private[graft] val BANDS = 4
+  private[graft] val R = 4
+  private[graft] val JACCARD_T = 0.8
 
   /** Universal min-hash family over the prime P = 2^31-1:
     * h_i(x) = (A_i * (h60(x) mod P) + B_i) mod P — evaluated by the
@@ -103,7 +103,7 @@ object DedupOps extends QueryModule {
     shingleDocsOf(Tables.documents(s, d), n, hashed)
 
   /** [[shingleDocs]] over an arbitrary `(doc_id, text, …)` frame. */
-  private def shingleDocsOf(docs: DataFrame, n: Int,
+  private[graft] def shingleDocsOf(docs: DataFrame, n: Int,
       hashed: Boolean): DataFrame = {
     val shingle = s"concat_ws(' ', slice(toks, i + 1, $n))"
     val elem = if (hashed) s"graft_h60($shingle)" else shingle
@@ -116,8 +116,9 @@ object DedupOps extends QueryModule {
   }
 
   /** MinHash signature → exploded (doc_id, band, key) LSH band keys
-    * (the c02 blocking scheme, shared with c13's cross-corpus join). */
-  private def bandKeys(docs: DataFrame): DataFrame = {
+    * (the c02 blocking scheme, shared with c13's cross-corpus join
+    * and the streaming ingest index). */
+  private[graft] def bandKeys(docs: DataFrame): DataFrame = {
     val sig = docs.select(col("doc_id"),
       call_function("graft_minhash60", col("shs")).as("ms"))
     // posexplode_outer (≡ posexplode here: fixed non-null band array)

@@ -153,6 +153,86 @@ object Jobs {
     StatefulOps.streamDedupExact(spark, kept)
   }
 
+  /** Streaming incremental dedup — the ingest-time twin of
+    * DedupOps.c13: every incoming document is checked against a
+    * STATIC existing-corpus index (exact content hash + MinHash-LSH
+    * near-dup), then exact-deduped within the stream itself
+    * (StatefulOps.streamDedupExact). Survivors are the documents a
+    * steady-state crawl ingest actually appends to the corpus.
+    *
+    * Scale shape — deliberately NO stream-side aggregation: the
+    * near-dup probe is four chained stream-static equi-joins (one per
+    * LSH band; the static side is pre-grouped per band key, so each
+    * join matches at most one index row) and the Jaccard verify is a
+    * per-row `exists` over the candidates' shingle sets via
+    * array_intersect. The only stateful operator is the final
+    * in-stream dedup, so the query stays a single-stateful-op append
+    * pipeline; the corpus index is a bounded static table AQE
+    * broadcasts when small and shuffles when not. */
+  def curateIngestIncremental(spark: SparkSession, raw: DataFrame,
+      corpus: DataFrame, qualityT: Double = 0.6): Dataset[DocRow] = {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val t = DedupOps.JACCARD_T
+    val nb = DedupOps.BANDS
+    val r = DedupOps.R
+
+    // ---- static corpus index (computed from the bounded snapshot) --
+    val oldHash = corpus
+      .select(md5(DedupOps.norm(col("text"))).as("__h")).distinct()
+    val oldSh = DedupOps.shingleDocsOf(corpus, 3, hashed = true)
+    // one row per (band, key): every corpus shingle-set in the bucket
+    val oldIdx = DedupOps.bandKeys(oldSh)
+      .join(oldSh, "doc_id")
+      .groupBy(concat_ws("|", col("band"), col("key")).as("__bk"))
+      .agg(collect_list(col("shs")).as("__cands"))
+
+    // ---- per-row stream side -------------------------------------
+    val kept = graft.operators.TextOps.withQualityCols(raw)
+      .filter(col("quality") >= qualityT)
+      .select(col("doc_id"), col("text"))
+    // exact-vs-corpus: stream-static left join, keep misses
+    val notExact = kept
+      .withColumn("__h", md5(DedupOps.norm(col("text"))))
+      .join(oldHash.withColumn("__seen", lit(1)), Seq("__h"), "left")
+      .filter(col("__seen").isNull)
+      .drop("__h", "__seen")
+    // near-vs-corpus: shingles (empty when < 3 tokens), band keys,
+    // one left join per band, then a per-row exists() verify
+    val toks = split(col("text"), "\\s+")
+    val withSh = notExact.withColumn("shs",
+      when(size(toks) >= 3, array_distinct(expr(
+        "transform(sequence(0, size(split(text, '\\\\s+')) - 3), " +
+          "i -> graft_h60(concat_ws(' ', slice(split(text, '\\\\s+'), i + 1, 3))))")))
+        .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))))
+      .withColumn("__ms",
+        when(size(col("shs")) > 0, call_function("graft_minhash60", col("shs"))))
+    val joined = (0 until nb).foldLeft(
+      withSh.withColumn("__all", array().cast("array<array<array<bigint>>>"))) {
+      case (df, b) =>
+        val key = concat_ws("|", lit(b),
+          concat_ws(",", (0 until r).map(i => col("__ms").getItem(b * r + i)): _*))
+        val idx = oldIdx
+          .withColumnRenamed("__bk", s"__bk$b").withColumnRenamed("__cands", s"__c$b")
+        df.join(idx, when(col("__ms").isNotNull, key) === col(s"__bk$b"), "left")
+          .withColumn("__all",
+            array_append(col("__all"), coalesce(col(s"__c$b"),
+              array().cast("array<array<bigint>>"))))
+          .drop(s"__bk$b", s"__c$b")
+    }
+    val inter = (old: org.apache.spark.sql.Column) =>
+      size(array_intersect(col("shs"), old))
+    val notNear = joined
+      .withColumn("__hit", exists(flatten(col("__all")), old =>
+        inter(old).cast("double") /
+          (size(col("shs")) + size(old) - inter(old)).cast("double") >= t))
+      .filter(!col("__hit"))
+      .select(col("doc_id"), col("text")).as[DocRow]
+    // in-stream exact dedup (cross-micro-batch keyed state)
+    StatefulOps.streamDedupExact(spark, notNear)
+  }
+
   // ---------------------------------------------------------------
   // Entry point 2: the order path (BaseDBApp → OrderWideApp →
   // PaymentWideApp, SURVEY.md §3.2)
