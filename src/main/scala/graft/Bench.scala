@@ -58,9 +58,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup with a query that is NOT timed below (neither headline
+    // Warmup with queries that are NOT timed below (neither headline
     // nor extras), so no timed number is flattered by its own warmup.
+    // Two shapes: a hash aggregation (a08) and a broadcast-join star
+    // query (a15) — without the join warmup the FIRST timed join
+    // query (b2) absorbed ~1s of join/codegen JIT that none of its
+    // siblings paid (b2 2.2s vs b3/b4 1.2-1.4s, identical plans).
     materialize("a08_keyed_agg")
+    materialize("a15_order_wide")
 
     val results = (headline ++ extras).map(n => n -> materialize(n))
     val failed = results.collect { case (k, v) if v < 0 => k }
