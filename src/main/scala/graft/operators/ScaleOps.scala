@@ -56,6 +56,45 @@ object ScaleOps extends QueryModule {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Write `df` hive-partitioned by `cols` — the pruning layout for
+    * the 100 TB corpus: a query filtering on a partition column scans
+    * only matching directories (plan shows the predicate under
+    * PartitionFilters with zero data files touched elsewhere). The
+    * standard layout for documents is partitionBy(lang, source), so
+    * per-language curation passes read ~1/NUM_LANGS of the bytes.
+    * PartitionPruningSpec pins the pruned plan + value parity. */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Compact a parquet directory to ~`targetBytes` files — the
+    * small-files remedy every long-lived ingest needs: streaming
+    * micro-batches and fine-grained partitions accumulate KB-size
+    * files whose per-file open/footer cost dominates scans and whose
+    * listing breaks driver memory at 10^7 files. Rewrites the data
+    * through one repartition sized from the CURRENT byte size, then
+    * swaps directories rename-aside (same crash-safe protocol as
+    * Sinks.upsertDim: the full snapshot exists at `path` or
+    * `path__old` at every instant). Returns the new data-file count. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val total = fs.listStatus(dst)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(dst, old), s"compact: rename $dst -> $old failed")
+    require(fs.rename(tmp, dst), s"compact: rename $tmp -> $dst failed")
+    fs.delete(old, true)
+    fs.listStatus(dst)
+      .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+  }
+
   /** a08 restated through the salted path — hot-key-safe keyed
     * aggregation with identical results (shared oracle). The
     * countDistinct becomes exact set-union across salt partitions. */
