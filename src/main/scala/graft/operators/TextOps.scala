@@ -208,8 +208,9 @@ object TextOps extends QueryModule {
     * no shuffle, so the operator is a narrow codegen'd pass that
     * scales with input splits. Documents are short (max ~600 chars in
     * the fixture; cap any real corpus at tokenizer time), so the
-    * O(distinct·n) per-row count is bounded. */
-  /** Sort BEFORE the projection: orderBy on top would make the range
+    * per-row cost is bounded.
+    *
+    * Sorts BEFORE the projection: orderBy on top would make the range
     * partitioner's sampling pass evaluate the expensive HOF columns a
     * second time (measured 2.4 s vs 1.0 s at sf0.1). The global Sort
     * stays below the Projects (order-preserving), so the output order
@@ -265,8 +266,8 @@ object TextOps extends QueryModule {
     * windows (2048 tokens) for training-batch construction. Packing
     * is contiguous-fill per SHARD, not global: a single global
     * cumulative sum would serialize 100 TB through one window
-    * partition, so docs are first sprayed across 64 deterministic
-    * hash shards and packed independently within each — the window
+    * partition, so docs are first sprayed across deterministic hash
+    * shards and packed independently within each — the window
     * runs shard-way parallel (shards ≈ executors·4 at scale; 8 in the
     * fixture so sf0.01 already fills multiple bins per shard) and
     * every shard's bins are reproducible from the portable hash

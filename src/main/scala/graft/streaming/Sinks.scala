@@ -132,6 +132,109 @@ object Sinks {
       .jdbc(url, table, p)
   }
 
+  /** Exactly-once JDBC stats write: every partition commits its rows
+    * TOGETHER WITH a (query, batch_id, part_id) marker row in one
+    * transaction, and skips itself when its marker already exists.
+    * Both replay paths are covered — a micro-batch re-run after a
+    * checkpoint recovery AND a task retry within a batch — because
+    * the marker commit is atomic with the data: either both landed
+    * (later attempts skip) or neither did (the retry re-inserts).
+    * This is the writer-side exactly-once the reference approximates
+    * with Kafka transactions (MyKafkaUtil.java:44-50); append-only
+    * warehouses that prefer dedup-on-merge keep using
+    * [[writeStatsJdbcBatch]]. Scale shape: one connection + one
+    * transaction per partition, no driver-side collect; the marker
+    * probe is a primary-key point lookup. */
+  def writeStatsJdbcExactlyOnce(batch: DataFrame, batchId: Long,
+      queryName: String, url: String, table: String,
+      transientCols: Seq[String], batchSize: Int = 1000,
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    val data = batch.drop(transientCols: _*)
+    val cols = data.columns.toSeq
+    val types: Array[Int] = data.schema.fields.map(f => jdbcTypeOf(f.dataType))
+    val insert = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    data.foreachPartition { (rows: Iterator[Row]) =>
+      val partId = org.apache.spark.TaskContext.getPartitionId()
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        ensureMarkerTable(conn)
+        val probe = conn.prepareStatement(
+          "SELECT 1 FROM graft_batch_markers WHERE query_name = ? AND batch_id = ? AND part_id = ?")
+        probe.setString(1, queryName); probe.setLong(2, batchId); probe.setInt(3, partId)
+        val seen = probe.executeQuery().next()
+        if (!seen) {
+          try {
+            val st = conn.prepareStatement(insert)
+            var n = 0
+            rows.foreach { r =>
+              cols.indices.foreach { i =>
+                val v = r.get(i)
+                if (v == null) st.setNull(i + 1, types(i))
+                else st.setObject(i + 1, v)
+              }
+              st.addBatch(); n += 1
+              if (n % batchSize == 0) st.executeBatch()
+            }
+            st.executeBatch()
+            val mark = conn.prepareStatement(
+              "INSERT INTO graft_batch_markers (query_name, batch_id, part_id) VALUES (?, ?, ?)")
+            mark.setString(1, queryName); mark.setLong(2, batchId); mark.setInt(3, partId)
+            mark.executeUpdate()
+            conn.commit() // data + marker land atomically
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case s: Throwable => e.addSuppressed(s) }
+              throw e
+          }
+        } else {
+          // the probe SELECT opened a transaction; Derby refuses to
+          // close a connection with one active — end it explicitly
+          conn.rollback()
+        }
+      } finally conn.close()
+    }
+  }
+
+  /** java.sql.Types per Spark type — a null value must bind via
+    * setNull(idx, TYPE): setObject(idx, null) carries no type info
+    * and several drivers (Derby included) reject it. */
+  private def jdbcTypeOf(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => java.sql.Types.BIGINT
+      case IntegerType => java.sql.Types.INTEGER
+      case ShortType => java.sql.Types.SMALLINT
+      case ByteType => java.sql.Types.TINYINT
+      case DoubleType => java.sql.Types.DOUBLE
+      case FloatType => java.sql.Types.REAL
+      case BooleanType => java.sql.Types.BOOLEAN
+      case _: DecimalType => java.sql.Types.DECIMAL
+      case DateType => java.sql.Types.DATE
+      case TimestampType => java.sql.Types.TIMESTAMP
+      case BinaryType => java.sql.Types.BINARY
+      case _ => java.sql.Types.VARCHAR
+    }
+  }
+
+  /** CREATE-if-absent for the marker table (Derby has no IF NOT
+    * EXISTS; SQLState X0Y32 = already exists). Committed immediately
+    * so a concurrent partition's probe can see it. */
+  private def ensureMarkerTable(conn: java.sql.Connection): Unit =
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE graft_batch_markers (
+          |  query_name VARCHAR(128) NOT NULL,
+          |  batch_id BIGINT NOT NULL,
+          |  part_id INT NOT NULL,
+          |  PRIMARY KEY (query_name, batch_id, part_id))""".stripMargin)
+      conn.commit()
+    } catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" =>
+        try conn.rollback() catch { case _: Throwable => () }
+    }
+
   /** Streaming form of [[writeStatsJdbcBatch]] — foreachBatch +
     * checkpoint, the exactly-once story the reference gets from the
     * Flink JDBC sink's batched flush. */
@@ -163,27 +266,7 @@ object Sinks {
       .filter(col("__rn") === 1).drop("__rn")
     val cols = deduped.columns.toSeq
     val nonKey = cols.filterNot(_ == keyCol)
-    // java.sql.Types per column, resolved from the DataFrame schema on
-    // the driver: a null value must bind via setNull(idx, TYPE) —
-    // setObject(idx, null) carries no type info and several drivers
-    // (Derby included) reject it.
-    val jdbcTypes: Array[Int] = deduped.schema.fields.map { f =>
-      import org.apache.spark.sql.types._
-      f.dataType match {
-        case LongType => java.sql.Types.BIGINT
-        case IntegerType => java.sql.Types.INTEGER
-        case ShortType => java.sql.Types.SMALLINT
-        case ByteType => java.sql.Types.TINYINT
-        case DoubleType => java.sql.Types.DOUBLE
-        case FloatType => java.sql.Types.REAL
-        case BooleanType => java.sql.Types.BOOLEAN
-        case _: DecimalType => java.sql.Types.DECIMAL
-        case DateType => java.sql.Types.DATE
-        case TimestampType => java.sql.Types.TIMESTAMP
-        case BinaryType => java.sql.Types.BINARY
-        case _ => java.sql.Types.VARCHAR
-      }
-    }
+    val jdbcTypes: Array[Int] = deduped.schema.fields.map(f => jdbcTypeOf(f.dataType))
     // MERGE with the 1-row dummy table as source: one parameterized
     // upsert per input row, batched.
     val sql =

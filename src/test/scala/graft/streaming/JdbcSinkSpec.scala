@@ -64,6 +64,30 @@ class JdbcSinkSpec extends SparkSpec {
     assert(dims === Map(1L -> "alice2", 2L -> "bob", 3L -> "carol"))
   }
 
+  test("exactly-once stats write: replayed batch is a no-op, new batch appends") {
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE stats_eo (k BIGINT, v VARCHAR(32))")
+    conn.close()
+
+    val b = Seq((1L, Some("a")), (2L, Some("b")), (3L, Option.empty[String]))
+      .toDF("k", "v").repartition(2)
+    def count(): Long =
+      spark.read.jdbc(url, "stats_eo", new java.util.Properties).count()
+
+    Sinks.writeStatsJdbcExactlyOnce(b, 7L, "q1", url, "stats_eo", Nil)
+    assert(count() === 3)
+    // checkpoint-recovery replay of the SAME (query, batch): no dup
+    Sinks.writeStatsJdbcExactlyOnce(b, 7L, "q1", url, "stats_eo", Nil)
+    assert(count() === 3)
+    // the next batch id appends
+    Sinks.writeStatsJdbcExactlyOnce(b, 8L, "q1", url, "stats_eo", Nil)
+    assert(count() === 6)
+    // a different query name is an independent marker namespace
+    Sinks.writeStatsJdbcExactlyOnce(b, 7L, "q2", url, "stats_eo", Nil)
+    assert(count() === 9)
+  }
+
   test("dim upsert binds null columns with typed setNull (Derby rejects untyped)") {
     val conn = java.sql.DriverManager.getConnection(url)
     conn.createStatement().execute(
