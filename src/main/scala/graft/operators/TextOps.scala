@@ -327,6 +327,19 @@ object TextOps extends QueryModule {
         explode(sequence(lit(1L), col("copies"))).as("epoch"))
   }
 
+  /** t04b — the fingerprint query as SQL TEXT (the a23b precedent
+    * extended to the pipeline surface): the native `graft_winnow60`
+    * expression is registered through SparkSessionExtensions, so a
+    * SQL-only user reaches the same codegen'd sketch — no DataFrame
+    * code, no UDF. Oracle identical to t04. */
+  def t04bFingerprintSql(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(
+      """SELECT doc_id, graft_winnow60(text) AS fp,
+        |       CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_windows
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
   /** t11 — top-3 documents per source by quality score: the
     * "best-of-each-stratum" sampling report every curation pass
     * produces. The rank-filter compiles to WindowGroupLimit, so each
@@ -348,6 +361,7 @@ object TextOps extends QueryModule {
     "t02_quality" -> t02Quality,
     "t03_token_count" -> t03TokenCount,
     "t04_fingerprint" -> t04Fingerprint,
+    "t04b_fingerprint_sql" -> t04bFingerprintSql,
     "t05_train_split" -> t05TrainSplit,
     "t06_length_histogram" -> t06LengthHistogram,
     "t07_pii_scrub" -> t07PiiScrub,
@@ -403,6 +417,12 @@ object TextOps extends QueryModule {
         |  CAST(length(text) AS BIGINT) AS n_char
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t04_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_min(list_transform(range(1, CAST(greatest(length(text) - 7, 1) AS BIGINT) + 1),
+         |    i -> ${Portable.h60Sql("substr(text, CAST(i AS INT), 8)")})) AS fp,
+         |  CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_windows
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04b_fingerprint_sql" ->
       s"""SELECT doc_id,
          |  list_min(list_transform(range(1, CAST(greatest(length(text) - 7, 1) AS BIGINT) + 1),
          |    i -> ${Portable.h60Sql("substr(text, CAST(i AS INT), 8)")})) AS fp,

@@ -247,6 +247,19 @@ object Sinks {
         writeStatsJdbcBatch(batch, url, table, transientCols, batchSize)
       }
 
+  /** Streaming form of [[writeStatsJdbcExactlyOnce]]: the foreachBatch
+    * batchId keys the marker, so a micro-batch replayed after
+    * checkpoint recovery writes nothing twice. */
+  def statsJdbcSinkExactlyOnce(df: DataFrame, queryName: String,
+      url: String, table: String, checkpoint: String,
+      transientCols: Seq[String], batchSize: Int = 1000): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeStatsJdbcExactlyOnce(batch, batchId, queryName, url, table,
+          transientCols, batchSize)
+      }
+
   /** A13 JDBC twin (DimSink.java:28-69, Phoenix `upsert into`): true
     * row-level upsert via MERGE in PreparedStatement batches, one
     * connection per partition (the executor-side shape). The one-row
