@@ -198,6 +198,47 @@ object VectorOps extends QueryModule {
   private def intDot(v: Column, qc: Seq[Long]): Column =
     aggregate(zip_with(v, typedLit(qc), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
 
+  /** Integer dot of two quantized array COLUMNS — exact, so the score
+    * is identical in both engines regardless of evaluation order. */
+  private def intDotCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
+
+  /** Narrow argmax-integer-dot assignment against literal centroids
+    * (shared by c12 and c07b). */
+  private def qAssign(qe: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame =
+    qe.select(col("vec_id"), col("qv"), array_min(array(cents.map { case (cid, qc) =>
+      struct((-intDot(col("qv"), qc)).as("neg"), lit(cid).as("cid"))
+    }: _*)).getField("cid").as("cid"))
+
+  /** Per-(cell, dim) member counts and coordinate sums of an
+    * assignment (the k-means sufficient statistics). */
+  private def qDimStats(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("qv")))
+      .select(col("cid"), (col("pos") + 1).cast(LongType).as("dim"), col("col").as("q"))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n_members"), sum(col("q")).as("sum_q"))
+
+  /** The quantized first-16-vectors k-means seed. */
+  private def qSeed(s: SparkSession, d: String): Seq[(Int, Seq[Long])] =
+    anchorVectors(s, d, CELLS).map { case (cid, v) =>
+      (cid, v.map(x => math.floor(x.toDouble * KM_Q).toLong))
+    }
+
+  /** One Lloyd step: assign to `cents`, recompute centroids as
+    * truncating-division coordinate means. K·DIM rows collected —
+    * bounded by the centroid count, not data. */
+  private def refineOnce(qe: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): Seq[(Int, Seq[Long])] =
+    qDimStats(qAssign(qe, cents)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).toSeq
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_._2).map { case (_, _, n, sq) => sq / n }.toSeq)
+      }.sortBy(_._1)
+
   /** c12 — k-means (Lloyd) refinement of the IVF/SemDeDup coarse
     * quantizer: 2 iterations from the first-16-vectors seed, on the
     * fixed-point embeddings. Output = iteration-2 per-(cell, dim)
@@ -216,46 +257,80 @@ object VectorOps extends QueryModule {
     * the oracle replays the identical iteration). Products stay below
     * 2^52 (64 dims · (2^23)^2 / 2^24-scale), no overflow. */
   def c12KmeansCells(s: SparkSession, d: String): DataFrame = {
-    val qe = emb(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
-
-    def assignTo(cents: Seq[(Int, Seq[Long])]): DataFrame =
-      qe.select(col("vec_id"), col("qv"), array_min(array(cents.map { case (cid, qc) =>
-        struct((-intDot(col("qv"), qc)).as("neg"), lit(cid).as("cid"))
-      }: _*)).getField("cid").as("cid"))
-
-    def dimStats(assigned: DataFrame): DataFrame =
-      assigned.select(col("cid"), posexplode(col("qv")))
-        .select(col("cid"), (col("pos") + 1).cast(LongType).as("dim"), col("col").as("q"))
-        .groupBy(col("cid"), col("dim"))
-        .agg(count(lit(1)).as("n_members"), sum(col("q")).as("sum_q"))
-
-    var cents: Seq[(Int, Seq[Long])] =
-      anchorVectors(s, d, CELLS).map { case (cid, v) =>
-        (cid, v.map(x => math.floor(x.toDouble * KM_Q).toLong))
-      }
-    for (_ <- 1 until KM_ITERS) {
-      // K·DIM rows collected — bounded by the centroid count, not data
-      cents = dimStats(assignTo(cents)).collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        .groupBy(_._1).toSeq
-        .map { case (cid, rows) =>
-          (cid, rows.sortBy(_._2).map { case (_, _, n, sq) => sq / n }.toSeq)
-        }.sortBy(_._1)
-    }
-    dimStats(assignTo(cents))
+    val qe = quantized(s, d)
+    var cents = qSeed(s, d)
+    for (_ <- 1 until KM_ITERS) cents = refineOnce(qe, cents)
+    qDimStats(qAssign(qe, cents))
       .select(col("cid"), col("dim"), col("n_members"), col("sum_q"),
         (col("sum_q").cast(DoubleType) / col("n_members").cast(DoubleType)).as("mean_q"))
       .orderBy(col("cid"), col("dim"))
+  }
+
+  /** c07b — the full IVF lifecycle: TRAIN the quantizer (one Lloyd
+    * refinement of the seed, c12's step), assign the corpus to the
+    * refined cells, then answer the c06/c07 query set by probing the
+    * top-PROBES refined cells. Everything runs in the fixed-point
+    * integer domain, so scores and ranks are bit-portable and the
+    * DuckDB oracle replays train + assign + search end-to-end. The
+    * scale shape is c07's (narrow assignment, only probed cells
+    * shuffle) plus c12's bounded refinement. */
+  def c07bAnnIvfRefined(s: SparkSession, d: String): DataFrame = {
+    val qe = quantized(s, d)
+    val cents = refineOnce(qe, qSeed(s, d))
+    val assign = qAssign(qe, cents)
+    val q = qe.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    val probeStructs = array(cents.map { case (cid, qc) =>
+      struct((-intDot(col("qq"), qc)).as("neg"), lit(cid).as("cid"))
+    }: _*)
+    val probes = q
+      .select(col("qid"), col("qq"),
+        explode_outer(slice(array_sort(probeStructs), 1, PROBES)).as("p"))
+      .select(col("qid"), col("qq"), col("p.cid").as("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        intDotCols(col("qv"), col("qq")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c05_embed_neardup" -> c05EmbedNeardup,
     "c06_ann_brute" -> c06AnnBrute,
     "c07_ann_ivf" -> c07AnnIvf,
+    "c07b_ann_ivf_refined" -> c07bAnnIvfRefined,
     "c11_semantic_dedup" -> c11SemanticDedup,
     "c12_kmeans_cells" -> c12KmeansCells)
 
   private val dotEQ = Portable.dotSql("e.embedding", "q.qemb", DIM)
+
+  /** Integer dot for the oracle (exact — no fold-order pinning
+    * needed, unlike the float dots). */
+  private def idotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${DIM + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** qe → seed → assignment → sufficient stats → refined centroids:
+    * the k-means CTE chain shared by the c12 and c07b oracles. */
+  private lazy val kmCtes: String = {
+    val idotEC = idotSql("e.qv", "c.qc")
+    s"""qe AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KM_Q) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, qv AS qc FROM qe WHERE vec_id < $CELLS),
+       |a1 AS (SELECT vec_id, qv, cid FROM (
+       |  SELECT e.vec_id, e.qv, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY $idotEC DESC, c.cid) AS rn
+       |  FROM qe e CROSS JOIN c0 c) WHERE rn = 1),
+       |s1 AS (SELECT cid, dim, COUNT(*) AS n, SUM(q) AS s FROM (
+       |  SELECT cid, unnest(qv) AS q, generate_subscripts(qv, 1) AS dim FROM a1)
+       |  GROUP BY cid, dim),
+       |c1 AS (SELECT cid, list(s // n ORDER BY dim) AS qc FROM s1 GROUP BY cid)""".stripMargin
+  }
 
   override val oracle: Map[String, String] = Map(
     "c05_embed_neardup" -> {
@@ -323,28 +398,12 @@ object VectorOps extends QueryModule {
          |WHERE $dotAB >= $NEAR_T
          |ORDER BY ia, ib""".stripMargin
     },
-    "c12_kmeans_cells" -> {
-      // integer dot of the quantized vectors — order-independent, so
-      // no fold-order pinning is needed (unlike the float dots above)
-      def idot(a: String, b: String) =
-        s"list_reduce(list_transform(range(1, ${DIM + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
-      s"""WITH qe AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KM_Q) AS BIGINT)) AS qv
-         |  FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, qv AS qc FROM qe WHERE vec_id < $CELLS),
-         |a1 AS (SELECT vec_id, qv, cid FROM (
-         |  SELECT e.vec_id, e.qv, c.cid,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |           ORDER BY ${idot("e.qv", "c.qc")} DESC, c.cid) AS rn
-         |  FROM qe e CROSS JOIN c0 c) WHERE rn = 1),
-         |s1 AS (SELECT cid, dim, COUNT(*) AS n, SUM(q) AS s FROM (
-         |  SELECT cid, unnest(qv) AS q, generate_subscripts(qv, 1) AS dim FROM a1)
-         |  GROUP BY cid, dim),
-         |c1 AS (SELECT cid, list(s // n ORDER BY dim) AS qc FROM s1 GROUP BY cid),
+    "c12_kmeans_cells" ->
+      s"""WITH $kmCtes,
          |a2 AS (SELECT vec_id, qv, cid FROM (
          |  SELECT e.vec_id, e.qv, c.cid,
          |         row_number() OVER (PARTITION BY e.vec_id
-         |           ORDER BY ${idot("e.qv", "c.qc")} DESC, c.cid) AS rn
+         |           ORDER BY ${idotSql("e.qv", "c.qc")} DESC, c.cid) AS rn
          |  FROM qe e CROSS JOIN c1 c) WHERE rn = 1)
          |SELECT cid, CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n_members,
          |       CAST(s AS BIGINT) AS sum_q,
@@ -352,6 +411,26 @@ object VectorOps extends QueryModule {
          |FROM (SELECT cid, dim, COUNT(*) AS n, SUM(q) AS s FROM (
          |  SELECT cid, unnest(qv) AS q, generate_subscripts(qv, 1) AS dim FROM a2)
          |  GROUP BY cid, dim)
-         |ORDER BY cid, dim""".stripMargin
-    })
+         |ORDER BY cid, dim""".stripMargin,
+    "c07b_ann_ivf_refined" ->
+      s"""WITH $kmCtes,
+         |a2 AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT e.vec_id, e.qv, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${idotSql("e.qv", "c.qc")} DESC, c.cid) AS rn
+         |  FROM qe e CROSS JOIN c1 c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, qv AS qq FROM qe WHERE vec_id < $NQ),
+         |probes AS (SELECT qid, qq, cid FROM (
+         |  SELECT q.qid, q.qq, c.cid,
+         |         row_number() OVER (PARTITION BY q.qid
+         |           ORDER BY ${idotSql("q.qq", "c.qc")} DESC, c.cid) AS prn
+         |  FROM q CROSS JOIN c1 c) WHERE prn <= $PROBES)
+         |SELECT qid, rank, nid, score FROM (
+         |  SELECT p.qid, e.vec_id AS nid,
+         |         CAST(${idotSql("e.qv", "p.qq")} AS BIGINT) AS score,
+         |         row_number() OVER (PARTITION BY p.qid
+         |           ORDER BY ${idotSql("e.qv", "p.qq")} DESC, e.vec_id) AS rank
+         |  FROM probes p JOIN a2 e ON p.cid = e.cid
+         |  WHERE e.vec_id <> p.qid)
+         |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin)
 }

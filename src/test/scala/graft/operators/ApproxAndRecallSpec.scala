@@ -66,4 +66,26 @@ class ApproxAndRecallSpec extends SparkSpec {
     assert(r4 >= 0.75, s"mean recall@10 at nprobe=4 was $r4")
     assert(recallAt(16) === 1.0)
   }
+
+  test("c07b refined-quantizer IVF recall@10 vs exact is not below the seed quantizer") {
+    val exact = VectorOps.c06AnnBrute(spark, sf)
+      .select($"qid", $"nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"qid", $"nid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(got.keySet === exact.keySet)
+      val rs = exact.map { case (q, truth) =>
+        (got(q) intersect truth).size.toDouble / truth.size
+      }
+      rs.sum / rs.size
+    }
+    val seed = recallOf(VectorOps.c07AnnIvf(spark, sf))
+    val refined = recallOf(VectorOps.c07bAnnIvfRefined(spark, sf))
+    // Lloyd refinement tightens cells around the data, so probing the
+    // same number of refined cells must not lose recall (small
+    // tolerance: quantized integer scores can flip distant ties)
+    assert(refined >= seed - 0.05,
+      s"refined-quantizer recall $refined fell below seed quantizer $seed")
+  }
 }
