@@ -53,15 +53,24 @@ object ScaleProbe {
       (Option(read.get(g)).fold(0L)(_.get), Option(write.get(g)).fold(0L)(_.get))
 
     /** Wait until the async listener bus has delivered everything for
-      * `g`: two identical reads 200 ms apart, capped at 5 s. */
+      * `g`: three identical reads over 600 ms, capped at 10 s. A
+      * backlogged bus could in principle still pause longer than the
+      * stability window — group attribution guarantees any straggler
+      * lands in its OWN query's counter (never the next one's), so
+      * the residual risk is an undercount for this query only; a cap
+      * hit is reported on stderr instead of passing silently. */
     def settled(g: String): (Long, Long) = {
+      var stable = 0
       var prev = (-1L, -1L)
       var cur = bytes(g)
       var waited = 0
-      while (cur != prev && waited < 5000) {
+      while (stable < 2 && waited < 10000) {
         Thread.sleep(200); waited += 200
         prev = cur; cur = bytes(g)
+        if (cur == prev) stable += 1 else stable = 0
       }
+      if (stable < 2)
+        System.err.println(s"[probe] WARN: listener not settled for $g after 10s")
       cur
     }
   }
@@ -91,6 +100,8 @@ object ScaleProbe {
       "c06_ann_brute" -> operators.VectorOps.c06AnnBrute _,
       "c07_ann_ivf" -> operators.VectorOps.c07AnnIvf _,
       "c11_semantic_dedup" -> operators.VectorOps.c11SemanticDedup _,
+      "c12_kmeans_cells" -> operators.VectorOps.c12KmeansCells _,
+      "c07b_ann_ivf_refined" -> operators.VectorOps.c07bAnnIvfRefined _,
       "c13_incremental_dedup" -> operators.DedupOps.c13IncrementalDedup _)
 
     val sfs = if (args.nonEmpty) args.toSeq

@@ -115,6 +115,21 @@ object DedupOps extends QueryModule {
         .as("shs"))
   }
 
+  /** Adds a `shs` column (distinct hashed `n`-word shingles; EMPTY
+    * array when the doc has < n tokens, so short docs survive instead
+    * of being filtered) without dropping any input column — the
+    * streaming-safe twin of [[shingleDocsOf]], same shingle
+    * construction in one place. Splits once: `__toks` is used twice,
+    * which stops CollapseProject from inlining the split per use. */
+  private[graft] def withShingleCol(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("__toks", split(col("text"), "\\s+"))
+      .withColumn("shs",
+        when(size(col("__toks")) >= n, array_distinct(expr(
+          s"transform(sequence(0, size(__toks) - $n), " +
+            s"i -> graft_h60(concat_ws(' ', slice(__toks, i + 1, $n))))")))
+          .otherwise(array().cast(ArrayType(LongType))))
+      .drop("__toks")
+
   /** MinHash signature → exploded (doc_id, band, key) LSH band keys
     * (the c02 blocking scheme, shared with c13's cross-corpus join
     * and the streaming ingest index). */

@@ -79,20 +79,31 @@ object ScaleOps extends QueryModule {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    val total = fs.listStatus(dst)
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .map(_.getLen).sum
-    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
-    spark.read.parquet(path).repartition(n)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(old, true)
-    require(fs.rename(dst, old), s"compact: rename $dst -> $old failed")
-    require(fs.rename(tmp, dst), s"compact: rename $tmp -> $dst failed")
-    fs.delete(old, true)
-    fs.listStatus(dst)
-      .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    // Hive-partitioned layout (key=value subdirectories): recurse and
+    // compact each LEAF independently — rewriting the root flat would
+    // silently destroy the partition structure (and see 0 top-level
+    // part- files, defeating the sizing). Leaf-at-a-time also keeps
+    // each swap's crash window to one partition.
+    val partDirs = fs.listStatus(dst)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (partDirs.nonEmpty) {
+      partDirs.map(s => compact(spark, s.getPath.toString, targetBytes)).sum
+    } else {
+      val total = fs.listStatus(dst)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .map(_.getLen).sum
+      val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+      val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+      val old = new org.apache.hadoop.fs.Path(path + "__old")
+      spark.read.parquet(path).repartition(n)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      require(fs.rename(dst, old), s"compact: rename $dst -> $old failed")
+      require(fs.rename(tmp, dst), s"compact: rename $tmp -> $dst failed")
+      fs.delete(old, true)
+      fs.listStatus(dst)
+        .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    }
   }
 
   /** a08 restated through the salted path — hot-key-safe keyed

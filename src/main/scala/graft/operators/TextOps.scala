@@ -241,12 +241,14 @@ object TextOps extends QueryModule {
           acc => acc.getField("best")))
       // sequence(1, n-1) would DESCEND for n_tok = 1 (Spark's sequence
       // auto-reverses) — guard to an empty array; DuckDB's range(1, n)
-      // is already empty there.
+      // is already empty there. Null text stays NULL (not empty) so
+      // n_bigram matches the oracle's list_transform(range(1, NULL)).
       .withColumn("bigrams",
-        when(col("n_tok") >= 2,
-          transform(sequence(lit(1), (col("n_tok") - 1).cast(IntegerType)),
-            i => concat(element_at(col("toks"), i), lit(" "),
-              element_at(col("toks"), i + 1))))
+        when(col("text").isNull, lit(null).cast(ArrayType(StringType)))
+          .when(col("n_tok") >= 2,
+            transform(sequence(lit(1), (col("n_tok") - 1).cast(IntegerType)),
+              i => concat(element_at(col("toks"), i), lit(" "),
+                element_at(col("toks"), i + 1))))
           .otherwise(array().cast(ArrayType(StringType))))
       .withColumn("n_bigram", size(col("bigrams")).cast(LongType))
       .select(
@@ -312,16 +314,19 @@ object TextOps extends QueryModule {
   /** Core of t10 over any `(doc_id, lang, …)` frame; `rates` rows are
     * (lang, whole copies, fractional threshold / 10000). */
   def mixSample(docs: DataFrame, rates: Seq[(String, Int, Int)]): DataFrame = {
-    def chain(f: ((String, Int, Int)) => Int): Column =
+    // default for an unlisted language is rate 1.0× exactly: base 1,
+    // threshold 0 (a shared default of 1 for both would give unlisted
+    // docs a 1-in-10000 chance of a second copy)
+    def chain(f: ((String, Int, Int)) => Int, default: Int): Column =
       rates.tail.foldLeft(
         when(col("lang") === rates.head._1, f(rates.head))) {
         case (c, r) => c.when(col("lang") === r._1, f(r))
-      }.otherwise(1)
+      }.otherwise(default)
     docs
       .withColumn("roll",
         Portable.h60(concat(lit("mix:"), col("doc_id").cast(StringType))) % 10000)
       .withColumn("copies",
-        (chain(_._2) + when(col("roll") < chain(_._3), 1).otherwise(0)).cast(LongType))
+        (chain(_._2, 1) + when(col("roll") < chain(_._3, 0), 1).otherwise(0)).cast(LongType))
       .filter(col("copies") >= 1)
       .select(col("doc_id"), col("lang"), col("copies"),
         explode(sequence(lit(1L), col("copies"))).as("epoch"))
@@ -496,7 +501,7 @@ object TextOps extends QueryModule {
       val baseCase = mixRates.map { case (l, b, _) => s"WHEN lang = '$l' THEN $b" }
         .mkString("CASE ", " ", " ELSE 1 END")
       val thrCase = mixRates.map { case (l, _, t) => s"WHEN lang = '$l' THEN $t" }
-        .mkString("CASE ", " ", " ELSE 1 END")
+        .mkString("CASE ", " ", " ELSE 0 END")
       s"""SELECT doc_id, lang, copies, epoch FROM (
          |  SELECT doc_id, lang, copies,
          |    unnest(range(1, copies + 1)) AS epoch

@@ -178,14 +178,25 @@ object Jobs {
     val r = DedupOps.R
 
     // ---- static corpus index (computed from the bounded snapshot) --
+    // persisted: each micro-batch joins it 5 times (hash + 4 bands);
+    // without persist the corpus would be re-shingled and re-minhashed
+    // per join per batch, forever
     val oldHash = corpus
       .select(md5(DedupOps.norm(col("text"))).as("__h")).distinct()
+      .persist()
     val oldSh = DedupOps.shingleDocsOf(corpus, 3, hashed = true)
-    // one row per (band, key): every corpus shingle-set in the bucket
+    // One row per (band, key). A hot bucket (a big boilerplate
+    // near-dup cluster — exactly what dedup targets) is CAPPED at 64
+    // candidate shingle-sets: bucket members are near-dups of each
+    // other, so any surviving member still matches an incoming dup,
+    // and the cap bounds both the grouped row and its replication
+    // through the per-band joins (an uncapped collect_list over a
+    // 100 TB corpus's hottest bucket would not fit an executor row).
     val oldIdx = DedupOps.bandKeys(oldSh)
       .join(oldSh, "doc_id")
       .groupBy(concat_ws("|", col("band"), col("key")).as("__bk"))
-      .agg(collect_list(col("shs")).as("__cands"))
+      .agg(slice(collect_list(col("shs")), 1, 64).as("__cands"))
+      .persist()
 
     // ---- per-row stream side -------------------------------------
     val kept = graft.operators.TextOps.withQualityCols(raw)
@@ -197,15 +208,11 @@ object Jobs {
       .join(oldHash.withColumn("__seen", lit(1)), Seq("__h"), "left")
       .filter(col("__seen").isNull)
       .drop("__h", "__seen")
-    // near-vs-corpus: shingles (empty when < 3 tokens), band keys,
-    // one left join per band, then a per-row exists() verify
-    val toks = split(col("text"), "\\s+")
-    val withSh = notExact.withColumn("shs",
-      when(size(toks) >= 3, array_distinct(expr(
-        "transform(sequence(0, size(split(text, '\\\\s+')) - 3), " +
-          "i -> graft_h60(concat_ws(' ', slice(split(text, '\\\\s+'), i + 1, 3))))")))
-        .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType))))
+    // near-vs-corpus: shingles (empty when < 3 tokens — the shared
+    // DedupOps builder, so batch c13 and this stream can never
+    // desynchronize on shingle construction), band keys, one left
+    // join per band, then a per-row exists() verify
+    val withSh = DedupOps.withShingleCol(notExact, 3)
       .withColumn("__ms",
         when(size(col("shs")) > 0, call_function("graft_minhash60", col("shs"))))
     val joined = (0 until nb).foldLeft(

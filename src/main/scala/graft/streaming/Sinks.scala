@@ -144,12 +144,21 @@ object Sinks {
     * warehouses that prefer dedup-on-merge keep using
     * [[writeStatsJdbcBatch]]. Scale shape: one connection + one
     * transaction per partition, no driver-side collect; the marker
-    * probe is a primary-key point lookup. */
+    * probe is a primary-key point lookup.
+    *
+    * The partition-level skip is only sound if a REPLAYED batch maps
+    * every row to the same partition id, so the write goes through an
+    * explicit fixed-count hash repartition on all columns — a
+    * deterministic function of row VALUES, immune to upstream plan
+    * changes (AQE re-coalescing, source split drift) between the
+    * original attempt and the replay. */
   def writeStatsJdbcExactlyOnce(batch: DataFrame, batchId: Long,
       queryName: String, url: String, table: String,
       transientCols: Seq[String], batchSize: Int = 1000,
-      props: java.util.Properties = new java.util.Properties): Unit = {
-    val data = batch.drop(transientCols: _*)
+      props: java.util.Properties = new java.util.Properties,
+      sinkPartitions: Int = 16): Unit = {
+    val pre = batch.drop(transientCols: _*)
+    val data = pre.repartition(sinkPartitions, pre.columns.map(col): _*)
     val cols = data.columns.toSeq
     val types: Array[Int] = data.schema.fields.map(f => jdbcTypeOf(f.dataType))
     val insert = s"INSERT INTO $table (${cols.mkString(", ")}) " +

@@ -62,6 +62,25 @@ class MixPackRepeatSpec extends SparkSpec {
     assert(out.sortBy(r => (r._1, r._4)).toSeq === again.sortBy(r => (r._1, r._4)).toSeq)
   }
 
+  test("t10 mixing runs unchanged under a stream (stateless batch/stream duality)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val docs = (0L until 50L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val rates = Seq(("a", 2, 0), ("b", 0, 5000))
+    val batch = TextOps.mixSample(
+      docs.toDF("doc_id", "lang"), rates)
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = TextOps.mixSample(mem.toDS().toDF("doc_id", "lang"), rates)
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    mem.addData(docs)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("mix_stream")
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(streamed === batch)
+  }
+
   test("c13 incremental dedup: exact/near/kept statuses, batch-internal dups ignored") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val docs = Seq(

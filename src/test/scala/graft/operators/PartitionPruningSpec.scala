@@ -33,6 +33,30 @@ class PartitionPruningSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("compact recurses into hive partitions, preserving the layout") {
+    val d = "/root/testdata/sf0.001"
+    val path = Files.createTempDirectory("compact_part").toString + "/docs"
+    // fragment each partition
+    Tables.documents(spark, d).repartition(10)
+      .write.partitionBy("lang").parquet(path)
+    val want = spark.read.parquet(path)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().sorted.toSeq
+    ScaleOps.compact(spark, path, targetBytes = 512L * 1024)
+    // layout survived: partition dirs still there, pruning still works
+    val langDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    assert(langDirs.nonEmpty)
+    langDirs.foreach { dir =>
+      assert(dir.listFiles().count(_.getName.startsWith("part-")) < 10)
+    }
+    val got = spark.read.parquet(path)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().sorted.toSeq
+    assert(got === want)
+    val plan = spark.read.parquet(path).filter($"lang" === "en")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*lang[^\\]]*\\]".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("compact rewrites a fragmented directory into few files, same data") {
     val d = "/root/testdata/sf0.001"
     val path = Files.createTempDirectory("compact_docs").toString + "/docs"
