@@ -293,6 +293,32 @@ object TextOps extends QueryModule {
         (col("start_tok") % ctx).as("tok_offset"))
   }
 
+  /** t09b — the packed-sequence MANIFEST: one row per (doc, context
+    * window) segment. A doc starting at `start_tok` with `n_tok`
+    * tokens covers bins floor(start/ctx) … floor((start+n-1)/ctx);
+    * each bin row carries the segment's offset within the doc and its
+    * length — exactly what a packed-pretraining dataloader consumes
+    * to materialize fixed-size training rows. Same sharded-window
+    * scale shape as t09 plus a bounded explode (a doc spans at most
+    * n_tok/ctx + 1 bins). */
+  def t09bPackSpans(s: SparkSession, d: String): DataFrame =
+    packSpans(Tables.documents(s, d), shards = 8, ctx = 2048)
+      .orderBy(col("doc_id"), col("bin"))
+
+  /** Core of t09b over any `(doc_id, text, …)` frame. */
+  def packSpans(docs: DataFrame, shards: Int, ctx: Int): DataFrame =
+    packSequences(docs, shards, ctx)
+      .withColumn("start_tok", col("bin") * ctx + col("tok_offset"))
+      .withColumn("bin_last", expr(s"(start_tok + n_tok - 1) div $ctx"))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("start_tok"),
+        explode(sequence(col("bin"), col("bin_last"))).as("bin"))
+      .select(
+        col("doc_id"), col("shard"), col("bin"),
+        (greatest(col("start_tok"), col("bin") * ctx) - col("start_tok"))
+          .as("seg_off"),
+        (least(col("start_tok") + col("n_tok"), (col("bin") + 1) * ctx) -
+          greatest(col("start_tok"), col("bin") * ctx)).as("seg_len"))
+
   /** Per-language mixing rates for t10 as (lang, whole-epoch copies,
     * fractional-part threshold out of 10000): en 0.5×, de 1.0×,
     * fr 0.25×, es 1.5×, zh 2.5×. Integer thresholds keep the
@@ -372,6 +398,7 @@ object TextOps extends QueryModule {
     "t07_pii_scrub" -> t07PiiScrub,
     "t08_repetition" -> t08Repetition,
     "t09_pack_sequences" -> t09PackSequences,
+    "t09b_pack_spans" -> t09bPackSpans,
     "t10_mix_sample" -> t10MixSample,
     "t11_top_quality_per_source" -> t11TopQualityPerSource)
 
@@ -497,6 +524,25 @@ object TextOps extends QueryModule {
          |  FROM (${qualityColsSql}))
          |WHERE rk <= 3
          |ORDER BY source, rk""".stripMargin,
+    "t09b_pack_spans" ->
+      s"""SELECT doc_id, shard, bin,
+         |  greatest(start_tok, bin * 2048) - start_tok AS seg_off,
+         |  least(start_tok + n_tok, (bin + 1) * 2048) -
+         |    greatest(start_tok, bin * 2048) AS seg_len
+         |FROM (
+         |  SELECT doc_id, shard, n_tok, start_tok,
+         |    unnest(range(start_tok // 2048, (start_tok + n_tok - 1) // 2048 + 1)) AS bin
+         |  FROM (
+         |    SELECT doc_id, shard, n_tok, CAST(running - n_tok AS BIGINT) AS start_tok
+         |    FROM (
+         |      SELECT doc_id, shard, n_tok,
+         |        SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         |      FROM (SELECT doc_id,
+         |              CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+         |              ${Portable.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |            FROM documents))))
+         |ORDER BY doc_id, bin""".stripMargin,
     "t10_mix_sample" -> {
       val baseCase = mixRates.map { case (l, b, _) => s"WHEN lang = '$l' THEN $b" }
         .mkString("CASE ", " ", " ELSE 1 END")

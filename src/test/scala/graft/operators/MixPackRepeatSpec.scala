@@ -36,6 +36,20 @@ class MixPackRepeatSpec extends SparkSpec {
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got === Map(
       1L -> ((0L, 0L)), 2L -> ((0L, 4L)), 3L -> ((0L, 9L)), 4L -> ((1L, 2L))))
+    // the span manifest: doc 3 (tokens 9..11) straddles the bin
+    // boundary — one token in bin 0, two in bin 1
+    val spans = TextOps.packSpans(docs, shards = 1, ctx = 10)
+      .select($"doc_id", $"bin", $"seg_off", $"seg_len")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(spans === Seq(
+      (1L, 0L, 0L, 4L), (2L, 0L, 0L, 5L),
+      (3L, 0L, 0L, 1L), (3L, 1L, 1L, 2L),
+      (4L, 1L, 0L, 7L)))
+    // segments tile every doc exactly: per-doc seg_len sums to n_tok
+    val nTok = Map(1L -> 4L, 2L -> 5L, 3L -> 3L, 4L -> 7L)
+    assert(spans.groupBy(_._1).forall { case (id, ss) =>
+      ss.map(_._4).sum == nTok(id)
+    })
   }
 
   test("t10 mixing: whole rates exact, fractional rates bounded + deterministic") {
