@@ -30,11 +30,12 @@ object Bench {
     "c01_dedup_exact", "c02_dedup_minhash", "c03_dedup_simhash",
     "c04_dedup_ngram", "c05_embed_neardup", "c06_ann_brute",
     "c07_ann_ivf", "c07b_ann_ivf_refined", "c08_corpus_curate",
-    "c09_decontaminate",
+    "c09_decontaminate", "c09b_decontaminate_bloom",
     "c10_dedup_cluster", "c11_semantic_dedup", "c12_kmeans_cells",
-    "c13_incremental_dedup", "t04_fingerprint",
+    "c13_incremental_dedup", "c14_dedup_consensus", "t04_fingerprint",
     "t07_pii_scrub", "t08_repetition", "t09_pack_sequences",
-    "t10_mix_sample", "t11_top_quality_per_source")
+    "t10_mix_sample", "t11_top_quality_per_source",
+    "t12_quality_dist", "t13_ngram_topk", "t14_corpus_shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

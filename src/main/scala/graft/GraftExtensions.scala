@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Engine extension entry point: register with
   * `spark.sql.extensions=graft.GraftExtensions` (Verify/Bench/tests
@@ -35,5 +36,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow60"),
       new ExpressionInfo(classOf[functions.Winnow60].getName, "graft_winnow60"),
       (children: Seq[Expression]) => functions.Winnow60(children.head)))
+    // Spark's own runtime-filter machinery (InjectRuntimeFilter uses
+    // these two internally), surfaced as callable functions so the
+    // Bloom-prefiltered decontamination path (DedupOps c09b) can
+    // build and probe a sketch with codegen'd expressions instead of
+    // a boxed UDF. graft_bloom_agg(col, estimatedItems, numBits) →
+    // serialized filter bytes; graft_might_contain(bytes, col) →
+    // boolean (no false negatives, so an exact verify join after the
+    // probe keeps results exact).
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new BloomFilterAggregate(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))))
   }
 }

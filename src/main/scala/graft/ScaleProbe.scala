@@ -102,7 +102,12 @@ object ScaleProbe {
       "c11_semantic_dedup" -> operators.VectorOps.c11SemanticDedup _,
       "c12_kmeans_cells" -> operators.VectorOps.c12KmeansCells _,
       "c07b_ann_ivf_refined" -> operators.VectorOps.c07bAnnIvfRefined _,
-      "c13_incremental_dedup" -> operators.DedupOps.c13IncrementalDedup _)
+      "c13_incremental_dedup" -> operators.DedupOps.c13IncrementalDedup _,
+      "c09_decontaminate" -> operators.DedupOps.c09Decontaminate _,
+      "c09b_decontaminate_bloom" -> operators.DedupOps.c09bDecontaminateBloom _,
+      "t12_quality_dist" -> operators.CorpusStats.t12QualityDist _,
+      "t13_ngram_topk" -> operators.CorpusStats.t13NgramTopK _,
+      "t14_corpus_shuffle" -> operators.CorpusStats.t14CorpusShuffle _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

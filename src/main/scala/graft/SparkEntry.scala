@@ -15,6 +15,7 @@ object SparkEntry {
     operators.JoinOps,
     operators.DwsWindows,
     operators.TextOps,
+    operators.CorpusStats,
     operators.DedupOps,
     operators.VectorOps,
     operators.MediaOps,

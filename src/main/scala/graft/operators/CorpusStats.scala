@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level statistics + layout operators for the training-data
+  * pipeline (extends the t-family in [[TextOps]]):
+  *
+  *  - t12 per-source quality distribution (EXACT median at scale via
+  *    a value histogram, not a per-row sort),
+  *  - t13 per-language top-k n-gram vocabulary,
+  *  - t14 deterministic sharded corpus shuffle (training order).
+  *
+  * Scale stance: none of these sorts or windows over corpus rows
+  * globally. t12 windows over the bounded fixed-point histogram
+  * (≤ 10^6 + 1 distinct values per source, regardless of corpus
+  * size); t13's window input is the aggregated (lang, ngram) count
+  * table and its rank-filter compiles to WindowGroupLimit (partial
+  * top-k before the shuffle, like t11); t14 partitions by a derived
+  * hash shard so the per-shard sort parallelizes across executors and
+  * the training order is reproducible from doc_id alone.
+  */
+object CorpusStats extends QueryModule {
+
+  // ---------------------------------------------------------------
+  // t12 — per-source quality distribution, exact
+  // ---------------------------------------------------------------
+
+  /** Fixed-point scale for quality scores: 6 decimal digits. All
+    * distribution arithmetic below happens on these BIGINTs, so sums
+    * are exact (no float-summation-order divergence) and the median
+    * is selected, not interpolated from approximate buckets. */
+  private val QFP = 1e6
+
+  /** t12 — per-source distribution summary of the quality score
+    * (TextOps scorer): count, min, max, exact mean, exact median.
+    *
+    * The scale-correct exact-median shape: per-row quality is
+    * fixed-pointed to a BIGINT, the corpus collapses to a
+    * (source, q_fp) → count HISTOGRAM (map-side partial agg, one
+    * keyed exchange of ≤ |distinct values| rows), and the median is
+    * picked by a cumulative-count window over the histogram. The
+    * window input is bounded by the value domain (10^6 + 1 rows per
+    * source max), so a 100 TB corpus pays the same window cost as
+    * sf0.01 — a per-row `row_number` selection (or a single-column
+    * sort) would instead funnel every row of the biggest source
+    * through one partition. Median of n values = the mean of the
+    * ⌈n/2⌉-th and (⌊n/2⌋+1)-th smallest (equal when n is odd);
+    * `q_med2_fp` keeps their exact SUM so the only float division
+    * happens once, identically, in both engines.
+    *
+    * Null-quality documents (null text) are excluded explicitly —
+    * both engines then agree without pinning null-ordering rules. */
+  def t12QualityDist(s: SparkSession, d: String): DataFrame = {
+    val hist = TextOps.withQualityCols(Tables.documents(s, d))
+      .filter(col("quality").isNotNull)
+      .groupBy(col("source"),
+        round(col("quality") * QFP).cast(LongType).as("q_fp"))
+      .agg(count(lit(1)).as("cnt"))
+    // Both windows share the partitioning; the unordered n-window
+    // rides the same exchange as the cumulative one (no extra
+    // shuffle — same reuse as c04's rank/n windows).
+    val byQ = Window.partitionBy(col("source")).orderBy(col("q_fp"))
+    val all = Window.partitionBy(col("source"))
+    val lo = expr("(n + 1) div 2")
+    val hi = expr("n div 2 + 1")
+    hist
+      .withColumn("cum", sum(col("cnt")).over(byQ))
+      .withColumn("n", sum(col("cnt")).over(all))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        min(col("q_fp")).as("q_min_fp"),
+        max(col("q_fp")).as("q_max_fp"),
+        sum(col("q_fp") * col("cnt")).as("q_sum_fp"),
+        (max(when(col("cum") - col("cnt") < lo && lo <= col("cum"), col("q_fp"))) +
+          max(when(col("cum") - col("cnt") < hi && hi <= col("cum"), col("q_fp"))))
+          .as("q_med2_fp"))
+      .withColumn("q_avg",
+        col("q_sum_fp").cast(DoubleType) / col("n_docs").cast(DoubleType) / QFP)
+      .withColumn("q_med", col("q_med2_fp").cast(DoubleType) / (2 * QFP))
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------
+  // t13 — top-k n-gram vocabulary per language
+  // ---------------------------------------------------------------
+
+  private val TOPK = 20
+
+  /** t13 — the top-20 word bigrams per language by occurrence count
+    * (vocabulary/frequency tables — the corpus-reporting staple for
+    * tokenizer training and contamination eyeballing). Occurrences,
+    * not per-doc distincts, so no array_distinct: one bounded
+    * explode, a (lang, bigram) count whose partial agg collapses
+    * each partition to its local vocabulary, then a rank-filter that
+    * compiles to WindowGroupLimit — each partition forwards only its
+    * running top-20 per language to the final shuffle. Ties broken
+    * by bigram text so the result is deterministic. */
+  def t13NgramTopK(s: SparkSession, d: String): DataFrame = {
+    val counted = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .where(size(col("toks")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 2)))")).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("ct"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("ct").desc, col("bigram"))
+    counted
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= TOPK)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------
+  // t14 — deterministic sharded corpus shuffle
+  // ---------------------------------------------------------------
+
+  private val SHARDS = 64
+
+  /** t14 — the global training-data shuffle, Spark-first: a seeded
+    * portable hash gives every document a shuffle key, the key's
+    * modulus picks one of 64 shards, and documents are ordered within
+    * their shard by (key, doc_id). That is a uniform random
+    * permutation of the corpus (read shards in index order, rows in
+    * position order) WITHOUT a global sort: the per-shard window
+    * sorts run shard-way parallel, any engine reproduces the same
+    * order from doc_id + seed alone, and at 100 TB you raise SHARDS
+    * to ≈ executors·cores so each sort stays memory-sized. A single
+    * global row_number/ORDER BY would serialize the corpus through
+    * one range-partitioned sort — this shape never does. */
+  def t14CorpusShuffle(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Portable.h60(concat(lit("shuffle:42:"), col("doc_id").cast(StringType)))
+          .as("skey"))
+      .withColumn("shard", col("skey") % SHARDS)
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_quality_dist" -> t12QualityDist,
+    "t13_ngram_topk" -> t13NgramTopK,
+    "t14_corpus_shuffle" -> t14CorpusShuffle)
+
+  override val oracle: Map[String, String] = Map(
+    "t12_quality_dist" ->
+      s"""WITH hist AS (
+         |  SELECT source, CAST(round(quality * ${QFP}) AS BIGINT) AS q_fp,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (${TextOps.qualityColsSql})
+         |  WHERE quality IS NOT NULL
+         |  GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT *,
+         |    SUM(cnt) OVER (PARTITION BY source ORDER BY q_fp) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY source) AS n
+         |  FROM hist)
+         |SELECT source,
+         |  CAST(MAX(n) AS BIGINT) AS n_docs,
+         |  MIN(q_fp) AS q_min_fp,
+         |  MAX(q_fp) AS q_max_fp,
+         |  CAST(SUM(q_fp * cnt) AS BIGINT) AS q_sum_fp,
+         |  MAX(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum THEN q_fp END) +
+         |  MAX(CASE WHEN cum - cnt < n // 2 + 1 AND n // 2 + 1 <= cum THEN q_fp END)
+         |    AS q_med2_fp,
+         |  CAST(SUM(q_fp * cnt) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) / ${QFP} AS q_avg,
+         |  CAST(MAX(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum THEN q_fp END) +
+         |       MAX(CASE WHEN cum - cnt < n // 2 + 1 AND n // 2 + 1 <= cum THEN q_fp END)
+         |       AS DOUBLE) / ${2 * QFP} AS q_med
+         |FROM cum GROUP BY source ORDER BY source""".stripMargin,
+    "t13_ngram_topk" ->
+      s"""WITH bg AS (
+         |  SELECT lang, unnest(list_transform(range(0, len(t) - 1),
+         |    i -> array_to_string(t[i + 1:i + 2], ' '))) AS bigram
+         |  FROM (SELECT lang, string_split_regex(text, '\\s+') t FROM documents)
+         |  WHERE len(t) >= 2),
+         |counted AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) AS ct
+         |            FROM bg GROUP BY 1, 2)
+         |SELECT lang, bigram, ct, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY lang ORDER BY ct DESC, bigram) AS BIGINT) AS rk
+         |  FROM counted)
+         |WHERE rk <= $TOPK
+         |ORDER BY lang, rk""".stripMargin,
+    "t14_corpus_shuffle" -> {
+      val skey = Portable.h60Sql("'shuffle:42:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, skey, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+         |FROM (SELECT doc_id, $skey AS skey, $skey % $SHARDS AS shard FROM documents)
+         |ORDER BY shard, pos""".stripMargin
+    })
+}

@@ -486,6 +486,98 @@ object DedupOps extends QueryModule {
     incrementalDedup(Tables.documents(s, d).withColumn("__new",
       Portable.h60(concat(lit("split:"), col("doc_id").cast(StringType))) % 100 >= 80))
 
+  // ---------------------------------------------------------------
+  // c14 — consensus dedup: pairs flagged by ≥ 2 of the 3 near-dup
+  // detectors
+  // ---------------------------------------------------------------
+
+  /** c14 — consensus near-dup pairs: a pair counts as a duplicate
+    * only when at least TWO of the three detectors (MinHash-LSH
+    * Jaccard ≥ 0.8, SimHash Hamming ≤ 3, 4-gram Jaccard ≥ 0.85)
+    * agree. The production rationale: each detector has a distinct
+    * false-positive surface (LSH collisions, SimHash's bag-of-words
+    * blindness to order, prefix-filter threshold effects), and
+    * requiring agreement suppresses all three at the cost of recall
+    * on borderline pairs — the standard precision-first setting for
+    * irreversible corpus deletion. Cost is the sum of the three
+    * detectors (each already candidate-bounded; see their docs) plus
+    * one small groupBy over the emitted pairs — the pair lists are
+    * tiny relative to the corpus, so the consensus step is free at
+    * scale. The oracle recomputes all three pipelines in one WITH
+    * chain and must agree on every pair AND the per-pair method
+    * list. */
+  def c14DedupConsensus(s: SparkSession, d: String): DataFrame = {
+    val mh = c02MinhashLsh(s, d).select(col("da"), col("db"))
+      .withColumn("method", lit("minhash"))
+    val sh = c03Simhash(s, d).select(col("da"), col("db"))
+      .withColumn("method", lit("simhash"))
+    val ng = c04NgramJaccard(s, d).select(col("da"), col("db"))
+      .withColumn("method", lit("ngram"))
+    mh.unionByName(sh).unionByName(ng)
+      .groupBy(col("da"), col("db"))
+      .agg(
+        count(lit(1)).as("n_methods"),
+        array_join(array_sort(collect_set(col("method"))), ",").as("methods"))
+      .filter(col("n_methods") >= 2)
+      .orderBy(col("da"), col("db"))
+  }
+
+  // ---------------------------------------------------------------
+  // c09b — decontamination behind a Bloom-filter prefilter
+  // ---------------------------------------------------------------
+
+  /** Bloom sizing for the fixture's eval side (~50k distinct ngrams
+    * at sf0.1): 2^17 expected items, 2^20 bits (128 KiB, ~1% false
+    * positives). At 100 TB with a real benchmark suite, scale bits
+    * linearly with the eval ngram count — the point of the sketch is
+    * that 10^8 eval ngrams fit in ~1.2 bits-per-item·n ≈ 150 MB where
+    * a broadcast hashmap of longs would take gigabytes. */
+  private val BLOOM_ITEMS = 1L << 17
+  private val BLOOM_BITS = 1L << 20
+
+  /** c09b — c09's decontamination RESULT through a different physical
+    * plan: the eval ngram set is collapsed into a Bloom filter
+    * (Spark's own runtime-filter sketch, built by the
+    * `graft_bloom_agg` aggregate registered in GraftExtensions), the
+    * corpus side probes it with the codegen'd `graft_might_contain`
+    * BEFORE any join, and only probe survivors (true hits + ~1%
+    * false positives) reach the exact left-semi verify join. No
+    * false negatives ⇒ the verify join sees every true hit ⇒ the
+    * output is bit-identical to c09 (the oracle is literally c09's).
+    *
+    * Why this is the 100 TB shape: c09 relies on AQE broadcasting
+    * the eval set as a join hashmap, which dies when the benchmark
+    * suite's ngram set outgrows broadcast (hashmaps cost ~30+ bytes
+    * per long). The 8-bits-per-item sketch broadcasts at ~25× less
+    * memory, and the post-probe shuffle carries only candidate rows
+    * (~overlap + 1% of corpus ngrams) instead of every corpus ngram.
+    * The per-doc totals aggregation is map-side-combined (one row
+    * per doc crosses the wire), so the dominant corpus-sized term is
+    * a narrow scan + codegen'd probe with zero shuffle. */
+  def c09bDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val ng = shingleDocs(s, d, DECON_N, hashed = true)
+      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+    val corpus = ng.filter(col("doc_id") % EVAL_MOD =!= 0)
+    val evalNg = ng.filter(col("doc_id") % EVAL_MOD === 0)
+      .select(col("sh")).distinct()
+    val bloomBytes = evalNg
+      .agg(call_function("graft_bloom_agg",
+        col("sh"), lit(BLOOM_ITEMS), lit(BLOOM_BITS)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val probe = // null sketch ⇔ empty eval set ⇔ nothing can overlap
+      if (bloomBytes == null) lit(false)
+      else call_function("graft_might_contain", lit(bloomBytes), col("sh"))
+    val hits = corpus.filter(probe)
+      .join(evalNg, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap_ct"))
+    corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .join(hits, Seq("doc_id")) // inner ≡ c09's overlap_ct > 0 filter
+      .withColumn("overlap_ratio",
+        col("overlap_ct").cast(DoubleType) / col("n").cast(DoubleType))
+      .select(col("doc_id"), col("n"), col("overlap_ct"), col("overlap_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_dedup_exact" -> c01Exact,
     "c02_dedup_minhash" -> c02MinhashLsh,
@@ -493,8 +585,10 @@ object DedupOps extends QueryModule {
     "c04_dedup_ngram" -> c04NgramJaccard,
     "c08_corpus_curate" -> c08CorpusCurate,
     "c09_decontaminate" -> c09Decontaminate,
+    "c09b_decontaminate_bloom" -> c09bDecontaminateBloom,
     "c10_dedup_cluster" -> c10DedupCluster,
-    "c13_incremental_dedup" -> c13IncrementalDedup)
+    "c13_incremental_dedup" -> c13IncrementalDedup,
+    "c14_dedup_consensus" -> c14DedupConsensus)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
@@ -542,17 +636,83 @@ object DedupOps extends QueryModule {
        |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  private def verifySql(t: Double): String =
+  /** SimHash fingerprint + chunk-blocking CTEs (tf, sums, fp, chunks,
+    * `$cand`) — the c03 relational twin, with the candidate CTE name
+    * parameterized for composition into c14's WITH namespace. */
+  private def simhashCtes(cand: String): String = {
+    val sums = (0 until BITS).map(j =>
+      s"SUM(freq * (((h >> $j) & 1) * 2 - 1)) AS s$j").mkString(",\n         ")
+    val fpBits = (0 until BITS).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val chunkRows = (0 until CHUNKS).map(c =>
+      s"SELECT doc_id, fp, $c AS chunk, (fp >> ${c * CHUNK_BITS}) & ${(1 << CHUNK_BITS) - 1} AS cv FROM fp")
+      .mkString("\n       UNION ALL ")
+    s"""tf AS (SELECT doc_id, tok, count(*) AS freq,
+       |             ${Portable.h60Sql("tok")} AS h
+       |            FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |                  FROM documents)
+       |            GROUP BY doc_id, tok),
+       |sums AS (SELECT doc_id,
+       |         $sums
+       |         FROM tf GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fpBits AS fp FROM sums),
+       |chunks AS ($chunkRows),
+       |$cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+       |                x.fp AS fpa, y.fp AS fpb
+       |         FROM chunks x JOIN chunks y
+       |           ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** The c04 prefix-filter candidate CTEs (`$sh` = hashed 4-grams,
+    * dft, sized, prefix, `$cand`, `$sizes`) — names parameterized so
+    * c14 can compose them next to the 3-gram chain without CTE-name
+    * collisions. */
+  private def c04Ctes(sh: String, cand: String, sizes: String): String =
+    s"""$sh AS ($ngramsSql),
+       |dft AS (SELECT sh, count(*) AS df FROM $sh GROUP BY sh),
+       |sized AS (SELECT s.doc_id, s.sh, dft.df,
+       |            count(*) OVER (PARTITION BY s.doc_id) AS n,
+       |            row_number() OVER (PARTITION BY s.doc_id ORDER BY dft.df, s.sh) AS rn
+       |          FROM $sh s JOIN dft ON s.sh = dft.sh),
+       |prefix AS (SELECT doc_id, sh, n FROM sized
+       |           WHERE rn <= n - CAST(ceil($NGRAM_T * n) AS BIGINT) + 1),
+       |$cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |         FROM prefix x JOIN prefix y
+       |           ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |          AND CAST(y.n AS DOUBLE) >= $NGRAM_T * x.n
+       |          AND CAST(x.n AS DOUBLE) >= $NGRAM_T * y.n),
+       |$sizes AS (SELECT doc_id, count(*) AS n FROM $sh GROUP BY doc_id)""".stripMargin
+
+  /** Jaccard-verify tail over named cand/sh/sizes CTEs (names are
+    * parameters so composed oracles — c14 — can run two verify
+    * chains in one WITH namespace). */
+  private def verifySql(t: Double, cand: String = "cand", sh: String = "sh",
+      sizes: String = "sizes"): String =
     s"""SELECT da, db, za.n AS na, zb.n AS nb, i.inter,
        |       CAST(i.inter AS DOUBLE) / CAST(za.n + zb.n - i.inter AS DOUBLE) AS jac
        |FROM (SELECT da, db, count(*) AS inter
-       |      FROM cand JOIN sh sa ON da = sa.doc_id
-       |                JOIN sh sb ON db = sb.doc_id AND sa.sh = sb.sh
+       |      FROM $cand JOIN $sh sa ON da = sa.doc_id
+       |                JOIN $sh sb ON db = sb.doc_id AND sa.sh = sb.sh
        |      GROUP BY da, db) i
-       |JOIN sizes za ON da = za.doc_id
-       |JOIN sizes zb ON db = zb.doc_id
+       |JOIN $sizes za ON da = za.doc_id
+       |JOIN $sizes zb ON db = zb.doc_id
        |WHERE CAST(i.inter AS DOUBLE) / CAST(za.n + zb.n - i.inter AS DOUBLE) >= $t
        |ORDER BY da, db""".stripMargin
+
+  /** Shared by c09 and c09b (identical result contract). */
+  private lazy val c09OracleSql: String =
+    s"""WITH ng AS (${hashedNgramsSql(DECON_N)}),
+       |evalng AS (SELECT DISTINCT sh FROM ng WHERE doc_id % $EVAL_MOD = 0)
+       |SELECT doc_id, n, overlap_ct,
+       |       CAST(overlap_ct AS DOUBLE) / CAST(n AS DOUBLE) AS overlap_ratio
+       |FROM (
+       |  SELECT ng.doc_id, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap_ct
+       |  FROM ng LEFT JOIN evalng e ON ng.sh = e.sh
+       |  WHERE ng.doc_id % $EVAL_MOD <> 0
+       |  GROUP BY ng.doc_id)
+       |WHERE overlap_ct > 0
+       |ORDER BY doc_id""".stripMargin
 
   override val oracle: Map[String, String] = Map(
     "c01_dedup_exact" ->
@@ -574,32 +734,11 @@ object DedupOps extends QueryModule {
          |WHERE quality >= $QUALITY_T
          |  AND doc_id NOT IN (SELECT doc_id FROM neardup)
          |GROUP BY lang ORDER BY lang""".stripMargin,
-    "c03_dedup_simhash" -> {
-      val sums = (0 until BITS).map(j =>
-        s"SUM(freq * (((h >> $j) & 1) * 2 - 1)) AS s$j").mkString(",\n         ")
-      val fpBits = (0 until BITS).map(j =>
-        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-      val chunkRows = (0 until CHUNKS).map(c =>
-        s"SELECT doc_id, fp, $c AS chunk, (fp >> ${c * CHUNK_BITS}) & ${(1 << CHUNK_BITS) - 1} AS cv FROM fp")
-        .mkString("\n       UNION ALL ")
-      s"""WITH tf AS (SELECT doc_id, tok, count(*) AS freq,
-         |             ${Portable.h60Sql("tok")} AS h
-         |            FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
-         |                  FROM documents)
-         |            GROUP BY doc_id, tok),
-         |sums AS (SELECT doc_id,
-         |         $sums
-         |         FROM tf GROUP BY doc_id),
-         |fp AS (SELECT doc_id, $fpBits AS fp FROM sums),
-         |chunks AS ($chunkRows),
-         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
-         |                x.fp AS fpa, y.fp AS fpb
-         |         FROM chunks x JOIN chunks y
-         |           ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id)
+    "c03_dedup_simhash" ->
+      s"""WITH ${simhashCtes("cand")}
          |SELECT da, db, fpa, fpb, CAST(bit_count(xor(fpa, fpb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(fpa, fpb)) <= $HAMMING_T
-         |ORDER BY da, db""".stripMargin
-    },
+         |ORDER BY da, db""".stripMargin,
     "c10_dedup_cluster" ->
       s"""WITH RECURSIVE $c02Ctes,
          |pairs AS (SELECT da, db FROM (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
@@ -614,35 +753,31 @@ object DedupOps extends QueryModule {
          |SELECT l.doc_id, l.cluster_id, s.cluster_sz
          |FROM lbl l JOIN csz s ON l.cluster_id = s.cluster_id
          |ORDER BY l.doc_id""".stripMargin,
-    "c09_decontaminate" ->
-      s"""WITH ng AS (${hashedNgramsSql(DECON_N)}),
-         |evalng AS (SELECT DISTINCT sh FROM ng WHERE doc_id % $EVAL_MOD = 0)
-         |SELECT doc_id, n, overlap_ct,
-         |       CAST(overlap_ct AS DOUBLE) / CAST(n AS DOUBLE) AS overlap_ratio
-         |FROM (
-         |  SELECT ng.doc_id, CAST(count(*) AS BIGINT) AS n,
-         |         CAST(SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap_ct
-         |  FROM ng LEFT JOIN evalng e ON ng.sh = e.sh
-         |  WHERE ng.doc_id % $EVAL_MOD <> 0
-         |  GROUP BY ng.doc_id)
-         |WHERE overlap_ct > 0
-         |ORDER BY doc_id""".stripMargin,
+    "c09_decontaminate" -> c09OracleSql,
+    // c09b is c09 behind a Bloom prefilter whose false positives die
+    // in the exact verify join — same rows, same oracle.
+    "c09b_decontaminate_bloom" -> c09OracleSql,
     "c04_dedup_ngram" ->
-      s"""WITH sh AS ($ngramsSql),
-         |dft AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
-         |sized AS (SELECT s.doc_id, s.sh, dft.df,
-         |            count(*) OVER (PARTITION BY s.doc_id) AS n,
-         |            row_number() OVER (PARTITION BY s.doc_id ORDER BY dft.df, s.sh) AS rn
-         |          FROM sh s JOIN dft ON s.sh = dft.sh),
-         |prefix AS (SELECT doc_id, sh, n FROM sized
-         |           WHERE rn <= n - CAST(ceil($NGRAM_T * n) AS BIGINT) + 1),
-         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-         |         FROM prefix x JOIN prefix y
-         |           ON x.sh = y.sh AND x.doc_id < y.doc_id
-         |          AND CAST(y.n AS DOUBLE) >= $NGRAM_T * x.n
-         |          AND CAST(x.n AS DOUBLE) >= $NGRAM_T * y.n),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+      s"""WITH ${c04Ctes("sh", "cand", "sizes")}
          |${verifySql(NGRAM_T)}""".stripMargin,
+    "c14_dedup_consensus" ->
+      s"""WITH $c02Ctes,
+         |${simhashCtes("cand3")},
+         |${c04Ctes("sh4", "cand4", "sizes4")},
+         |pairs AS (
+         |  SELECT da, db, 'minhash' AS method FROM (
+         |    ${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})
+         |  UNION ALL
+         |  SELECT da, db, 'simhash' AS method FROM cand3
+         |  WHERE bit_count(xor(fpa, fpb)) <= $HAMMING_T
+         |  UNION ALL
+         |  SELECT da, db, 'ngram' AS method FROM (
+         |    ${verifySql(NGRAM_T, "cand4", "sh4", "sizes4").replace("ORDER BY da, db", "")}))
+         |SELECT da, db, CAST(count(*) AS BIGINT) AS n_methods,
+         |       string_agg(method, ',' ORDER BY method) AS methods
+         |FROM pairs GROUP BY da, db
+         |HAVING count(*) >= 2
+         |ORDER BY da, db""".stripMargin,
     "c13_incremental_dedup" -> {
       val bucket = Portable.h60Sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
       s"""WITH $shSigBandsCtes,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** t12/t13/t14 pinned against brute-force recomputations on sf0.001
+  * — the histogram median vs a sort-and-pick median, the windowed
+  * top-k vs a full sort, and the sharded shuffle's permutation
+  * contract. */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t12 histogram median equals the sort-and-pick median per source") {
+    val got = CorpusStats.t12QualityDist(spark, sf)
+      .select("source", "n_docs", "q_med2_fp", "q_sum_fp")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // brute force: collect every fixed-point quality, sort, pick.
+    val perSource = TextOps.withQualityCols(graft.Tables.documents(spark, sf))
+      .filter(col("quality").isNotNull)
+      .select(col("source"),
+        round(col("quality") * 1e6).cast("long").as("q_fp"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    got.foreach { case (src, n, med2, qsum) =>
+      val xs = perSource(src)
+      assert(n === xs.length, s"n_docs for $src")
+      assert(qsum === xs.sum, s"q_sum_fp for $src")
+      val lo = xs((xs.length + 1) / 2 - 1)
+      val hi = xs(xs.length / 2)
+      assert(med2 === lo + hi, s"median-pair sum for $src")
+    }
+  }
+
+  test("t13 top-k matches a brute-force bigram count") {
+    val got = CorpusStats.t13NgramTopK(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val brute = graft.Tables.documents(spark, sf)
+      .select(col("lang"), split(col("text"), "\\s+").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', slice(t, i + 1, 2)))"))
+        .as("bigram"))
+      .groupBy("lang", "bigram").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3))
+        .sortBy { case (bg, ct) => (-ct, bg) }.take(20)).toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val want = brute(lang)
+      val have = rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(have === want.toSeq, s"top-k for $lang")
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq,
+        s"ranks contiguous for $lang")
+    }
+  }
+
+  test("t14 is a reproducible permutation with contiguous per-shard positions") {
+    val df = CorpusStats.t14CorpusShuffle(spark, sf)
+    val rows = df.as[(Long, Long, Long, Long)].collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_._1).distinct.length.toLong === total)
+    rows.groupBy(_._3).foreach { case (shard, xs) =>
+      assert(xs.map(_._4).sorted.toSeq === (1L to xs.length).toSeq,
+        s"positions contiguous in shard $shard")
+      // within a shard, position order IS skey order
+      assert(xs.sortBy(_._4).map(_._2).toSeq === xs.map(_._2).sorted.toSeq,
+        s"skey-ordered in shard $shard")
+    }
+    // determinism: a second run produces the identical frame
+    val again = CorpusStats.t14CorpusShuffle(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.toSeq === rows.toSeq)
+  }
+}
