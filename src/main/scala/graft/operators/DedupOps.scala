@@ -334,7 +334,7 @@ object DedupOps extends QueryModule {
   // c09 — benchmark decontamination
   // ---------------------------------------------------------------
 
-  private val DECON_N = 8
+  private[graft] val DECON_N = 8
   private val EVAL_MOD = 10L
 
   /** c09 — benchmark decontamination: flag corpus documents whose
@@ -535,6 +535,14 @@ object DedupOps extends QueryModule {
   private val BLOOM_ITEMS = 1L << 17
   private val BLOOM_BITS = 1L << 20
 
+  /** Serialized Bloom filter over a BIGINT column (null when `df` is
+    * empty — probe nothing). Shared by c09b and the streaming ingest
+    * decontamination (Jobs.decontaminateIngest). */
+  private[graft] def bloomOfLongs(df: DataFrame, c: String): Array[Byte] =
+    df.agg(call_function("graft_bloom_agg",
+        col(c), lit(BLOOM_ITEMS), lit(BLOOM_BITS)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+
   /** c09b — c09's decontamination RESULT through a different physical
     * plan: the eval ngram set is collapsed into a Bloom filter
     * (Spark's own runtime-filter sketch, built by the
@@ -560,10 +568,7 @@ object DedupOps extends QueryModule {
     val corpus = ng.filter(col("doc_id") % EVAL_MOD =!= 0)
     val evalNg = ng.filter(col("doc_id") % EVAL_MOD === 0)
       .select(col("sh")).distinct()
-    val bloomBytes = evalNg
-      .agg(call_function("graft_bloom_agg",
-        col("sh"), lit(BLOOM_ITEMS), lit(BLOOM_BITS)).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    val bloomBytes = bloomOfLongs(evalNg, "sh")
     val probe = // null sketch ⇔ empty eval set ⇔ nothing can overlap
       if (bloomBytes == null) lit(false)
       else call_function("graft_might_contain", lit(bloomBytes), col("sh"))

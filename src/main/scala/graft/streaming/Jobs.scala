@@ -240,6 +240,39 @@ object Jobs {
     StatefulOps.streamDedupExact(spark, notNear)
   }
 
+  /** Streaming benchmark decontamination — the ingest-time twin of
+    * DedupOps.c09/c09b: drop incoming documents whose hashed
+    * 8-word-ngram sets touch the held-out eval set, BEFORE they enter
+    * the corpus.
+    *
+    * The filter is the Bloom probe ALONE — a per-row codegen'd
+    * `exists(shs, sh -> graft_might_contain(bloom, sh))` with zero
+    * joins and zero state, so it appends to any ingest query for
+    * free. The sketch has no false negatives, so every genuinely
+    * contaminated document is dropped (the guarantee decontamination
+    * is about); the cost is over-dropping ~FPR of CLEAN documents
+    * whose ngram probes collide (~1% at the configured sizing) —
+    * the right trade for hygiene filtering, and the spec pins both
+    * sides (recall 1.0 against batch c09; bounded over-drop). Docs
+    * shorter than the ngram width carry an empty shingle set and
+    * always pass. For an audit trail of WHAT was dropped and why,
+    * run the batch c09/c09b report over the same snapshot — the
+    * streaming filter is the gate, not the report. */
+  def decontaminateIngest(spark: SparkSession, raw: DataFrame,
+      evalDocs: DataFrame): Dataset[DocRow] = {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val evalNg = DedupOps.shingleDocsOf(evalDocs, DedupOps.DECON_N, hashed = true)
+      .select(explode_outer(col("shs")).as("sh")).distinct()
+    val bloom = DedupOps.bloomOfLongs(evalNg, "sh")
+    val withSh = DedupOps.withShingleCol(raw, DedupOps.DECON_N)
+    val kept =
+      if (bloom == null) withSh // empty eval set: nothing can leak
+      else withSh.filter(!exists(col("shs"),
+        sh => call_function("graft_might_contain", lit(bloom), sh)))
+    kept.select(col("doc_id"), col("text")).as[DocRow]
+  }
+
   // ---------------------------------------------------------------
   // Entry point 2: the order path (BaseDBApp → OrderWideApp →
   // PaymentWideApp, SURVEY.md §3.2)
