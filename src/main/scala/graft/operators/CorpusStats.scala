@@ -86,6 +86,26 @@ object CorpusStats extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** t12x — t12's PRODUCTION swap for unbounded value domains:
+    * `percentile_approx` (Spark's mergeable Greenwald-Khanna quantile
+    * sketch) replaces the exact histogram selection. One narrow pass,
+    * map-side-merged sketches of bounded size per group — the right
+    * tool when values are continuous (t12's fixed-point histogram
+    * trick needs a bounded domain). No DuckDB oracle: sketch
+    * internals are engine-specific, so the driver records rows/schema
+    * only and CorpusStatsSpec gates the approximation error against
+    * t12's exact medians instead (same pattern as a21x/a23x). */
+  def t12xQualityDistApprox(s: SparkSession, d: String): DataFrame =
+    TextOps.withQualityCols(Tables.documents(s, d))
+      .filter(col("quality").isNotNull)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile_approx(col("quality"), lit(0.5), lit(10000)).as("q_med_approx"),
+        percentile_approx(col("quality"), lit(0.25), lit(10000)).as("q_p25_approx"),
+        percentile_approx(col("quality"), lit(0.75), lit(10000)).as("q_p75_approx"))
+      .orderBy(col("source"))
+
   // ---------------------------------------------------------------
   // t13 — top-k n-gram vocabulary per language
   // ---------------------------------------------------------------
@@ -148,6 +168,7 @@ object CorpusStats extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_quality_dist" -> t12QualityDist,
+    "t12x_quality_dist_approx" -> t12xQualityDistApprox,
     "t13_ngram_topk" -> t13NgramTopK,
     "t14_corpus_shuffle" -> t14CorpusShuffle)
 

@@ -34,6 +34,18 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("t12x approx median within tolerance of the exact histogram median") {
+    val exact = CorpusStats.t12QualityDist(spark, sf)
+      .select("source", "q_med").as[(String, Double)].collect().toMap
+    val approx = CorpusStats.t12xQualityDistApprox(spark, sf)
+      .select("source", "q_med_approx").as[(String, Double)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (src, a) =>
+      assert(math.abs(a - exact(src)) <= 0.02,
+        s"approx median $a vs exact ${exact(src)} for $src")
+    }
+  }
+
   test("t13 top-k matches a brute-force bigram count") {
     val got = CorpusStats.t13NgramTopK(spark, sf)
       .as[(String, String, Long, Long)].collect()

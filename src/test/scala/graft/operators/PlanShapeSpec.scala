@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Regression net for the physical-plan properties the 100 TB design
+  * claims rest on. Plans are audited POST-AQE (collect() finalizes
+  * the adaptive plan) at sf0.001 — the properties asserted here are
+  * planner-structural (operator choice, pushdown, partial top-k),
+  * not data-size-dependent.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan text of a declared query. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  /** Queries whose plans legitimately contain a broadcast
+    * nested-loop join: the tiny-literal-side patterns (range dim in
+    * a14c; the ≤20-row broadcast query/centroid sets in the ANN
+    * family) where a hash join has no equi-key to use. */
+  private val bnljAllowed = Set(
+    "a14c_range_join", "c06_ann_brute", "c07_ann_ivf",
+    "c07b_ann_ivf_refined", "c11_semantic_dedup", "c05_embed_neardup")
+
+  test("no query plan contains a cartesian product; BNLJ only where intended") {
+    val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = finalPlan(name)
+      val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val bnlj = if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        Seq(s"$name: unexpected BroadcastNestedLoopJoin") else Nil
+      cart ++ bnlj
+    }
+    assert(violations.isEmpty, violations.mkString("; "))
+  }
+
+  test("top-k rank filters compile to partial WindowGroupLimit") {
+    Seq("t11_top_quality_per_source", "t13_ngram_topk", "a14b_asof_join")
+      .foreach { q =>
+        assert(finalPlan(q).contains("WindowGroupLimit"), s"$q lost its WindowGroupLimit")
+      }
+  }
+
+  test("t12 runs exactly two keyed exchanges (histogram agg + source window)") {
+    val plan = finalPlan("t12_quality_dist")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx === 2, s"expected 2 hash exchanges, got $hashEx — " +
+      "the windows and final aggregate must share the source partitioning")
+  }
+
+  test("c09b probes the bloom sketch before the exact semi-join verify") {
+    val plan = finalPlan("c09b_decontaminate_bloom")
+    assert(plan.contains("might_contain"), "bloom probe missing from the plan")
+    assert(plan.contains("LeftSemi"), "exact verify semi-join missing")
+    // the probe must sit in a Filter, not inside the join condition
+    val probeInFilter = plan.linesIterator
+      .exists(l => l.contains("Filter") && l.contains("might_contain"))
+    assert(probeInFilter, "might_contain is not a pre-join Filter")
+  }
+
+  test("star-query dims broadcast (no shuffle join on b2's dimension side)") {
+    val plan = finalPlan("b2_topn_spu")
+    assert(plan.contains("BroadcastHashJoin"), "b2 lost its broadcast dim join")
+    assert(!plan.contains("SortMergeJoin"), "b2 dim join degraded to sort-merge")
+  }
+}
