@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** The min-label-propagation components on hand graphs: chains need
   * multiple propagation rounds (the transitive case pair-level dedup
@@ -24,5 +25,36 @@ class ClusterSpec extends SparkSpec {
       10L -> ((10L, 4L)), 11L -> ((10L, 4L)), 12L -> ((10L, 4L)), 13L -> ((10L, 4L)),
       20L -> ((20L, 2L)), 21L -> ((20L, 2L)))
     assert(got === expected)
+  }
+
+  test("a 50-duplicate hot LSH bucket yields the full pair set and one cluster") {
+    // 50 byte-identical boilerplate docs land in the SAME band buckets
+    // (identical MinHash signatures) — the worst-case hot bucket the
+    // dedup path must absorb: candidate generation stays quadratic
+    // only WITHIN the bucket, and clustering collapses it to one
+    // canonical doc. 50 distinct docs ride along to prove isolation.
+    val boiler = ("click here to subscribe to our newsletter " * 5).trim
+    val corpus = (
+      (1L to 50L).map(i => (i, boiler)) ++
+      (100L to 149L).map(i =>
+        (i, s"entirely distinct document number $i about topic ${i * 7}"))
+    ).toDF("doc_id", "text")
+    val bands = DedupOps.bandKeys(DedupOps.shingleDocsOf(corpus, 3, hashed = true))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+      .as[(Long, Long)].collect().toSet
+    val hotPairs = (for (a <- 1L to 50L; b <- (a + 1) to 50L) yield (a, b)).toSet
+    assert(hotPairs.subsetOf(cand), "hot-bucket pair set is incomplete")
+    val comps = DedupOps.connectedComponents(
+      cand.toSeq.toDF("da", "db"))
+      .as[(Long, Long, Long)].collect()
+    val hot = comps.filter(_._1 <= 50L)
+    assert(hot.length === 50)
+    assert(hot.forall(_._2 === 1L), "hot cluster must canonicalize to doc 1")
+    assert(hot.forall(_._3 >= 50L))
   }
 }
