@@ -121,11 +121,43 @@ object MediaOps extends QueryModule {
         expr("CAST(ceil(octet_length(media) / 8.0) AS BIGINT)").as("n_samples"))
       .orderBy(col("doc_id"))
 
+  /** Core of m03 over any `(doc_id, media, mime, …)` frame. */
+  def mediaDedup(media: DataFrame): DataFrame =
+    media
+      .groupBy(md5(col("media")).as("content_key"), col("mime"))
+      .agg(
+        min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("dup_ct"),
+        sum(length(col("media")).cast(LongType)).as("bytes_total"))
+      .orderBy(col("canonical_id"))
+
+  /** m03 — media exact dedup / content-addressed storage key: group
+    * payloads by md5 over the BINARY column per mime — the CAS key a
+    * media lake dedupes and shards blobs by — keeping the canonical
+    * (minimum) doc and byte totals. The c01 groupBy-on-derived-hash
+    * shape exercised on BinaryType: hashing and aggregation never
+    * decode the payload, so the operator scans blob bytes once and
+    * shuffles one small row per distinct content key. The oracle
+    * hashes the same bytes through VARCHAR (the fixture payload IS
+    * the text's UTF-8 bytes; this harness's DuckDB has md5(VARCHAR)
+    * only — octet_length still goes through the BLOB cast as in
+    * m01/m02). */
+  def m03MediaDedup(s: SparkSession, d: String): DataFrame =
+    mediaDedup(attachMedia(s, d).toDF())
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> ((s, d) => m01MediaMeta(s, d)),
-    "m02_frame_sample" -> ((s, d) => m02FrameSample(s, d)))
+    "m02_frame_sample" -> ((s, d) => m02FrameSample(s, d)),
+    "m03_media_dedup" -> ((s, d) => m03MediaDedup(s, d)))
 
   override val oracle: Map[String, String] = Map(
+    "m03_media_dedup" ->
+      """SELECT md5(text) AS content_key,
+        |  'application/octet-stream' AS mime,
+        |  MIN(doc_id) AS canonical_id,
+        |  CAST(COUNT(*) AS BIGINT) AS dup_ct,
+        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes_total
+        |FROM documents GROUP BY 1, 2 ORDER BY canonical_id""".stripMargin,
     "m02_frame_sample" ->
       """SELECT doc_id,
         |  substr(hex(CAST(text AS BLOB)), 1, 16) AS head_hex,

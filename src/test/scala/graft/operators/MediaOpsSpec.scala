@@ -34,4 +34,18 @@ class MediaOpsSpec extends SparkSpec {
       .toMap
     assert(run(2) === run(8))
   }
+
+  test("m03 groups byte-identical payloads under one content key") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(7L, "same bytes".getBytes("UTF-8"), "image/png", 1, 1),
+      MediaRow(3L, "same bytes".getBytes("UTF-8"), "image/png", 2, 2),
+      MediaRow(9L, "other".getBytes("UTF-8"), "image/png", 3, 3),
+      // same bytes, different mime: a DIFFERENT storage group
+      MediaRow(4L, "same bytes".getBytes("UTF-8"), "audio/wav", 4, 4))
+    val got = MediaOps.mediaDedup(rows.toDF())
+      .select("canonical_id", "dup_ct", "bytes_total")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((3L, 2L, 20L), (4L, 1L, 10L), (9L, 1L, 5L)))
+  }
 }
