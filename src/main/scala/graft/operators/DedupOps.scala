@@ -549,9 +549,17 @@ object DedupOps extends QueryModule {
     * `graft_bloom_agg` aggregate registered in GraftExtensions), the
     * corpus side probes it with the codegen'd `graft_might_contain`
     * BEFORE any join, and only probe survivors (true hits + ~1%
-    * false positives) reach the exact left-semi verify join. No
-    * false negatives ⇒ the verify join sees every true hit ⇒ the
-    * output is bit-identical to c09 (the oracle is literally c09's).
+    * false positives) reach the exact semi-join verify. No false
+    * negatives ⇒ the verify join sees every true hit ⇒ the output is
+    * bit-identical to c09 (the oracle is literally c09's).
+    *
+    * The sketch arrives as an UNCORRELATED SCALAR SUBQUERY — the
+    * exact wiring Spark's InjectRuntimeFilter uses for its own
+    * bloom-pruned joins — so the filter bytes never round-trip
+    * through the driver as a plan literal: the subquery runs once and
+    * its result ships with the task closure. Expressed as SQL TEXT
+    * over the registered functions (the a23b/t04b surface): a
+    * SQL-only user gets the identical plan.
     *
     * Why this is the 100 TB shape: c09 relies on AQE broadcasting
     * the eval set as a join hashmap, which dies when the benchmark
@@ -563,24 +571,28 @@ object DedupOps extends QueryModule {
     * per doc crosses the wire), so the dominant corpus-sized term is
     * a narrow scan + codegen'd probe with zero shuffle. */
   def c09bDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
-    val ng = shingleDocs(s, d, DECON_N, hashed = true)
+    shingleDocs(s, d, DECON_N, hashed = true)
       .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
-    val corpus = ng.filter(col("doc_id") % EVAL_MOD =!= 0)
-    val evalNg = ng.filter(col("doc_id") % EVAL_MOD === 0)
-      .select(col("sh")).distinct()
-    val bloomBytes = bloomOfLongs(evalNg, "sh")
-    val probe = // null sketch ⇔ empty eval set ⇔ nothing can overlap
-      if (bloomBytes == null) lit(false)
-      else call_function("graft_might_contain", lit(bloomBytes), col("sh"))
-    val hits = corpus.filter(probe)
-      .join(evalNg, Seq("sh"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap_ct"))
-    corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .join(hits, Seq("doc_id")) // inner ≡ c09's overlap_ct > 0 filter
-      .withColumn("overlap_ratio",
-        col("overlap_ct").cast(DoubleType) / col("n").cast(DoubleType))
-      .select(col("doc_id"), col("n"), col("overlap_ct"), col("overlap_ratio"))
-      .orderBy(col("doc_id"))
+      .createOrReplaceTempView("c09_ng")
+    s.sql(
+      s"""WITH evalng AS (
+         |  SELECT DISTINCT sh FROM c09_ng WHERE doc_id % $EVAL_MOD = 0),
+         |corpus AS (
+         |  SELECT doc_id, sh FROM c09_ng WHERE doc_id % $EVAL_MOD <> 0),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS overlap_ct
+         |  FROM corpus
+         |  WHERE graft_might_contain(
+         |          (SELECT graft_bloom_agg(sh, ${BLOOM_ITEMS}L, ${BLOOM_BITS}L)
+         |           FROM evalng),
+         |          sh)
+         |    AND sh IN (SELECT sh FROM evalng)
+         |  GROUP BY doc_id),
+         |totals AS (SELECT doc_id, COUNT(*) AS n FROM corpus GROUP BY doc_id)
+         |SELECT t.doc_id, t.n, h.overlap_ct,
+         |       CAST(h.overlap_ct AS DOUBLE) / CAST(t.n AS DOUBLE) AS overlap_ratio
+         |FROM totals t JOIN hits h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin)
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
