@@ -24,6 +24,15 @@ final case class MediaFeatures(
     sample_checksum: Long,    // checksum over every 8th byte ("frame sample")
     batch_size: Int)          // decode-batch the row was processed in
 
+/** Deterministic stand-in for a resampled ("resized") payload. */
+final case class ResizedMedia(
+    doc_id: Long,
+    out_w: Int,               // dimensions after scaling to target width
+    out_h: Int,
+    stride: Int,              // byte stride standing in for the scale factor
+    resized_bytes: Long,      // bytes surviving the stride ("output size")
+    resized_checksum: Long)
+
 /** Multimodal-column operators: treat image/audio/video as opaque
   * binary columns with typed metadata, processed in batches by a
   * per-partition decoder.
@@ -94,6 +103,41 @@ object MediaOps extends QueryModule {
     val media = attachMedia(s, d)
     val parted = if (partitions > 0) media.repartition(partitions) else media
     parted.mapPartitions(decodeStub)
+  }
+
+  /** STUB resize — deterministic fake of a scaler to `targetW`
+    * pixels wide: the integer downscale factor becomes a byte
+    * stride, and the "resized payload" is the strided byte stream's
+    * size + checksum. Same batch shape as [[decodeStub]] (one scaler
+    * init per batch in the real thing); a payload narrower than the
+    * target passes through at stride 1 (no upscaling). Swap the loop
+    * body for a real scaler and the schema/batching/partitioning
+    * stay as-is. */
+  def resizeStub(targetW: Int)(rows: Iterator[MediaRow]): Iterator[ResizedMedia] =
+    rows.grouped(DECODE_BATCH).flatMap { batch =>
+      // (real scaler: init once per batch here)
+      batch.map { r =>
+        val stride = math.max(1, r.width / targetW)
+        var checksum = 0L
+        var n = 0L
+        var j = 0
+        while (j < r.media.length) {
+          checksum = checksum * 31 + (r.media(j) & 0xFF)
+          n += 1
+          j += stride
+        }
+        ResizedMedia(r.doc_id, r.width / stride, r.height / stride,
+          stride, n, checksum)
+      }
+    }
+
+  /** attach → repartition → batched resize (the scaler pipeline). */
+  def resizeAll(s: SparkSession, d: String, targetW: Int = 256,
+      partitions: Int = 0): Dataset[ResizedMedia] = {
+    import s.implicits._
+    val media = attachMedia(s, d)
+    val parted = if (partitions > 0) media.repartition(partitions) else media
+    parted.mapPartitions(resizeStub(targetW))
   }
 
   /** m01 — the oracle-checkable slice: binary payload length and

@@ -35,6 +35,27 @@ class MediaOpsSpec extends SparkSpec {
     assert(run(2) === run(8))
   }
 
+  test("resize stub: stride tracks target width, output independent of partitioning") {
+    val feats = MediaOps.resizeAll(spark, sf, targetW = 256).collect()
+    val meta = MediaOps.attachMedia(spark, sf).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(feats.length === meta.size)
+    feats.foreach { f =>
+      val r = meta(f.doc_id)
+      val stride = math.max(1, r.width / 256)
+      assert(f.stride === stride)
+      assert(f.out_w === r.width / stride)
+      assert(f.out_h === r.height / stride)
+      // strided byte count: ceil(len / stride)
+      assert(f.resized_bytes === (r.media.length + stride - 1) / stride)
+      // stride 1 resize IS the full-payload checksum walk
+      if (stride == 1) assert(f.resized_bytes === r.media.length.toLong)
+    }
+    val again = MediaOps.resizeAll(spark, sf, targetW = 256, partitions = 7)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.map(f => f.doc_id -> f).toMap === again)
+  }
+
   test("m03 groups byte-identical payloads under one content key") {
     import spark.implicits._
     val rows = Seq(
