@@ -47,11 +47,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
-      (children: Seq[Expression]) =>
-        new BloomFilterAggregate(children(0), children(1), children(2))))
+      (children: Seq[Expression]) => children match {
+        // mirror BloomFilterAggregate's own 1/2/3-arg constructors
+        // (conf-default sizing) instead of throwing IndexOutOfBounds
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, n) => new BloomFilterAggregate(c, n)
+        case Seq(c, n, m) => new BloomFilterAggregate(c, n, m)
+        case _ => throw new IllegalArgumentException(
+          s"graft_bloom_agg expects 1-3 arguments, got ${children.size}")
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
-      (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))))
+      (children: Seq[Expression]) => children match {
+        case Seq(bf, v) => BloomFilterMightContain(bf, v)
+        case _ => throw new IllegalArgumentException(
+          s"graft_might_contain expects 2 arguments (bloom, value), got ${children.size}")
+      }))
   }
 }

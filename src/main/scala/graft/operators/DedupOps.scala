@@ -527,20 +527,27 @@ object DedupOps extends QueryModule {
   // ---------------------------------------------------------------
 
   /** Bloom sizing for the fixture's eval side (~50k distinct ngrams
-    * at sf0.1): 2^17 expected items, 2^20 bits (128 KiB, ~1% false
-    * positives). At 100 TB with a real benchmark suite, scale bits
-    * linearly with the eval ngram count — the point of the sketch is
-    * that 10^8 eval ngrams fit in ~1.2 bits-per-item·n ≈ 150 MB where
-    * a broadcast hashmap of longs would take gigabytes. */
+    * at sf0.1): 2^17 expected items, 2^20 bits — 8 bits per item at
+    * capacity, ~2% per-PROBE false positives (k=6). Fine for c09b,
+    * where probe FPs only cost a little extra verify-join traffic
+    * and can never change the result. At 100 TB with a real
+    * benchmark suite, scale bits linearly with the eval ngram count:
+    * ~10 bits/item ≈ 1% FPR, so 10^8 eval ngrams ≈ 125 MB of sketch
+    * where a broadcast hashmap of longs costs gigabytes. When probe
+    * FPs are TERMINAL (no exact verify after — the streaming ingest
+    * filter), size by the union bound over a document's probes
+    * instead: see Jobs.decontaminateIngest. */
   private val BLOOM_ITEMS = 1L << 17
   private val BLOOM_BITS = 1L << 20
 
   /** Serialized Bloom filter over a BIGINT column (null when `df` is
     * empty — probe nothing). Shared by c09b and the streaming ingest
-    * decontamination (Jobs.decontaminateIngest). */
-  private[graft] def bloomOfLongs(df: DataFrame, c: String): Array[Byte] =
+    * decontamination (Jobs.decontaminateIngest), which passes its
+    * own union-bound sizing. */
+  private[graft] def bloomOfLongs(df: DataFrame, c: String,
+      items: Long = BLOOM_ITEMS, bits: Long = BLOOM_BITS): Array[Byte] =
     df.agg(call_function("graft_bloom_agg",
-        col(c), lit(BLOOM_ITEMS), lit(BLOOM_BITS)).as("bf"))
+        col(c), lit(items), lit(bits)).as("bf"))
       .head.getAs[Array[Byte]](0)
 
   /** c09b — c09's decontamination RESULT through a different physical
@@ -564,9 +571,12 @@ object DedupOps extends QueryModule {
     * Why this is the 100 TB shape: c09 relies on AQE broadcasting
     * the eval set as a join hashmap, which dies when the benchmark
     * suite's ngram set outgrows broadcast (hashmaps cost ~30+ bytes
-    * per long). The 8-bits-per-item sketch broadcasts at ~25× less
-    * memory, and the post-probe shuffle carries only candidate rows
-    * (~overlap + 1% of corpus ngrams) instead of every corpus ngram.
+    * per long). A ~10-bits-per-item sketch (≈1% per-probe FPR)
+    * broadcasts at ~25× less memory, and the post-probe shuffle
+    * carries only candidate rows (~overlap + FPR of corpus ngrams)
+    * instead of every corpus ngram — probe FPs here cost only that
+    * verify traffic, never correctness, so per-probe sizing is the
+    * right target (contrast Jobs.decontaminateIngest).
     * The per-doc totals aggregation is map-side-combined (one row
     * per doc crosses the wire), so the dominant corpus-sized term is
     * a narrow scan + codegen'd probe with zero shuffle. */

@@ -240,31 +240,55 @@ object Jobs {
     StatefulOps.streamDedupExact(spark, notNear)
   }
 
+  /** Bits per eval ngram for the ingest sketch. A document is
+    * over-dropped if ANY of its probes collides, so the per-document
+    * risk is the union bound n_probes · FPR, NOT the per-probe FPR —
+    * sizing must target the document, not the probe. At 28 bits/item
+    * (k = 19) the per-probe FPR is ≈ 2e-6, so even a 10,000-ngram
+    * clean document over-drops with probability ≤ ~2%. Cost: 3.5
+    * bytes per eval ngram — 10^8 eval ngrams ≈ 350 MB, still ~10×
+    * under a broadcast hashmap of longs. (BloomFilterAggregate caps
+    * items/bits at spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems/.maxNumBits — 4M items / 8 MB default; raise both
+    * for benchmark suites beyond ~2M distinct ngrams.) */
+  private val INGEST_BLOOM_BITS_PER_ITEM = 28L
+
   /** Streaming benchmark decontamination — the ingest-time twin of
     * DedupOps.c09/c09b: drop incoming documents whose hashed
     * 8-word-ngram sets touch the held-out eval set, BEFORE they enter
     * the corpus.
     *
-    * The filter is the Bloom probe ALONE — a per-row codegen'd
-    * `exists(shs, sh -> graft_might_contain(bloom, sh))` with zero
-    * joins and zero state, so it appends to any ingest query for
-    * free. The sketch has no false negatives, so every genuinely
-    * contaminated document is dropped (the guarantee decontamination
-    * is about); the cost is over-dropping ~FPR of CLEAN documents
-    * whose ngram probes collide (~1% at the configured sizing) —
-    * the right trade for hygiene filtering, and the spec pins both
-    * sides (recall 1.0 against batch c09; bounded over-drop). Docs
-    * shorter than the ngram width carry an empty shingle set and
-    * always pass. For an audit trail of WHAT was dropped and why,
-    * run the batch c09/c09b report over the same snapshot — the
-    * streaming filter is the gate, not the report. */
+    * The filter is the Bloom probe ALONE — a per-row
+    * `exists(shs, sh -> graft_might_contain(bloom, sh))` (interpreted,
+    * like all higher-order-function lambdas — see BASELINE.md's t08
+    * note — but per-row and shuffle-free) with zero joins and zero
+    * state, so it appends to any ingest query for free. The sketch
+    * has no false negatives, so every genuinely contaminated
+    * document is dropped (the guarantee decontamination is about).
+    * The cost is over-dropping clean documents, and because a doc
+    * dies on ANY colliding probe the risk compounds over its ngrams:
+    * P(over-drop) ≤ n_ngrams · FPR. The sketch is therefore sized
+    * from the MEASURED eval ngram count at
+    * [[INGEST_BLOOM_BITS_PER_ITEM]] bits per item (per-probe FPR
+    * ≈ 2e-6), keeping even 10k-ngram clean docs ≤ ~2% at-risk — the
+    * spec pins recall 1.0 against batch c09 and the bounded
+    * over-drop. Docs shorter than the ngram width carry an empty
+    * shingle set and always pass. For an audit trail of WHAT was
+    * dropped and why, run the batch c09/c09b report over the same
+    * snapshot — the streaming filter is the gate, not the report. */
   def decontaminateIngest(spark: SparkSession, raw: DataFrame,
       evalDocs: DataFrame): Dataset[DocRow] = {
     import spark.implicits._
     import graft.operators.DedupOps
     val evalNg = DedupOps.shingleDocsOf(evalDocs, DedupOps.DECON_N, hashed = true)
       .select(explode_outer(col("shs")).as("sh")).distinct()
-    val bloom = DedupOps.bloomOfLongs(evalNg, "sh")
+      .persist() // counted once for sizing, then aggregated into the sketch
+    val nEval = evalNg.count()
+    val bloom =
+      if (nEval == 0) null
+      else DedupOps.bloomOfLongs(evalNg, "sh", items = nEval,
+        bits = nEval * INGEST_BLOOM_BITS_PER_ITEM)
+    evalNg.unpersist()
     val withSh = DedupOps.withShingleCol(raw, DedupOps.DECON_N)
     val kept =
       if (bloom == null) withSh // empty eval set: nothing can leak

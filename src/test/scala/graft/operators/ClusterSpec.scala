@@ -55,6 +55,12 @@ class ClusterSpec extends SparkSpec {
     val hot = comps.filter(_._1 <= 50L)
     assert(hot.length === 50)
     assert(hot.forall(_._2 === 1L), "hot cluster must canonicalize to doc 1")
-    assert(hot.forall(_._3 >= 50L))
+    // isolation, asserted both ways: the hot cluster contains EXACTLY
+    // its 50 members, and no distinct rider doc was pulled into it
+    // (riders may band-collide among THEMSELVES — never with the
+    // boilerplate, whose shingle set they share nothing with)
+    assert(hot.forall(_._3 === 50L), "hot cluster absorbed a rider doc")
+    assert(comps.filter(_._1 >= 100L).forall(_._2 >= 100L),
+      "a rider doc was labeled into the hot cluster")
   }
 }
