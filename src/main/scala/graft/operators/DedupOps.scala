@@ -115,6 +115,15 @@ object DedupOps extends QueryModule {
         .as("shs"))
   }
 
+  /** Distinct hashed `n`-word shingles of a pre-split token column;
+    * EMPTY array when the doc has < n tokens (the guarded twin of the
+    * [[shingleDocsOf]] construction — same transform, one place). */
+  private def hashedShingles(toksCol: String, n: Int): Column =
+    when(size(col(toksCol)) >= n, array_distinct(expr(
+      s"transform(sequence(0, size($toksCol) - $n), " +
+        s"i -> graft_h60(concat_ws(' ', slice($toksCol, i + 1, $n))))")))
+      .otherwise(array().cast(ArrayType(LongType)))
+
   /** Adds a `shs` column (distinct hashed `n`-word shingles; EMPTY
     * array when the doc has < n tokens, so short docs survive instead
     * of being filtered) without dropping any input column — the
@@ -123,12 +132,31 @@ object DedupOps extends QueryModule {
     * which stops CollapseProject from inlining the split per use. */
   private[graft] def withShingleCol(df: DataFrame, n: Int): DataFrame =
     df.withColumn("__toks", split(col("text"), "\\s+"))
-      .withColumn("shs",
-        when(size(col("__toks")) >= n, array_distinct(expr(
-          s"transform(sequence(0, size(__toks) - $n), " +
-            s"i -> graft_h60(concat_ws(' ', slice(__toks, i + 1, $n))))")))
-          .otherwise(array().cast(ArrayType(LongType))))
+      .withColumn("shs", hashedShingles("__toks", n))
       .drop("__toks")
+
+  /** ONE corpus scan feeding all three near-dup detectors: per-doc
+    * hashed 3-shingles (c02), hashed 4-grams (c04), and the SimHash
+    * fingerprint (c03), materialized with localCheckpoint. Every
+    * detector then reads the (text-free — longs only, ~4× smaller
+    * than the raw corpus) checkpoint instead of re-scanning and
+    * re-tokenizing parquet; round 4's c14 planned the three detectors
+    * as disjoint lineages and paid ~6 full corpus scans where this
+    * pass + checkpoint reads suffice. The checkpoint is
+    * MEMORY_AND_DISK, so at 100 TB this is "write the derived
+    * features once to executor-local storage" — strictly cheaper
+    * than even a second scan, because the md5 shingle hashing (the
+    * dominant per-row cost) never re-runs. Blocks are freed by the
+    * ContextCleaner when the plans are collected. */
+  private[graft] def sharedDedupPass(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__toks", split(col("text"), "\\s+"))
+      .select(
+        col("doc_id"),
+        hashedShingles("__toks", 3).as("shs3"),
+        hashedShingles("__toks", NGRAM_N).as("shs4"),
+        Portable.simhash60(col("text")).as("fp"))
+      .localCheckpoint()
 
   /** MinHash signature → exploded (doc_id, band, key) LSH band keys
     * (the c02 blocking scheme, shared with c13's cross-corpus join
@@ -174,15 +202,16 @@ object DedupOps extends QueryModule {
       .orderBy(col("da"), col("db"))
   }
 
-  /** The c02 candidate-pair stage (exposed for the scale probe:
-    * candidate counts are the quantity the LSH equi-join bound is
-    * about). */
-  private[graft] def c02Cand(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleDocs(s, d, 3, hashed = true)
-    // Signatures per-row via the native one-pass expression — ZERO
-    // shuffles before the band self-join (round 2 shuffled the full
-    // shingle table into a groupBy(doc_id) agg of 16 md5-min columns).
-    val bands = bandKeys(docs)
+  /** The c02 candidate-pair stage over a built (doc_id, shs) shingle
+    * frame. Signatures per-row via the native one-pass expression —
+    * ZERO shuffles before the band self-join (round 2 shuffled the
+    * full shingle table into a groupBy(doc_id) agg of 16 md5-min
+    * columns). The band-key table (4 short rows/doc) is
+    * localCheckpointed BEFORE the self-join so both sides read the
+    * materialized keys; round 4 let each side replay the whole
+    * shingle+minhash scan, doubling the dominant cost. */
+  private[graft] def c02CandOf(sh3: DataFrame): DataFrame = {
+    val bands = bandKeys(sh3).localCheckpoint()
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -191,18 +220,38 @@ object DedupOps extends QueryModule {
       .distinct()
   }
 
-  def c02MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleDocs(s, d, 3, hashed = true)
+  /** [[c02CandOf]] from parquet (exposed for the scale probe:
+    * candidate counts are the quantity the LSH equi-join bound is
+    * about). */
+  private[graft] def c02Cand(s: SparkSession, d: String): DataFrame =
+    c02CandOf(shingleDocs(s, d, 3, hashed = true))
+
+  /** c02 over a built (doc_id, shs) frame — shared by the parquet
+    * entry point below and c14's shared-pass composition. Cost in
+    * corpus scans of `sh3`'s lineage: ONE for the checkpointed band
+    * keys + ONE for the candidate-doc shingle semi-join (round 4
+    * paid three). */
+  private[graft] def c02MinhashLshOf(sh3: DataFrame): DataFrame = {
     // Materialize the (tiny) pair set once: it feeds both the
     // semi-join below and the verify join. localCheckpoint blocks
     // are freed by the ContextCleaner when the plan is collected —
     // unlike round 2's session-lifetime cache() of the shingles.
-    val cand = c02Cand(s, d).localCheckpoint()
-    val shCand = docs.join(candIds(cand), Seq("doc_id"), "left_semi")
+    val cand = c02CandOf(sh3).localCheckpoint()
+    val shCand = sh3.join(candIds(cand), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
       .localCheckpoint()
     verifyJaccard(cand, shCand, JACCARD_T)
   }
+
+  def c02MinhashLsh(s: SparkSession, d: String): DataFrame =
+    // The hashed shingle frame is checkpointed so the corpus is
+    // scanned + md5-shingled ONCE; the band build and the verify
+    // semi-join both read the (text-free, longs-only) materialized
+    // blocks. At 100 TB that is ~corpus/4 of executor-local spill in
+    // exchange for dropping a full scan+re-hash — and unlike round
+    // 2's session-lifetime cache(), the blocks are freed by the
+    // ContextCleaner as soon as the plan is collected.
+    c02MinhashLshOf(shingleDocs(s, d, 3, hashed = true).localCheckpoint())
 
   // ---------------------------------------------------------------
   // c03 — SimHash (60-bit, term-frequency weighted, 4 blocking
@@ -214,20 +263,16 @@ object DedupOps extends QueryModule {
   private val CHUNK_BITS = 15
   private val HAMMING_T = 3
 
-  def c03Simhash(s: SparkSession, d: String): DataFrame = {
-    // The fingerprint is a per-document function, so it is ONE
-    // codegen'd expression (graft.functions.SimHash60): no (doc,tok)
-    // explode, no 60-column hash aggregate, no shuffle until the
-    // chunk self-join. Round 2's relational form was the slowest
-    // bench query (23.3 s at sf0.1); the oracle SQL keeps that
-    // relational shape, which pins the expression's equivalence.
-    val fp = Tables.documents(s, d)
-      .select(col("doc_id"), Portable.simhash60(col("text")).as("fp"))
-      .where(col("fp").isNotNull)
+  /** c03 over a built (doc_id, fp) fingerprint frame — shared by the
+    * parquet entry point below and c14's shared-pass composition.
+    * The chunk table (4 short rows/doc) is localCheckpointed before
+    * the self-join so the fingerprint scan runs once, not per side. */
+  private[graft] def c03SimhashOf(fp: DataFrame): DataFrame = {
     val chunks = fp.select(col("doc_id"), col("fp"), posexplode_outer(array(
       (0 until CHUNKS).map(c =>
         shiftright(col("fp"), c * CHUNK_BITS).bitwiseAND((1 << CHUNK_BITS) - 1)): _*)))
       .toDF("doc_id", "fp", "chunk", "cv")
+      .localCheckpoint()
     val cand = chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
@@ -242,6 +287,17 @@ object DedupOps extends QueryModule {
       .orderBy(col("da"), col("db"))
   }
 
+  def c03Simhash(s: SparkSession, d: String): DataFrame =
+    // The fingerprint is a per-document function, so it is ONE
+    // codegen'd expression (graft.functions.SimHash60): no (doc,tok)
+    // explode, no 60-column hash aggregate, no shuffle until the
+    // chunk self-join. Round 2's relational form was the slowest
+    // bench query (23.3 s at sf0.1); the oracle SQL keeps that
+    // relational shape, which pins the expression's equivalence.
+    c03SimhashOf(Tables.documents(s, d)
+      .select(col("doc_id"), Portable.simhash60(col("text")).as("fp"))
+      .where(col("fp").isNotNull))
+
   // ---------------------------------------------------------------
   // c04 — word-4-gram Jaccard with prefix + size filtering (t = 0.85)
   // ---------------------------------------------------------------
@@ -255,8 +311,12 @@ object DedupOps extends QueryModule {
     * small vocabulary (bigrams of a 40-word vocabulary all have huge
     * df, which made every prefix bucket quadratic — measured 72s at
     * sf0.1 in round 1). */
-  private[graft] def c04Cand(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleDocs(s, d, NGRAM_N, hashed = true)
+  private[graft] def c04Cand(s: SparkSession, d: String): DataFrame =
+    c04CandOf(shingleDocs(s, d, NGRAM_N, hashed = true))
+
+  /** The c04 candidate-pair stage over a built (doc_id, shs) 4-gram
+    * frame (c14 passes the shared-pass checkpoint). */
+  private[graft] def c04CandOf(docs: DataFrame): DataFrame = {
     // n = |distinct ngrams| rides along from size(shs), so the only
     // work before the prefix self-join is the global-df count and the
     // per-doc (df, sh) rank — round 2 additionally paid a per-doc
@@ -295,14 +355,21 @@ object DedupOps extends QueryModule {
       .distinct()
   }
 
-  def c04NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleDocs(s, d, NGRAM_N, hashed = true)
-    val cand = c04Cand(s, d).localCheckpoint()
-    val ngCand = docs.join(candIds(cand), Seq("doc_id"), "left_semi")
+  /** c04 over a built (doc_id, shs) frame — shared by the parquet
+    * entry point below and c14's shared-pass composition. */
+  private[graft] def c04NgramJaccardOf(sh4: DataFrame): DataFrame = {
+    val cand = c04CandOf(sh4).localCheckpoint()
+    val ngCand = sh4.join(candIds(cand), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
       .localCheckpoint()
     verifyJaccard(cand, ngCand, NGRAM_T)
   }
+
+  def c04NgramJaccard(s: SparkSession, d: String): DataFrame =
+    // Same one-scan contract as c02MinhashLsh: the 4-gram frame is
+    // materialized once and feeds both the prefix-filter windows and
+    // the verify semi-join.
+    c04NgramJaccardOf(shingleDocs(s, d, NGRAM_N, hashed = true).localCheckpoint())
 
   // ---------------------------------------------------------------
   // c08 — corpus curation: the composed training-data pipeline
@@ -459,8 +526,10 @@ object DedupOps extends QueryModule {
       .join(oldDocs.select(md5(norm(col("text"))).as("h")).distinct(),
         Seq("h"), "left_semi")
       .select(col("doc_id")).withColumn("__ex", lit(1))
-    val shNew = shingleDocsOf(newDocs, 3, hashed = true)
-    val shOld = shingleDocsOf(oldDocs, 3, hashed = true)
+    // Each side's shingle frame is read twice (band probe + verify
+    // semi-join) — checkpoint so each side is scanned+hashed once.
+    val shNew = shingleDocsOf(newDocs, 3, hashed = true).localCheckpoint()
+    val shOld = shingleDocsOf(oldDocs, 3, hashed = true).localCheckpoint()
     val cand = bandKeys(shNew).as("x")
       .join(bandKeys(shOld).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
@@ -499,24 +568,38 @@ object DedupOps extends QueryModule {
     * blindness to order, prefix-filter threshold effects), and
     * requiring agreement suppresses all three at the cost of recall
     * on borderline pairs — the standard precision-first setting for
-    * irreversible corpus deletion. Cost is the sum of the three
-    * detectors (each already candidate-bounded; see their docs) plus
-    * one small groupBy over the emitted pairs — the pair lists are
-    * tiny relative to the corpus, so the consensus step is free at
-    * scale. The oracle recomputes all three pipelines in one WITH
-    * chain and must agree on every pair AND the per-pair method
-    * list. */
+    * irreversible corpus deletion. All three detectors consume ONE
+    * shared corpus pass ([[sharedDedupPass]]: tokenize + hash
+    * 3-shingles + 4-grams + SimHash in a single scan, checkpointed)
+    * — round 4 planned them as disjoint lineages and re-scanned /
+    * re-shingled the corpus ~6×. The consensus groupBy itself runs
+    * over the tiny emitted pair lists, so it is free at scale.
+    * n_methods counts DISTINCT detectors (not pair-list rows), so a
+    * detector that ever emitted a duplicate pair could not
+    * single-handedly pass the ≥2 gate; the oracle recomputes all
+    * three pipelines in one WITH chain and must agree on every pair
+    * AND the per-pair method list. */
   def c14DedupConsensus(s: SparkSession, d: String): DataFrame = {
-    val mh = c02MinhashLsh(s, d).select(col("da"), col("db"))
-      .withColumn("method", lit("minhash"))
-    val sh = c03Simhash(s, d).select(col("da"), col("db"))
-      .withColumn("method", lit("simhash"))
-    val ng = c04NgramJaccard(s, d).select(col("da"), col("db"))
-      .withColumn("method", lit("ngram"))
+    val shared = sharedDedupPass(Tables.documents(s, d))
+    // The guards reproduce each detector's own input contract: the
+    // shingle paths drop docs shorter than n tokens (empty shs), the
+    // SimHash path drops null fingerprints — so each *Of pipeline
+    // sees exactly the frame its parquet entry point would build.
+    val mh = c02MinhashLshOf(
+      shared.select(col("doc_id"), col("shs3").as("shs"))
+        .where(size(col("shs")) > 0))
+      .select(col("da"), col("db")).withColumn("method", lit("minhash"))
+    val sh = c03SimhashOf(
+      shared.select(col("doc_id"), col("fp")).where(col("fp").isNotNull))
+      .select(col("da"), col("db")).withColumn("method", lit("simhash"))
+    val ng = c04NgramJaccardOf(
+      shared.select(col("doc_id"), col("shs4").as("shs"))
+        .where(size(col("shs")) > 0))
+      .select(col("da"), col("db")).withColumn("method", lit("ngram"))
     mh.unionByName(sh).unionByName(ng)
       .groupBy(col("da"), col("db"))
       .agg(
-        count(lit(1)).as("n_methods"),
+        countDistinct(col("method")).as("n_methods"),
         array_join(array_sort(collect_set(col("method"))), ",").as("methods"))
       .filter(col("n_methods") >= 2)
       .orderBy(col("da"), col("db"))
@@ -548,7 +631,7 @@ object DedupOps extends QueryModule {
       items: Long = BLOOM_ITEMS, bits: Long = BLOOM_BITS): Array[Byte] =
     df.agg(call_function("graft_bloom_agg",
         col(c), lit(items), lit(bits)).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
 
   /** c09b — c09's decontamination RESULT through a different physical
     * plan: the eval ngram set is collapsed into a Bloom filter
@@ -581,14 +664,19 @@ object DedupOps extends QueryModule {
     * per doc crosses the wire), so the dominant corpus-sized term is
     * a narrow scan + codegen'd probe with zero shuffle. */
   def c09bDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    // Session-unique view name, dropped right after spark.sql's EAGER
+    // analysis resolves it into the plan — a fixed name would leak
+    // into (and could collide with) the session-global temp-view
+    // namespace of concurrent or user-defined views.
+    val view = s"c09_ng_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     shingleDocs(s, d, DECON_N, hashed = true)
       .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
-      .createOrReplaceTempView("c09_ng")
-    s.sql(
+      .createOrReplaceTempView(view)
+    try s.sql(
       s"""WITH evalng AS (
-         |  SELECT DISTINCT sh FROM c09_ng WHERE doc_id % $EVAL_MOD = 0),
+         |  SELECT DISTINCT sh FROM $view WHERE doc_id % $EVAL_MOD = 0),
          |corpus AS (
-         |  SELECT doc_id, sh FROM c09_ng WHERE doc_id % $EVAL_MOD <> 0),
+         |  SELECT doc_id, sh FROM $view WHERE doc_id % $EVAL_MOD <> 0),
          |hits AS (
          |  SELECT doc_id, COUNT(*) AS overlap_ct
          |  FROM corpus
@@ -603,6 +691,7 @@ object DedupOps extends QueryModule {
          |       CAST(h.overlap_ct AS DOUBLE) / CAST(t.n AS DOUBLE) AS overlap_ratio
          |FROM totals t JOIN hits h ON t.doc_id = h.doc_id
          |ORDER BY t.doc_id""".stripMargin)
+    finally s.catalog.dropTempView(view)
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -800,10 +889,10 @@ object DedupOps extends QueryModule {
          |  UNION ALL
          |  SELECT da, db, 'ngram' AS method FROM (
          |    ${verifySql(NGRAM_T, "cand4", "sh4", "sizes4").replace("ORDER BY da, db", "")}))
-         |SELECT da, db, CAST(count(*) AS BIGINT) AS n_methods,
-         |       string_agg(method, ',' ORDER BY method) AS methods
+         |SELECT da, db, CAST(count(DISTINCT method) AS BIGINT) AS n_methods,
+         |       string_agg(DISTINCT method, ',' ORDER BY method) AS methods
          |FROM pairs GROUP BY da, db
-         |HAVING count(*) >= 2
+         |HAVING count(DISTINCT method) >= 2
          |ORDER BY da, db""".stripMargin,
     "c13_incremental_dedup" -> {
       val bucket = Portable.h60Sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
