@@ -220,6 +220,29 @@ object DwsWindows extends QueryModule {
       .orderBy(col("province_id"))
   }
 
+  /** B9 — the publisher's daily pv/uv point lookups
+    * (VisitorStatsMapper.java:24-30: `select count(pv_ct) …`,
+    * `select count(uv_ct) …` over visitor_stats for one day),
+    * answered from the windowed visitor stats like b1s/b5s.
+    *
+    * Reference-bug resolution (SURVEY §7.4.2): the reference's
+    * `count(pv_ct)` counts stats-table ROWS, not page views — both
+    * lookups return the same number (the count of non-null 10s
+    * window slices), which is clearly not what a "total PV / total
+    * UV" dashboard tile intends. We emit BOTH: `stat_rows` is the
+    * reference-faithful count (what its dashboard actually showed),
+    * `pv_ct`/`uv_ct` are the intended SUMs over the window slices. */
+  def b9DailyTotals(s: SparkSession, d: String): DataFrame =
+    measureRows(s, d)
+      .groupBy(window(col("ts"), "10 seconds"), col("is_new"))
+      .agg(sum(col("uv_ct")).as("uv_ct"), sum(col("pv_ct")).as("pv_ct"))
+      .groupBy(date_format(col("window.start"), "yyyy-MM-dd").as("dt"))
+      .agg(
+        count(col("pv_ct")).as("stat_rows"),
+        sum(col("pv_ct")).as("pv_ct"),
+        sum(col("uv_ct")).as("uv_ct"))
+      .orderBy(col("dt"))
+
   /** A23: SQL windowed agg with COUNT(DISTINCT) — province stats over
     * orders (order event time = o_orderdate; day-granular data, same
     * 10s tumble as the reference's DDL). nation/region broadcast
@@ -373,7 +396,8 @@ object DwsWindows extends QueryModule {
     "a23x_province_approx" -> a23xProvinceApprox,
     "a25_keyword_window" -> a25KeywordWindow,
     "b1s_gmv_from_stats" -> b1sGmvFromStats,
-    "b5s_province_from_stats" -> b5sProvinceFromStats)
+    "b5s_province_from_stats" -> b5sProvinceFromStats,
+    "b9_daily_totals" -> b9DailyTotals)
 
   // DuckDB twins. time_bucket(INTERVAL '10 seconds', ts) ≡ Spark's
   // window(ts, "10 seconds").start (alignment argument in the scaladoc).
@@ -400,6 +424,16 @@ object DwsWindows extends QueryModule {
       |FROM events WHERE event_type = 'error'""".stripMargin
 
   override val oracle: Map[String, String] = Map(
+    "b9_daily_totals" ->
+      s"""SELECT dt, CAST(COUNT(pv_ct) AS BIGINT) AS stat_rows,
+         |       CAST(SUM(pv_ct) AS BIGINT) AS pv_ct,
+         |       CAST(SUM(uv_ct) AS BIGINT) AS uv_ct
+         |FROM (
+         |  SELECT strftime(time_bucket(INTERVAL '10 seconds', ts), '%Y-%m-%d') AS dt,
+         |         SUM(uv_ct) AS uv_ct, SUM(pv_ct) AS pv_ct
+         |  FROM ($measureRowsSql)
+         |  GROUP BY time_bucket(INTERVAL '10 seconds', ts), is_new)
+         |GROUP BY dt ORDER BY dt""".stripMargin,
     "b1s_gmv_from_stats" ->
       """SELECT CAST(SUM(oa) AS DOUBLE) AS gmv, CAST(SUM(oc) AS BIGINT) AS order_ct
         |FROM (

@@ -80,19 +80,22 @@ object MediaOps extends QueryModule {
     rows.grouped(DECODE_BATCH).flatMap { batch =>
       // (real decoder: init codec once per batch here)
       batch.map { r =>
+        // null payload (e.g. a null-text document cast to binary) is
+        // a legitimate row — decode to empty features, don't NPE.
+        val media = if (r.media == null) Array.emptyByteArray else r.media
         val hist = new Array[Long](16)
         var i = 0
-        while (i < r.media.length) {
-          hist((r.media(i) & 0xFF) % 16) += 1L
+        while (i < media.length) {
+          hist((media(i) & 0xFF) % 16) += 1L
           i += 1
         }
         var checksum = 0L
         var j = 0
-        while (j < r.media.length) {
-          checksum = checksum * 31 + (r.media(j) & 0xFF)
+        while (j < media.length) {
+          checksum = checksum * 31 + (media(j) & 0xFF)
           j += 8 // strided sampling — the "frame sample" stand-in
         }
-        MediaFeatures(r.doc_id, r.media.length.toLong, hist, checksum, batch.size)
+        MediaFeatures(r.doc_id, media.length.toLong, hist, checksum, batch.size)
       }
     }
 
@@ -117,12 +120,13 @@ object MediaOps extends QueryModule {
     rows.grouped(DECODE_BATCH).flatMap { batch =>
       // (real scaler: init once per batch here)
       batch.map { r =>
+        val media = if (r.media == null) Array.emptyByteArray else r.media
         val stride = math.max(1, r.width / targetW)
         var checksum = 0L
         var n = 0L
         var j = 0
-        while (j < r.media.length) {
-          checksum = checksum * 31 + (r.media(j) & 0xFF)
+        while (j < media.length) {
+          checksum = checksum * 31 + (media(j) & 0xFF)
           n += 1
           j += stride
         }

@@ -284,14 +284,34 @@ object Jobs {
       .select(explode_outer(col("shs")).as("sh")).distinct()
       .persist() // counted once for sizing, then aggregated into the sketch
     val nEval = evalNg.count()
+    val reqBits = nEval * INGEST_BLOOM_BITS_PER_ITEM
+    // BloomFilterAggregate SILENTLY clamps its item/bit arguments to
+    // these session confs (4M items / 8 MB bits by default) — beyond
+    // ~2.4M eval ngrams the union-bound over-drop guarantee would
+    // quietly degrade. Raise the caps to what this sketch needs (and
+    // say so), instead of letting the clamp eat the sizing.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (nEval > spark.conf.get(itemsKey).toLong) {
+      System.err.println(s"[decontaminateIngest] raising $itemsKey to $nEval")
+      spark.conf.set(itemsKey, nEval)
+    }
+    if (reqBits > spark.conf.get(bitsKey).toLong) {
+      System.err.println(s"[decontaminateIngest] raising $bitsKey to $reqBits")
+      spark.conf.set(bitsKey, reqBits)
+    }
     val bloom =
       if (nEval == 0) null
-      else DedupOps.bloomOfLongs(evalNg, "sh", items = nEval,
-        bits = nEval * INGEST_BLOOM_BITS_PER_ITEM)
+      else DedupOps.bloomOfLongs(evalNg, "sh", items = nEval, bits = reqBits)
     evalNg.unpersist()
     val withSh = DedupOps.withShingleCol(raw, DedupOps.DECON_N)
     val kept =
       if (bloom == null) withSh // empty eval set: nothing can leak
+      // lit(bloom) is DELIBERATE here (contrast c09b's scalar
+      // subquery): a streaming filter needs one stable sketch across
+      // every micro-batch, computed before the query starts — a
+      // subquery would re-derive it per batch against a moving
+      // session. The driver round-trip is paid once at job start.
       else withSh.filter(!exists(col("shs"),
         sh => call_function("graft_might_contain", lit(bloom), sh)))
     kept.select(col("doc_id"), col("text")).as[DocRow]

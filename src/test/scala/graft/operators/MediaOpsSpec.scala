@@ -56,6 +56,18 @@ class MediaOpsSpec extends SparkSpec {
     assert(feats.map(f => f.doc_id -> f).toMap === again)
   }
 
+  test("decode/resize stubs survive null payloads (null-text documents)") {
+    val rows = Iterator(
+      MediaRow(1L, null, "application/octet-stream", 320, 240),
+      MediaRow(2L, "abc".getBytes("UTF-8"), "application/octet-stream", 320, 240))
+    val feats = MediaOps.decodeStub(rows).toList
+    assert(feats.find(_.doc_id == 1L).get.n_bytes === 0L)
+    assert(feats.find(_.doc_id == 2L).get.n_bytes === 3L)
+    val resized = MediaOps.resizeStub(256)(Iterator(
+      MediaRow(1L, null, "application/octet-stream", 512, 240))).toList
+    assert(resized.head.resized_bytes === 0L)
+  }
+
   test("m03 groups byte-identical payloads under one content key") {
     import spark.implicits._
     val rows = Seq(

@@ -45,10 +45,15 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
-  test("t12 runs exactly two keyed exchanges (histogram agg + source window)") {
+  test("t12's windows reuse the source partitioning (no extra keyed exchange)") {
+    // The property the 100 TB claim rests on: histogram agg + source
+    // window = at most TWO keyed exchanges, i.e. the median window
+    // adds NO exchange of its own. An upper bound, not an exact
+    // count — exact counts break on Spark/AQE planning changes that
+    // are unrelated to the window-reuse property.
     val plan = finalPlan("t12_quality_dist")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashEx === 2, s"expected 2 hash exchanges, got $hashEx — " +
+    assert(hashEx <= 2, s"expected at most 2 hash exchanges, got $hashEx — " +
       "the windows and final aggregate must share the source partitioning")
   }
 
