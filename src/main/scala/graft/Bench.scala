@@ -26,13 +26,14 @@ object Bench {
     "a20_tumble_visitor", "a20b_4dim_visitor", "a20c_sliding_visitor",
     "a21_product_stats",
     "a21x_product_stats_approx", "a23_province_window", "a23x_province_approx",
-    "b1s_gmv_from_stats", "b5s_province_from_stats",
+    "b1s_gmv_from_stats", "b5s_province_from_stats", "b9_daily_totals",
     "c01_dedup_exact", "c02_dedup_minhash", "c03_dedup_simhash",
     "c04_dedup_ngram", "c05_embed_neardup", "c06_ann_brute",
     "c07_ann_ivf", "c07b_ann_ivf_refined", "c08_corpus_curate",
     "c09_decontaminate", "c09b_decontaminate_bloom",
     "c10_dedup_cluster", "c11_semantic_dedup", "c12_kmeans_cells",
-    "c13_incremental_dedup", "c14_dedup_consensus", "t04_fingerprint",
+    "c13_incremental_dedup", "c14_dedup_consensus", "c15_paragraph_dedup",
+    "t04_fingerprint",
     "t07_pii_scrub", "t08_repetition", "t09_pack_sequences",
     "t10_mix_sample", "t11_top_quality_per_source",
     "t12_quality_dist", "t12x_quality_dist_approx", "t13_ngram_topk",

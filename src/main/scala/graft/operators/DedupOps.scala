@@ -606,6 +606,70 @@ object DedupOps extends QueryModule {
   }
 
   // ---------------------------------------------------------------
+  // c15 — paragraph-level boilerplate removal (C4/RefinedWeb-style)
+  // ---------------------------------------------------------------
+
+  private[graft] val PARA_TOKENS = 10
+  private[graft] val PARA_DF_K = 2
+
+  /** c15 — boilerplate paragraph removal: the one dedup granularity
+    * c01-c14 miss. Those operate on whole documents; real corpora are
+    * polluted WITHIN documents by boilerplate (nav bars, cookie
+    * banners, footers) that repeats across thousands of pages — the
+    * C4/RefinedWeb pass strips any paragraph occurring in more than
+    * K distinct documents. The fixture text carries no newlines, so a
+    * "paragraph" is a deterministic run of [[PARA_TOKENS]]
+    * consecutive tokens (non-overlapping, trailing partial run
+    * included) — the structure-free analogue of a line run, and
+    * exactly replayable in the oracle.
+    *
+    * Output: (doc_id, n_paras, n_removed, kept_text) — kept_text is
+    * the surviving runs rejoined in document order ('' when every
+    * run was boilerplate, so stripped-empty docs stay visible).
+    *
+    * Scale shape: equi-join/groupBy only. One narrow pass explodes
+    * runs (carrying the 60-bit run hash), the document-frequency
+    * table collapses to one row per DISTINCT paragraph (vocabulary-
+    * sized — it saturates, like t13's ngram counts), the corpus
+    * re-joins it on the hash (AQE broadcasts while it fits, degrades
+    * to shuffle when not), and the rebuild is one keyed aggregation
+    * per doc_id. No all-pairs anywhere; every stage's shuffle is
+    * linear in input or bounded by the paragraph vocabulary. */
+  private[graft] def c15ParagraphDedupOf(docs: DataFrame): DataFrame = {
+    val P = PARA_TOKENS
+    val paras = docs
+      .where(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"), posexplode_outer(expr(
+        s"transform(sequence(0, CAST(ceil(size(toks) / ${P}.0) AS INT) - 1), " +
+          s"i -> concat_ws(' ', slice(toks, i * $P + 1, $P)))")))
+      .toDF("doc_id", "pidx", "para")
+      .withColumn("ph", Portable.h60(col("para")))
+    // Paragraph document-frequency: dedupe (doc, hash) first so a
+    // run repeated inside ONE doc counts once, like C4's rule.
+    val pdf = paras.select(col("doc_id"), col("ph")).distinct()
+      .groupBy(col("ph")).agg(count(lit(1)).as("pdf"))
+    paras.join(pdf, Seq("ph"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("pdf") > PARA_DF_K, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            // collect_list skips the nulls `when` leaves for removed
+            // runs; array_sort on (pidx, para) structs restores
+            // document order (pidx is unique per doc).
+            array_sort(collect_list(
+              when(col("pdf") <= PARA_DF_K, struct(col("pidx"), col("para"))))),
+            x => x.getField("para")),
+          " ").as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def c15ParagraphDedup(s: SparkSession, d: String): DataFrame =
+    c15ParagraphDedupOf(Tables.documents(s, d))
+
+  // ---------------------------------------------------------------
   // c09b — decontamination behind a Bloom-filter prefilter
   // ---------------------------------------------------------------
 
@@ -704,7 +768,8 @@ object DedupOps extends QueryModule {
     "c09b_decontaminate_bloom" -> c09bDecontaminateBloom,
     "c10_dedup_cluster" -> c10DedupCluster,
     "c13_incremental_dedup" -> c13IncrementalDedup,
-    "c14_dedup_consensus" -> c14DedupConsensus)
+    "c14_dedup_consensus" -> c14DedupConsensus,
+    "c15_paragraph_dedup" -> c15ParagraphDedup)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
@@ -873,6 +938,24 @@ object DedupOps extends QueryModule {
     // c09b is c09 behind a Bloom prefilter whose false positives die
     // in the exact verify join — same rows, same oracle.
     "c09b_decontaminate_bloom" -> c09OracleSql,
+    "c15_paragraph_dedup" ->
+      s"""WITH paras AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, CAST(ceil(len(t) / ${PARA_TOKENS}.0) AS BIGINT))) AS pidx,
+         |    unnest(list_transform(range(0, CAST(ceil(len(t) / ${PARA_TOKENS}.0) AS BIGINT)),
+         |      i -> array_to_string(t[i * $PARA_TOKENS + 1 : (i + 1) * $PARA_TOKENS], ' '))) AS para
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+         |        FROM documents WHERE text IS NOT NULL)),
+         |hashed AS (SELECT doc_id, pidx, para, ${Portable.h60Sql("para")} AS ph FROM paras),
+         |pdf AS (SELECT ph, count(DISTINCT doc_id) AS pdf FROM hashed GROUP BY ph)
+         |SELECT h.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_paras,
+         |       CAST(SUM(CASE WHEN p.pdf > $PARA_DF_K THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       COALESCE(string_agg(CASE WHEN p.pdf <= $PARA_DF_K THEN h.para END,
+         |                           ' ' ORDER BY h.pidx), '') AS kept_text
+         |FROM hashed h JOIN pdf p ON h.ph = p.ph
+         |GROUP BY h.doc_id
+         |ORDER BY h.doc_id""".stripMargin,
     "c04_dedup_ngram" ->
       s"""WITH ${c04Ctes("sh", "cand", "sizes")}
          |${verifySql(NGRAM_T)}""".stripMargin,
