@@ -17,6 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.DictTokenize].getName, "graft_tokenize"),
       (children: Seq[Expression]) => functions.DictTokenize(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_subword"),
+      new ExpressionInfo(classOf[functions.SubwordTokenize].getName, "graft_subword"),
+      (children: Seq[Expression]) => functions.SubwordTokenize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_subword_arr"),
+      new ExpressionInfo(classOf[functions.SubwordArr].getName, "graft_subword_arr"),
+      (children: Seq[Expression]) => functions.SubwordArr(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[functions.DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => functions.DotProduct(children(0), children(1))))

@@ -119,6 +119,27 @@ object TextOps extends QueryModule {
         length(col("text")).cast(LongType).as("n_char"))
       .orderBy(col("doc_id"))
 
+  /** t03b — vocabulary-driven subword token accounting: t03's
+    * regex form is a PROXY (any letter run is "a token"); real
+    * pipelines account tokens against an actual tokenizer
+    * vocabulary. `graft_subword_arr` (graft.functions
+    * .SubwordTokenize) segments each word by deterministic greedy
+    * longest-match over the fixture vocab with single-char fallback
+    * — per-row, codegen'd, no shuffle, same scale shape as t03.
+    * `sw_text` is the full segmented stream, so the oracle pins the
+    * SEGMENTATION itself (replayed in DuckDB by a recursive CTE over
+    * the distinct words with the identical vocabulary literals), not
+    * just the counts. */
+  def t03bSubwordTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("arr", call_function("graft_subword_arr", col("text")))
+      .select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("ws_tokens"),
+        size(col("arr")).cast(LongType).as("sw_tokens"),
+        array_join(col("arr"), " ").as("sw_text"))
+      .orderBy(col("doc_id"))
+
   /** t04 — document fingerprinting: rolling 8-char windows hashed
     * portably; the fingerprint is the window-hash minimum (the
     * 1-sample winnowing sketch) — identical docs ⇒ identical prints,
@@ -280,11 +301,19 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
 
   /** Core of t09 over any `(doc_id, text, …)` frame. */
-  def packSequences(docs: DataFrame, shards: Int, ctx: Int): DataFrame = {
+  def packSequences(docs: DataFrame, shards: Int, ctx: Int): DataFrame =
+    packSequencesBy(docs, shards, ctx, size(toks).cast(LongType))
+
+  /** [[packSequences]] with the per-doc token count supplied by the
+    * caller — packing is token-accounting-agnostic, so the same
+    * sharded cumulative-sum layout serves whitespace counts (t09)
+    * and vocab-driven subword counts (t09c) unchanged. */
+  def packSequencesBy(docs: DataFrame, shards: Int, ctx: Int,
+      nTok: Column): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .withColumn("n_tok", size(toks).cast(LongType))
+      .withColumn("n_tok", nTok)
       .withColumn("shard",
         Portable.h60(concat(lit("pack:"), col("doc_id").cast(StringType))) % shards)
       .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
@@ -318,6 +347,17 @@ object TextOps extends QueryModule {
           .as("seg_off"),
         (least(col("start_tok") + col("n_tok"), (col("bin") + 1) * ctx) -
           greatest(col("start_tok"), col("bin") * ctx)).as("seg_len"))
+
+  /** t09c — t09's packing under the REAL token accounting: context
+    * windows are budgeted in subword tokens (what a trainer actually
+    * consumes), not whitespace words. Same sharded cumulative-sum
+    * layout via [[packSequencesBy]]; only the count column changes —
+    * packing parity under both accountings is pinned by
+    * SubwordTokenizeSpec. */
+  def t09cPackSubword(s: SparkSession, d: String): DataFrame =
+    packSequencesBy(Tables.documents(s, d), shards = 8, ctx = 2048,
+      size(call_function("graft_subword_arr", col("text"))).cast(LongType))
+      .orderBy(col("doc_id"))
 
   /** Per-language mixing rates for t10 as (lang, whole-epoch copies,
     * fractional-part threshold out of 10000): en 0.5×, de 1.0×,
@@ -391,6 +431,7 @@ object TextOps extends QueryModule {
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
     "t03_token_count" -> t03TokenCount,
+    "t03b_subword_tokens" -> t03bSubwordTokens,
     "t04_fingerprint" -> t04Fingerprint,
     "t04b_fingerprint_sql" -> t04bFingerprintSql,
     "t05_train_split" -> t05TrainSplit,
@@ -399,8 +440,32 @@ object TextOps extends QueryModule {
     "t08_repetition" -> t08Repetition,
     "t09_pack_sequences" -> t09PackSequences,
     "t09b_pack_spans" -> t09bPackSpans,
+    "t09c_pack_subword" -> t09cPackSubword,
     "t10_mix_sample" -> t10MixSample,
     "t11_top_quality_per_source" -> t11TopQualityPerSource)
+
+  /** Recursive-CTE subword segmentation of the corpus's DISTINCT
+    * words (`wtok`: w → toks) — the DuckDB twin of
+    * graft.functions.SubwordTokenize. Segmenting the distinct-word
+    * table (tiny: vocabulary-sized) instead of every occurrence is
+    * also why the recursion is cheap; the same vocabulary literals,
+    * pre-sorted (length desc, unit), make `list_filter(...)[1]` the
+    * longest match exactly like the Scala scan. */
+  private def subwordCtes: String =
+    s"""words AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |seg(w, rest, toks) AS (
+       |  SELECT w, w, CAST([] AS VARCHAR[]) FROM words
+       |  UNION ALL
+       |  SELECT w, substr(rest, len(step) + 1), list_append(toks, step) FROM (
+       |    SELECT w, rest, toks,
+       |      COALESCE(list_filter(${graft.functions.SubwordTokenize.vocabSqlList},
+       |                           u -> starts_with(rest, u))[1],
+       |               substr(rest, 1, 1)) AS step
+       |    FROM seg WHERE rest <> '')),
+       |wtok AS (SELECT w, toks FROM seg WHERE rest = '')""".stripMargin
 
   private def hitsSql(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -448,6 +513,46 @@ object TextOps extends QueryModule {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
         |  CAST(length(text) AS BIGINT) AS n_char
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t03b_subword_tokens" ->
+      s"""WITH RECURSIVE $subwordCtes,
+         |docw AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, CAST(len(t) AS BIGINT))) AS wi,
+         |    unnest(t) AS w
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents)),
+         |agg AS (
+         |  SELECT d.doc_id,
+         |    CAST(SUM(len(k.toks)) AS BIGINT) AS sw_tokens,
+         |    string_agg(array_to_string(k.toks, ' '), ' ' ORDER BY d.wi) AS sw_text
+         |  FROM docw d JOIN wtok k ON d.w = k.w
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id,
+         |  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens,
+         |  COALESCE(a.sw_tokens, 0) AS sw_tokens,
+         |  COALESCE(a.sw_text, '') AS sw_text
+         |FROM documents LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "t09c_pack_subword" ->
+      s"""WITH RECURSIVE $subwordCtes,
+         |docw AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+         |         FROM documents),
+         |ntok AS (
+         |  SELECT d0.doc_id, CAST(COALESCE(SUM(len(k.toks)), 0) AS BIGINT) AS n_tok
+         |  FROM documents d0
+         |  LEFT JOIN docw d ON d0.doc_id = d.doc_id
+         |  LEFT JOIN wtok k ON d.w = k.w
+         |  GROUP BY d0.doc_id)
+         |SELECT doc_id, shard, n_tok,
+         |  CAST((running - n_tok) // 2048 AS BIGINT) AS bin,
+         |  CAST((running - n_tok) % 2048 AS BIGINT) AS tok_offset
+         |FROM (
+         |  SELECT doc_id, shard, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         |  FROM (SELECT doc_id, n_tok,
+         |          ${Portable.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |        FROM ntok))
+         |ORDER BY doc_id""".stripMargin,
     "t04_fingerprint" ->
       s"""SELECT doc_id,
          |  list_min(list_transform(range(1, CAST(greatest(length(text) - 7, 1) AS BIGINT) + 1),
