@@ -29,7 +29,8 @@ object Bench {
     "b1s_gmv_from_stats", "b5s_province_from_stats", "b9_daily_totals",
     "c01_dedup_exact", "c02_dedup_minhash", "c03_dedup_simhash",
     "c04_dedup_ngram", "c05_embed_neardup", "c06_ann_brute",
-    "c07_ann_ivf", "c07b_ann_ivf_refined", "c08_corpus_curate",
+    "c07_ann_ivf", "c07b_ann_ivf_refined", "c07c_ann_ivf_persisted",
+    "c08_corpus_curate",
     "c09_decontaminate", "c09b_decontaminate_bloom",
     "c10_dedup_cluster", "c11_semantic_dedup", "c12_kmeans_cells",
     "c13_incremental_dedup", "c14_dedup_consensus", "c15_paragraph_dedup",

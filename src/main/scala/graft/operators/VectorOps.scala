@@ -298,11 +298,105 @@ object VectorOps extends QueryModule {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---------------------------------------------------------------
+  // c07c — the IVF index as a PERSISTED layout
+  // ---------------------------------------------------------------
+
+  /** Catalog names for the persisted index, keyed by the corpus dir
+    * so an index built over one scale factor can never answer
+    * queries for another. */
+  private[operators] def ivfTables(d: String): (String, String) = {
+    val tag = Integer.toHexString(d.hashCode)
+    (s"graft_ivf_idx_$tag", s"graft_ivf_cent_$tag")
+  }
+
+  /** TRAIN + persist the refined IVF index: one Lloyd refinement of
+    * the seed (c12's bounded step), corpus assignment written as a
+    * parquet table BUCKETED BY cid (ScaleOps.writeBucketed), and the
+    * quantizer itself (K·DIM longs) as a tiny side table. Bucketing
+    * by cid is the IVF file layout: each cell's vectors are
+    * co-located in its own bucket files, so a probe of `nprobe`
+    * cells is BUCKET-PRUNED at the scan (SelectedBucketsCount
+    * nprobe-proportional) — the 100 TB index is built once and every
+    * query afterwards reads only the probed fraction of it. */
+  def buildIvfIndex(s: SparkSession, d: String): Unit = {
+    val qe = quantized(s, d)
+    val cents = refineOnce(qe, qSeed(s, d))
+    val (idxT, centT) = ivfTables(d)
+    dropStale(s, idxT)
+    dropStale(s, centT)
+    ScaleOps.writeBucketed(qAssign(qe, cents), idxT, "cid", buckets = CELLS)
+    s.createDataFrame(cents).toDF("cid", "qc")
+      .write.mode("overwrite").format("parquet").saveAsTable(centT)
+  }
+
+  /** Drop a managed table AND its warehouse location. The in-memory
+    * catalog dies with the session but the warehouse files do not,
+    * and CREATE TABLE refuses a non-empty orphan location
+    * (LOCATION_ALREADY_EXISTS) — so a rebuild in a fresh session must
+    * clear both. */
+  private def dropStale(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** c07c — c07b's ANSWERS from the persisted index (oracle shared
+    * verbatim): build once per corpus if absent, then the read path
+    * is (1) centroids collected from the tiny quantizer table —
+    * driver-held literals, never the corpus; (2) probe cells chosen
+    * per query in exact integer arithmetic on the driver (bounded:
+    * NQ × CELLS dots); (3) ONE bucket-pruned scan of the probed
+    * cells broadcast-joined to the probe list — zero Exchange at or
+    * below the join; the only shuffle in the plan is the
+    * probe-proportional candidate set entering the per-query top-k
+    * window (WindowGroupLimit partial). No training, no corpus-wide
+    * assignment, no full scan on the read path — that is what a
+    * persisted ANN index is FOR (IvfIndexSpec pins the plan and the
+    * read-vs-c07b speedup). */
+  def c07cAnnIvfPersisted(s: SparkSession, d: String): DataFrame = {
+    val (idxT, centT) = ivfTables(d)
+    if (!s.catalog.tableExists(idxT) || !s.catalog.tableExists(centT))
+      buildIvfIndex(s, d)
+    val cents = s.table(centT).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val qvs = anchorVectors(s, d, NQ).map { case (qid, v) =>
+      (qid.toLong, v.map(x => math.floor(x.toDouble * KM_Q).toLong))
+    }
+    def idot(a: Seq[Long], b: Seq[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // (-dot, cid) ascending = c07b's probe struct sort, in exact
+    // integer math — identical probe cells by construction.
+    val probeRows = qvs.flatMap { case (qid, qq) =>
+      cents.map { case (cid, qc) => (-idot(qq, qc), cid) }
+        .sorted.take(PROBES)
+        .map { case (_, cid) => (qid, qq, cid) }
+    }
+    val probes = s.createDataFrame(probeRows).toDF("qid", "qq", "cid")
+    val cells = probeRows.map(_._3).distinct.sorted
+    val assign = s.table(idxT).filter(col("cid").isin(cells.map(Int.box): _*))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    broadcast(probes).join(assign, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        intDotCols(col("qv"), col("qq")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c05_embed_neardup" -> c05EmbedNeardup,
     "c06_ann_brute" -> c06AnnBrute,
     "c07_ann_ivf" -> c07AnnIvf,
     "c07b_ann_ivf_refined" -> c07bAnnIvfRefined,
+    "c07c_ann_ivf_persisted" -> c07cAnnIvfPersisted,
     "c11_semantic_dedup" -> c11SemanticDedup,
     "c12_kmeans_cells" -> c12KmeansCells)
 
@@ -412,7 +506,13 @@ object VectorOps extends QueryModule {
          |  SELECT cid, unnest(qv) AS q, generate_subscripts(qv, 1) AS dim FROM a2)
          |  GROUP BY cid, dim)
          |ORDER BY cid, dim""".stripMargin,
-    "c07b_ann_ivf_refined" ->
+    "c07b_ann_ivf_refined" -> c07bOracleSql,
+    // c07c answers from the PERSISTED index; the index is the same
+    // refined quantizer + assignment, so the result contract — and
+    // the oracle — is c07b's verbatim.
+    "c07c_ann_ivf_persisted" -> c07bOracleSql)
+
+  private lazy val c07bOracleSql: String =
       s"""WITH $kmCtes,
          |a2 AS (SELECT vec_id, qv, cid FROM (
          |  SELECT e.vec_id, e.qv, c.cid,
@@ -432,5 +532,5 @@ object VectorOps extends QueryModule {
          |           ORDER BY ${idotSql("e.qv", "p.qq")} DESC, e.vec_id) AS rank
          |  FROM probes p JOIN a2 e ON p.cid = e.cid
          |  WHERE e.vec_id <> p.qid)
-         |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin)
+         |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin
 }

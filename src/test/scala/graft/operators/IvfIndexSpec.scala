@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** c07c — the persisted IVF layout. Pins the three claims the
+  * operator makes: (1) answers are bit-identical to c07b (same
+  * refined quantizer, same probes, same integer scores); (2) the
+  * read path is bucket-pruned and joins without a shuffle exchange
+  * at or below the join; (3) reading the index is substantially
+  * faster than c07b's train+assign+search — the point of persisting. */
+class IvfIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("c07c equals c07b row-for-row; read path plan and speedup") {
+    // Build once (excluded from read-path timing — that is the
+    // amortization a persisted index exists for).
+    VectorOps.buildIvfIndex(spark, sf)
+
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    val (got, _) = time(run(VectorOps.c07cAnnIvfPersisted(spark, sf)))
+    val want = run(VectorOps.c07bAnnIvfRefined(spark, sf))
+    assert(got === want)
+
+    // Plan pins on the read path (final AQE plan only — the Initial
+    // Plan section would double-count exchanges)
+    val q = VectorOps.c07cAnnIvfPersisted(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("SelectedBucketsCount"),
+      "index scan lost bucket pruning (cid filter must prune bucket files)")
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe join must broadcast the (tiny) probe list")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"read path must shuffle only the top-k window input, got $exchanges keyed exchanges:\n$plan")
+
+    // Read path vs full c07b lifecycle — median of 3 each, at sf0.1:
+    // at sf0.01 fixed per-job overheads (~0.5s of scheduling in this
+    // 4-core test session) swamp the corpus work and compress the
+    // ratio; bench scale is where an index read path is judged. The
+    // structural gap (no training collect, no corpus-wide
+    // assignment, bucket-pruned scan) makes >= 2x robust there.
+    val sfBig = "/root/testdata/sf0.1"
+    VectorOps.buildIvfIndex(spark, sfBig)
+    def median3(f: => Unit): Double =
+      Seq.fill(3)(time(f)._2).sorted.apply(1)
+    val readT = median3(VectorOps.c07cAnnIvfPersisted(spark, sfBig)
+      .write.format("noop").mode("overwrite").save())
+    val fullT = median3(VectorOps.c07bAnnIvfRefined(spark, sfBig)
+      .write.format("noop").mode("overwrite").save())
+    info(f"c07c read $readT%.3fs vs c07b full $fullT%.3fs (${fullT / readT}%.1fx)")
+    assert(readT * 2 <= fullT,
+      f"persisted read path should be >= 2x faster: read $readT%.3fs, full $fullT%.3fs")
+  }
+
+  test("bucket pruning selects only the probed cells' buckets") {
+    VectorOps.buildIvfIndex(spark, sf)
+    val (idxT, _) = VectorOps.ivfTables(sf)
+    // A bare filter has no downstream operator wanting the hash
+    // distribution, so DisableUnnecessaryBucketedScan would hide the
+    // bucketed read (and its SelectedBucketsCount) — pin pruning with
+    // auto-bucketed-scan off; c07c's own join keeps it on naturally
+    // (asserted in the test above).
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val pruned = spark.table(idxT).filter(col("cid").isin(3, 7))
+      pruned.collect()
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 2"),
+        s"expected 2 of 16 buckets selected:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+}
