@@ -32,7 +32,8 @@ object Bench {
     "c07_ann_ivf", "c07b_ann_ivf_refined", "c07c_ann_ivf_persisted",
     "c08_corpus_curate",
     "c09_decontaminate", "c09b_decontaminate_bloom",
-    "c10_dedup_cluster", "c11_semantic_dedup", "c12_kmeans_cells",
+    "c10_dedup_cluster", "c10b_cluster_star", "c11_semantic_dedup",
+    "c12_kmeans_cells",
     "c13_incremental_dedup", "c14_dedup_consensus", "c15_paragraph_dedup",
     "t04_fingerprint",
     "t07_pii_scrub", "t08_repetition", "t09_pack_sequences",

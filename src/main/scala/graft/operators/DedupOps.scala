@@ -456,8 +456,9 @@ object DedupOps extends QueryModule {
     * a keyed aggregation over the EDGE set only), the data never
     * leaves executors, and each round's frontier is localCheckpointed
     * so lineage stays flat. Near-dup graphs are overwhelmingly tiny
-    * stars/paths, so this converges in 2-3 rounds; at 10^9 edges the
-    * same loop runs with the large-star/small-star refinement. The
+    * stars/paths, so this converges in 2-3 rounds; for DEEP graphs
+    * (chains, 10^9-edge crawl graphs) use the round-bounded
+    * [[connectedComponentsStar]] twin (c10b) — same contract. The
     * oracle computes the same components via a recursive-CTE
     * transitive closure — feasible because true clusters are small,
     * and a different algorithm entirely, which makes the agreement a
@@ -494,6 +495,88 @@ object DedupOps extends QueryModule {
 
   def c10DedupCluster(s: SparkSession, d: String): DataFrame =
     connectedComponents(c02MinhashLsh(s, d).select(col("da"), col("db")))
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the same
+    * (doc_id, cluster_id, cluster_sz) contract as
+    * [[connectedComponents]], built for graphs where min-label
+    * propagation's O(diameter) rounds are pathological (long chains;
+    * 10^9-edge crawl graphs). Each round is two edges-only keyed
+    * window aggregations:
+    *
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m = min(N(u) ∪ u) — long tails collapse toward small ids;
+    *  - small-star: every node u links its smaller neighbors ∪ itself
+    *    to m = min(N<(u)) — local stars canonicalize;
+    *
+    * alternated until the (canonical, distinct) edge set is stable,
+    * which takes O(log²) rounds on ANY topology — ClusterSpec pins a
+    * 1,000-node chain converging in a handful of rounds where
+    * propagation would need 999. Edges are kept canonically as
+    * (hi, lo); on convergence they form min-rooted stars, so labels
+    * read off directly. Every per-round frame is localCheckpointed —
+    * flat lineage, blocks freed by the ContextCleaner. */
+  private[graft] def connectedComponentsStar(pairs: DataFrame): DataFrame =
+    starComponents(pairs)._1
+
+  /** [[connectedComponentsStar]] + the round count (spec instrument). */
+  private[graft] def starComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val whi = Window.partitionBy(col("hi"))
+    val wsrc = Window.partitionBy(col("src"))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("hi").as("src"), col("lo").as("dst"))
+        .unionByName(e.select(col("lo").as("src"), col("hi").as("dst")))
+      sym.withColumn("m", least(min(col("dst")).over(wsrc), col("src")))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("hi"), col("m").as("lo")) // dst > src >= m
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val withM = e.withColumn("m", min(col("lo")).over(whi))
+      withM.where(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo")) // lo > m here
+        .unionByName(withM.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+
+    var e = pairs
+      .select(greatest(col("da"), col("db")).as("hi"),
+        least(col("da"), col("db")).as("lo"))
+      .where(col("hi") =!= col("lo"))
+      .distinct().localCheckpoint()
+    var eCount = e.count()
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64, "large/small-star failed to converge in 64 rounds")
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextCount = next.count()
+      // both sides are distinct canonical sets: equal count + empty
+      // one-sided difference ⇔ set equality
+      converged = nextCount == eCount && next.except(e).isEmpty
+      e = next
+      eCount = nextCount
+    }
+    val lbl = e.select(col("hi").as("node"), col("lo").as("lbl"))
+      .unionByName(e.select(col("lo").as("node"), col("lo").as("lbl")))
+      .distinct()
+    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_sz"))
+    val out = lbl.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_sz"))
+      .orderBy(col("doc_id"))
+    (out, rounds)
+  }
+
+  /** c10b — c10's clusters through the large/small-star contraction
+    * (identical results, identical oracle): the implementation that
+    * stays round-bounded when the near-dup graph is deep. */
+  def c10bClusterStar(s: SparkSession, d: String): DataFrame =
+    connectedComponentsStar(c02MinhashLsh(s, d).select(col("da"), col("db")))
 
   // ---------------------------------------------------------------
   // c13 — incremental dedup: new batch vs existing corpus
@@ -767,6 +850,7 @@ object DedupOps extends QueryModule {
     "c09_decontaminate" -> c09Decontaminate,
     "c09b_decontaminate_bloom" -> c09bDecontaminateBloom,
     "c10_dedup_cluster" -> c10DedupCluster,
+    "c10b_cluster_star" -> c10bClusterStar,
     "c13_incremental_dedup" -> c13IncrementalDedup,
     "c14_dedup_consensus" -> c14DedupConsensus,
     "c15_paragraph_dedup" -> c15ParagraphDedup)
@@ -895,6 +979,24 @@ object DedupOps extends QueryModule {
        |WHERE overlap_ct > 0
        |ORDER BY doc_id""".stripMargin
 
+  /** Recursive-CTE transitive closure — shared by c10 and c10b
+    * (identical component contract through two different algorithms,
+    * which makes the agreement a strong check for BOTH). */
+  private lazy val c10OracleSql: String =
+    s"""WITH RECURSIVE $c02Ctes,
+       |pairs AS (SELECT da, db FROM (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
+       |edges AS (SELECT da, db FROM pairs UNION SELECT db AS da, da AS db FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT da, da FROM edges
+       |  UNION
+       |  SELECT r.a, e.db FROM reach r JOIN edges e ON r.b = e.da),
+       |lbl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+       |csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_sz
+       |        FROM lbl GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_sz
+       |FROM lbl l JOIN csz s ON l.cluster_id = s.cluster_id
+       |ORDER BY l.doc_id""".stripMargin
+
   override val oracle: Map[String, String] = Map(
     "c01_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
@@ -920,20 +1022,10 @@ object DedupOps extends QueryModule {
          |SELECT da, db, fpa, fpb, CAST(bit_count(xor(fpa, fpb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(fpa, fpb)) <= $HAMMING_T
          |ORDER BY da, db""".stripMargin,
-    "c10_dedup_cluster" ->
-      s"""WITH RECURSIVE $c02Ctes,
-         |pairs AS (SELECT da, db FROM (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
-         |edges AS (SELECT da, db FROM pairs UNION SELECT db AS da, da AS db FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT da, da FROM edges
-         |  UNION
-         |  SELECT r.a, e.db FROM reach r JOIN edges e ON r.b = e.da),
-         |lbl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
-         |csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_sz
-         |        FROM lbl GROUP BY 1)
-         |SELECT l.doc_id, l.cluster_id, s.cluster_sz
-         |FROM lbl l JOIN csz s ON l.cluster_id = s.cluster_id
-         |ORDER BY l.doc_id""".stripMargin,
+    "c10_dedup_cluster" -> c10OracleSql,
+    // c10b is the same component contract through large/small-star —
+    // same clusters, same oracle.
+    "c10b_cluster_star" -> c10OracleSql,
     "c09_decontaminate" -> c09OracleSql,
     // c09b is c09 behind a Bloom prefilter whose false positives die
     // in the exact verify join — same rows, same oracle.

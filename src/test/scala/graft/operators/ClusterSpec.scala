@@ -27,6 +27,33 @@ class ClusterSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("large/small-star matches propagation on hand graphs") {
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (13L, 10L),
+      (20L, 21L))
+      .toDF("da", "db")
+    val star = DedupOps.connectedComponentsStar(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    val prop = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(star === prop)
+  }
+
+  test("a 1,000-doc chain converges in a bounded round count with exact labels") {
+    // The topology min-label propagation CANNOT absorb: a chain of
+    // diameter 999 would need 999 propagation rounds; large/small-star
+    // contracts it in O(log^2) alternations. Labels have a closed
+    // form (everything joins doc 0), standing in for the
+    // recursive-CTE oracle at this scale.
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("da", "db")
+    val (out, rounds) = DedupOps.starComponents(chain)
+    assert(rounds < 25, s"star contraction took $rounds rounds on a 1,000-chain")
+    val got = out.as[(Long, Long, Long)].collect()
+    assert(got.length === 1000)
+    assert(got.forall { case (_, cl, sz) => cl === 0L && sz === 1000L })
+  }
+
   test("a 50-duplicate hot LSH bucket yields the full pair set and one cluster") {
     // 50 byte-identical boilerplate docs land in the SAME band buckets
     // (identical MinHash signatures) — the worst-case hot bucket the
