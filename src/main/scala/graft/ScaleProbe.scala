@@ -105,6 +105,9 @@ object ScaleProbe {
       "c13_incremental_dedup" -> operators.DedupOps.c13IncrementalDedup _,
       "c09_decontaminate" -> operators.DedupOps.c09Decontaminate _,
       "c09b_decontaminate_bloom" -> operators.DedupOps.c09bDecontaminateBloom _,
+      "c10b_cluster_star" -> operators.DedupOps.c10bClusterStar _,
+      "c15_paragraph_dedup" -> operators.DedupOps.c15ParagraphDedup _,
+      "t03b_subword_tokens" -> operators.TextOps.t03bSubwordTokens _,
       "t12_quality_dist" -> operators.CorpusStats.t12QualityDist _,
       "t13_ngram_topk" -> operators.CorpusStats.t13NgramTopK _,
       "t14_corpus_shuffle" -> operators.CorpusStats.t14CorpusShuffle _)
