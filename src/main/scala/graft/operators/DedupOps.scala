@@ -718,14 +718,37 @@ object DedupOps extends QueryModule {
     * to shuffle when not), and the rebuild is one keyed aggregation
     * per doc_id. No all-pairs anywhere; every stage's shuffle is
     * linear in input or bounded by the paragraph vocabulary. */
-  private[graft] def c15ParagraphDedupOf(docs: DataFrame): DataFrame = {
+  /** Array of [[PARA_TOKENS]]-token non-overlapping runs of a
+    * pre-split token column (trailing partial run included); EMPTY
+    * array for a null token column, so per-row streaming use is
+    * null-safe. Shared by c15 and Jobs.boilerplateIngest. */
+  private[graft] def paragraphRuns(toksCol: String): Column = {
     val P = PARA_TOKENS
+    when(col(toksCol).isNotNull, expr(
+      s"transform(sequence(0, CAST(ceil(size($toksCol) / ${P}.0) AS INT) - 1), " +
+        s"i -> concat_ws(' ', slice($toksCol, i * $P + 1, $P)))"))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** 60-bit hashes of the paragraphs occurring in more than
+    * [[PARA_DF_K]] DISTINCT documents of `docs` — c15's boilerplate
+    * definition as a standalone (small: bounded by the repeated-
+    * paragraph vocabulary) frame, for ingest-time filtering. */
+  private[graft] def boilerplateHashes(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"), explode_outer(paragraphRuns("toks")).as("para"))
+      .select(col("doc_id"), Portable.h60(col("para")).as("ph"))
+      .distinct()
+      .groupBy(col("ph")).agg(count(lit(1)).as("pdf"))
+      .filter(col("pdf") > PARA_DF_K)
+      .select(col("ph"))
+
+  private[graft] def c15ParagraphDedupOf(docs: DataFrame): DataFrame = {
     val paras = docs
       .where(col("text").isNotNull)
       .withColumn("toks", split(col("text"), "\\s+"))
-      .select(col("doc_id"), posexplode_outer(expr(
-        s"transform(sequence(0, CAST(ceil(size(toks) / ${P}.0) AS INT) - 1), " +
-          s"i -> concat_ws(' ', slice(toks, i * $P + 1, $P)))")))
+      .select(col("doc_id"), posexplode_outer(paragraphRuns("toks")))
       .toDF("doc_id", "pidx", "para")
       .withColumn("ph", Portable.h60(col("para")))
     // Paragraph document-frequency: dedupe (doc, hash) first so a

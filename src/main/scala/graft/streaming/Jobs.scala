@@ -253,6 +253,18 @@ object Jobs {
     * for benchmark suites beyond ~2M distinct ngrams.) */
   private val INGEST_BLOOM_BITS_PER_ITEM = 28L
 
+  /** Sizing floor for the ingest sketches. The bits-per-item rate
+    * alone is NOT safe for tiny item sets: Spark's BloomFilterImpl
+    * probes positions h1 + i·h2 mod numBits (classic double
+    * hashing), and when the requested bits round down to one or two
+    * 64-bit words those arithmetic progressions degenerate — probe
+    * sets overlap whole progressions at once and the false-positive
+    * rate lands orders of magnitude above the ideal formula
+    * (measured: a 1-item, 28-bit request false-matched 2% of keys).
+    * Flooring the ITEM count (not just bits) keeps k = 19 constant
+    * and the bit array sparse, at a cost of at most ~14 KB. */
+  private val INGEST_BLOOM_MIN_ITEMS = 1L << 12
+
   /** Streaming benchmark decontamination — the ingest-time twin of
     * DedupOps.c09/c09b: drop incoming documents whose hashed
     * 8-word-ngram sets touch the held-out eval set, BEFORE they enter
@@ -284,25 +296,12 @@ object Jobs {
       .select(explode_outer(col("shs")).as("sh")).distinct()
       .persist() // counted once for sizing, then aggregated into the sketch
     val nEval = evalNg.count()
-    val reqBits = nEval * INGEST_BLOOM_BITS_PER_ITEM
-    // BloomFilterAggregate SILENTLY clamps its item/bit arguments to
-    // these session confs (4M items / 8 MB bits by default) — beyond
-    // ~2.4M eval ngrams the union-bound over-drop guarantee would
-    // quietly degrade. Raise the caps to what this sketch needs (and
-    // say so), instead of letting the clamp eat the sizing.
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (nEval > spark.conf.get(itemsKey).toLong) {
-      System.err.println(s"[decontaminateIngest] raising $itemsKey to $nEval")
-      spark.conf.set(itemsKey, nEval)
-    }
-    if (reqBits > spark.conf.get(bitsKey).toLong) {
-      System.err.println(s"[decontaminateIngest] raising $bitsKey to $reqBits")
-      spark.conf.set(bitsKey, reqBits)
-    }
+    val items = math.max(nEval, INGEST_BLOOM_MIN_ITEMS)
+    val reqBits = items * INGEST_BLOOM_BITS_PER_ITEM
+    raiseBloomCaps(spark, items, reqBits, "decontaminateIngest")
     val bloom =
       if (nEval == 0) null
-      else DedupOps.bloomOfLongs(evalNg, "sh", items = nEval, bits = reqBits)
+      else DedupOps.bloomOfLongs(evalNg, "sh", items = items, bits = reqBits)
     evalNg.unpersist()
     val withSh = DedupOps.withShingleCol(raw, DedupOps.DECON_N)
     val kept =
@@ -315,6 +314,76 @@ object Jobs {
       else withSh.filter(!exists(col("shs"),
         sh => call_function("graft_might_contain", lit(bloom), sh)))
     kept.select(col("doc_id"), col("text")).as[DocRow]
+  }
+
+  /** BloomFilterAggregate SILENTLY clamps its item/bit arguments to
+    * these session confs (4M items / 8 MB bits by default) — beyond
+    * ~2.4M sketch items the union-bound over-drop guarantee would
+    * quietly degrade. Raise the caps to what the sketch needs (and
+    * say so), instead of letting the clamp eat the sizing. */
+  private def raiseBloomCaps(spark: SparkSession, items: Long, bits: Long,
+      tag: String): Unit = {
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (items > spark.conf.get(itemsKey).toLong) {
+      System.err.println(s"[$tag] raising $itemsKey to $items")
+      spark.conf.set(itemsKey, items)
+    }
+    if (bits > spark.conf.get(bitsKey).toLong) {
+      System.err.println(s"[$tag] raising $bitsKey to $bits")
+      spark.conf.set(bitsKey, bits)
+    }
+  }
+
+  /** Streaming boilerplate strip — the ingest-time twin of batch c15:
+    * incoming documents lose any paragraph run that the EXISTING
+    * corpus marks as boilerplate (df > K distinct docs), before they
+    * enter storage. The df pass runs once, batch-side, over the
+    * corpus snapshot (the same place c13's band index and c09's eval
+    * sketch come from); the boilerplate hash set — bounded by the
+    * repeated-paragraph vocabulary, tiny next to the corpus — ships
+    * as a Bloom sketch, and the stream side is ONE per-row
+    * higher-order filter over the doc's runs: zero joins, zero
+    * state, appends to any ingest query for free.
+    *
+    * Sketch false positives strip a CLEAN paragraph (they can never
+    * resurrect boilerplate — no false negatives), so like
+    * [[decontaminateIngest]] the risk compounds per document and the
+    * sizing targets the union bound: [[INGEST_BLOOM_BITS_PER_ITEM]]
+    * bits per boilerplate hash keeps even a 10,000-run clean doc's
+    * strip risk ≤ ~2%. BoilerplateIngestSpec pins batch-c15 parity
+    * on a shared-footer corpus and the pass-through of unique text.
+    * A corpus with no repeated paragraphs yields a null sketch and
+    * an untouched stream. */
+  def boilerplateIngest(spark: SparkSession, raw: DataFrame,
+      corpus: DataFrame): Dataset[ScrubbedDoc] = {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val boiler = DedupOps.boilerplateHashes(corpus).persist()
+    val nBoiler = boiler.count()
+    val items = math.max(nBoiler, INGEST_BLOOM_MIN_ITEMS)
+    val reqBits = items * INGEST_BLOOM_BITS_PER_ITEM
+    raiseBloomCaps(spark, items, reqBits, "boilerplateIngest")
+    val bloom =
+      if (nBoiler == 0) null
+      else DedupOps.bloomOfLongs(boiler, "ph", items = items, bits = reqBits)
+    boiler.unpersist()
+    val out =
+      if (bloom == null)
+        raw.select(col("doc_id"), col("text"), lit(0L).as("n_removed"))
+      else raw
+        .withColumn("__toks", split(col("text"), "\\s+"))
+        // null-safe: paragraphRuns yields [] for a null token column
+        .select(col("doc_id"), DedupOps.paragraphRuns("__toks").as("__runs"))
+        .withColumn("__keep", filter(col("__runs"), r =>
+          !call_function("graft_might_contain", lit(bloom),
+            call_function("graft_h60", r))))
+        .select(
+          col("doc_id"),
+          array_join(col("__keep"), " ").as("text"),
+          (size(col("__runs")) - size(col("__keep"))).cast("long")
+            .as("n_removed"))
+    out.as[ScrubbedDoc]
   }
 
   // ---------------------------------------------------------------

@@ -44,6 +44,10 @@ final case class PendingEntry(event_id: Long, tsMs: Long)
 /** A document flowing through an ingest stream (curation ops). */
 final case class DocRow(doc_id: Long, text: String)
 
+/** A document after ingest-time boilerplate stripping: `text` is the
+  * surviving runs rejoined; `n_removed` counts stripped runs. */
+final case class ScrubbedDoc(doc_id: Long, text: String, n_removed: Long)
+
 /** Keyed state for streaming exact dedup: whether the content hash
   * has already emitted a document. */
 final case class SeenContent(seen: Boolean)
