@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow60"),
       new ExpressionInfo(classOf[functions.Winnow60].getName, "graft_winnow60"),
       (children: Seq[Expression]) => functions.Winnow60(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winhash60"),
+      new ExpressionInfo(classOf[functions.WinHash60].getName, "graft_winhash60"),
+      (children: Seq[Expression]) =>
+        functions.WinHash60(children(0), children(1), children(2))))
     // Spark's own runtime-filter machinery (InjectRuntimeFilter uses
     // these two internally), surfaced as callable functions so the
     // Bloom-prefiltered decontamination path (DedupOps c09b) can

@@ -776,6 +776,51 @@ object DedupOps extends QueryModule {
     c15ParagraphDedupOf(Tables.documents(s, d))
 
   // ---------------------------------------------------------------
+  // c16 — EXACT-substring decontamination (character level)
+  // ---------------------------------------------------------------
+
+  private[graft] val SUB_W = 40
+  private[graft] val SUB_STRIDE = 8
+
+  /** c16 — exact-substring decontamination, the character-level
+    * complement of c09's token ngrams (Lee et al.'s "Deduplicating
+    * Training Data" runs exactly this pass with suffix arrays): flag
+    * corpus documents sharing a ≥ (W+s−1)-character EXACT substring
+    * with the eval set. Token-ngram overlap misses contamination
+    * that straddles tokenization — whitespace/punctuation
+    * normalization, mid-word truncation — while a character window
+    * catches any verbatim copy.
+    *
+    * Spark-first shape instead of a suffix array (which needs global
+    * sorted adjacency — hostile to partitioning): the EVAL side
+    * hashes every W-char window (stride 1, native one-pass
+    * graft_winhash60), the CORPUS side only every s-th window. Any
+    * shared substring of length ≥ W+s−1 fully contains some
+    * corpus-strided window, and that exact window is in the eval
+    * set — no false negatives at the guarantee length, corpus-side
+    * hashing and join volume cut by s×. Both sides are narrow
+    * per-row passes into one equi-join keyed on the 60-bit window
+    * hash (eval windows ≪ corpus, AQE broadcasts; at 100 TB the
+    * join degrades to shuffle gracefully). The oracle replays the
+    * identical windows/hashes via substr, so agreement is
+    * bit-exact. */
+  def c16SubstringDecon(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val evalW = docs.filter(col("doc_id") % EVAL_MOD === 0)
+      .select(explode_outer(call_function("graft_winhash60",
+        col("text"), lit(SUB_W), lit(1))).as("h"))
+      .where(col("h").isNotNull).distinct()
+    val corpusW = docs.filter(col("doc_id") % EVAL_MOD =!= 0)
+      .select(col("doc_id"), explode_outer(call_function("graft_winhash60",
+        col("text"), lit(SUB_W), lit(SUB_STRIDE))).as("h"))
+      .where(col("h").isNotNull)
+    corpusW.join(evalW, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hit_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
   // c09b — decontamination behind a Bloom-filter prefilter
   // ---------------------------------------------------------------
 
@@ -876,7 +921,8 @@ object DedupOps extends QueryModule {
     "c10b_cluster_star" -> c10bClusterStar,
     "c13_incremental_dedup" -> c13IncrementalDedup,
     "c14_dedup_consensus" -> c14DedupConsensus,
-    "c15_paragraph_dedup" -> c15ParagraphDedup)
+    "c15_paragraph_dedup" -> c15ParagraphDedup,
+    "c16_substring_decon" -> c16SubstringDecon)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
@@ -1053,6 +1099,21 @@ object DedupOps extends QueryModule {
     // c09b is c09 behind a Bloom prefilter whose false positives die
     // in the exact verify join — same rows, same oracle.
     "c09b_decontaminate_bloom" -> c09OracleSql,
+    "c16_substring_decon" -> {
+      val h = Portable.h60Sql(s"substr(text, CAST(i AS INT), $SUB_W)")
+      s"""WITH evalw AS (
+         |  SELECT DISTINCT h FROM (
+         |    SELECT unnest(list_transform(range(1, length(text) - $SUB_W + 2),
+         |      i -> $h)) AS h
+         |    FROM documents WHERE doc_id % $EVAL_MOD = 0 AND length(text) >= $SUB_W)),
+         |corpusw AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, length(text) - $SUB_W + 2, $SUB_STRIDE),
+         |    i -> $h)) AS h
+         |  FROM documents WHERE doc_id % $EVAL_MOD <> 0 AND length(text) >= $SUB_W)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS hit_windows
+         |FROM corpusw WHERE h IN (SELECT h FROM evalw)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "c15_paragraph_dedup" ->
       s"""WITH paras AS (
          |  SELECT doc_id,
