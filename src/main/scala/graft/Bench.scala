@@ -107,9 +107,13 @@ object Bench {
     val total =
       if (failed.exists(headline.contains)) -1.0
       else results.collect { case (k, v) if headline.contains(k) => v }.sum
+    // Mirror the cold rule: refuse the warm total only when a
+    // HEADLINE member is missing or invalid — an extras failure must
+    // not destroy the round's warm comparability.
+    val warmMap = warm.toMap
     val warmTotal =
-      if (warm.size < results.size || warm.exists(_._2 < 0)) -1.0
-      else warm.collect { case (k, v) if headline.contains(k) => v }.sum
+      if (headline.exists(h => warmMap.get(h).forall(_ < 0))) -1.0
+      else headline.map(warmMap).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"warm_reps":$reps,"warm_total":$warmTotal,"queries_warm":${jsonMap(warm)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -724,7 +724,10 @@ object DedupOps extends QueryModule {
     * null-safe. Shared by c15 and Jobs.boilerplateIngest. */
   private[graft] def paragraphRuns(toksCol: String): Column = {
     val P = PARA_TOKENS
-    when(col(toksCol).isNotNull, expr(
+    // size > 0 matters, not just isNotNull: sequence(0, ceil(0/P)-1)
+    // = sequence(0, -1) = [0, -1] (Spark infers a descending step),
+    // which would fabricate two phantom '' runs for an empty array.
+    when(col(toksCol).isNotNull && size(col(toksCol)) > 0, expr(
       s"transform(sequence(0, CAST(ceil(size($toksCol) / ${P}.0) AS INT) - 1), " +
         s"i -> concat_ws(' ', slice($toksCol, i * $P + 1, $P)))"))
       .otherwise(array().cast(ArrayType(StringType)))
@@ -800,10 +803,14 @@ object DedupOps extends QueryModule {
     * set — no false negatives at the guarantee length, corpus-side
     * hashing and join volume cut by s×. Both sides are narrow
     * per-row passes into one equi-join keyed on the 60-bit window
-    * hash (eval windows ≪ corpus, AQE broadcasts; at 100 TB the
-    * join degrades to shuffle gracefully). The oracle replays the
-    * identical windows/hashes via substr, so agreement is
-    * bit-exact. */
+    * hash. Join strategy stays with AQE, same reasoning as c09:
+    * THIS fixture's eval slice is 10% of the corpus (stride-1
+    * windows ≈ the strided corpus set in volume), which is not
+    * broadcast-safe and planly shuffles; in production the eval
+    * side is a real benchmark suite — tiny — whose distinct window
+    * set broadcasts and the corpus never shuffles. The oracle
+    * replays the identical windows/hashes via substr, so agreement
+    * is bit-exact. */
   def c16SubstringDecon(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val evalW = docs.filter(col("doc_id") % EVAL_MOD === 0)

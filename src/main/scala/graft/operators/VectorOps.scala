@@ -326,8 +326,28 @@ object VectorOps extends QueryModule {
     dropStale(s, idxT)
     dropStale(s, centT)
     ScaleOps.writeBucketed(qAssign(qe, cents), idxT, "cid", buckets = CELLS)
-    s.createDataFrame(cents).toDF("cid", "qc")
+    val token = corpusToken(s, d)
+    s.createDataFrame(cents.map { case (cid, qc) => (cid, qc, token) })
+      .toDF("cid", "qc", "token")
       .write.mode("overwrite").format("parquet").saveAsTable(centT)
+  }
+
+  /** Identity token of the corpus the index was built from: the full
+    * dir path plus the embeddings file listing (name, length, mtime)
+    * — computed from metadata only, no data scan. Stored with the
+    * quantizer and re-checked on every c07c read, so a regenerated
+    * corpus (same path, new files) or a 32-bit table-name hash
+    * collision between two dirs triggers a rebuild instead of
+    * silently answering from the wrong index. */
+  private def corpusToken(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(d, "embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else if (fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
+      else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.toString)
+    files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .mkString(s"$d|", ",", "")
   }
 
   /** Drop a managed table AND its warehouse location. The in-memory
@@ -358,9 +378,17 @@ object VectorOps extends QueryModule {
     * read-vs-c07b speedup). */
   def c07cAnnIvfPersisted(s: SparkSession, d: String): DataFrame = {
     val (idxT, centT) = ivfTables(d)
-    if (!s.catalog.tableExists(idxT) || !s.catalog.tableExists(centT))
+    def centRows() =
+      if (!s.catalog.tableExists(idxT) || !s.catalog.tableExists(centT)) Nil
+      else s.table(centT).collect().toSeq
+    var rows = centRows()
+    // Rebuild on corpus drift, not just absence: the stored token
+    // must match the live corpus listing (see corpusToken).
+    if (rows.isEmpty || rows.head.getString(2) != corpusToken(s, d)) {
       buildIvfIndex(s, d)
-    val cents = s.table(centT).collect()
+      rows = centRows()
+    }
+    val cents = rows
       .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
     val qvs = anchorVectors(s, d, NQ).map { case (qid, v) =>
       (qid.toLong, v.map(x => math.floor(x.toDouble * KM_Q).toLong))

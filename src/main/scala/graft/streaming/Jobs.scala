@@ -374,13 +374,19 @@ object Jobs {
       else raw
         .withColumn("__toks", split(col("text"), "\\s+"))
         // null-safe: paragraphRuns yields [] for a null token column
-        .select(col("doc_id"), DedupOps.paragraphRuns("__toks").as("__runs"))
+        .withColumn("__runs", DedupOps.paragraphRuns("__toks"))
         .withColumn("__keep", filter(col("__runs"), r =>
           !call_function("graft_might_contain", lit(bloom),
             call_function("graft_h60", r))))
         .select(
           col("doc_id"),
-          array_join(col("__keep"), " ").as("text"),
+          // Untouched documents pass through BYTE-IDENTICAL (tabs,
+          // newlines, run-length whitespace preserved) — rejoining
+          // normalizes whitespace, so it is applied only when a run
+          // was actually stripped. Both branches then share one
+          // contract: text changes iff n_removed > 0.
+          when(size(col("__keep")) === size(col("__runs")), col("text"))
+            .otherwise(array_join(col("__keep"), " ")).as("text"),
           (size(col("__runs")) - size(col("__keep"))).cast("long")
             .as("n_removed"))
     out.as[ScrubbedDoc]
