@@ -39,7 +39,7 @@ object Bench {
     "t07_pii_scrub", "t08_repetition", "t09_pack_sequences",
     "t10_mix_sample", "t11_top_quality_per_source",
     "t12_quality_dist", "t12x_quality_dist_approx", "t13_ngram_topk",
-    "t14_corpus_shuffle")
+    "t14_corpus_shuffle", "t15_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

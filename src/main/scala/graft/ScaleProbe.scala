@@ -108,6 +108,7 @@ object ScaleProbe {
       "c10b_cluster_star" -> operators.DedupOps.c10bClusterStar _,
       "c15_paragraph_dedup" -> operators.DedupOps.c15ParagraphDedup _,
       "t03b_subword_tokens" -> operators.TextOps.t03bSubwordTokens _,
+      "t15_lm_score" -> operators.TextOps.t15LmScore _,
       "t12_quality_dist" -> operators.CorpusStats.t12QualityDist _,
       "t13_ngram_topk" -> operators.CorpusStats.t13NgramTopK _,
       "t14_corpus_shuffle" -> operators.CorpusStats.t14CorpusShuffle _)

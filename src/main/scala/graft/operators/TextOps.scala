@@ -359,6 +359,72 @@ object TextOps extends QueryModule {
       size(call_function("graft_subword_arr", col("text"))).cast(LongType))
       .orderBy(col("doc_id"))
 
+  private val LM_Q = 1L << 30
+
+  /** Core of t15 — bigram-LM quality scoring (the CCNet recipe:
+    * train a language model on a REFERENCE corpus, score candidate
+    * documents by how predictable their text is; low scores = noisy
+    * or non-linguistic content, the standard web-crawl quality
+    * filter). Model = add-one-smoothed token bigrams:
+    * P(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V), counts from `ref`;
+    * a document's score is the MEAN smoothed conditional likelihood
+    * over its bigrams.
+    *
+    * Engine-portable by construction: each bigram's likelihood is
+    * quantized to fixed-point — ((c2+1)·2^30) div (c1+V), exact
+    * BIGINT arithmetic — so the per-doc SUM is an integer
+    * (order-independent across partial aggregation) and only the
+    * final mean touches IEEE doubles via two exact divisions. A
+    * float log-prob would hang the oracle on libm's last-bit
+    * differences; counts and ratios cannot.
+    *
+    * Scale shape: the unigram/bigram count tables saturate with the
+    * vocabulary (t13's argument — map-side combine collapses every
+    * partition before the exchange), the scoring join is
+    * corpus-rows ⋈ vocabulary-sized tables (AQE broadcasts while the
+    * model fits, degrades to shuffle when not), and the per-doc
+    * reduce is one keyed aggregation. The exploded bigram frame is
+    * localCheckpointed because both the count build and the scoring
+    * join consume it — one tokenize pass, not two (the round-5 c14
+    * trade). (c2+1)·2^30 stays under 2^63 up to ~10^9 occurrences of
+    * a single bigram; past that, shrink the quantization scale. */
+  def lmScore(ref: DataFrame, target: DataFrame): DataFrame = {
+    def bigrams(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode_outer(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val refBig = bigrams(ref).localCheckpoint()
+    val uni = ref.select(explode_outer(split(col("text"), "\\s+")).as("w"))
+      .where(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val c2 = refBig.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    bigrams(target)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), expr(
+        s"((coalesce(c2, 0L) + 1L) * ${LM_Q}L) div (coalesce(c1, 0L) + v)").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("__sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__sq").cast(DoubleType) / col("n_bigrams").cast(DoubleType) /
+          lit(LM_Q).cast(DoubleType)).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t15 — the fixture form: the corpus self-scored (ref = target),
+    * every bigram seen ≥ 1 time so smoothing only dampens. In
+    * production `ref` is a held-out clean corpus (CCNet uses
+    * Wikipedia) and `target` the crawl — same plan, two inputs. */
+  def t15LmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    lmScore(docs, docs)
+  }
+
   /** Per-language mixing rates for t10 as (lang, whole-epoch copies,
     * fractional-part threshold out of 10000): en 0.5×, de 1.0×,
     * fr 0.25×, es 1.5×, zh 2.5×. Integer thresholds keep the
@@ -442,7 +508,8 @@ object TextOps extends QueryModule {
     "t09b_pack_spans" -> t09bPackSpans,
     "t09c_pack_subword" -> t09cPackSubword,
     "t10_mix_sample" -> t10MixSample,
-    "t11_top_quality_per_source" -> t11TopQualityPerSource)
+    "t11_top_quality_per_source" -> t11TopQualityPerSource,
+    "t15_lm_score" -> t15LmScore)
 
   /** Recursive-CTE subword segmentation of the corpus's DISTINCT
     * words (`wtok`: w → toks) — the DuckDB twin of
@@ -553,6 +620,25 @@ object TextOps extends QueryModule {
          |          ${Portable.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
          |        FROM ntok))
          |ORDER BY doc_id""".stripMargin,
+    "t15_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+         |  FROM toks WHERE len(t) >= 2),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+         |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST($LM_Q AS DOUBLE) AS lm_score
+         |FROM (
+         |  SELECT b.doc_id, ((c2.c2 + 1) * $LM_Q) // (u.c1 + vv.v) AS q
+         |  FROM big b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+         |             JOIN uni u ON b.w1 = u.w
+         |             CROSS JOIN vv)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t04_fingerprint" ->
       s"""SELECT doc_id,
          |  list_min(list_transform(range(1, CAST(greatest(length(text) - 7, 1) AS BIGINT) + 1),
