@@ -22,10 +22,12 @@ class PlanShapeSpec extends SparkSpec {
   /** Queries whose plans legitimately contain a broadcast
     * nested-loop join: the tiny-literal-side patterns (range dim in
     * a14c; the ≤20-row broadcast query/centroid sets in the ANN
-    * family) where a hash join has no equi-key to use. */
+    * family; t15's ONE-ROW vocabulary-size scalar crossed into the
+    * scoring projection) where a hash join has no equi-key to use. */
   private val bnljAllowed = Set(
     "a14c_range_join", "c06_ann_brute", "c07_ann_ivf",
-    "c07b_ann_ivf_refined", "c11_semantic_dedup", "c05_embed_neardup")
+    "c07b_ann_ivf_refined", "c11_semantic_dedup", "c05_embed_neardup",
+    "t15_lm_score")
 
   test("no query plan contains a cartesian product; BNLJ only where intended") {
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
