@@ -778,6 +778,74 @@ object DedupOps extends QueryModule {
   def c15ParagraphDedup(s: SparkSession, d: String): DataFrame =
     c15ParagraphDedupOf(Tables.documents(s, d))
 
+  /** c15's stripping in its pipeline-input form: the document table
+    * with boilerplate runs removed — (doc_id, lang, source, text),
+    * fully-boilerplate docs dropped. Dimension columns ride through
+    * the groupBy keys (same cardinality as doc_id — no extra
+    * exchange) instead of a corpus×corpus join back to the source. */
+  private[graft] def paragraphCleaned(docs: DataFrame): DataFrame = {
+    val paras = docs
+      .where(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        posexplode_outer(paragraphRuns("toks")))
+      .toDF("doc_id", "lang", "source", "pidx", "para")
+      .withColumn("ph", Portable.h60(col("para")))
+    val pdf = paras.select(col("doc_id"), col("ph")).distinct()
+      .groupBy(col("ph")).agg(count(lit(1)).as("pdf"))
+    paras.join(pdf, Seq("ph"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("pdf") <= PARA_DF_K, struct(col("pidx"), col("para"))))),
+          x => x.getField("para")),
+        " ").as("text"))
+      .where(col("text") =!= "")
+  }
+
+  // ---------------------------------------------------------------
+  // c17 — the end-to-end corpus-curation pipeline as ONE query
+  // ---------------------------------------------------------------
+
+  /** c17 — the full curation pass a production corpus actually runs,
+    * composed end-to-end and verified as one query: strip boilerplate
+    * paragraphs (c15), remove MinHash near-duplicates computed over
+    * the CLEANED text (c02 — stripping changes shingles, so dedup
+    * after stripping catches pairs the raw text hides behind shared
+    * boilerplate), gate on quality scored over the cleaned text
+    * (t02's features), assign the deterministic train/valid/test
+    * split (t05), and report (split, lang) corpus statistics.
+    *
+    * Scale shape: every stage is one of the already-benchmarked
+    * pipelines; composition adds one localCheckpoint of the cleaned
+    * corpus (consumed by both the dedup chain and the quality pass —
+    * one c15 computation, not two) plus one anti-join and the final
+    * small aggregation. The oracle replays the entire chain in a
+    * single WITH over the same parameterized fragments the component
+    * oracles use. */
+  def c17CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val cleaned = paragraphCleaned(Tables.documents(s, d)).localCheckpoint()
+    val dupIds = c02MinhashLshOf(
+      shingleDocsOf(cleaned, 3, hashed = true).localCheckpoint())
+      .select(col("db").as("doc_id")).distinct()
+    TextOps.withQualityCols(cleaned)
+      .filter(col("quality") >= QUALITY_T)
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .withColumn("bucket",
+        Portable.h60(concat(lit("split:"), col("doc_id").cast(StringType))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_char")).as("n_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   // ---------------------------------------------------------------
   // c16 — EXACT-substring decontamination (character level)
   // ---------------------------------------------------------------
@@ -929,19 +997,21 @@ object DedupOps extends QueryModule {
     "c13_incremental_dedup" -> c13IncrementalDedup,
     "c14_dedup_consensus" -> c14DedupConsensus,
     "c15_paragraph_dedup" -> c15ParagraphDedup,
-    "c16_substring_decon" -> c16SubstringDecon)
+    "c16_substring_decon" -> c16SubstringDecon,
+    "c17_curation_pipeline" -> c17CurationPipeline)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
   // ---------------------------------------------------------------
 
   /** Hashed distinct word-n-grams per doc, DuckDB form (twin of
-    * [[shingleDocs]] with hashed=true). */
-  private def hashedNgramsSql(n: Int): String =
+    * [[shingleDocs]] with hashed=true), over any
+    * `(doc_id, text, …)` source relation. */
+  private def hashedNgramsSql(n: Int, src: String = "documents"): String =
     s"""SELECT DISTINCT doc_id, ${Portable.h60Sql("s")} AS sh FROM (
        |  SELECT doc_id, unnest(list_transform(range(0, len(t) - ${n - 1}),
        |    i -> array_to_string(t[i + 1:i + $n], ' '))) AS s
-       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') t FROM documents)
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') t FROM $src)
        |  WHERE len(t) >= $n)""".stripMargin
 
   private val ngramsSql = hashedNgramsSql(NGRAM_N)
@@ -955,7 +1025,7 @@ object DedupOps extends QueryModule {
     * hashes (one md5 per shingle), so the 16 LCG-derived minima are
     * pure integer arithmetic on identical literals with exact BIGINT
     * math. */
-  private lazy val shSigBandsCtes: String = {
+  private def shSigBandsCtesFrom(src: String): String = {
     val mins = (0 until K).map(i =>
       s"MIN((${MH_A(i)} * (sh % $MH_P) + ${MH_B(i)}) % $MH_P) AS m$i")
       .mkString(",\n         ")
@@ -963,19 +1033,23 @@ object DedupOps extends QueryModule {
       s"SELECT doc_id, $b AS band, concat_ws(',', " +
         (0 until R).map(r => s"m${b * R + r}").mkString(", ") + ") AS key FROM sig")
       .mkString("\n       UNION ALL ")
-    s"""sh AS (${hashedNgramsSql(3)}),
+    s"""sh AS (${hashedNgramsSql(3, src)}),
        |sig AS (SELECT doc_id,
        |         $mins
        |        FROM sh GROUP BY doc_id),
        |bands AS ($bandRows)""".stripMargin
   }
 
-  private lazy val c02Ctes: String =
-    s"""$shSigBandsCtes,
+  private lazy val shSigBandsCtes: String = shSigBandsCtesFrom("documents")
+
+  private def c02CtesFrom(src: String): String =
+    s"""${shSigBandsCtesFrom(src)},
        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private lazy val c02Ctes: String = c02CtesFrom("documents")
 
   /** SimHash fingerprint + chunk-blocking CTEs (tf, sums, fp, chunks,
     * `$cand`) — the c03 relational twin, with the candidate CTE name
@@ -1106,6 +1180,43 @@ object DedupOps extends QueryModule {
     // c09b is c09 behind a Bloom prefilter whose false positives die
     // in the exact verify join — same rows, same oracle.
     "c09b_decontaminate_bloom" -> c09OracleSql,
+    "c17_curation_pipeline" -> {
+      val P = PARA_TOKENS
+      s"""WITH cparas AS (
+         |  SELECT doc_id, lang, source,
+         |    unnest(range(0, CAST(ceil(len(t) / ${P}.0) AS BIGINT))) AS pidx,
+         |    unnest(list_transform(range(0, CAST(ceil(len(t) / ${P}.0) AS BIGINT)),
+         |      i -> array_to_string(t[i * $P + 1 : (i + 1) * $P], ' '))) AS para
+         |  FROM (SELECT doc_id, lang, source, string_split_regex(text, '\\s+') AS t
+         |        FROM documents WHERE text IS NOT NULL)),
+         |chashed AS (SELECT *, ${Portable.h60Sql("para")} AS ph FROM cparas),
+         |cpdf AS (SELECT ph, count(DISTINCT doc_id) AS pdf FROM chashed GROUP BY ph),
+         |cleaned AS (
+         |  SELECT * FROM (
+         |    SELECT h.doc_id, h.lang, h.source,
+         |           string_agg(CASE WHEN p.pdf <= $PARA_DF_K THEN h.para END,
+         |                      ' ' ORDER BY h.pidx) AS text
+         |    FROM chashed h JOIN cpdf p ON h.ph = p.ph
+         |    GROUP BY h.doc_id, h.lang, h.source)
+         |  WHERE text IS NOT NULL AND text <> ''),
+         |${c02CtesFrom("cleaned")},
+         |neardup AS (SELECT DISTINCT db AS doc_id FROM (
+         |  ${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
+         |qual AS (${TextOps.qualityColsSqlFrom("cleaned")}),
+         |flags AS (SELECT doc_id,
+         |  ${Portable.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM cleaned)
+         |SELECT CASE WHEN f.bucket < 80 THEN 'train'
+         |            WHEN f.bucket < 90 THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |       q.lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(q.n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(q.n_char) AS BIGINT) AS n_chars
+         |FROM qual q JOIN flags f ON q.doc_id = f.doc_id
+         |WHERE q.quality >= $QUALITY_T
+         |  AND q.doc_id NOT IN (SELECT doc_id FROM neardup)
+         |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
     "c16_substring_decon" -> {
       val h = Portable.h60Sql(s"substr(text, CAST(i AS INT), $SUB_W)")
       s"""WITH evalw AS (

@@ -81,8 +81,8 @@ object TextOps extends QueryModule {
   }
 
   /** DuckDB twin of [[withQualityCols]] as a derived-table SQL
-    * fragment over `documents`. */
-  val qualityColsSql: String = {
+    * fragment over any `(doc_id, lang, source, text)` source. */
+  def qualityColsSqlFrom(src: String): String = {
     val stop = hitsSql(langWords.head._2)
     s"""SELECT *,
        |  least(1.0, greatest(0.0,
@@ -97,8 +97,10 @@ object TextOps extends QueryModule {
        |      CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
        |      CAST(length(text) AS BIGINT) AS n_char,
        |      $stop AS stop_hits
-       |    FROM documents))""".stripMargin
+       |    FROM $src))""".stripMargin
   }
+
+  val qualityColsSql: String = qualityColsSqlFrom("documents")
 
   /** t02 — quality scoring per document. */
   def t02Quality(s: SparkSession, d: String): DataFrame =
