@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.WinHash60].getName, "graft_winhash60"),
       (children: Seq[Expression]) =>
         functions.WinHash60(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_slidemin"),
+      new ExpressionInfo(classOf[functions.SlideMin].getName, "graft_slidemin"),
+      (children: Seq[Expression]) => functions.SlideMin(children(0), children(1))))
     // Spark's own runtime-filter machinery (InjectRuntimeFilter uses
     // these two internally), surfaced as callable functions so the
     // Bloom-prefiltered decontamination path (DedupOps c09b) can

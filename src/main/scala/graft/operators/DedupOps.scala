@@ -896,6 +896,65 @@ object DedupOps extends QueryModule {
   }
 
   // ---------------------------------------------------------------
+  // c19 — within-corpus exact-substring pairs via winnowing
+  // ---------------------------------------------------------------
+
+  private[graft] val SELF_W = 32 // window chars
+  private[graft] val SELF_K = 9 // winnow span in windows → 40-char guarantee
+
+  /** c19 — WITHIN-corpus exact-substring duplication (the self-join
+    * face of c16's eval-vs-corpus decontamination): pairs of documents
+    * sharing a verbatim character run of ≥ SELF_W + SELF_K − 1 = 40
+    * chars, with the count of shared winnowing fingerprints as the
+    * duplication signal. This is MOSS-style winnowing (Schleimer et
+    * al.) standing in for Lee et al.'s suffix-array ExactSubstr pass,
+    * which needs globally sorted adjacency — hostile to partitioning.
+    *
+    * c16's dense-vs-strided asymmetry does NOT survive a self-join
+    * (every doc would need the dense side — full corpus chars as join
+    * rows). Winnowing restores the guarantee SYMMETRICALLY: per doc,
+    * hash every W-char window (native graft_winhash60, stride 1),
+    * then keep the minimum of each K consecutive hashes (native
+    * graft_slidemin — one O(n) deque pass). Any shared run of
+    * W+K−1 chars contains K consecutive equal window hashes in BOTH
+    * docs, and the min over that exact K-window is selected on both
+    * sides — same fingerprint value, no false negatives at the
+    * guarantee length, while join rows collapse to the distinct
+    * minima: ≈ 2/(K+1) of the windows (~4.5× fewer at K=9).
+    *
+    * Scale shape: fingerprint extraction is one narrow per-row pass
+    * (ZERO shuffle — array_distinct runs inside the row, so even the
+    * per-doc dedup never exchanges); the checkpointed fingerprint
+    * table (longs only) feeds both sides of one equi-join. A
+    * fingerprint shared by k docs yields k·(k−1)/2 pair rows —
+    * output-proportional, the same bound as c02's band join; the
+    * boilerplate that would make a fingerprint hot is exactly what
+    * c15 strips upstream in a composed pipeline. */
+  /** [[c19SubstringSelfdup]] over an arbitrary `(doc_id, text, …)`
+    * frame (spec surface). */
+  private[graft] def c19SubstringSelfdupOf(docs: DataFrame): DataFrame = {
+    // explode_outer + isNotNull (not explode): dodges the
+    // InferFiltersFromGenerate size()>0 filter re-evaluating the
+    // window-hash + winnow chain per row — see c02Cand/c16.
+    val fp = docs
+      .select(col("doc_id"), explode_outer(array_distinct(
+        call_function("graft_slidemin",
+          call_function("graft_winhash60", col("text"), lit(SELF_W), lit(1)),
+          lit(SELF_K)))).as("fp"))
+      .where(col("fp").isNotNull)
+      .localCheckpoint()
+    fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  def c19SubstringSelfdup(s: SparkSession, d: String): DataFrame =
+    c19SubstringSelfdupOf(Tables.documents(s, d))
+
+  // ---------------------------------------------------------------
   // c09b — decontamination behind a Bloom-filter prefilter
   // ---------------------------------------------------------------
 
@@ -998,7 +1057,8 @@ object DedupOps extends QueryModule {
     "c14_dedup_consensus" -> c14DedupConsensus,
     "c15_paragraph_dedup" -> c15ParagraphDedup,
     "c16_substring_decon" -> c16SubstringDecon,
-    "c17_curation_pipeline" -> c17CurationPipeline)
+    "c17_curation_pipeline" -> c17CurationPipeline,
+    "c19_substring_selfdup" -> c19SubstringSelfdup)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
@@ -1231,6 +1291,22 @@ object DedupOps extends QueryModule {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS hit_windows
          |FROM corpusw WHERE h IN (SELECT h FROM evalw)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "c19_substring_selfdup" -> {
+      val h = Portable.h60Sql(s"substr(text, CAST(i AS INT), $SELF_W)")
+      s"""WITH wh AS (
+         |  SELECT doc_id, list_transform(range(1, length(text) - $SELF_W + 2),
+         |    i -> $h) AS h
+         |  FROM documents WHERE length(text) >= $SELF_W),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(h) - $SELF_K + 1, 1) + 1),
+         |    i -> list_min(h[i:i + ${SELF_K - 1}]))) AS fp
+         |  FROM wh)
+         |SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY da, db
+         |ORDER BY da, db""".stripMargin
     },
     "c15_paragraph_dedup" ->
       s"""WITH paras AS (

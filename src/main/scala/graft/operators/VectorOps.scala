@@ -58,23 +58,29 @@ object VectorOps extends QueryModule {
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
       .sortBy(_._1)
 
-  /** c05 — embedding near-duplicate pairs via sign-LSH. */
-  def c05EmbedNeardup(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
-    // sig computed in one narrow pass: bit k = sign of dot with the
-    // k-th literal plane; no shuffle until the band join.
+  /** Exploded `(vec_id, band, bv)` sign-LSH band keys of every
+    * embedding — one narrow pass (bit k = sign of dot with the k-th
+    * literal plane; no shuffle until a band join consumes the keys).
+    * Shared by c05's self-join and c18's eval-vs-corpus join. */
+  private def signBandKeys(s: SparkSession, d: String): DataFrame = {
     val sigExpr = anchorVectors(s, d, PLANES).map { case (hid, v) =>
       when(Portable.dot(col("embedding"), typedLit(v)) >= 0, 1L << hid).otherwise(0L)
     }.reduce(_ + _)
-    val sig = e.select(col("vec_id"), sigExpr.as("sig"))
+    val sig = emb(s, d).select(col("vec_id"), sigExpr.as("sig"))
     val nBands = PLANES / BAND_BITS
     // _outer ≡ plain here (fixed-size non-null array) but skips the
     // InferFiltersFromGenerate filter that would re-evaluate the 16
     // hyperplane dot products per row.
-    val bands = sig.select(col("vec_id"), posexplode_outer(array(
+    sig.select(col("vec_id"), posexplode_outer(array(
       (0 until nBands).map(b =>
         shiftright(col("sig"), b * BAND_BITS).bitwiseAND((1 << BAND_BITS) - 1)): _*)))
       .toDF("vec_id", "band", "bv")
+  }
+
+  /** c05 — embedding near-duplicate pairs via sign-LSH. */
+  def c05EmbedNeardup(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val bands = signBandKeys(s, d)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -88,6 +94,52 @@ object VectorOps extends QueryModule {
       .filter(col("score") >= NEAR_T)
       .select(col("ia"), col("ib"), col("score"))
       .orderBy(col("ia"), col("ib"))
+  }
+
+  /** c18 eval slice: every 10th vector, mirroring the text-side
+    * decontamination fixtures (DedupOps EVAL_MOD). */
+  private val SEM_EVAL_MOD = 10L
+
+  /** c18 — SEMANTIC decontamination: corpus vectors whose embedding
+    * is near-duplicate to some EVAL-set vector. Completes the
+    * decontamination family — c09 token ngrams, c09b the same behind
+    * a Bloom sketch, c16 exact character substrings — with the face
+    * n-gram/substring overlap cannot catch: paraphrased or
+    * re-templated copies of a benchmark item that share few exact
+    * spans but embed nearby.
+    *
+    * Shape = c05's sign-LSH turned BIPARTITE: one narrow signature
+    * pass over all embeddings, then corpus band keys equi-join the
+    * (broadcast) eval band keys — the corpus never self-joins and
+    * never shuffles; only candidate pairs (output-proportional) reach
+    * the exact-dot verify, and the per-vector aggregation is
+    * map-side combined. In production the eval side is a benchmark
+    * suite — tiny — so both the band keys and the verify vectors
+    * broadcast (hinted here), and corpus cost is one scan + one
+    * 16-dot projection per row regardless of corpus size.
+    *
+    * Same candidate semantics as c05 (recall is the LSH collision
+    * bound, verification is exact); the oracle replays the identical
+    * plane/band/verify pipeline, so agreement is bit-exact. */
+  def c18SemanticDecon(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val bands = signBandKeys(s, d)
+    val ev = bands.filter(col("vec_id") % SEM_EVAL_MOD === 0)
+      .select(col("vec_id").as("eid"), col("band"), col("bv"))
+    val cand = bands.filter(col("vec_id") % SEM_EVAL_MOD =!= 0)
+      .join(broadcast(ev), Seq("band", "bv"))
+      .select(col("vec_id"), col("eid"))
+      .distinct()
+    val evalVecs = e.filter(col("vec_id") % SEM_EVAL_MOD === 0)
+      .select(col("vec_id").as("eid"), col("embedding").as("ee"))
+    cand
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(evalVecs), "eid")
+      .withColumn("score", Portable.dot(col("embedding"), col("ee")))
+      .filter(col("score") >= NEAR_T)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("score")).as("max_score"))
+      .orderBy(col("vec_id"))
   }
 
   /** c06 — exact cosine top-k: broadcast query set, scan, rank-limit. */
@@ -421,6 +473,7 @@ object VectorOps extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c05_embed_neardup" -> c05EmbedNeardup,
+    "c18_semantic_decon" -> c18SemanticDecon,
     "c06_ann_brute" -> c06AnnBrute,
     "c07_ann_ivf" -> c07AnnIvf,
     "c07b_ann_ivf_refined" -> c07bAnnIvfRefined,
@@ -454,20 +507,26 @@ object VectorOps extends QueryModule {
        |c1 AS (SELECT cid, list(s // n ORDER BY dim) AS qc FROM s1 GROUP BY cid)""".stripMargin
   }
 
+  /** planes → bits → sig → bands: the sign-LSH band-key CTE chain
+    * (twin of [[signBandKeys]]), shared by the c05 and c18 oracles. */
+  private lazy val signCtes: String = {
+    val dotEH = Portable.dotSql("e.embedding", "h.hemb", DIM)
+    val nBands = PLANES / BAND_BITS
+    val bandRows = (0 until nBands).map(b =>
+      s"SELECT vec_id, $b AS band, (sig >> ${b * BAND_BITS}) & ${(1 << BAND_BITS) - 1} AS bv FROM sig")
+      .mkString("\n       UNION ALL ")
+    s"""planes AS (SELECT vec_id AS hid, embedding AS hemb FROM embeddings WHERE vec_id < $PLANES),
+       |bits AS (SELECT e.vec_id, h.hid,
+       |           CASE WHEN $dotEH >= 0 THEN 1 ELSE 0 END AS bit
+       |         FROM embeddings e CROSS JOIN planes h),
+       |sig AS (SELECT vec_id, CAST(SUM(bit << hid) AS BIGINT) AS sig FROM bits GROUP BY vec_id),
+       |bands AS ($bandRows)""".stripMargin
+  }
+
   override val oracle: Map[String, String] = Map(
     "c05_embed_neardup" -> {
-      val dotEH = Portable.dotSql("e.embedding", "h.hemb", DIM)
       val dotAB = Portable.dotSql("a.embedding", "b.embedding", DIM)
-      val nBands = PLANES / BAND_BITS
-      val bandRows = (0 until nBands).map(b =>
-        s"SELECT vec_id, $b AS band, (sig >> ${b * BAND_BITS}) & ${(1 << BAND_BITS) - 1} AS bv FROM sig")
-        .mkString("\n       UNION ALL ")
-      s"""WITH planes AS (SELECT vec_id AS hid, embedding AS hemb FROM embeddings WHERE vec_id < $PLANES),
-         |bits AS (SELECT e.vec_id, h.hid,
-         |           CASE WHEN $dotEH >= 0 THEN 1 ELSE 0 END AS bit
-         |         FROM embeddings e CROSS JOIN planes h),
-         |sig AS (SELECT vec_id, CAST(SUM(bit << hid) AS BIGINT) AS sig FROM bits GROUP BY vec_id),
-         |bands AS ($bandRows),
+      s"""WITH $signCtes,
          |cand AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
          |         FROM bands x JOIN bands y
          |           ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
@@ -476,6 +535,20 @@ object VectorOps extends QueryModule {
          |          JOIN embeddings b ON ib = b.vec_id
          |WHERE $dotAB >= $NEAR_T
          |ORDER BY ia, ib""".stripMargin
+    },
+    "c18_semantic_decon" -> {
+      val dotAB = Portable.dotSql("a.embedding", "b.embedding", DIM)
+      s"""WITH $signCtes,
+         |ev AS (SELECT vec_id AS eid, band, bv FROM bands WHERE vec_id % $SEM_EVAL_MOD = 0),
+         |co AS (SELECT vec_id, band, bv FROM bands WHERE vec_id % $SEM_EVAL_MOD <> 0),
+         |cand AS (SELECT DISTINCT co.vec_id, ev.eid
+         |         FROM co JOIN ev ON co.band = ev.band AND co.bv = ev.bv),
+         |ver AS (SELECT c.vec_id, $dotAB AS score
+         |        FROM cand c JOIN embeddings a ON c.vec_id = a.vec_id
+         |                    JOIN embeddings b ON c.eid = b.vec_id)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits, MAX(score) AS max_score
+         |FROM ver WHERE score >= $NEAR_T
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
     "c06_ann_brute" ->
       s"""SELECT qid, rank, nid, score FROM (
