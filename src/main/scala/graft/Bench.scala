@@ -35,7 +35,8 @@ object Bench {
     "c10_dedup_cluster", "c10b_cluster_star", "c11_semantic_dedup",
     "c12_kmeans_cells",
     "c13_incremental_dedup", "c14_dedup_consensus", "c15_paragraph_dedup",
-    "c16_substring_decon", "c17_curation_pipeline", "c18_semantic_decon",
+    "c16_substring_decon", "c17_curation_pipeline", "c17b_curation_decon",
+    "c18_semantic_decon",
     "c19_substring_selfdup", "t04_fingerprint",
     "t07_pii_scrub", "t08_repetition", "t09_pack_sequences",
     "t10_mix_sample", "t11_top_quality_per_source",

@@ -846,6 +846,54 @@ object DedupOps extends QueryModule {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** c17b — [[c17CurationPipeline]] with the stage a production
+    * curation pass always adds: DECONTAMINATION. The eval slice
+    * (doc_id % EVAL_MOD = 0 — the stand-in benchmark suite) is
+    * excluded from the corpus up front (boilerplate document
+    * frequency is computed over the corpus ONLY — a benchmark is
+    * external and must not vote on what counts as boilerplate), and
+    * any corpus document whose CLEANED text shares a DECON_N-token
+    * ngram with the RAW eval slice (benchmarks don't pass through
+    * your cleaning) is dropped alongside near-dups before the
+    * quality gate and split stats.
+    *
+    * Scale shape: c17's chain plus one more equi-join family — the
+    * eval ngram set is c09's (broadcasts in production, AQE decides
+    * here), the contaminated-id set is a semi-join + distinct over
+    * candidate hits only. Nothing quadratic is added. */
+  def c17bCurationDecon(s: SparkSession, d: String): DataFrame = {
+    val cleaned = paragraphCleaned(
+      Tables.documents(s, d).filter(col("doc_id") % EVAL_MOD =!= 0))
+      .localCheckpoint()
+    val dupIds = c02MinhashLshOf(
+      shingleDocsOf(cleaned, 3, hashed = true).localCheckpoint())
+      .select(col("db").as("doc_id")).distinct()
+    val evalNg = shingleDocs(s, d, DECON_N, hashed = true)
+      .filter(col("doc_id") % EVAL_MOD === 0)
+      .select(explode_outer(col("shs")).as("sh"))
+      .where(col("sh").isNotNull).distinct()
+    val contamIds = shingleDocsOf(cleaned, DECON_N, hashed = true)
+      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+      .join(evalNg, Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    TextOps.withQualityCols(cleaned)
+      .filter(col("quality") >= QUALITY_T)
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .join(contamIds, Seq("doc_id"), "left_anti")
+      .withColumn("bucket",
+        Portable.h60(concat(lit("split:"), col("doc_id").cast(StringType))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_char")).as("n_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   // ---------------------------------------------------------------
   // c16 — EXACT-substring decontamination (character level)
   // ---------------------------------------------------------------
@@ -1058,6 +1106,7 @@ object DedupOps extends QueryModule {
     "c15_paragraph_dedup" -> c15ParagraphDedup,
     "c16_substring_decon" -> c16SubstringDecon,
     "c17_curation_pipeline" -> c17CurationPipeline,
+    "c17b_curation_decon" -> c17bCurationDecon,
     "c19_substring_selfdup" -> c19SubstringSelfdup)
 
   // ---------------------------------------------------------------
@@ -1275,6 +1324,50 @@ object DedupOps extends QueryModule {
          |FROM qual q JOIN flags f ON q.doc_id = f.doc_id
          |WHERE q.quality >= $QUALITY_T
          |  AND q.doc_id NOT IN (SELECT doc_id FROM neardup)
+         |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
+    "c17b_curation_decon" -> {
+      val P = PARA_TOKENS
+      s"""WITH cparas AS (
+         |  SELECT doc_id, lang, source,
+         |    unnest(range(0, CAST(ceil(len(t) / ${P}.0) AS BIGINT))) AS pidx,
+         |    unnest(list_transform(range(0, CAST(ceil(len(t) / ${P}.0) AS BIGINT)),
+         |      i -> array_to_string(t[i * $P + 1 : (i + 1) * $P], ' '))) AS para
+         |  FROM (SELECT doc_id, lang, source, string_split_regex(text, '\\s+') AS t
+         |        FROM documents
+         |        WHERE text IS NOT NULL AND doc_id % $EVAL_MOD <> 0)),
+         |chashed AS (SELECT *, ${Portable.h60Sql("para")} AS ph FROM cparas),
+         |cpdf AS (SELECT ph, count(DISTINCT doc_id) AS pdf FROM chashed GROUP BY ph),
+         |cleaned AS (
+         |  SELECT * FROM (
+         |    SELECT h.doc_id, h.lang, h.source,
+         |           string_agg(CASE WHEN p.pdf <= $PARA_DF_K THEN h.para END,
+         |                      ' ' ORDER BY h.pidx) AS text
+         |    FROM chashed h JOIN cpdf p ON h.ph = p.ph
+         |    GROUP BY h.doc_id, h.lang, h.source)
+         |  WHERE text IS NOT NULL AND text <> ''),
+         |${c02CtesFrom("cleaned")},
+         |neardup AS (SELECT DISTINCT db AS doc_id FROM (
+         |  ${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
+         |evaldocs AS (SELECT * FROM documents WHERE doc_id % $EVAL_MOD = 0),
+         |evalng AS (SELECT DISTINCT sh FROM (${hashedNgramsSql(DECON_N, "evaldocs")})),
+         |contng AS (${hashedNgramsSql(DECON_N, "cleaned")}),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM contng WHERE sh IN (SELECT sh FROM evalng)),
+         |qual AS (${TextOps.qualityColsSqlFrom("cleaned")}),
+         |flags AS (SELECT doc_id,
+         |  ${Portable.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM cleaned)
+         |SELECT CASE WHEN f.bucket < 80 THEN 'train'
+         |            WHEN f.bucket < 90 THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |       q.lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(q.n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(q.n_char) AS BIGINT) AS n_chars
+         |FROM qual q JOIN flags f ON q.doc_id = f.doc_id
+         |WHERE q.quality >= $QUALITY_T
+         |  AND q.doc_id NOT IN (SELECT doc_id FROM neardup)
+         |  AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
          |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
     },
     "c16_substring_decon" -> {
