@@ -978,6 +978,17 @@ object DedupOps extends QueryModule {
     * output-proportional, the same bound as c02's band join; the
     * boilerplate that would make a fingerprint hot is exactly what
     * c15 strips upstream in a composed pipeline. */
+  /** Distinct winnowing fingerprints of a text column as a per-row
+    * array — EMPTY (never null) for null or shorter-than-W text, so
+    * streaming per-row use is null-safe. Shared by c19 and the
+    * ingest-time twin (Jobs.substringDupIngest). */
+  private[graft] def winnowFps(textCol: Column): Column =
+    when(textCol.isNotNull, array_distinct(
+      call_function("graft_slidemin",
+        call_function("graft_winhash60", textCol, lit(SELF_W), lit(1)),
+        lit(SELF_K))))
+      .otherwise(array().cast(ArrayType(LongType)))
+
   /** [[c19SubstringSelfdup]] over an arbitrary `(doc_id, text, …)`
     * frame (spec surface). */
   private[graft] def c19SubstringSelfdupOf(docs: DataFrame): DataFrame = {
@@ -985,10 +996,7 @@ object DedupOps extends QueryModule {
     // InferFiltersFromGenerate size()>0 filter re-evaluating the
     // window-hash + winnow chain per row — see c02Cand/c16.
     val fp = docs
-      .select(col("doc_id"), explode_outer(array_distinct(
-        call_function("graft_slidemin",
-          call_function("graft_winhash60", col("text"), lit(SELF_W), lit(1)),
-          lit(SELF_K)))).as("fp"))
+      .select(col("doc_id"), explode_outer(winnowFps(col("text"))).as("fp"))
       .where(col("fp").isNotNull)
       .localCheckpoint()
     fp.as("a")

@@ -392,6 +392,49 @@ object Jobs {
     out.as[ScrubbedDoc]
   }
 
+  /** Streaming exact-substring dedup — the ingest-time twin of batch
+    * c19: drop incoming documents sharing a verbatim ≥ 40-char run
+    * with the EXISTING corpus, before they enter storage. The corpus
+    * winnow-fingerprint set (distinct values — ≈ 2/(K+1) of the
+    * corpus's windows, longs only) is computed once batch-side and
+    * ships as a Bloom sketch; the stream side is ONE per-row
+    * higher-order filter over the doc's own fingerprints (both
+    * native expressions — graft_winhash60 then graft_slidemin):
+    * zero joins, zero state.
+    *
+    * The sketch has no false negatives and winnowing has none at the
+    * guarantee length, so every incoming doc sharing a ≥ W+K−1-char
+    * run with the corpus IS dropped. False positives over-drop clean
+    * docs; a doc dies on ANY colliding probe, so sizing targets the
+    * union bound like the other ingest sketches
+    * ([[INGEST_BLOOM_BITS_PER_ITEM]] bits/item keeps a 10k-fingerprint
+    * clean doc ≤ ~2% at-risk). An empty corpus yields a null sketch
+    * and an untouched stream. */
+  def substringDupIngest(spark: SparkSession, raw: DataFrame,
+      corpus: DataFrame): Dataset[DocRow] = {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val corpusFp = corpus
+      .select(explode_outer(DedupOps.winnowFps(col("text"))).as("fp"))
+      .where(col("fp").isNotNull).distinct()
+      .persist() // counted once for sizing, then aggregated into the sketch
+    val nFp = corpusFp.count()
+    val items = math.max(nFp, INGEST_BLOOM_MIN_ITEMS)
+    val reqBits = items * INGEST_BLOOM_BITS_PER_ITEM
+    raiseBloomCaps(spark, items, reqBits, "substringDupIngest")
+    val bloom =
+      if (nFp == 0) null
+      else DedupOps.bloomOfLongs(corpusFp, "fp", items = items, bits = reqBits)
+    corpusFp.unpersist()
+    val kept =
+      if (bloom == null) raw
+      // lit(bloom) deliberate — one stable sketch across micro-batches
+      // (see decontaminateIngest)
+      else raw.filter(!exists(DedupOps.winnowFps(col("text")),
+        fp => call_function("graft_might_contain", lit(bloom), fp)))
+    kept.select(col("doc_id"), col("text")).as[DocRow]
+  }
+
   // ---------------------------------------------------------------
   // Entry point 2: the order path (BaseDBApp → OrderWideApp →
   // PaymentWideApp, SURVEY.md §3.2)
