@@ -1010,6 +1010,38 @@ object DedupOps extends QueryModule {
   def c19SubstringSelfdup(s: SparkSession, d: String): DataFrame =
     c19SubstringSelfdupOf(Tables.documents(s, d))
 
+  /** c19b — the per-DOCUMENT face of c19: what fraction of a doc's
+    * winnowing fingerprints is shared with ANY other document. This
+    * is the decision signal the ExactSubstr pass actually filters
+    * on (Lee et al. drop or trim documents by their duplicated-span
+    * fraction) — pair lists (c19) are the audit trail, the fraction
+    * is the gate.
+    *
+    * Scale shape: fingerprints one narrow pass; document frequency
+    * one keyed agg over (fp) — saturating with the distinct
+    * fingerprint vocabulary; one re-join on fp (AQE broadcasts the
+    * df table while it fits); one keyed agg per doc. No self-join at
+    * all — this face never materializes pairs, so it survives even
+    * corpora where boilerplate makes pair output quadratic. */
+  private[graft] def c19bSubstringDupfracOf(docs: DataFrame): DataFrame = {
+    val fp = docs
+      .select(col("doc_id"), explode_outer(winnowFps(col("text"))).as("fp"))
+      .where(col("fp").isNotNull)
+      .localCheckpoint()
+    val df = fp.groupBy(col("fp")).agg(count(lit(1)).as("fdf"))
+    fp.join(df, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fp"),
+        sum(when(col("fdf") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_frac",
+        col("n_shared").cast(DoubleType) / col("n_fp").cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
+  def c19bSubstringDupfrac(s: SparkSession, d: String): DataFrame =
+    c19bSubstringDupfracOf(Tables.documents(s, d))
+
   // ---------------------------------------------------------------
   // c09b — decontamination behind a Bloom-filter prefilter
   // ---------------------------------------------------------------
@@ -1115,7 +1147,8 @@ object DedupOps extends QueryModule {
     "c16_substring_decon" -> c16SubstringDecon,
     "c17_curation_pipeline" -> c17CurationPipeline,
     "c17b_curation_decon" -> c17bCurationDecon,
-    "c19_substring_selfdup" -> c19SubstringSelfdup)
+    "c19_substring_selfdup" -> c19SubstringSelfdup,
+    "c19b_substring_dupfrac" -> c19bSubstringDupfrac)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
@@ -1408,6 +1441,27 @@ object DedupOps extends QueryModule {
          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY da, db
          |ORDER BY da, db""".stripMargin
+    },
+    "c19b_substring_dupfrac" -> {
+      val h = Portable.h60Sql(s"substr(text, CAST(i AS INT), $SELF_W)")
+      s"""WITH wh AS (
+         |  SELECT doc_id, list_transform(range(1, length(text) - $SELF_W + 2),
+         |    i -> $h) AS h
+         |  FROM documents WHERE length(text) >= $SELF_W),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(h) - $SELF_K + 1, 1) + 1),
+         |    i -> list_min(h[i:i + ${SELF_K - 1}]))) AS fp
+         |  FROM wh),
+         |fdf AS (SELECT fp, count(*) AS fdf FROM fp GROUP BY fp)
+         |SELECT f.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_fp,
+         |       CAST(SUM(CASE WHEN d.fdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |       CAST(SUM(CASE WHEN d.fdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS dup_frac
+         |FROM fp f JOIN fdf d ON f.fp = d.fp
+         |GROUP BY f.doc_id
+         |ORDER BY f.doc_id""".stripMargin
     },
     "c15_paragraph_dedup" ->
       s"""WITH paras AS (

@@ -57,4 +57,14 @@ class SubstringSelfdupSpec extends SparkSpec {
       .count()
     assert(got((1L, 2L)) === fpCount)
   }
+
+  test("c19b dup_frac: identical docs score 1.0, a unique doc scores 0") {
+    val twin = randish("twin", 200)
+    val docs = Seq(1L -> twin, 2L -> twin, 3L -> randish("solo", 200))
+    val got = DedupOps.c19bSubstringDupfracOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) === 1.0 && got(2L) === 1.0,
+      "every fingerprint of an identical pair is shared")
+    assert(got(3L) === 0.0, "a unique doc must score 0")
+  }
 }
