@@ -37,7 +37,8 @@ object Bench {
     "c13_incremental_dedup", "c14_dedup_consensus", "c15_paragraph_dedup",
     "c16_substring_decon", "c17_curation_pipeline", "c17b_curation_decon",
     "c18_semantic_decon",
-    "c19_substring_selfdup", "c19b_substring_dupfrac", "t04_fingerprint",
+    "c19_substring_selfdup", "c19b_substring_dupfrac", "c20_decon_consensus",
+    "t04_fingerprint",
     "t07_pii_scrub", "t08_repetition", "t09_pack_sequences",
     "t10_mix_sample", "t11_top_quality_per_source",
     "t12_quality_dist", "t12x_quality_dist_approx", "t13_ngram_topk",

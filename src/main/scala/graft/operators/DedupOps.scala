@@ -943,6 +943,33 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** c20 — consensus DECONTAMINATION report (c14's consensus pattern
+    * applied to the hygiene family): every corpus document flagged by
+    * the token-ngram detector (c09) or the character-substring
+    * detector (c16), with how many and which methods agree. The two
+    * detectors have complementary blind spots — token ngrams miss
+    * copies that straddle tokenization, char windows miss nothing
+    * verbatim but say nothing about paraphrase-with-shared-phrases —
+    * so n_methods = 2 is near-certain leakage and the single-method
+    * rows are the review queue. (c18's semantic face keys on vec_id —
+    * the fixture has no doc↔vec linkage, so it reports separately.)
+    *
+    * Scale shape: a union of two already-linear reports and one
+    * keyed agg over flagged docs only (both inputs are
+    * output-proportional — flagged rows, not the corpus). */
+  def c20DeconConsensus(s: SparkSession, d: String): DataFrame = {
+    val tok = c09Decontaminate(s, d)
+      .select(col("doc_id")).withColumn("method", lit("ngram"))
+    val sub = c16SubstringDecon(s, d)
+      .select(col("doc_id")).withColumn("method", lit("substring"))
+    tok.unionByName(sub)
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("method")).as("n_methods"),
+        array_join(array_sort(collect_set(col("method"))), ",").as("methods"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------
   // c19 — within-corpus exact-substring pairs via winnowing
   // ---------------------------------------------------------------
@@ -1148,7 +1175,8 @@ object DedupOps extends QueryModule {
     "c17_curation_pipeline" -> c17CurationPipeline,
     "c17b_curation_decon" -> c17bCurationDecon,
     "c19_substring_selfdup" -> c19SubstringSelfdup,
-    "c19b_substring_dupfrac" -> c19bSubstringDupfrac)
+    "c19b_substring_dupfrac" -> c19bSubstringDupfrac,
+    "c20_decon_consensus" -> c20DeconConsensus)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
@@ -1441,6 +1469,30 @@ object DedupOps extends QueryModule {
          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY da, db
          |ORDER BY da, db""".stripMargin
+    },
+    "c20_decon_consensus" -> {
+      val h = Portable.h60Sql(s"substr(text, CAST(i AS INT), $SUB_W)")
+      s"""WITH ng AS (${hashedNgramsSql(DECON_N)}),
+         |evalng AS (SELECT DISTINCT sh FROM ng WHERE doc_id % $EVAL_MOD = 0),
+         |tokflag AS (
+         |  SELECT DISTINCT ng.doc_id FROM ng JOIN evalng e ON ng.sh = e.sh
+         |  WHERE ng.doc_id % $EVAL_MOD <> 0),
+         |evalw AS (
+         |  SELECT DISTINCT h FROM (
+         |    SELECT unnest(list_transform(range(1, length(text) - $SUB_W + 2),
+         |      i -> $h)) AS h
+         |    FROM documents WHERE doc_id % $EVAL_MOD = 0 AND length(text) >= $SUB_W)),
+         |corpusw AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, length(text) - $SUB_W + 2, $SUB_STRIDE),
+         |    i -> $h)) AS h
+         |  FROM documents WHERE doc_id % $EVAL_MOD <> 0 AND length(text) >= $SUB_W),
+         |subflag AS (SELECT DISTINCT doc_id FROM corpusw WHERE h IN (SELECT h FROM evalw)),
+         |m AS (SELECT doc_id, 'ngram' AS method FROM tokflag
+         |      UNION ALL SELECT doc_id, 'substring' AS method FROM subflag)
+         |SELECT doc_id, CAST(count(DISTINCT method) AS BIGINT) AS n_methods,
+         |       string_agg(DISTINCT method, ',' ORDER BY method) AS methods
+         |FROM m GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
     },
     "c19b_substring_dupfrac" -> {
       val h = Portable.h60Sql(s"substr(text, CAST(i AS INT), $SELF_W)")
