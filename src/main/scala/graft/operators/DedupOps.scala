@@ -865,15 +865,27 @@ object DedupOps extends QueryModule {
     val cleaned = paragraphCleaned(
       Tables.documents(s, d).filter(col("doc_id") % EVAL_MOD =!= 0))
       .localCheckpoint()
+    // ONE tokenize+hash pass over the cleaned corpus feeds BOTH the
+    // dedup 3-shingles and the decontamination 8-grams (the c14
+    // shared-pass pattern — without it the corpus is split and
+    // md5-shingled once per consumer).
+    val feats = cleaned
+      .withColumn("__toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"),
+        hashedShingles("__toks", 3).as("shs3"),
+        hashedShingles("__toks", DECON_N).as("shs8"))
+      .localCheckpoint()
     val dupIds = c02MinhashLshOf(
-      shingleDocsOf(cleaned, 3, hashed = true).localCheckpoint())
+      feats.select(col("doc_id"), col("shs3").as("shs"))
+        .where(size(col("shs")) > 0))
       .select(col("db").as("doc_id")).distinct()
     val evalNg = shingleDocs(s, d, DECON_N, hashed = true)
       .filter(col("doc_id") % EVAL_MOD === 0)
       .select(explode_outer(col("shs")).as("sh"))
       .where(col("sh").isNotNull).distinct()
-    val contamIds = shingleDocsOf(cleaned, DECON_N, hashed = true)
-      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+    val contamIds = feats
+      .select(col("doc_id"), explode_outer(col("shs8")).as("sh"))
+      .where(col("sh").isNotNull)
       .join(evalNg, Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
     TextOps.withQualityCols(cleaned)
@@ -954,15 +966,41 @@ object DedupOps extends QueryModule {
     * rows are the review queue. (c18's semantic face keys on vec_id —
     * the fixture has no doc↔vec linkage, so it reports separately.)
     *
-    * Scale shape: a union of two already-linear reports and one
-    * keyed agg over flagged docs only (both inputs are
-    * output-proportional — flagged rows, not the corpus). */
+    * Scale shape: ONE corpus scan (shared-pass checkpoint carrying
+    * both feature sets — longs only), two linear semi-join flag
+    * stages, and one keyed agg over flagged docs only (the union
+    * input is output-proportional — flagged rows, not the corpus). */
   def c20DeconConsensus(s: SparkSession, d: String): DataFrame = {
-    val tok = c09Decontaminate(s, d)
-      .select(col("doc_id")).withColumn("method", lit("ngram"))
-    val sub = c16SubstringDecon(s, d)
-      .select(col("doc_id")).withColumn("method", lit("substring"))
-    tok.unionByName(sub)
+    // ONE corpus scan feeds both detectors (the c14 shared-pass
+    // pattern): per row, the token 8-grams AND the char windows —
+    // stride 1 on the eval side, stride s on the corpus side,
+    // exactly as the standalone c16 computes them.
+    val feats = Tables.documents(s, d)
+      .withColumn("__toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"),
+        hashedShingles("__toks", DECON_N).as("shs"),
+        when(col("doc_id") % EVAL_MOD === 0,
+          call_function("graft_winhash60", col("text"), lit(SUB_W), lit(1)))
+          .otherwise(
+            call_function("graft_winhash60", col("text"), lit(SUB_W), lit(SUB_STRIDE)))
+          .as("wins"))
+      .localCheckpoint()
+    val ng = feats.select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+      .where(col("sh").isNotNull)
+    val evalNg = ng.filter(col("doc_id") % EVAL_MOD === 0)
+      .select(col("sh")).distinct()
+    val tokFlag = ng.filter(col("doc_id") % EVAL_MOD =!= 0)
+      .join(evalNg, Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val wn = feats.select(col("doc_id"), explode_outer(col("wins")).as("h"))
+      .where(col("h").isNotNull)
+    val evalW = wn.filter(col("doc_id") % EVAL_MOD === 0)
+      .select(col("h")).distinct()
+    val subFlag = wn.filter(col("doc_id") % EVAL_MOD =!= 0)
+      .join(evalW, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    tokFlag.withColumn("method", lit("ngram"))
+      .unionByName(subFlag.withColumn("method", lit("substring")))
       .groupBy(col("doc_id"))
       .agg(
         countDistinct(col("method")).as("n_methods"),
