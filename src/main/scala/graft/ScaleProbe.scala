@@ -107,8 +107,11 @@ object ScaleProbe {
       "c09b_decontaminate_bloom" -> operators.DedupOps.c09bDecontaminateBloom _,
       "c10b_cluster_star" -> operators.DedupOps.c10bClusterStar _,
       "c15_paragraph_dedup" -> operators.DedupOps.c15ParagraphDedup _,
+      "c17b_curation_decon" -> operators.DedupOps.c17bCurationDecon _,
       "c18_semantic_decon" -> operators.VectorOps.c18SemanticDecon _,
       "c19_substring_selfdup" -> operators.DedupOps.c19SubstringSelfdup _,
+      "c19b_substring_dupfrac" -> operators.DedupOps.c19bSubstringDupfrac _,
+      "c20_decon_consensus" -> operators.DedupOps.c20DeconConsensus _,
       "t03b_subword_tokens" -> operators.TextOps.t03bSubwordTokens _,
       "t15_lm_score" -> operators.TextOps.t15LmScore _,
       "t12_quality_dist" -> operators.CorpusStats.t12QualityDist _,
