@@ -38,9 +38,9 @@ object Bench {
     "c16_substring_decon", "c17_curation_pipeline", "c17b_curation_decon",
     "c18_semantic_decon",
     "c19_substring_selfdup", "c19b_substring_dupfrac", "c20_decon_consensus",
-    "t04_fingerprint",
+    "c21_split_leakage", "t04_fingerprint",
     "t07_pii_scrub", "t08_repetition", "t09_pack_sequences",
-    "t10_mix_sample", "t11_top_quality_per_source",
+    "t10_mix_sample", "t11_top_quality_per_source", "t16_quota_sample",
     "t12_quality_dist", "t12x_quality_dist_approx", "t13_ngram_topk",
     "t14_corpus_shuffle", "t15_lm_score")
 

@@ -1107,6 +1107,38 @@ object DedupOps extends QueryModule {
   def c19bSubstringDupfrac(s: SparkSession, d: String): DataFrame =
     c19bSubstringDupfracOf(Tables.documents(s, d))
 
+  /** c21 — SPLIT-LEAKAGE audit: non-train documents (t05's valid/test
+    * buckets) that share a verbatim ≥ 40-char run with some TRAIN
+    * document. A random document-level split does NOT make the eval
+    * side clean — near-duplicate pairs straddle the boundary, and a
+    * model memorizing the train copy aces the test copy. This is the
+    * hygiene check every pipeline should run on its OWN split, not
+    * just against external benchmarks (c09/c16/c18 cover those).
+    *
+    * Shape: one winnow-fingerprint pass (c19's machinery — narrow,
+    * checkpointed longs), split flags derived per-row from the t05
+    * bucket hash (no join against a split table), then one bipartite
+    * train×eval fingerprint equi-join aggregated per leaking eval
+    * doc. Train-side fingerprints collapse to DISTINCT values, so
+    * the join is value-keyed like c19's and output-proportional. */
+  def c21SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d)
+      .withColumn("bucket",
+        Portable.h60(concat(lit("split:"), col("doc_id").cast(StringType))) % 100)
+      .select(col("doc_id"), col("bucket"),
+        explode_outer(winnowFps(col("text"))).as("fp"))
+      .where(col("fp").isNotNull)
+      .localCheckpoint()
+    val trainFp = fp.filter(col("bucket") < 80).select(col("fp")).distinct()
+    fp.filter(col("bucket") >= 80)
+      .join(trainFp, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_leaked_fp"))
+      .withColumn("split", when(col("bucket") < 90, "valid").otherwise("test"))
+      .select(col("doc_id"), col("split"), col("n_leaked_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------
   // c09b — decontamination behind a Bloom-filter prefilter
   // ---------------------------------------------------------------
@@ -1214,7 +1246,8 @@ object DedupOps extends QueryModule {
     "c17b_curation_decon" -> c17bCurationDecon,
     "c19_substring_selfdup" -> c19SubstringSelfdup,
     "c19b_substring_dupfrac" -> c19bSubstringDupfrac,
-    "c20_decon_consensus" -> c20DeconConsensus)
+    "c20_decon_consensus" -> c20DeconConsensus,
+    "c21_split_leakage" -> c21SplitLeakage)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
@@ -1530,6 +1563,27 @@ object DedupOps extends QueryModule {
          |SELECT doc_id, CAST(count(DISTINCT method) AS BIGINT) AS n_methods,
          |       string_agg(DISTINCT method, ',' ORDER BY method) AS methods
          |FROM m GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+    "c21_split_leakage" -> {
+      val h = Portable.h60Sql(s"substr(text, CAST(i AS INT), $SELF_W)")
+      val bucket = Portable.h60Sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
+      s"""WITH wh AS (
+         |  SELECT doc_id, $bucket AS bucket,
+         |    list_transform(range(1, length(text) - $SELF_W + 2), i -> $h) AS h
+         |  FROM documents WHERE length(text) >= $SELF_W),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, bucket, unnest(list_transform(
+         |    range(1, greatest(len(h) - $SELF_K + 1, 1) + 1),
+         |    i -> list_min(h[i:i + ${SELF_K - 1}]))) AS fp
+         |  FROM wh),
+         |trainfp AS (SELECT DISTINCT fp FROM fp WHERE bucket < 80)
+         |SELECT doc_id,
+         |       CASE WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+         |       CAST(count(*) AS BIGINT) AS n_leaked_fp
+         |FROM fp
+         |WHERE bucket >= 80 AND fp IN (SELECT fp FROM trainfp)
+         |GROUP BY doc_id, bucket
          |ORDER BY doc_id""".stripMargin
     },
     "c19b_substring_dupfrac" -> {

@@ -495,8 +495,39 @@ object TextOps extends QueryModule {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** t16 quota: exact docs per (lang) stratum. */
+  private val QUOTA_N = 25
+
+  /** t16 — EXACT-quota stratified sampling: exactly
+    * min(QUOTA_N, stratum size) documents per language, chosen by a
+    * seeded hash order. t10's hash-threshold sampler hits a RATE in
+    * expectation — fine for mixing — but eval-set construction needs
+    * an exact budget ("give me exactly N per language,
+    * reproducibly"). Ordering by the salted h60 of the doc_id makes
+    * the draw uniform and deterministic — re-running on the same
+    * corpus returns byte-identical samples, and adding documents
+    * only perturbs strata whose hash frontier moved.
+    *
+    * Scale shape: rank ≤ N over a hash order compiles to
+    * WindowGroupLimit (pinned in PlanShapeSpec) — each partition
+    * keeps its local top-N per stratum before the single per-stratum
+    * exchange, so the shuffle carries O(strata · N) rows, not the
+    * corpus. */
+  def t16QuotaSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("hk",
+        Portable.h60(concat(lit("quota:"), col("doc_id").cast(StringType))))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= QUOTA_N)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> t01LangId,
+    "t16_quota_sample" -> t16QuotaSample,
     "t02_quality" -> t02Quality,
     "t03_token_count" -> t03TokenCount,
     "t03b_subword_tokens" -> t03bSubwordTokens,
@@ -653,6 +684,13 @@ object TextOps extends QueryModule {
          |    i -> ${Portable.h60Sql("substr(text, CAST(i AS INT), 8)")})) AS fp,
          |  CAST(greatest(length(text) - 7, 1) AS BIGINT) AS n_windows
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t16_quota_sample" ->
+      s"""SELECT lang, rk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      ${Portable.h60Sql("'quota:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $QUOTA_N ORDER BY lang, rk""".stripMargin,
     "t05_train_split" ->
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 80 THEN 'train'

@@ -41,7 +41,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("top-k rank filters compile to partial WindowGroupLimit") {
-    Seq("t11_top_quality_per_source", "t13_ngram_topk", "a14b_asof_join")
+    Seq("t11_top_quality_per_source", "t13_ngram_topk", "a14b_asof_join",
+      "t16_quota_sample")
       .foreach { q =>
         assert(finalPlan(q).contains("WindowGroupLimit"), s"$q lost its WindowGroupLimit")
       }
