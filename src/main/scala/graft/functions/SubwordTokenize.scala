@@ -25,8 +25,9 @@ import scala.collection.mutable.ArrayBuffer
   * source of truth, pre-sorted by (length desc, unit) so `the first
   * filtered element` IS the longest match).
   *
-  * Positions count CODE UNITS on the Scala side and code points in
-  * DuckDB — identical for BMP text (the fixture's five languages);
+  * The fallback advances one CODE POINT at a time (surrogate-pair
+  * aware), so segmentation is total over all of Unicode and matches
+  * the DuckDB oracle's code-point recursion on non-BMP input too;
   * vocabulary units are ASCII.
   *
   * Two surfaces over one segmenter:
@@ -109,7 +110,11 @@ object SubwordTokenize {
   def vocabSqlList: String = byLen.map(u => s"'$u'").mkString("[", ", ", "]")
 
   /** Greedy longest-match segmentation of one word appended to `out`;
-    * single-char fallback guarantees progress on any input. */
+    * single-code-point fallback guarantees progress on any input.
+    * The fallback advances by `Character.charCount` so a non-BMP
+    * character (surrogate pair in UTF-16) stays ONE token — the same
+    * unit the DuckDB oracle's code-point recursion emits — instead of
+    * splitting into two lone-surrogate fragments. */
   private def appendTokens(word: String, out: ArrayBuffer[String]): Unit = {
     var p = 0
     while (p < word.length) {
@@ -119,7 +124,9 @@ object SubwordTokenize {
         if (word.startsWith(byLen(i), p)) matched = byLen(i)
         i += 1
       }
-      val tok = if (matched != null) matched else word.substring(p, p + 1)
+      val tok =
+        if (matched != null) matched
+        else word.substring(p, p + Character.charCount(word.codePointAt(p)))
       out += tok
       p += tok.length
     }

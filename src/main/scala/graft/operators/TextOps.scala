@@ -133,13 +133,20 @@ object TextOps extends QueryModule {
     * the distinct words with the identical vocabulary literals), not
     * just the counts. */
   def t03bSubwordTokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    subwordTokens(Tables.documents(s, d))
+
+  /** t03b core over any (doc_id, text) frame — total over null text. */
+  def subwordTokens(docs: DataFrame): DataFrame =
+    docs
       .withColumn("arr", call_function("graft_subword_arr", col("text")))
       .select(
         col("doc_id"),
-        size(toks).cast(LongType).as("ws_tokens"),
-        size(col("arr")).cast(LongType).as("sw_tokens"),
-        array_join(col("arr"), " ").as("sw_text"))
+        // null text ⇒ 0 tokens / empty stream on BOTH sides (the
+        // DuckDB twin COALESCEs the same way) — totality over a
+        // corpus with null-text rows, not just the current fixture.
+        coalesce(size(toks), lit(0)).cast(LongType).as("ws_tokens"),
+        coalesce(size(col("arr")), lit(0)).cast(LongType).as("sw_tokens"),
+        coalesce(array_join(col("arr"), " "), lit("")).as("sw_text"))
       .orderBy(col("doc_id"))
 
   /** t04 — document fingerprinting: rolling 8-char windows hashed
@@ -358,7 +365,8 @@ object TextOps extends QueryModule {
     * SubwordTokenizeSpec. */
   def t09cPackSubword(s: SparkSession, d: String): DataFrame =
     packSequencesBy(Tables.documents(s, d), shards = 8, ctx = 2048,
-      size(call_function("graft_subword_arr", col("text"))).cast(LongType))
+      coalesce(size(call_function("graft_subword_arr", col("text"))), lit(0))
+        .cast(LongType))
       .orderBy(col("doc_id"))
 
   private val LM_Q = 1L << 30
@@ -409,7 +417,13 @@ object TextOps extends QueryModule {
       .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
       .crossJoin(broadcast(v))
       .select(col("doc_id"), expr(
-        s"((coalesce(c2, 0L) + 1L) * ${LM_Q}L) div (coalesce(c1, 0L) + v)").as("q"))
+        // greatest(..., 1) guards the degenerate EMPTY reference
+        // corpus (v = 0, c1 null): every bigram then scores the
+        // smoothing ceiling 1.0 instead of dividing by zero (null
+        // rows, or an error under ANSI). A non-empty ref has v ≥ 1,
+        // so the guard is a no-op there and the oracle is unchanged.
+        s"((coalesce(c2, 0L) + 1L) * ${LM_Q}L) div " +
+          "greatest(coalesce(c1, 0L) + v, 1L)").as("q"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("__sq"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -627,7 +641,7 @@ object TextOps extends QueryModule {
          |  FROM docw d JOIN wtok k ON d.w = k.w
          |  GROUP BY d.doc_id)
          |SELECT doc_id,
-         |  CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens,
+         |  CAST(COALESCE(len(string_split_regex(text, '\\s+')), 0) AS BIGINT) AS ws_tokens,
          |  COALESCE(a.sw_tokens, 0) AS sw_tokens,
          |  COALESCE(a.sw_text, '') AS sw_text
          |FROM documents LEFT JOIN agg a USING (doc_id)

@@ -298,10 +298,11 @@ object Jobs {
     val nEval = evalNg.count()
     val items = math.max(nEval, INGEST_BLOOM_MIN_ITEMS)
     val reqBits = items * INGEST_BLOOM_BITS_PER_ITEM
-    raiseBloomCaps(spark, items, reqBits, "decontaminateIngest")
     val bloom =
       if (nEval == 0) null
-      else DedupOps.bloomOfLongs(evalNg, "sh", items = items, bits = reqBits)
+      else withBloomCaps(spark, items, reqBits, "decontaminateIngest") {
+        DedupOps.bloomOfLongs(evalNg, "sh", items = items, bits = reqBits)
+      }
     evalNg.unpersist()
     val withSh = DedupOps.withShingleCol(raw, DedupOps.DECON_N)
     val kept =
@@ -320,18 +321,30 @@ object Jobs {
     * these session confs (4M items / 8 MB bits by default) — beyond
     * ~2.4M sketch items the union-bound over-drop guarantee would
     * quietly degrade. Raise the caps to what the sketch needs (and
-    * say so), instead of letting the clamp eat the sizing. */
-  private def raiseBloomCaps(spark: SparkSession, items: Long, bits: Long,
-      tag: String): Unit = {
+    * say so) for exactly the duration of `body` — the eager sketch
+    * build — then RESTORE them, so one large ingest sketch doesn't
+    * permanently change the sizing ceiling Spark applies to its own
+    * injected runtime filters in every later query of the session. */
+  private def withBloomCaps[T](spark: SparkSession, items: Long, bits: Long,
+      tag: String)(body: => T): T = {
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (items > spark.conf.get(itemsKey).toLong) {
+    val prevItems = spark.conf.get(itemsKey)
+    val prevBits = spark.conf.get(bitsKey)
+    val needItems = items > prevItems.toLong
+    val needBits = bits > prevBits.toLong
+    if (needItems) {
       System.err.println(s"[$tag] raising $itemsKey to $items")
       spark.conf.set(itemsKey, items)
     }
-    if (bits > spark.conf.get(bitsKey).toLong) {
+    if (needBits) {
       System.err.println(s"[$tag] raising $bitsKey to $bits")
       spark.conf.set(bitsKey, bits)
+    }
+    try body
+    finally {
+      if (needItems) spark.conf.set(itemsKey, prevItems)
+      if (needBits) spark.conf.set(bitsKey, prevBits)
     }
   }
 
@@ -363,10 +376,11 @@ object Jobs {
     val nBoiler = boiler.count()
     val items = math.max(nBoiler, INGEST_BLOOM_MIN_ITEMS)
     val reqBits = items * INGEST_BLOOM_BITS_PER_ITEM
-    raiseBloomCaps(spark, items, reqBits, "boilerplateIngest")
     val bloom =
       if (nBoiler == 0) null
-      else DedupOps.bloomOfLongs(boiler, "ph", items = items, bits = reqBits)
+      else withBloomCaps(spark, items, reqBits, "boilerplateIngest") {
+        DedupOps.bloomOfLongs(boiler, "ph", items = items, bits = reqBits)
+      }
     boiler.unpersist()
     val out =
       if (bloom == null)
@@ -421,10 +435,11 @@ object Jobs {
     val nFp = corpusFp.count()
     val items = math.max(nFp, INGEST_BLOOM_MIN_ITEMS)
     val reqBits = items * INGEST_BLOOM_BITS_PER_ITEM
-    raiseBloomCaps(spark, items, reqBits, "substringDupIngest")
     val bloom =
       if (nFp == 0) null
-      else DedupOps.bloomOfLongs(corpusFp, "fp", items = items, bits = reqBits)
+      else withBloomCaps(spark, items, reqBits, "substringDupIngest") {
+        DedupOps.bloomOfLongs(corpusFp, "fp", items = items, bits = reqBits)
+      }
     corpusFp.unpersist()
     val kept =
       if (bloom == null) raw

@@ -67,4 +67,27 @@ class SubwordTokenizeSpec extends SparkSpec {
       }
     }
   }
+
+  test("non-BMP fallback keeps a surrogate pair as ONE token") {
+    // U+1F600 is two UTF-16 code units; the fallback must advance by
+    // Character.charCount, never splitting it into lone surrogates
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(SubwordTokenize.tokens(emoji + emoji).toSeq === Seq(emoji, emoji))
+    val mixed = SubwordTokenize.tokens("fast" + emoji + "st").toSeq
+    assert(mixed === Seq("fa", "st", emoji, "st"))
+    // every emitted token is a well-formed code-point sequence
+    mixed.foreach { t =>
+      assert(!Character.isLowSurrogate(t.charAt(0)), s"lone low surrogate in $t")
+      assert(!Character.isHighSurrogate(t.charAt(t.length - 1)),
+        s"dangling high surrogate in $t")
+    }
+  }
+
+  test("t03b is total over null text: 0 tokens, empty stream") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "fast"))
+      .toDF("doc_id", "text")
+    val got = TextOps.subwordTokens(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array((1L, 0L, 0L, ""), (2L, 1L, 2L, "fa st")))
+  }
 }

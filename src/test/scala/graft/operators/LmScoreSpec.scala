@@ -32,4 +32,23 @@ class LmScoreSpec extends SparkSpec {
     // q = (0+1)*2^30 div (0+8), so the mean is exactly 1/8
     assert(got(102L) === ((3L, 0.125)))
   }
+
+  test("empty reference corpus: smoothing ceiling 1.0, not divide-by-zero") {
+    // v = 0 and c1 null for every bigram — the greatest(..., 1) guard
+    // makes each q exactly 2^30 (score 1.0) instead of a 0 denominator
+    // (null rows, or an ANSI error)
+    val ref = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val target = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val got = TextOps.lmScore(ref, target)
+      .as[(Long, Long, Double)].collect()
+    assert(got === Array((1L, 2L, 1.0)))
+  }
+
+  test("OOV first word scores exactly 1/v — c1 mass absent, only smoothing") {
+    val ref = Seq.tabulate(5)(i => (i.toLong, "aa bb")).toDF("doc_id", "text")
+    // w1 = 'zz' is out-of-vocabulary: c1 null, c2 null, v = 2
+    val target = Seq((7L, "zz bb")).toDF("doc_id", "text")
+    val got = TextOps.lmScore(ref, target).as[(Long, Long, Double)].collect()
+    assert(got === Array((7L, 1L, 0.5)))
+  }
 }

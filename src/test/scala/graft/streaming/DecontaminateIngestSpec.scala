@@ -53,4 +53,29 @@ class DecontaminateIngestSpec extends SparkSpec with StreamRunner {
     }.map(_.doc_id).toSet
     assert(got2 === Set(1L, 2L))
   }
+
+  test("bloom cap raise is scoped to the sketch build, then restored") {
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = spark.conf.get(itemsKey)
+    val prevBits = spark.conf.get(bitsKey)
+    try {
+      // caps far below the ingest floor (4096 items / 28 bits each)
+      // force the raise path; after the eager sketch build inside
+      // decontaminateIngest, the session must see the old values
+      spark.conf.set(itemsKey, "100")
+      spark.conf.set(bitsKey, "1000")
+      val evalDocs = Seq((1000L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"))
+        .toDF("doc_id", "text")
+      val raw = Seq((1L, "plain clean words here")).toDF("doc_id", "text")
+      Jobs.decontaminateIngest(spark, raw, evalDocs)
+      assert(spark.conf.get(itemsKey) === "100",
+        "items cap must be restored after the sketch build")
+      assert(spark.conf.get(bitsKey) === "1000",
+        "bits cap must be restored after the sketch build")
+    } finally {
+      spark.conf.set(itemsKey, prevItems)
+      spark.conf.set(bitsKey, prevBits)
+    }
+  }
 }
