@@ -30,7 +30,7 @@ object Bench {
     "c01_dedup_exact", "c02_dedup_minhash", "c03_dedup_simhash",
     "c04_dedup_ngram", "c05_embed_neardup", "c06_ann_brute",
     "c07_ann_ivf", "c07b_ann_ivf_refined", "c07c_ann_ivf_persisted",
-    "c08_corpus_curate",
+    "c22_ann_pq", "c08_corpus_curate",
     "c09_decontaminate", "c09b_decontaminate_bloom",
     "c10_dedup_cluster", "c10b_cluster_star", "c11_semantic_dedup",
     "c12_kmeans_cells",
@@ -42,7 +42,7 @@ object Bench {
     "t07_pii_scrub", "t08_repetition", "t09_pack_sequences",
     "t10_mix_sample", "t11_top_quality_per_source", "t16_quota_sample",
     "t12_quality_dist", "t12x_quality_dist_approx", "t13_ngram_topk",
-    "t14_corpus_shuffle", "t15_lm_score")
+    "t14_corpus_shuffle", "t15_lm_score", "t17_dsir_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

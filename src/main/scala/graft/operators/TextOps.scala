@@ -441,6 +441,69 @@ object TextOps extends QueryModule {
     lmScore(docs, docs)
   }
 
+  private val DSIR_B = 4096     // hashed-bigram feature buckets
+  private val DSIR_KEEP = 100   // kept docs per language stratum
+  private val DSIR_TARGET = "en"
+
+  /** t17 — DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"):
+    * score every document by how target-like its hashed-bigram
+    * feature distribution is — the ratio of a TARGET model to the
+    * RAW-corpus model — and keep the top documents per stratum.
+    * Here the target distribution is the corpus's `en` slice and the
+    * raw model the whole corpus; in production the target is a small
+    * clean corpus and raw the crawl — same plan, two inputs.
+    *
+    * Engine-portable by the t15 trade: each feature's target/raw
+    * ratio is quantized to fixed point — ((ct+1)·2^30) div (cr+1),
+    * exact BIGINT — so the per-doc SUM is an integer and only the
+    * final mean touches doubles via exact divisions. (The corpus-
+    * level normalizers (N_target+B)/(N_raw+B) are constant across
+    * documents and features, so dropping them preserves every
+    * ranking the resample reads.)
+    *
+    * Scale shape: ONE tokenize+hash pass (localCheckpoint — the
+    * shared-scan pattern) feeds both count builds and the scoring
+    * join; both models saturate at B = 4096 rows (map-side
+    * combine collapses each partition before the exchange, t13's
+    * argument), so the scoring join is corpus ⋈ two broadcast-sized
+    * tables; the per-language quota is t16's WindowGroupLimit
+    * partial top-k — no global sort anywhere. */
+  def t17DsirSample(s: SparkSession, d: String): DataFrame =
+    dsirSample(Tables.documents(s, d), DSIR_TARGET, DSIR_KEEP)
+
+  /** t17 core over any (doc_id, lang, text) frame. */
+  def dsirSample(docs: DataFrame, targetLang: String, keep: Int): DataFrame = {
+    val big = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        (call_function("graft_h60", concat(lit("dsir:"), col("bg"))) % DSIR_B)
+          .as("b"))
+      .localCheckpoint()
+    val tgt = big.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rawm = big.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+    big
+      .join(rawm, "b")
+      .join(tgt, Seq("b"), "left")
+      .select(col("doc_id"), col("lang"),
+        expr(s"((coalesce(ct, 0L) + 1L) * ${LM_Q}L) div (cr + 1L)").as("q1"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_big"), sum(col("q1")).as("__sq"))
+      .select(col("doc_id"), col("lang"), col("n_big"),
+        (col("__sq").cast(DoubleType) / col("n_big").cast(DoubleType) /
+          lit(LM_Q).cast(DoubleType)).as("dsir_score"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= keep)
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Per-language mixing rates for t10 as (lang, whole-epoch copies,
     * fractional-part threshold out of 10000): en 0.5×, de 1.0×,
     * fr 0.25×, es 1.5×, zh 2.5×. Integer thresholds keep the
@@ -556,7 +619,8 @@ object TextOps extends QueryModule {
     "t09c_pack_subword" -> t09cPackSubword,
     "t10_mix_sample" -> t10MixSample,
     "t11_top_quality_per_source" -> t11TopQualityPerSource,
-    "t15_lm_score" -> t15LmScore)
+    "t15_lm_score" -> t15LmScore,
+    "t17_dsir_sample" -> t17DsirSample)
 
   /** Recursive-CTE subword segmentation of the corpus's DISTINCT
     * words (`wtok`: w → toks) — the DuckDB twin of
@@ -667,6 +731,33 @@ object TextOps extends QueryModule {
          |          ${Portable.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
          |        FROM ntok))
          |ORDER BY doc_id""".stripMargin,
+    "t17_dsir_sample" ->
+      s"""WITH toks AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id, lang,
+         |    ${Portable.h60Sql("'dsir:' || w1 || ' ' || w2")} % $DSIR_B AS b
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         |      unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+         |    FROM toks WHERE len(t) >= 2)),
+         |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+         |        FROM big WHERE lang = '$DSIR_TARGET' GROUP BY b),
+         |rawm AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM big GROUP BY b),
+         |sc AS (
+         |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_big,
+         |    CAST(SUM(q1) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST($LM_Q AS DOUBLE) AS dsir_score
+         |  FROM (
+         |    SELECT b2.doc_id, b2.lang,
+         |           ((COALESCE(t.ct, 0) + 1) * $LM_Q) // (r.cr + 1) AS q1
+         |    FROM big b2 JOIN rawm r ON b2.b = r.b LEFT JOIN tgt t ON b2.b = t.b)
+         |  GROUP BY doc_id, lang)
+         |SELECT doc_id, lang, n_big, dsir_score, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY dsir_score DESC, doc_id) AS BIGINT) AS rk
+         |  FROM sc)
+         |WHERE rk <= $DSIR_KEEP
+         |ORDER BY lang, rk""".stripMargin,
     "t15_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
          |big AS (

@@ -471,6 +471,130 @@ object VectorOps extends QueryModule {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---------------------------------------------------------------
+  // c22 — product-quantization ANN (PQ codebooks + ADC scan)
+  // ---------------------------------------------------------------
+
+  private val SUBS = 8    // subspaces (M): 64 dims → 8 × 8
+  private val SUBDIM = DIM / SUBS
+  private val KSUB = 16   // codes per subspace → 4-bit codes, 32-bit vector
+
+  /** Integer squared-L2 between a sub-vector column and a literal
+    * centroid — the PQ training/encoding metric (reconstruction
+    * error), unlike the inner-product metric IVF cells use. Bounds:
+    * coords ≤ 2^24 in magnitude ⇒ diff² ≤ 2^50, × 8 dims ≤ 2^53. */
+  private def intL2(v: Column, qc: Seq[Long]): Column =
+    aggregate(zip_with(v, typedLit(qc), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Sub-vector m of the quantized embedding column. */
+  private def subVec(m: Int): Column = slice(col("qv"), m * SUBDIM + 1, SUBDIM)
+
+  /** The 4-bit code of sub-vector m against codebook `cb` — argmin
+    * integer L2, ties to the smallest code id (the (d, cid) struct
+    * min), computed as a narrow per-row projection. */
+  private def codeCol(m: Int, cb: Seq[Seq[Long]]): Column =
+    array_min(array(cb.zipWithIndex.map { case (qc, cid) =>
+      struct(intL2(subVec(m), qc).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Per-subspace seed codebooks: sub-slices of the first KSUB
+    * corpus vectors, fixed-point (the qSeed pattern). */
+  private def pqSeed(s: SparkSession, d: String): Seq[Seq[Seq[Long]]] = {
+    val anchors = anchorVectors(s, d, KSUB).map { case (_, v) =>
+      v.map(x => math.floor(x.toDouble * KM_Q).toLong)
+    }
+    Seq.tabulate(SUBS)(m => anchors.map(_.slice(m * SUBDIM, (m + 1) * SUBDIM)))
+  }
+
+  /** One Lloyd step for ALL SUBS codebooks in a single corpus pass:
+    * assign every sub-vector to its nearest code (narrow projection
+    * against the literal codebooks), then one (m, code, dim) hash
+    * aggregation whose map-side partials collapse each partition to
+    * ≤ SUBS·KSUB·SUBDIM = 1024 rows — shuffle volume independent of
+    * corpus size, c12's argument verbatim. A code that attracts no
+    * members keeps its seed centroid (the COALESCE in the oracle's
+    * cb1 — standard k-means empty-cluster handling, and it keeps the
+    * codebook total so encoding stays well-defined). */
+  private def pqRefineOnce(qe: DataFrame,
+      cb: Seq[Seq[Seq[Long]]]): Seq[Seq[Seq[Long]]] = {
+    val stats = qe
+      .select(explode(array((0 until SUBS).map(m =>
+        struct(lit(m).as("m"), codeCol(m, cb(m)).as("cid"),
+          subVec(m).as("sv"))): _*)).as("t"))
+      .select(col("t.m"), col("t.cid"), posexplode(col("t.sv")))
+      .select(col("m"), col("cid"), col("pos").as("dim"), col("col").as("q"))
+      .groupBy(col("m"), col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+      .collect() // bounded: ≤ SUBS·KSUB·SUBDIM = 1024 rows
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1)
+      .map { case (k, rows) =>
+        k -> rows.map(_._2).sortBy(_._1).map { case (_, n, sq) => sq / n }.toSeq
+      }
+    Seq.tabulate(SUBS)(m => Seq.tabulate(KSUB)(cid =>
+      stats.getOrElse((m, cid), cb(m)(cid))))
+  }
+
+  /** c22 — product-quantization ANN: train per-subspace codebooks
+    * (one Lloyd step from the first-KSUB seed, squared-L2 in the
+    * fixed-point domain), encode every corpus vector to SUBS 4-bit
+    * codes, and answer the c06 query set by ASYMMETRIC DISTANCE — the
+    * query's exact sub-vectors against the codebook reconstruction of
+    * each corpus vector, via a per-query lookup table.
+    *
+    * This is the memory-bound scale path IVF doesn't cover: the scan
+    * reads a 32-bit code per vector instead of 256 bytes of floats
+    * (64× compression), and scoring is SUBS table lookups + adds per
+    * (query, vector) pair instead of DIM multiply-adds. The LUT
+    * (SUBS·KSUB = 128 longs per query) is built driver-side from the
+    * BOUNDED query set — the anchor/broadcast-config pattern — and
+    * ships as literals, so the corpus never shuffles: encoding is a
+    * narrow projection, and the only exchange is the per-query
+    * top-k's WindowGroupLimit partial (O(|Q|·k·partitions)).
+    *
+    * Everything is integer arithmetic end-to-end (coords fixed-point
+    * at 2^24; LUT entries ≤ 2^51; scores ≤ 2^54), so ranks and scores
+    * are bit-portable and the DuckDB oracle replays train + encode +
+    * ADC scan exactly. Reference for semantics: the reference's ANN
+    * surface stops at brute force — PQ is the published
+    * (Jégou/Douze/Schmid, TPAMI 2011) extension of c07's quantizer
+    * family. */
+  def c22AnnPq(s: SparkSession, d: String): DataFrame = {
+    val qe = quantized(s, d)
+    val cb = pqRefineOnce(qe, pqSeed(s, d))
+    val codes = qe.select(col("vec_id"),
+      array((0 until SUBS).map(m => codeCol(m, cb(m))): _*).as("codes"))
+    val luts = anchorVectors(s, d, NQ).map { case (qid, v) =>
+      val qq = v.map(x => math.floor(x.toDouble * KM_Q).toLong)
+      val lut = for (m <- 0 until SUBS; cid <- 0 until KSUB) yield {
+        val qs = qq.slice(m * SUBDIM, (m + 1) * SUBDIM)
+        val cc = cb(m)(cid)
+        var acc = 0L; var i = 0
+        while (i < SUBDIM) { acc += qs(i) * cc(i); i += 1 }
+        acc
+      }
+      (qid.toLong, lut)
+    }
+    val qlits = array(luts.map { case (qid, lut) =>
+      struct(lit(qid).as("qid"), typedLit(lut).as("lut"))
+    }: _*)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    codes
+      .select(col("vec_id").as("nid"), col("codes"), explode(qlits).as("q"))
+      .filter(col("nid") =!= col("q.qid"))
+      .select(col("q.qid").as("qid"), col("nid"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(SUBS - 1)),
+            (code, m) => element_at(col("q.lut"), m * KSUB + code + 1)),
+          lit(0L), (acc, x) => acc + x).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c05_embed_neardup" -> c05EmbedNeardup,
     "c18_semantic_decon" -> c18SemanticDecon,
@@ -479,7 +603,8 @@ object VectorOps extends QueryModule {
     "c07b_ann_ivf_refined" -> c07bAnnIvfRefined,
     "c07c_ann_ivf_persisted" -> c07cAnnIvfPersisted,
     "c11_semantic_dedup" -> c11SemanticDedup,
-    "c12_kmeans_cells" -> c12KmeansCells)
+    "c12_kmeans_cells" -> c12KmeansCells,
+    "c22_ann_pq" -> c22AnnPq)
 
   private val dotEQ = Portable.dotSql("e.embedding", "q.qemb", DIM)
 
@@ -611,7 +736,8 @@ object VectorOps extends QueryModule {
     // c07c answers from the PERSISTED index; the index is the same
     // refined quantizer + assignment, so the result contract — and
     // the oracle — is c07b's verbatim.
-    "c07c_ann_ivf_persisted" -> c07bOracleSql)
+    "c07c_ann_ivf_persisted" -> c07bOracleSql,
+    "c22_ann_pq" -> c22OracleSql)
 
   private lazy val c07bOracleSql: String =
       s"""WITH $kmCtes,
@@ -634,4 +760,54 @@ object VectorOps extends QueryModule {
          |  FROM probes p JOIN a2 e ON p.cid = e.cid
          |  WHERE e.vec_id <> p.qid)
          |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin
+
+  /** Integer squared-L2 over SUBDIM dims for the c22 oracle. */
+  private def subL2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${SUBDIM + 1}), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+
+  private def subIdotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${SUBDIM + 1}), " +
+      s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** Train (seed → one Lloyd step with seed fallback) → encode → ADC
+    * scan, replaying [[c22AnnPq]]'s integer pipeline end-to-end. */
+  private lazy val c22OracleSql: String =
+    s"""WITH qe AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KM_Q) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ms AS (SELECT unnest(range(0, $SUBS)) AS m),
+       |sub AS (SELECT e.vec_id, ms.m,
+       |          e.qv[ms.m * $SUBDIM + 1 : ms.m * $SUBDIM + $SUBDIM] AS sv
+       |        FROM qe e CROSS JOIN ms),
+       |cb0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS qc
+       |        FROM sub WHERE vec_id < $KSUB),
+       |a1 AS (SELECT m, vec_id, sv, cid FROM (
+       |  SELECT s.m, s.vec_id, s.sv, c.cid,
+       |         row_number() OVER (PARTITION BY s.m, s.vec_id
+       |           ORDER BY ${subL2Sql("s.sv", "c.qc")} ASC, c.cid) AS rn
+       |  FROM sub s JOIN cb0 c ON s.m = c.m) WHERE rn = 1),
+       |st AS (SELECT m, cid, dim, COUNT(*) AS n, SUM(q) AS sq FROM (
+       |  SELECT m, cid, unnest(sv) AS q, generate_subscripts(sv, 1) AS dim FROM a1)
+       |  GROUP BY m, cid, dim),
+       |cbr AS (SELECT m, cid, list(sq // n ORDER BY dim) AS qc FROM st GROUP BY m, cid),
+       |cb1 AS (SELECT c0.m, c0.cid, COALESCE(r.qc, c0.qc) AS qc
+       |        FROM cb0 c0 LEFT JOIN cbr r ON c0.m = r.m AND c0.cid = r.cid),
+       |codes AS (SELECT m, vec_id, cid FROM (
+       |  SELECT s.m, s.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY s.m, s.vec_id
+       |           ORDER BY ${subL2Sql("s.sv", "c.qc")} ASC, c.cid) AS rn
+       |  FROM sub s JOIN cb1 c ON s.m = c.m) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, m, sv AS qsv FROM sub WHERE vec_id < $NQ),
+       |sc AS (SELECT q.qid, k.vec_id AS nid,
+       |         CAST(SUM(${subIdotSql("q.qsv", "c.qc")}) AS BIGINT) AS score
+       |       FROM q JOIN codes k ON q.m = k.m
+       |              JOIN cb1 c ON c.m = k.m AND c.cid = k.cid
+       |       WHERE k.vec_id <> q.qid
+       |       GROUP BY q.qid, k.vec_id)
+       |SELECT qid, rank, nid, score FROM (
+       |  SELECT qid, nid, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+       |  FROM sc)
+       |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** c22 product-quantization ANN: recall against the exact brute-force
+  * top-k, internal rank consistency, and the no-corpus-shuffle plan
+  * shape (codes are a narrow projection; the only exchanges are the
+  * per-query top-k window and the presentation sort). */
+class PqAnnSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+  test("recall@10 vs exact brute force clears the documented floor") {
+    val exact = topkSets(VectorOps.c06AnnBrute(spark, sf))
+    val pq = topkSets(VectorOps.c22AnnPq(spark, sf))
+    assert(pq.keySet === exact.keySet, "every query must be answered")
+    val hits = exact.keysIterator.map(q => (pq(q) & exact(q)).size).sum
+    val recall = hits.toDouble / exact.valuesIterator.map(_.size).sum
+    info(f"PQ recall@10 = $recall%.3f")
+    // 4-bit codes × 8 subspaces is a coarse 32-bit sketch of 256
+    // bytes of floats — at 64× compression a recall floor well above
+    // random (10/499 ≈ 0.02) is the claim, not near-exactness; in
+    // production PQ composes with an IVF shortlist + exact re-rank.
+    assert(recall >= 0.25, f"recall $recall%.3f below floor")
+  }
+
+  test("ranks are dense, scores non-increasing within each query") {
+    val rows = VectorOps.c22AnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq, s"q$qid ranks")
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, s1), (_, _, _, s2)) =>
+          assert(s1 >= s2, s"q$qid scores must be non-increasing")
+        case _ =>
+      }
+    }
+  }
+
+  test("plan: ADC scan never shuffles the corpus — WindowGroupLimit top-k only") {
+    val df = VectorOps.c22AnnPq(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k must use the partial WindowGroupLimit")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"expected only the top-k window + presentation sort exchanges, got $exchanges:\n$plan")
+  }
+}
