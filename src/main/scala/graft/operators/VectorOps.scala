@@ -445,15 +445,10 @@ object VectorOps extends QueryModule {
     val qvs = anchorVectors(s, d, NQ).map { case (qid, v) =>
       (qid.toLong, v.map(x => math.floor(x.toDouble * KM_Q).toLong))
     }
-    def idot(a: Seq[Long], b: Seq[Long]): Long = {
-      var acc = 0L; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
     // (-dot, cid) ascending = c07b's probe struct sort, in exact
     // integer math — identical probe cells by construction.
     val probeRows = qvs.flatMap { case (qid, qq) =>
-      cents.map { case (cid, qc) => (-idot(qq, qc), cid) }
+      cents.map { case (cid, qc) => (-idotL(qq, qc), cid) }
         .sorted.take(PROBES)
         .map { case (_, cid) => (qid, qq, cid) }
     }
@@ -595,6 +590,84 @@ object VectorOps extends QueryModule {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Exact integer dot of two driver-side vectors (shared by c07c's
+    * probe selection and c22b's LUT build). */
+  private def idotL(a: Seq[Long], b: Seq[Long]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** c22b — IVF-PQ, the composed index (the FAISS IndexIVFPQ
+    * architecture; Jégou et al. 2011 §V): the c07b coarse quantizer
+    * shortlists cells, and within each cell vectors are stored as PQ
+    * codes of their RESIDUAL from the cell centroid — the residual's
+    * spread is much tighter than the raw corpus's, so the same
+    * 32-bit code budget reconstructs finer. score(q, x) =
+    * dot(q, centroid[cell]) + Σ_m dot(q_m, pqcb[m][code_m]) — the
+    * first term is per-(query, probed-cell) constant computed
+    * driver-side, the second the same LUT scan as c22.
+    *
+    * Scale: train = c07b's bounded Lloyd step + c22's bounded
+    * per-subspace step (both collect ≤ K·DIM rows, shuffle
+    * independent of corpus size); encode = narrow projections; search
+    * touches only the PROBES/CELLS fraction of codes, reading 4 bytes
+    * per candidate, with the probe list broadcast. Integer-exact
+    * end-to-end; the oracle replays coarse train → assign → residual
+    * → PQ train → encode → ADC probe scan. */
+  def c22bAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val qe = quantized(s, d)
+    val cents = refineOnce(qe, qSeed(s, d))
+    val seedC = qSeed(s, d).toMap
+    val centM = cents.toMap
+    // dense cid→centroid for the residual projection; a cid that lost
+    // all members in refinement never appears in `assign`, so its
+    // seed-filled slot is never read — it only keeps indexing total
+    val centDense = Seq.tabulate(CELLS)(cid => centM.getOrElse(cid, seedC(cid)))
+    val res = qAssign(qe, cents).select(col("vec_id"), col("cid"),
+      zip_with(col("qv"), element_at(typedLit(centDense), col("cid") + 1),
+        (a, b) => a - b).as("qv"))
+    // PQ seed = the first-KSUB vectors' residuals, replayed driver-side
+    // with the same integer assignment
+    val anchorsQ = anchorVectors(s, d, KSUB).map { case (_, v) =>
+      v.map(x => math.floor(x.toDouble * KM_Q).toLong)
+    }
+    def cellOf(qv: Seq[Long]): Int =
+      cents.map { case (cid, qc) => (-idotL(qv, qc), cid) }.min._2
+    val pqcb0 = {
+      val seedRes = anchorsQ.map { qv =>
+        val c = centDense(cellOf(qv))
+        qv.indices.map(i => qv(i) - c(i))
+      }
+      Seq.tabulate(SUBS)(m => seedRes.map(_.slice(m * SUBDIM, (m + 1) * SUBDIM)))
+    }
+    val pqcb = pqRefineOnce(res, pqcb0)
+    val codes = res.select(col("vec_id"), col("cid"),
+      array((0 until SUBS).map(m => codeCol(m, pqcb(m))): _*).as("codes"))
+    val probeRows = anchorVectors(s, d, NQ).flatMap { case (qid, v) =>
+      val qq = v.map(x => math.floor(x.toDouble * KM_Q).toLong)
+      val lut = (for (m <- 0 until SUBS; cid <- 0 until KSUB)
+        yield idotL(qq.slice(m * SUBDIM, (m + 1) * SUBDIM), pqcb(m)(cid))).toSeq
+      cents.map { case (cid, qc) => (-idotL(qq, qc), cid) }
+        .sorted.take(PROBES)
+        .map { case (negBase, cid) => (qid.toLong, cid, -negBase, lut) }
+    }
+    val probes = s.createDataFrame(probeRows).toDF("qid", "cid", "base", "lut")
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    broadcast(probes).join(codes, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (col("base") + aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(SUBS - 1)),
+            (code, m) => element_at(col("lut"), m * KSUB + code + 1)),
+          lit(0L), (acc, x) => acc + x)).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c05_embed_neardup" -> c05EmbedNeardup,
     "c18_semantic_decon" -> c18SemanticDecon,
@@ -604,7 +677,8 @@ object VectorOps extends QueryModule {
     "c07c_ann_ivf_persisted" -> c07cAnnIvfPersisted,
     "c11_semantic_dedup" -> c11SemanticDedup,
     "c12_kmeans_cells" -> c12KmeansCells,
-    "c22_ann_pq" -> c22AnnPq)
+    "c22_ann_pq" -> c22AnnPq,
+    "c22b_ann_ivfpq" -> c22bAnnIvfPq)
 
   private val dotEQ = Portable.dotSql("e.embedding", "q.qemb", DIM)
 
@@ -737,7 +811,8 @@ object VectorOps extends QueryModule {
     // refined quantizer + assignment, so the result contract — and
     // the oracle — is c07b's verbatim.
     "c07c_ann_ivf_persisted" -> c07bOracleSql,
-    "c22_ann_pq" -> c22OracleSql)
+    "c22_ann_pq" -> c22OracleSql,
+    "c22b_ann_ivfpq" -> c22bOracleSql)
 
   private lazy val c07bOracleSql: String =
       s"""WITH $kmCtes,
@@ -805,6 +880,64 @@ object VectorOps extends QueryModule {
        |              JOIN cb1 c ON c.m = k.m AND c.cid = k.cid
        |       WHERE k.vec_id <> q.qid
        |       GROUP BY q.qid, k.vec_id)
+       |SELECT qid, rank, nid, score FROM (
+       |  SELECT qid, nid, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+       |  FROM sc)
+       |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin
+
+  /** Coarse train (kmCtes) → assign → residual → PQ train on the
+    * residuals (seed fallback) → encode → probed ADC scan, replaying
+    * [[c22bAnnIvfPq]]'s integer pipeline end-to-end. */
+  private lazy val c22bOracleSql: String =
+    s"""WITH $kmCtes,
+       |a2 AS (SELECT vec_id, qv, cid FROM (
+       |  SELECT e.vec_id, e.qv, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${idotSql("e.qv", "c.qc")} DESC, c.cid) AS rn
+       |  FROM qe e CROSS JOIN c1 c) WHERE rn = 1),
+       |res AS (SELECT a.vec_id, a.cid AS cell,
+       |          list_transform(range(1, ${DIM + 1}), i -> a.qv[i] - c.qc[i]) AS rv
+       |        FROM a2 a JOIN c1 c ON a.cid = c.cid),
+       |ms AS (SELECT unnest(range(0, $SUBS)) AS m),
+       |rsub AS (SELECT r.vec_id, r.cell, ms.m,
+       |           r.rv[ms.m * $SUBDIM + 1 : ms.m * $SUBDIM + $SUBDIM] AS sv
+       |         FROM res r CROSS JOIN ms),
+       |cb0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS qc
+       |        FROM rsub WHERE vec_id < $KSUB),
+       |a1p AS (SELECT m, vec_id, sv, cid FROM (
+       |  SELECT s.m, s.vec_id, s.sv, c.cid,
+       |         row_number() OVER (PARTITION BY s.m, s.vec_id
+       |           ORDER BY ${subL2Sql("s.sv", "c.qc")} ASC, c.cid) AS rn
+       |  FROM rsub s JOIN cb0 c ON s.m = c.m) WHERE rn = 1),
+       |st AS (SELECT m, cid, dim, COUNT(*) AS n, SUM(q) AS sq FROM (
+       |  SELECT m, cid, unnest(sv) AS q, generate_subscripts(sv, 1) AS dim FROM a1p)
+       |  GROUP BY m, cid, dim),
+       |cbr AS (SELECT m, cid, list(sq // n ORDER BY dim) AS qc FROM st GROUP BY m, cid),
+       |pqcb AS (SELECT c0.m, c0.cid, COALESCE(r.qc, c0.qc) AS qc
+       |         FROM cb0 c0 LEFT JOIN cbr r ON c0.m = r.m AND c0.cid = r.cid),
+       |codes AS (SELECT m, vec_id, cell, cid AS pqcid FROM (
+       |  SELECT s.m, s.vec_id, s.cell, c.cid,
+       |         row_number() OVER (PARTITION BY s.m, s.vec_id
+       |           ORDER BY ${subL2Sql("s.sv", "c.qc")} ASC, c.cid) AS rn
+       |  FROM rsub s JOIN pqcb c ON s.m = c.m) WHERE rn = 1),
+       |probes AS (SELECT qid, cid, base FROM (
+       |  SELECT q.vec_id AS qid, c.cid,
+       |         CAST(${idotSql("q.qv", "c.qc")} AS BIGINT) AS base,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${idotSql("q.qv", "c.qc")} DESC, c.cid) AS prn
+       |  FROM qe q CROSS JOIN c1 c WHERE q.vec_id < $NQ) WHERE prn <= $PROBES),
+       |qsub AS (SELECT e.vec_id AS qid, ms.m,
+       |           e.qv[ms.m * $SUBDIM + 1 : ms.m * $SUBDIM + $SUBDIM] AS qsv
+       |         FROM qe e CROSS JOIN ms WHERE e.vec_id < $NQ),
+       |sc AS (SELECT p.qid, k.vec_id AS nid,
+       |         CAST(p.base + SUM(${subIdotSql("qs.qsv", "c.qc")}) AS BIGINT) AS score
+       |       FROM probes p
+       |         JOIN codes k ON k.cell = p.cid
+       |         JOIN pqcb c ON c.m = k.m AND c.cid = k.pqcid
+       |         JOIN qsub qs ON qs.qid = p.qid AND qs.m = k.m
+       |       WHERE k.vec_id <> p.qid
+       |       GROUP BY p.qid, k.vec_id, p.base)
        |SELECT qid, rank, nid, score FROM (
        |  SELECT qid, nid, score,
        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank

@@ -29,6 +29,18 @@ class PqAnnSpec extends SparkSpec {
     assert(recall >= 0.25, f"recall $recall%.3f below floor")
   }
 
+  test("c22b IVF-PQ recall clears its floor; residual coding refines within probed cells") {
+    val exact = topkSets(VectorOps.c06AnnBrute(spark, sf))
+    val ivfpq = topkSets(VectorOps.c22bAnnIvfPq(spark, sf))
+    assert(ivfpq.keySet === exact.keySet)
+    val hits = exact.keysIterator.map(q => (ivfpq(q) & exact(q)).size).sum
+    val recall = hits.toDouble / exact.valuesIterator.map(_.size).sum
+    info(f"IVF-PQ recall@10 = $recall%.3f")
+    // bounded above by the probe shortlist's cell coverage and below
+    // by the residual codes' finer reconstruction within those cells
+    assert(recall >= 0.25, f"recall $recall%.3f below floor")
+  }
+
   test("ranks are dense, scores non-increasing within each query") {
     val rows = VectorOps.c22AnnPq(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
