@@ -112,8 +112,11 @@ object ScaleProbe {
       "c19_substring_selfdup" -> operators.DedupOps.c19SubstringSelfdup _,
       "c19b_substring_dupfrac" -> operators.DedupOps.c19bSubstringDupfrac _,
       "c20_decon_consensus" -> operators.DedupOps.c20DeconConsensus _,
+      "c22_ann_pq" -> operators.VectorOps.c22AnnPq _,
+      "c22b_ann_ivfpq" -> operators.VectorOps.c22bAnnIvfPq _,
       "t03b_subword_tokens" -> operators.TextOps.t03bSubwordTokens _,
       "t15_lm_score" -> operators.TextOps.t15LmScore _,
+      "t17_dsir_sample" -> operators.TextOps.t17DsirSample _,
       "t12_quality_dist" -> operators.CorpusStats.t12QualityDist _,
       "t13_ngram_topk" -> operators.CorpusStats.t13NgramTopK _,
       "t14_corpus_shuffle" -> operators.CorpusStats.t14CorpusShuffle _)
