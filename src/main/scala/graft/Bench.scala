@@ -30,7 +30,8 @@ object Bench {
     "c01_dedup_exact", "c02_dedup_minhash", "c03_dedup_simhash",
     "c04_dedup_ngram", "c05_embed_neardup", "c06_ann_brute",
     "c07_ann_ivf", "c07b_ann_ivf_refined", "c07c_ann_ivf_persisted",
-    "c22_ann_pq", "c22b_ann_ivfpq", "c08_corpus_curate",
+    "c22_ann_pq", "c22b_ann_ivfpq", "c22c_ann_ivfpq_persisted",
+    "c08_corpus_curate",
     "c09_decontaminate", "c09b_decontaminate_bloom",
     "c10_dedup_cluster", "c10b_cluster_star", "c11_semantic_dedup",
     "c12_kmeans_cells",
@@ -80,6 +81,7 @@ object Bench {
     // and BASELINE.md carry the measured build cost) so the timed
     // entry is the operator's actual read path.
     operators.VectorOps.buildIvfIndex(spark, sfDir)
+    operators.VectorOps.buildIvfPqIndex(spark, sfDir)
 
     val results = (headline ++ extras).map(n => n -> materialize(n))
     val failed = results.collect { case (k, v) if v < 0 => k }

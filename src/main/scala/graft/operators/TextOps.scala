@@ -472,23 +472,26 @@ object TextOps extends QueryModule {
   def t17DsirSample(s: SparkSession, d: String): DataFrame =
     dsirSample(Tables.documents(s, d), DSIR_TARGET, DSIR_KEEP)
 
-  /** t17 core over any (doc_id, lang, text) frame. */
-  def dsirSample(docs: DataFrame, targetLang: String, keep: Int): DataFrame = {
-    val big = docs
-      .select(col("doc_id"), col("lang"), split(col("text"), "\\s+").as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), " +
-          "i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
-      .select(col("doc_id"), col("lang"),
-        (call_function("graft_h60", concat(lit("dsir:"), col("bg"))) % DSIR_B)
-          .as("b"))
-      .localCheckpoint()
+  /** The hashed-bigram feature stream of a (doc_id, lang, text)
+    * frame: one row per bigram occurrence, bucketed to [[DSIR_B]]. */
+  private[operators] def dsirFeatures(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("lang"), split(col("text"), "\\s+").as("toks"))
+    .where(size(col("toks")) >= 2)
+    .select(col("doc_id"), col("lang"), explode(expr(
+      "transform(sequence(0, size(toks) - 2), " +
+        "i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
+    .select(col("doc_id"), col("lang"),
+      (call_function("graft_h60", concat(lit("dsir:"), col("bg"))) % DSIR_B)
+        .as("b"))
+
+  /** t17's scoring face: per-doc mean quantized target/raw ratio,
+    * no quota — [[dsirSample]] adds the per-stratum keep, and the
+    * streaming ingest twin scores against a FROZEN model instead. */
+  def dsirScores(docs: DataFrame, targetLang: String): DataFrame = {
+    val big = dsirFeatures(docs).localCheckpoint()
     val tgt = big.filter(col("lang") === targetLang)
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val rawm = big.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("dsir_score").desc, col("doc_id"))
     big
       .join(rawm, "b")
       .join(tgt, Seq("b"), "left")
@@ -499,9 +502,63 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("lang"), col("n_big"),
         (col("__sq").cast(DoubleType) / col("n_big").cast(DoubleType) /
           lit(LM_Q).cast(DoubleType)).as("dsir_score"))
+  }
+
+  /** t17 core over any (doc_id, lang, text) frame. */
+  def dsirSample(docs: DataFrame, targetLang: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+    dsirScores(docs, targetLang)
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= keep)
       .orderBy(col("lang"), col("rk"))
+  }
+
+  /** The frozen DSIR model as a dense bucket→quantized-ratio table
+    * (DSIR_B longs, driver-held): ratio[b] = ((ct+1)·2^30) div
+    * (cr+1) with counts from `corpus`; buckets the corpus never
+    * produced score the no-evidence ceiling 2^30 (ct = cr = 0) —
+    * lmScore's empty-reference convention. Bounded collect: one row
+    * per OCCUPIED bucket (≤ DSIR_B = 4096). */
+  def dsirModel(corpus: DataFrame, targetLang: String): Seq[Long] = {
+    val big = dsirFeatures(corpus).localCheckpoint()
+    val counts = big
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("lang") === targetLang, 1)).as("ct"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, (r.getLong(2), r.getLong(1)))).toMap
+    Seq.tabulate(DSIR_B) { b =>
+      val (ct, cr) = counts.getOrElse(b, (0L, 0L))
+      ((ct + 1L) * LM_Q) / (cr + 1L)
+    }
+  }
+
+  /** Score (doc_id, lang, text) rows against a FROZEN [[dsirModel]]
+    * table: ONE narrow projection — tokenize, hash, fold the dense
+    * ratio table — no joins, no shuffle, so it is safe per micro-batch
+    * in a streaming ingest gate. Docs with < 2 tokens carry no
+    * features and are dropped, the batch face's convention. Scores
+    * are EXACTLY the batch scores when the model was built over a
+    * corpus containing the doc (integer fold, same divisions). */
+  def dsirScoreAgainst(docs: DataFrame, model: Seq[Long]): DataFrame = {
+    require(model.length == DSIR_B, s"model must have $DSIR_B buckets")
+    val ratio = typedLit(model)
+    docs
+      .withColumn("__toks", split(col("text"), "\\s+"))
+      .where(size(col("__toks")) >= 2)
+      .withColumn("__bs", transform(
+        sequence(lit(0), size(col("__toks")) - 2),
+        i => call_function("graft_h60", concat(lit("dsir:"),
+          element_at(col("__toks"), i + 1), lit(" "),
+          element_at(col("__toks"), i + 2))) % DSIR_B))
+      .select(col("doc_id"), col("lang"),
+        size(col("__bs")).cast(LongType).as("n_big"),
+        (aggregate(col("__bs"), lit(0L), (acc, b) =>
+          acc + element_at(ratio, (b + 1).cast(IntegerType)))
+          .cast(DoubleType) /
+          size(col("__bs")).cast(DoubleType) /
+          lit(LM_Q).cast(DoubleType)).as("dsir_score"))
   }
 
   /** Per-language mixing rates for t10 as (lang, whole-epoch copies,

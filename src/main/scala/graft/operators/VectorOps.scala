@@ -615,7 +615,11 @@ object VectorOps extends QueryModule {
     * per candidate, with the probe list broadcast. Integer-exact
     * end-to-end; the oracle replays coarse train → assign → residual
     * → PQ train → encode → ADC probe scan. */
-  def c22bAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+  /** IVF-PQ training: refined coarse centroids, residual frame, and
+    * residual PQ codebooks (shared by c22b and the c22c index
+    * build). */
+  private def trainIvfPq(s: SparkSession, d: String)
+      : (Seq[(Int, Seq[Long])], Seq[Seq[Seq[Long]]], DataFrame) = {
     val qe = quantized(s, d)
     val cents = refineOnce(qe, qSeed(s, d))
     val seedC = qSeed(s, d).toMap
@@ -641,10 +645,20 @@ object VectorOps extends QueryModule {
       }
       Seq.tabulate(SUBS)(m => seedRes.map(_.slice(m * SUBDIM, (m + 1) * SUBDIM)))
     }
-    val pqcb = pqRefineOnce(res, pqcb0)
-    val codes = res.select(col("vec_id"), col("cid"),
+    (cents, pqRefineOnce(res, pqcb0), res)
+  }
+
+  /** Encode the residual frame to (vec_id, cid, codes). */
+  private def pqEncode(res: DataFrame, pqcb: Seq[Seq[Seq[Long]]]): DataFrame =
+    res.select(col("vec_id"), col("cid"),
       array((0 until SUBS).map(m => codeCol(m, pqcb(m))): _*).as("codes"))
-    val probeRows = anchorVectors(s, d, NQ).flatMap { case (qid, v) =>
+
+  /** Driver-built probe list: for each query, its top-PROBES cells
+    * with the per-cell base dot and the SUBS×KSUB ADC lookup table. */
+  private def ivfPqProbes(s: SparkSession, d: String,
+      cents: Seq[(Int, Seq[Long])],
+      pqcb: Seq[Seq[Seq[Long]]]): Seq[(Long, Int, Long, Seq[Long])] =
+    anchorVectors(s, d, NQ).flatMap { case (qid, v) =>
       val qq = v.map(x => math.floor(x.toDouble * KM_Q).toLong)
       val lut = (for (m <- 0 until SUBS; cid <- 0 until KSUB)
         yield idotL(qq.slice(m * SUBDIM, (m + 1) * SUBDIM), pqcb(m)(cid))).toSeq
@@ -652,7 +666,10 @@ object VectorOps extends QueryModule {
         .sorted.take(PROBES)
         .map { case (negBase, cid) => (qid.toLong, cid, -negBase, lut) }
     }
-    val probes = s.createDataFrame(probeRows).toDF("qid", "cid", "base", "lut")
+
+  /** The ADC probe scan: broadcast probes ⋈ codes on cell, score =
+    * base + LUT fold over the codes, per-query top-k. */
+  private def pqAdcScan(codes: DataFrame, probes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
     broadcast(probes).join(codes, "cid")
       .filter(col("vec_id") =!= col("qid"))
@@ -668,6 +685,69 @@ object VectorOps extends QueryModule {
       .orderBy(col("qid"), col("rank"))
   }
 
+  def c22bAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val (cents, pqcb, res) = trainIvfPq(s, d)
+    val probes = s.createDataFrame(ivfPqProbes(s, d, cents, pqcb))
+      .toDF("qid", "cid", "base", "lut")
+    pqAdcScan(pqEncode(res, pqcb), probes)
+  }
+
+  /** Catalog names for the persisted IVF-PQ index (codes bucketed by
+    * cell; coarse centroids; PQ codebooks), keyed by corpus dir. */
+  private[operators] def ivfPqTables(d: String): (String, String, String) = {
+    val tag = Integer.toHexString(d.hashCode)
+    (s"graft_ivfpq_codes_$tag", s"graft_ivfpq_cent_$tag",
+      s"graft_ivfpq_pqcb_$tag")
+  }
+
+  /** TRAIN + persist the IVF-PQ index: codes table BUCKETED BY cell
+    * (each cell's 4-byte codes co-located — at 100 TB of vectors the
+    * index is ~1/64 the corpus and a probe reads only its cells'
+    * buckets), plus the two tiny model tables (K·DIM coarse longs,
+    * SUBS·KSUB·SUBDIM codebook longs) with the corpus token. */
+  def buildIvfPqIndex(s: SparkSession, d: String): Unit = {
+    val (cents, pqcb, res) = trainIvfPq(s, d)
+    val (codesT, centT, pqcbT) = ivfPqTables(d)
+    Seq(codesT, centT, pqcbT).foreach(dropStale(s, _))
+    ScaleOps.writeBucketed(pqEncode(res, pqcb), codesT, "cid", buckets = CELLS)
+    val token = corpusToken(s, d)
+    s.createDataFrame(cents.map { case (cid, qc) => (cid, qc, token) })
+      .toDF("cid", "qc", "token")
+      .write.mode("overwrite").format("parquet").saveAsTable(centT)
+    val pqRows = for (m <- 0 until SUBS; cid <- 0 until KSUB)
+      yield (m, cid, pqcb(m)(cid), token)
+    s.createDataFrame(pqRows).toDF("m", "cid", "qc", "token")
+      .write.mode("overwrite").format("parquet").saveAsTable(pqcbT)
+  }
+
+  /** c22c — c22b's ANSWERS from the persisted index (oracle shared
+    * verbatim): the read path collects the two bounded model tables,
+    * builds the probe list driver-side, and runs ONE bucket-pruned
+    * scan of the probed cells' codes — no training, no corpus-wide
+    * assignment or encoding. The c07c lifecycle (token-checked
+    * rebuild on corpus drift) applied to the composed index. */
+  def c22cAnnIvfPqPersisted(s: SparkSession, d: String): DataFrame = {
+    val (codesT, centT, pqcbT) = ivfPqTables(d)
+    def centRows() =
+      if (!s.catalog.tableExists(codesT) || !s.catalog.tableExists(centT) ||
+        !s.catalog.tableExists(pqcbT)) Nil
+      else s.table(centT).collect().toSeq
+    var rows = centRows()
+    if (rows.isEmpty || rows.head.getString(2) != corpusToken(s, d)) {
+      buildIvfPqIndex(s, d)
+      rows = centRows()
+    }
+    val cents = rows.map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val pqcbRows = s.table(pqcbT).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2))).toMap
+    val pqcb = Seq.tabulate(SUBS)(m => Seq.tabulate(KSUB)(cid => pqcbRows((m, cid))))
+    val probeRows = ivfPqProbes(s, d, cents, pqcb)
+    val probes = s.createDataFrame(probeRows).toDF("qid", "cid", "base", "lut")
+    val cells = probeRows.map(_._2).distinct.sorted
+    val codes = s.table(codesT).filter(col("cid").isin(cells.map(Int.box): _*))
+    pqAdcScan(codes, probes)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c05_embed_neardup" -> c05EmbedNeardup,
     "c18_semantic_decon" -> c18SemanticDecon,
@@ -678,7 +758,8 @@ object VectorOps extends QueryModule {
     "c11_semantic_dedup" -> c11SemanticDedup,
     "c12_kmeans_cells" -> c12KmeansCells,
     "c22_ann_pq" -> c22AnnPq,
-    "c22b_ann_ivfpq" -> c22bAnnIvfPq)
+    "c22b_ann_ivfpq" -> c22bAnnIvfPq,
+    "c22c_ann_ivfpq_persisted" -> c22cAnnIvfPqPersisted)
 
   private val dotEQ = Portable.dotSql("e.embedding", "q.qemb", DIM)
 
@@ -812,7 +893,10 @@ object VectorOps extends QueryModule {
     // the oracle — is c07b's verbatim.
     "c07c_ann_ivf_persisted" -> c07bOracleSql,
     "c22_ann_pq" -> c22OracleSql,
-    "c22b_ann_ivfpq" -> c22bOracleSql)
+    // c22c answers from the PERSISTED index; same result contract as
+    // c22b, so the oracle is shared verbatim (the c07c/c07b pattern).
+    "c22b_ann_ivfpq" -> c22bOracleSql,
+    "c22c_ann_ivfpq_persisted" -> c22bOracleSql)
 
   private lazy val c07bOracleSql: String =
       s"""WITH $kmCtes,

@@ -424,6 +424,29 @@ object Jobs {
     * ([[INGEST_BLOOM_BITS_PER_ITEM]] bits/item keeps a 10k-fingerprint
     * clean doc ≤ ~2% at-risk). An empty corpus yields a null sketch
     * and an untouched stream. */
+  /** Streaming DSIR selection — the ingest twin of batch t17: score
+    * each incoming (doc_id, lang, text) row against a FROZEN
+    * target/raw hashed-bigram model built batch-side over the corpus
+    * snapshot (TextOps.dsirModel — a dense 4096-long ratio table,
+    * the same place c13's band index and c09's eval sketch come
+    * from), keep rows scoring ≥ `minScore`. The model ships as ONE
+    * literal array (32 KB) — like decontaminateIngest's lit(bloom),
+    * a stable snapshot across every micro-batch — and scoring is a
+    * single narrow projection per row: no joins, no shuffle, no
+    * state. Batch t17 ranks per-language AFTER seeing the whole
+    * corpus (a quota needs a total order); an ingest gate can only
+    * threshold — the standard batch-quota/stream-threshold split. */
+  def dsirScoreIngest(spark: SparkSession, raw: DataFrame,
+      corpus: DataFrame, targetLang: String = "en",
+      minScore: Double = 0.0): Dataset[ScoredDoc] = {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val model = TextOps.dsirModel(corpus, targetLang) // eager, bounded
+    TextOps.dsirScoreAgainst(raw, model)
+      .filter(col("dsir_score") >= minScore)
+      .as[ScoredDoc]
+  }
+
   def substringDupIngest(spark: SparkSession, raw: DataFrame,
       corpus: DataFrame): Dataset[DocRow] = {
     import spark.implicits._

@@ -48,6 +48,13 @@ final case class DocRow(doc_id: Long, text: String)
   * surviving runs rejoined; `n_removed` counts stripped runs. */
 final case class ScrubbedDoc(doc_id: Long, text: String, n_removed: Long)
 
+/** A language-tagged document flowing through an ingest stream. */
+final case class LangDoc(doc_id: Long, lang: String, text: String)
+
+/** A document scored by the DSIR ingest gate. */
+final case class ScoredDoc(doc_id: Long, lang: String, n_big: Long,
+    dsir_score: Double)
+
 /** Keyed state for streaming exact dedup: whether the content hash
   * has already emitted a document. */
 final case class SeenContent(seen: Boolean)
