@@ -117,6 +117,8 @@ object ScaleProbe {
       "t03b_subword_tokens" -> operators.TextOps.t03bSubwordTokens _,
       "t15_lm_score" -> operators.TextOps.t15LmScore _,
       "t17_dsir_sample" -> operators.TextOps.t17DsirSample _,
+      "t18_fertility" -> operators.TextOps.t18Fertility _,
+      "c23_df_spectrum" -> operators.CorpusStats.c23DfSpectrum _,
       "t12_quality_dist" -> operators.CorpusStats.t12QualityDist _,
       "t13_ngram_topk" -> operators.CorpusStats.t13NgramTopK _,
       "t14_corpus_shuffle" -> operators.CorpusStats.t14CorpusShuffle _)

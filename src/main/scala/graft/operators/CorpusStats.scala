@@ -138,6 +138,53 @@ object CorpusStats extends QueryModule {
       .orderBy(col("lang"), col("rk"))
   }
 
+  private val DF_N = 8 // c23 shingle width = the decontamination ngram
+
+  /** c23 — the document-frequency SPECTRUM of hashed 8-gram
+    * shingles: how many distinct ngrams occur in exactly `df`
+    * documents. This is the tuning instrument for every df-driven
+    * pass in the engine — c15's boilerplate threshold K, c09's
+    * contamination surface, c19's duplicated-substring mass — read
+    * the spectrum first, then set the knob (a Heaps'-law / repetition
+    * diagnostic any corpus audit starts with).
+    *
+    * Scale shape: per-doc DISTINCT shingles (array_distinct inside
+    * the row — no shuffle), then one keyed aggregation per level:
+    * (sh)→df shuffles the shingle set once (linear in corpus, the
+    * same exchange c09 pays), and (df)→count collapses map-side to
+    * at most max-df rows per partition — the spectrum itself is
+    * tiny. No joins at all. */
+  def c23DfSpectrum(s: SparkSession, d: String): DataFrame = {
+    // ~1000 hashes per document: the shingle hashing dominates this
+    // query, and a parquet ROW GROUP cannot be split, so a few-split
+    // source (this fixture is one row group; a freshly ingested hour
+    // of data looks the same) would run the whole hash load in one
+    // task. Spread the (tiny) doc rows first — but only when the
+    // scan's own parallelism is short, so a many-split 100 TB corpus
+    // never pays a pointless full-text shuffle.
+    val docs0 = Tables.documents(s, d)
+    val par = s.sparkContext.defaultParallelism
+    val docs = if (docs0.rdd.getNumPartitions < par) docs0.repartition(par)
+      else docs0
+    // explode_OUTER, deliberately: plain explode lets
+    // InferFiltersFromGenerate push a size(...)>0 filter to the scan
+    // that re-derives the ENTIRE shingle+hash expression — the hash
+    // pass would run twice (measured 3.3 s vs 1.4 s for the shingle
+    // pass alone). The where(size>=n) inside shingleDocsOf already
+    // guarantees non-empty arrays, so the row sets are identical.
+    DedupOps.shingleDocsOf(docs, DF_N, hashed = true)
+      .select(explode_outer(col("shs")).as("sh"))
+      // The (sh)→df aggregation needs a sh-exchange either way; doing
+      // it EXPLICITLY before the groupBy moves the hash-map build to
+      // the post-exchange side (partial aggregation over near-unique
+      // keys collapses nothing — the map is pure overhead on the
+      // scan side). Same exchange count and bytes at every scale.
+      .repartition(col("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("n_ngrams"))
+      .orderBy(col("df"))
+  }
+
   // ---------------------------------------------------------------
   // t14 — deterministic sharded corpus shuffle
   // ---------------------------------------------------------------
@@ -170,7 +217,8 @@ object CorpusStats extends QueryModule {
     "t12_quality_dist" -> t12QualityDist,
     "t12x_quality_dist_approx" -> t12xQualityDistApprox,
     "t13_ngram_topk" -> t13NgramTopK,
-    "t14_corpus_shuffle" -> t14CorpusShuffle)
+    "t14_corpus_shuffle" -> t14CorpusShuffle,
+    "c23_df_spectrum" -> c23DfSpectrum)
 
   override val oracle: Map[String, String] = Map(
     "t12_quality_dist" ->
@@ -198,6 +246,16 @@ object CorpusStats extends QueryModule {
          |       MAX(CASE WHEN cum - cnt < n // 2 + 1 AND n // 2 + 1 <= cum THEN q_fp END)
          |       AS DOUBLE) / ${2 * QFP} AS q_med
          |FROM cum GROUP BY source ORDER BY source""".stripMargin,
+    "c23_df_spectrum" ->
+      s"""WITH ng AS (
+         |  SELECT DISTINCT doc_id, ${Portable.h60Sql("s")} AS sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, len(t) - ${DF_N - 1}),
+         |      i -> array_to_string(t[i + 1:i + $DF_N], ' '))) AS s
+         |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') t FROM documents)
+         |    WHERE len(t) >= $DF_N)),
+         |dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM ng GROUP BY sh)
+         |SELECT df, CAST(count(*) AS BIGINT) AS n_ngrams
+         |FROM dfreq GROUP BY df ORDER BY df""".stripMargin,
     "t13_ngram_topk" ->
       s"""WITH bg AS (
          |  SELECT lang, unnest(list_transform(range(0, len(t) - 1),

@@ -441,6 +441,30 @@ object TextOps extends QueryModule {
     lmScore(docs, docs)
   }
 
+  /** t18 — tokenizer FERTILITY by language: subword-per-word ratio
+    * of the t03b tokenizer over each language slice (plus doc and
+    * token totals). Fertility is the standard vocabulary-fit
+    * diagnostic — a language whose fertility is far above the
+    * corpus mean is under-served by the vocab and will waste context
+    * window; pipelines read this table before fixing a token budget.
+    * One narrow pass (both counts are per-row codegen'd expressions,
+    * t03's shape) + one lang-keyed aggregation; the final ratio is a
+    * double division of exact BIGINT sums, so the oracle reproduces
+    * it bit-for-bit. */
+  def t18Fertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        coalesce(size(toks), lit(0)).cast(LongType).as("ws"),
+        coalesce(size(call_function("graft_subword_arr", col("text"))), lit(0))
+          .cast(LongType).as("sw"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("sw")).as("sw_tokens"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("sw_tokens"),
+        (col("sw_tokens").cast(DoubleType) / col("ws_tokens").cast(DoubleType))
+          .as("fertility"))
+      .orderBy(col("lang"))
+
   private val DSIR_B = 4096     // hashed-bigram feature buckets
   private val DSIR_KEEP = 100   // kept docs per language stratum
   private val DSIR_TARGET = "en"
@@ -477,7 +501,10 @@ object TextOps extends QueryModule {
   private[operators] def dsirFeatures(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), col("lang"), split(col("text"), "\\s+").as("toks"))
     .where(size(col("toks")) >= 2)
-    .select(col("doc_id"), col("lang"), explode(expr(
+    // explode_outer: plain explode would infer a size>0 scan filter
+    // that re-derives the bigram transform (see c23); the size>=2
+    // guard above already makes the array non-empty
+    .select(col("doc_id"), col("lang"), explode_outer(expr(
       "transform(sequence(0, size(toks) - 2), " +
         "i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
     .select(col("doc_id"), col("lang"),
@@ -677,7 +704,8 @@ object TextOps extends QueryModule {
     "t10_mix_sample" -> t10MixSample,
     "t11_top_quality_per_source" -> t11TopQualityPerSource,
     "t15_lm_score" -> t15LmScore,
-    "t17_dsir_sample" -> t17DsirSample)
+    "t17_dsir_sample" -> t17DsirSample,
+    "t18_fertility" -> t18Fertility)
 
   /** Recursive-CTE subword segmentation of the corpus's DISTINCT
     * words (`wtok`: w → toks) — the DuckDB twin of
@@ -788,6 +816,21 @@ object TextOps extends QueryModule {
          |          ${Portable.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
          |        FROM ntok))
          |ORDER BY doc_id""".stripMargin,
+    "t18_fertility" ->
+      s"""WITH RECURSIVE $subwordCtes,
+         |docw AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+         |         FROM documents),
+         |sw AS (SELECT d.doc_id, CAST(SUM(len(k.toks)) AS BIGINT) AS sw
+         |       FROM docw d JOIN wtok k ON d.w = k.w GROUP BY d.doc_id),
+         |base AS (SELECT doc_id, lang,
+         |           CAST(COALESCE(len(string_split_regex(text, '\\s+')), 0) AS BIGINT) AS ws
+         |         FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(COALESCE(s.sw, 0)) AS BIGINT) AS sw_tokens,
+         |  CAST(SUM(COALESCE(s.sw, 0)) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility
+         |FROM base b LEFT JOIN sw s USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "t17_dsir_sample" ->
       s"""WITH toks AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents),
          |big AS (

@@ -87,4 +87,28 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(again.toSeq === rows.toSeq)
   }
+
+  test("c23 spectrum masses reconcile with the shingle set") {
+    val spec = CorpusStats.c23DfSpectrum(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(spec.map(_._1).min >= 1L)
+    val pairs = graft.operators.DedupOps
+      .shingleDocsOf(graft.Tables.documents(spark, sf), 8, hashed = true)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("shs")))
+    // Σ df·n_ngrams = |(doc, shingle)| pairs; Σ n_ngrams = |shingles|
+    assert(spec.map { case (df, n) => df * n }.sum === pairs.count())
+    assert(spec.map(_._2).sum === pairs.distinct().count())
+  }
+
+  test("t18 fertility is ≥ 1 everywhere (a word is at least one subword)") {
+    val rows = TextOps.t18Fertility(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, ws, sw, fert) =>
+      assert(nDocs > 0 && ws > 0, s"$lang")
+      assert(sw >= ws, s"$lang: subword count below word count")
+      assert(fert >= 1.0 && fert === sw.toDouble / ws.toDouble, s"$lang")
+    }
+  }
 }
