@@ -44,7 +44,8 @@ object Bench {
     "t10_mix_sample", "t11_top_quality_per_source", "t16_quota_sample",
     "t12_quality_dist", "t12x_quality_dist_approx", "t13_ngram_topk",
     "t14_corpus_shuffle", "t15_lm_score", "t17_dsir_sample",
-    "t18_fertility", "c23_df_spectrum")
+    "t18_fertility", "c23_df_spectrum", "c24_bm25_topk",
+    "c25_cluster_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -119,6 +119,8 @@ object ScaleProbe {
       "t17_dsir_sample" -> operators.TextOps.t17DsirSample _,
       "t18_fertility" -> operators.TextOps.t18Fertility _,
       "c23_df_spectrum" -> operators.CorpusStats.c23DfSpectrum _,
+      "c24_bm25_topk" -> operators.SearchOps.c24Bm25TopK _,
+      "c25_cluster_sample" -> operators.VectorOps.c25ClusterSample _,
       "t12_quality_dist" -> operators.CorpusStats.t12QualityDist _,
       "t13_ngram_topk" -> operators.CorpusStats.t13NgramTopK _,
       "t14_corpus_shuffle" -> operators.CorpusStats.t14CorpusShuffle _)
@@ -126,11 +128,18 @@ object ScaleProbe {
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
+    // SPARK_GRAFT_PROBE_ONLY=c24_bm25_topk,c25_cluster_sample probes a
+    // subset — incremental runs for newly added operators without
+    // re-measuring the whole family.
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val qsRun = only.fold(qs)(o => qs.filter { case (n, _) => o(n) })
+
     // warmup (JIT/codegen) outside any measurement
     operators.DedupOps.c01Exact(spark, sfs.head).write
       .format("noop").mode("overwrite").save()
 
-    for (sf <- sfs; (name, fn) <- qs) {
+    for (sf <- sfs; (name, fn) <- qsRun) {
       val group = s"$name@$sf"
       // noop-sink materialization, same methodology as graft.Bench
       // (count() would let the optimizer drop final sorts/projections)

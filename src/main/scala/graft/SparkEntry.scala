@@ -18,6 +18,7 @@ object SparkEntry {
     operators.CorpusStats,
     operators.DedupOps,
     operators.VectorOps,
+    operators.SearchOps,
     operators.MediaOps,
     operators.ScaleOps)
 

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Full-text retrieval over the corpus: BM25 top-k keyword search
+  * (c24). A corpus engine that curates training data also has to FIND
+  * things in it — contamination spot checks, eval-set sourcing,
+  * "show me documents about X" debugging — and BM25 over an
+  * aggregated postings table is the standard first-stage retriever
+  * (the same role Lucene/Elasticsearch play beside a warehouse).
+  *
+  * Scale stance: there is no inverted-index file here — the postings
+  * LIST is an aggregation, and Spark's hash aggregate IS the index
+  * build. The query-term filter lands before the tf aggregation, so
+  * the shuffled postings volume is proportional to the matched terms
+  * only, never the vocabulary; corpus-wide constants (N, total token
+  * count) ride a 1-row broadcast; ranking compiles to
+  * WindowGroupLimit (partial top-k per query before the final
+  * exchange). Scoring is exact integer arithmetic end-to-end so the
+  * DuckDB oracle reproduces scores AND ranks bit-for-bit.
+  */
+object SearchOps extends QueryModule {
+
+  /** The fixture query workload: short keyword queries over the
+    * synthetic vocabulary (multi-term, overlapping terms across
+    * queries, plus one out-of-vocabulary term exercising the
+    * zero-postings path). Production replaces this literal with any
+    * small (qid, term) table; the plan is unchanged. */
+  private[operators] val QUERIES: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("spark", "window"),
+    "q2" -> Seq("hash", "join", "merge"),
+    "q3" -> Seq("vector", "query"),
+    "q4" -> Seq("stream", "batch", "zzzunseen"))
+
+  private[operators] val TOPK = 10
+  // BM25 constants as exact rationals: k1 = 1.2, b = 0.75.
+  // Substituted into the closed form below so every factor is an
+  // integer: tf·(k1+1) / (tf + k1·(1−b+b·dl·N/L)), multiplied
+  // through by 10·L, is 22·L·tf / (10·L·tf + 3·L + 9·dl·N).
+  private[operators] val Q1 = 1L << 20 // idf fixed-point scale
+  private[operators] val Q2 = 1L << 20 // tf-norm fixed-point scale
+
+  /** c24 — BM25 top-k search: for each query, the TOPK documents by
+    * BM25 score, rank-ordered with doc_id tie-break.
+    *
+    * The libm problem (t15's lesson) is solved by swapping the idf
+    * LOG for the raw probabilistic-idf RATIO it wraps:
+    * (N − df + ½)/(df + ½) — same ordering per term, exact in
+    * integers as (2N−2df+1)/(2df+1). Both fixed-point divisions are
+    * truncating integer `div` (DuckDB `//`), so scores are
+    * bit-portable. Overflow headroom: idf ≤ (2N+1)·Q1 and the tf
+    * factor ≤ 2.2·Q2, so a term score stays < 2^63 while
+    * 22·L·tf·Q2 < 2^63 — corpora to ~10^9 tokens at this Q2; a
+    * 100 TB deployment shrinks Q2 (rank-stability costs nothing:
+    * only score RESOLUTION changes, and ties still break on doc_id).
+    */
+  def c24Bm25TopK(s: SparkSession, d: String): DataFrame =
+    bm25(s, Tables.documents(s, d), QUERIES, TOPK)
+
+  /** BM25 core over any (doc_id, text) frame and query workload. */
+  private[operators] def bm25(s: SparkSession, docsIn: DataFrame,
+      queries: Seq[(String, Seq[String])], topk: Int): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        coalesce(size(col("toks")), lit(0)).cast(LongType).as("dl"))
+    // Corpus constants: one full (narrow) pass — doc count and total
+    // token count. 1 row, broadcast into the scoring join.
+    val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("l"))
+    // Postings restricted to the union of query terms BEFORE the tf
+    // aggregation: the array filter runs inside the scan's codegen
+    // stage, so only matched occurrences are exploded and shuffled.
+    val terms = queries.flatMap(_._2).distinct
+    val tf = docs
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => t.isInCollection(terms))).as("w"))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    // Document frequency per matched term: ≤ |terms| rows, broadcast.
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qterms = s.createDataFrame(queries
+      .flatMap { case (qid, ws) => ws.map(w => (qid, w)) })
+      .toDF("qid", "w")
+    val scored = tf
+      .join(broadcast(qterms), Seq("w"))
+      .join(broadcast(dfreq), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), expr(
+        s"(((2L * n - 2L * df + 1L) * ${Q1}L) div (2L * df + 1L)) * " +
+          s"((22L * l * tf * ${Q2}L) div " +
+          "(10L * l * tf + 3L * l + 9L * dl * n))").as("ts"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("ts")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= topk)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("c24_bm25_topk" -> c24Bm25TopK)
+
+  private def queryValues: String = QUERIES
+    .flatMap { case (qid, ws) => ws.map(w => s"('$qid', '$w')") }
+    .mkString(", ")
+
+  override val oracle: Map[String, String] = Map(
+    "c24_bm25_topk" ->
+      s"""WITH q(qid, w) AS (VALUES $queryValues),
+         |base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+         |         FROM documents),
+         |d AS (SELECT doc_id, CAST(COALESCE(len(t), 0) AS BIGINT) AS dl
+         |      FROM base),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(SUM(dl) AS BIGINT) AS l FROM d),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(t) AS w FROM base)
+         |       WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w),
+         |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+         |          FROM tf GROUP BY w),
+         |sc AS (SELECT q.qid, tf.doc_id, CAST(SUM(
+         |    ((2 * st.n - 2 * f.df + 1) * $Q1 // (2 * f.df + 1)) *
+         |    ((22 * st.l * tf.tf * $Q2) //
+         |     (10 * st.l * tf.tf + 3 * st.l + 9 * d.dl * st.n))
+         |  ) AS BIGINT) AS score
+         |  FROM tf JOIN q USING (w) JOIN dfreq f USING (w)
+         |       JOIN d USING (doc_id) CROSS JOIN st
+         |  GROUP BY q.qid, tf.doc_id)
+         |SELECT qid, rk, doc_id, score FROM (
+         |  SELECT qid, doc_id, score,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+         |  FROM sc)
+         |WHERE rk <= $TOPK ORDER BY qid, rk""".stripMargin)
+}

@@ -318,6 +318,49 @@ object VectorOps extends QueryModule {
       .orderBy(col("cid"), col("dim"))
   }
 
+  private val SAMP_PER_CELL = 8
+
+  /** c25 — cluster-balanced coreset sampling: train the c12 quantizer
+    * (one Lloyd refinement of the seed), assign every vector to its
+    * cell, and keep the SAMP_PER_CELL most CENTRAL members of each
+    * cell (highest integer dot with the cell centroid, vec_id
+    * tie-break). This is prototype/coreset selection — the standard
+    * diversity-aware subset pass (cluster then take per-cell quotas,
+    * as in DeepCore/herding-style curation): unlike uniform sampling
+    * it cannot starve a small-but-distinct mode of the data, because
+    * every cell gets an equal quota.
+    *
+    * Scale shape: c12's narrow literal-centroid assignment (no corpus
+    * shuffle) + ONE rank window keyed by cid whose rank-filter
+    * compiles to WindowGroupLimit — each map task forwards at most
+    * SAMP_PER_CELL rows per cell, so the exchange carries
+    * O(partitions · CELLS · quota), not the corpus. All scoring is
+    * fixed-point integer, so the DuckDB oracle replays train +
+    * assign + select exactly. */
+  def c25ClusterSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("cdot").desc, col("vec_id"))
+    c25Membership(s, d)
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= SAMP_PER_CELL)
+      .orderBy(col("cid"), col("rk"))
+  }
+
+  /** (cid, vec_id, cdot) for every vector — c25 before its rank
+    * filter; exposed so the spec can brute-force the selection. */
+  private def c25Membership(s: SparkSession, d: String): DataFrame = {
+    val qe = quantized(s, d)
+    val cents = refineOnce(qe, qSeed(s, d))
+    val centsDf = s.createDataFrame(cents).toDF("cid", "qc")
+    qAssign(qe, cents)
+      .join(broadcast(centsDf), Seq("cid"))
+      .select(col("cid"), col("vec_id"),
+        intDotCols(col("qv"), col("qc")).as("cdot"))
+  }
+
+  private[operators] def c25MembershipForSpec(s: SparkSession,
+      d: String): DataFrame = c25Membership(s, d)
+
   /** c07b — the full IVF lifecycle: TRAIN the quantizer (one Lloyd
     * refinement of the seed, c12's step), assign the corpus to the
     * refined cells, then answer the c06/c07 query set by probing the
@@ -757,6 +800,7 @@ object VectorOps extends QueryModule {
     "c07c_ann_ivf_persisted" -> c07cAnnIvfPersisted,
     "c11_semantic_dedup" -> c11SemanticDedup,
     "c12_kmeans_cells" -> c12KmeansCells,
+    "c25_cluster_sample" -> c25ClusterSample,
     "c22_ann_pq" -> c22AnnPq,
     "c22b_ann_ivfpq" -> c22bAnnIvfPq,
     "c22c_ann_ivfpq_persisted" -> c22cAnnIvfPqPersisted)
@@ -887,6 +931,22 @@ object VectorOps extends QueryModule {
          |  SELECT cid, unnest(qv) AS q, generate_subscripts(qv, 1) AS dim FROM a2)
          |  GROUP BY cid, dim)
          |ORDER BY cid, dim""".stripMargin,
+    "c25_cluster_sample" ->
+      s"""WITH $kmCtes,
+         |a2 AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT e.vec_id, e.qv, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${idotSql("e.qv", "c.qc")} DESC, c.cid) AS rn
+         |  FROM qe e CROSS JOIN c1 c) WHERE rn = 1),
+         |sc AS (SELECT a.cid, a.vec_id,
+         |         CAST(${idotSql("a.qv", "c.qc")} AS BIGINT) AS cdot
+         |       FROM a2 a JOIN c1 c USING (cid))
+         |SELECT cid, vec_id, cdot, rk FROM (
+         |  SELECT cid, vec_id, cdot,
+         |         CAST(row_number() OVER (PARTITION BY cid
+         |           ORDER BY cdot DESC, vec_id) AS BIGINT) AS rk
+         |  FROM sc)
+         |WHERE rk <= $SAMP_PER_CELL ORDER BY cid, rk""".stripMargin,
     "c07b_ann_ivf_refined" -> c07bOracleSql,
     // c07c answers from the PERSISTED index; the index is the same
     // refined quantizer + assignment, so the result contract — and

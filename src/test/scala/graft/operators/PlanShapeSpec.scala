@@ -27,7 +27,7 @@ class PlanShapeSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "a14c_range_join", "c06_ann_brute", "c07_ann_ivf",
     "c07b_ann_ivf_refined", "c11_semantic_dedup", "c05_embed_neardup",
-    "t15_lm_score")
+    "t15_lm_score", "c24_bm25_topk")
 
   test("no query plan contains a cartesian product; BNLJ only where intended") {
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -42,7 +42,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("top-k rank filters compile to partial WindowGroupLimit") {
     Seq("t11_top_quality_per_source", "t13_ngram_topk", "a14b_asof_join",
-      "t16_quota_sample")
+      "t16_quota_sample", "c24_bm25_topk", "c25_cluster_sample")
       .foreach { q =>
         assert(finalPlan(q).contains("WindowGroupLimit"), s"$q lost its WindowGroupLimit")
       }
