@@ -45,7 +45,7 @@ object Bench {
     "t12_quality_dist", "t12x_quality_dist_approx", "t13_ngram_topk",
     "t14_corpus_shuffle", "t15_lm_score", "t17_dsir_sample",
     "t18_fertility", "c23_df_spectrum", "c24_bm25_topk",
-    "c25_cluster_sample")
+    "c25_cluster_sample", "m04_media_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.SimHash60].getName, "graft_simhash60"),
       (children: Seq[Expression]) => functions.SimHash60(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_phash60"),
+      new ExpressionInfo(classOf[functions.Phash60].getName, "graft_phash60"),
+      (children: Seq[Expression]) => functions.Phash60(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash60"),
       new ExpressionInfo(classOf[functions.MinHash60].getName, "graft_minhash60"),
       (children: Seq[Expression]) => functions.MinHash60(children.head)))

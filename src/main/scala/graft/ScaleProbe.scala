@@ -121,6 +121,7 @@ object ScaleProbe {
       "c23_df_spectrum" -> operators.CorpusStats.c23DfSpectrum _,
       "c24_bm25_topk" -> operators.SearchOps.c24Bm25TopK _,
       "c25_cluster_sample" -> operators.VectorOps.c25ClusterSample _,
+      "m04_media_neardup" -> operators.MediaOps.m04MediaNeardup _,
       "t12_quality_dist" -> operators.CorpusStats.t12QualityDist _,
       "t13_ngram_topk" -> operators.CorpusStats.t13NgramTopK _,
       "t14_corpus_shuffle" -> operators.CorpusStats.t14CorpusShuffle _)

@@ -259,9 +259,9 @@ object DedupOps extends QueryModule {
   // ---------------------------------------------------------------
 
   private val BITS = 60
-  private val CHUNKS = 4
-  private val CHUNK_BITS = 15
-  private val HAMMING_T = 3
+  private[graft] val CHUNKS = 4
+  private[graft] val CHUNK_BITS = 15
+  private[graft] val HAMMING_T = 3
 
   /** c03 over a built (doc_id, fp) fingerprint frame — shared by the
     * parquet entry point below and c14's shared-pass composition.

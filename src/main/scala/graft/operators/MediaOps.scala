@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import graft.functions.Portable
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -193,10 +193,75 @@ object MediaOps extends QueryModule {
   def m03MediaDedup(s: SparkSession, d: String): DataFrame =
     mediaDedup(attachMedia(s, d).toDF())
 
+  private val PH_BITS = 60
+  private val PH_CELLS = PH_BITS + 1
+
+  /** Perceptual 60-bit fingerprint of a media payload — the dHash
+    * STRUCTURE (adjacent-cell intensity comparisons → bits, so the
+    * signature is invariant to global brightness/scale shifts) over
+    * stub cell intensities. A real decoder yields a 61-cell grid of
+    * mean pixel intensities; this container has no codecs, so the
+    * honest stand-in derives each "cell intensity" as `graft_h60` of
+    * an equal slice of the hex payload — deterministic, engine-
+    * portable, loudly fake (like [[decodeStub]]). Everything AROUND
+    * the intensities — bit construction, Hamming banding, the
+    * pigeonhole candidate join — is the real, swap-ready operator. */
+  /** The STAGED relational form of the perceptual fingerprint — the
+    * reference [[graft.functions.Phash60]] is pinned against in
+    * MediaOpsSpec (the c03 pattern: oracle and spec keep the
+    * relational algorithm, the hot path runs the native expression).
+    * Built over THREE projection steps so the 61-cell transform
+    * references `hexs`/`w` as plain attributes: higher-order
+    * functions are interpreted (no codegen, no subexpression
+    * elimination), so an inline `hex(media)` would be re-evaluated
+    * once per cell — ~180 full-payload hex passes per row, measured
+    * 10 s vs ~2 s at sf0.1. CollapseProject's expensive-expression
+    * guard keeps the staging projections separate. */
+  private[operators] def phashFrameRelational(media: DataFrame): DataFrame = {
+    val cells = transform(sequence(lit(0), lit(PH_CELLS - 1)),
+      k => Portable.h60(col("hexs").substr(k * col("w") + lit(1), col("w"))))
+    // bit k (0-based) set iff cell_k < cell_{k+1}; fold most-
+    // significant-first so sig = Σ bit_k·2^k < 2^60 in exact longs
+    val bits = zip_with(
+      slice(col("cs"), 1, PH_BITS), slice(col("cs"), 2, PH_BITS),
+      (a, b) => when(a < b, lit(1L)).otherwise(lit(0L)))
+    media
+      .select(col("doc_id"), hex(col("media")).as("hexs"))
+      // slice width: floor(len/61), min 1 (tail chars beyond 61·w are
+      // cropped — the same crop a grid downsample does)
+      .select(col("doc_id"), col("hexs"),
+        greatest(floor(length(col("hexs")) / lit(PH_CELLS.toDouble))
+          .cast(IntegerType), lit(1)).as("w"))
+      .select(col("doc_id"), cells.as("cs"))
+      .select(col("doc_id"),
+        aggregate(reverse(bits), lit(0L), (acc, x) => acc * lit(2L) + x)
+          .as("fp"))
+      .where(col("fp").isNotNull)
+  }
+
+  /** m04 — perceptual near-duplicate pairs: payloads whose
+    * fingerprints differ in ≤ 3 of 60 bits. Candidate generation and
+    * verification are EXACTLY c03's machinery ([[DedupOps
+    * .c03SimhashOf]]: 4×15-bit chunk blocking — pigeonhole-complete
+    * at Hamming ≤ 3 — then bit_count verify), applied to the
+    * perceptual fingerprint instead of the text SimHash: the
+    * image-near-dup pass (pHash/dHash family) every multimodal
+    * curation pipeline runs beside exact CAS dedup (m03), with the
+    * same linear scale shape c03 measured. The fingerprint is ONE
+    * codegen'd expression ([[graft.functions.Phash60]] — c03's
+    * native-vs-relational trade, same rationale); the staged
+    * relational twin above stays as the spec/oracle reference. */
+  def m04MediaNeardup(s: SparkSession, d: String): DataFrame =
+    DedupOps.c03SimhashOf(attachMedia(s, d).toDF()
+      .select(col("doc_id"),
+        call_function("graft_phash60", col("media")).as("fp"))
+      .where(col("fp").isNotNull))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> ((s, d) => m01MediaMeta(s, d)),
     "m02_frame_sample" -> ((s, d) => m02FrameSample(s, d)),
-    "m03_media_dedup" -> ((s, d) => m03MediaDedup(s, d)))
+    "m03_media_dedup" -> ((s, d) => m03MediaDedup(s, d)),
+    "m04_media_neardup" -> ((s, d) => m04MediaNeardup(s, d)))
 
   override val oracle: Map[String, String] = Map(
     "m03_media_dedup" ->
@@ -217,5 +282,37 @@ object MediaOps extends QueryModule {
          |  'application/octet-stream' AS mime,
          |  CAST(320 + ${Portable.h60Sql("text || ':w'")} % 1600 AS BIGINT) AS width,
          |  CAST(240 + ${Portable.h60Sql("text || ':h'")} % 840 AS BIGINT) AS height
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m04_media_neardup" -> m04OracleSql)
+
+  /** DuckDB twin of [[m04MediaNeardup]]: same hex slicing, the same
+    * h60 cell hashes, the same MSB-first bit fold, then c03's chunk
+    * blocking and bit_count verify replayed relationally. */
+  private def m04OracleSql: String = {
+    val chunkRows = (0 until DedupOps.CHUNKS).map(c =>
+      s"SELECT doc_id, fp, $c AS chunk, (fp >> ${c * DedupOps.CHUNK_BITS}) & ${(1 << DedupOps.CHUNK_BITS) - 1} AS cv FROM fp")
+      .mkString("\n       UNION ALL ")
+    s"""WITH src AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hexs
+       |             FROM documents WHERE text IS NOT NULL),
+       |cw AS (SELECT doc_id, hexs,
+       |         greatest(length(hexs) // $PH_CELLS, 1) AS w FROM src),
+       |cells AS (SELECT doc_id, list_transform(range(0, $PH_CELLS),
+       |            k -> ${Portable.h60Sql(s"substr(hexs, k * w + 1, w)")}) AS cs
+       |          FROM cw),
+       |fp AS (SELECT doc_id, list_reduce(
+       |         list_reverse(list_transform(range(1, $PH_CELLS),
+       |           i -> CAST(CASE WHEN cs[i] < cs[i + 1] THEN 1 ELSE 0 END
+       |                     AS BIGINT))),
+       |         (acc, x) -> acc * 2 + x) AS fp
+       |       FROM cells),
+       |chunks AS ($chunkRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+       |                x.fp AS fpa, y.fp AS fpb
+       |         FROM chunks x JOIN chunks y
+       |           ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id)
+       |SELECT da, db, fpa, fpb,
+       |       CAST(bit_count(xor(fpa, fpb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(fpa, fpb)) <= ${DedupOps.HAMMING_T}
+       |ORDER BY da, db""".stripMargin
+  }
 }

@@ -30,7 +30,7 @@ object SearchOps extends QueryModule {
     * queries, plus one out-of-vocabulary term exercising the
     * zero-postings path). Production replaces this literal with any
     * small (qid, term) table; the plan is unchanged. */
-  private[operators] val QUERIES: Seq[(String, Seq[String])] = Seq(
+  val QUERIES: Seq[(String, Seq[String])] = Seq(
     "q1" -> Seq("spark", "window"),
     "q2" -> Seq("hash", "join", "merge"),
     "q3" -> Seq("vector", "query"),
@@ -64,6 +64,19 @@ object SearchOps extends QueryModule {
   /** BM25 core over any (doc_id, text) frame and query workload. */
   private[operators] def bm25(s: SparkSession, docsIn: DataFrame,
       queries: Seq[(String, Seq[String])], topk: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scored(s, docsIn, queries)
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= topk)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The scored (qid, doc_id, score) frame BEFORE the top-k window —
+    * one row per (query, document with ≥ 1 matched term). Shared by
+    * the batch ranker above and the streaming parity spec. */
+  private[graft] def bm25Scored(s: SparkSession, docsIn: DataFrame,
+      queries: Seq[(String, Seq[String])]): DataFrame = {
     val docs = docsIn
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -85,7 +98,7 @@ object SearchOps extends QueryModule {
     val qterms = s.createDataFrame(queries
       .flatMap { case (qid, ws) => ws.map(w => (qid, w)) })
       .toDF("qid", "w")
-    val scored = tf
+    tf
       .join(broadcast(qterms), Seq("w"))
       .join(broadcast(dfreq), Seq("w"))
       .crossJoin(broadcast(stats))
@@ -95,12 +108,63 @@ object SearchOps extends QueryModule {
           "(10L * l * tf + 3L * l + 9L * dl * n))").as("ts"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("ts")).as("score"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("doc_id"))
-    scored
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= topk)
-      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Frozen BM25 model — the bounded state a STREAMING scorer needs:
+    * corpus doc count, total token count, and per-query-term document
+    * frequencies (≤ |terms| + 1 small rows, collected once). */
+  final case class Bm25Model(n: Long, l: Long, df: Map[String, Long])
+
+  /** Build the frozen model from a (batch) corpus snapshot. */
+  def bm25Model(s: SparkSession, corpus: DataFrame,
+      queries: Seq[(String, Seq[String])] = QUERIES): Bm25Model = {
+    val terms = queries.flatMap(_._2).distinct
+    val docs = corpus
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        coalesce(size(col("toks")), lit(0)).cast(LongType).as("dl"))
+    val Array(n, l) = docs
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val df = docs
+      .select(col("doc_id"),
+        explode(filter(col("toks"), t => t.isInCollection(terms))).as("w"))
+      .distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Bm25Model(n, l, df)
+  }
+
+  /** Score any (doc_id, text, …) frame — batch OR streaming — against
+    * the frozen model: every constant (idf per term, N, L) is baked
+    * into the projection as a literal, tf is a per-row array filter,
+    * so scoring is one narrow codegen'd pass with no joins, no
+    * shuffle, no state (the dsirScoreAgainst pattern). Emits one row
+    * per (doc, query) with score ≥ 1 — identical to [[bm25Scored]]
+    * on the same snapshot (integer arithmetic, same truncations). */
+  def bm25ScoreAgainst(raw: DataFrame, model: Bm25Model,
+      queries: Seq[(String, Seq[String])] = QUERIES): DataFrame = {
+    def termScoreSql(t: String): String = {
+      val df = model.df.getOrElse(t, 0L)
+      val idfq = ((2 * model.n - 2 * df + 1) * Q1) / (2 * df + 1)
+      val tq = t.replace("'", "''")
+      val tf = s"CAST(size(filter(toks, x -> x = '$tq')) AS BIGINT)"
+      // tf = 0 ⇒ the div's numerator is 0 ⇒ the term contributes 0
+      s"(${idfq}L * ((${22 * model.l}L * $tf * ${Q2}L) div " +
+        s"(${10 * model.l}L * $tf + ${3 * model.l}L + 9L * dl * ${model.n}L)))"
+    }
+    val perQuery = queries.map { case (qid, ts) =>
+      struct(lit(qid).as("qid"),
+        ts.map(t => expr(termScoreSql(t))).reduce(_ + _).as("score"))
+    }
+    raw
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        coalesce(size(col("toks")), lit(0)).cast(LongType).as("dl"),
+        col("toks"))
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
+      .select(col("doc_id"), col("q.qid").as("qid"), col("q.score").as("score"))
+      .filter(col("score") > 0)
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =

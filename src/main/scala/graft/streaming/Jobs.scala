@@ -447,6 +447,31 @@ object Jobs {
       .as[ScoredDoc]
   }
 
+  /** Standing-query search over an ingest stream (the "alert me when
+    * a document about X arrives" face of c24): the BM25 model — doc
+    * count, token count, per-term document frequencies — is FROZEN
+    * from a batch corpus snapshot (bounded: |terms| + 1 rows
+    * collected once at job start), every constant is baked into the
+    * scoring projection as a literal, and each micro-batch is scored
+    * by one narrow codegen'd pass: no joins, no shuffle, no state
+    * (the dsirScoreIngest pattern). Stream scores are EXACTLY the
+    * batch c24 scores when the model snapshot is the same corpus
+    * (integer arithmetic, identical truncations — Bm25IngestSpec).
+    * Batch c24 ranks top-k AFTER seeing the whole corpus; an ingest
+    * gate can only threshold — the same batch-quota/stream-threshold
+    * split as DSIR. */
+  def bm25SearchIngest(spark: SparkSession, raw: DataFrame,
+      corpus: DataFrame,
+      queries: Seq[(String, Seq[String])] = graft.operators.SearchOps.QUERIES,
+      minScore: Long = 1L): Dataset[SearchHit] = {
+    import spark.implicits._
+    import graft.operators.SearchOps
+    val model = SearchOps.bm25Model(spark, corpus, queries) // eager, bounded
+    SearchOps.bm25ScoreAgainst(raw, model, queries)
+      .filter(col("score") >= minScore)
+      .as[SearchHit]
+  }
+
   def substringDupIngest(spark: SparkSession, raw: DataFrame,
       corpus: DataFrame): Dataset[DocRow] = {
     import spark.implicits._

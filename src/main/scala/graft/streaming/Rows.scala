@@ -55,6 +55,9 @@ final case class LangDoc(doc_id: Long, lang: String, text: String)
 final case class ScoredDoc(doc_id: Long, lang: String, n_big: Long,
     dsir_score: Double)
 
+/** A (document, standing query) match from the BM25 ingest scorer. */
+final case class SearchHit(doc_id: Long, qid: String, score: Long)
+
 /** Keyed state for streaming exact dedup: whether the content hash
   * has already emitted a document. */
 final case class SeenContent(seen: Boolean)

@@ -81,4 +81,40 @@ class MediaOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((3L, 2L, 20L), (4L, 1L, 10L), (9L, 1L, 5L)))
   }
+
+  test("m04 finds every byte-identical payload pair at hamming 0") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val pairs = MediaOps.m04MediaNeardup(spark, sf)
+      .select("da", "db", "hamming").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (da, db, h) =>
+      assert(da < db && h >= 0 && h <= 3)
+    }
+    // exact-dup pairs (same text ⇒ same payload) must all surface
+    // with hamming 0 — the pigeonhole completeness floor
+    val texts = graft.Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val exactPairs = texts.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size)
+          yield (ids(i), ids(j))
+      }.toSet
+    val zeroPairs = pairs.collect { case (a, b, 0L) => (a, b) }.toSet
+    assert(exactPairs.subsetOf(zeroPairs))
+  }
+
+  test("native graft_phash60 equals the staged relational fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col}
+    val media = MediaOps.attachMedia(spark, sf).toDF()
+    val native = media
+      .select(col("doc_id"), call_function("graft_phash60", col("media")))
+      .as[(Long, Long)].collect().toMap
+    val staged = MediaOps.phashFrameRelational(media)
+      .as[(Long, Long)].collect().toMap
+    assert(native.nonEmpty && native === staged)
+  }
 }
