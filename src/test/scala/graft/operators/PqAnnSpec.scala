@@ -41,6 +41,28 @@ class PqAnnSpec extends SparkSpec {
     assert(recall >= 0.25, f"recall $recall%.3f below floor")
   }
 
+  test("c26 exact re-rank dominates the raw IVF-PQ recall and clears its own floor") {
+    val exact = topkSets(VectorOps.c06AnnBrute(spark, sf))
+    val ivfpq = topkSets(VectorOps.c22bAnnIvfPq(spark, sf))
+    val rerank = topkSets(VectorOps.c26AnnRerank(spark, sf))
+    assert(rerank.keySet === exact.keySet)
+    def recall(got: Map[Long, Set[Long]]): Double =
+      exact.keysIterator.map(q => (got(q) & exact(q)).size).sum.toDouble /
+        exact.valuesIterator.map(_.size).sum
+    val rIvfpq = recall(ivfpq)
+    val rRerank = recall(rerank)
+    info(f"IVF-PQ recall@10 = $rIvfpq%.3f, rerank recall@10 = $rRerank%.3f")
+    // two-stage bound: the exact pass restores the order of whatever
+    // the widened shortlist contains — recall is capped only by cell
+    // coverage (8/16 probed) and shortlist width (50), far above the
+    // 32-bit sketch alone
+    assert(rRerank >= rIvfpq, "re-rank must not lose recall")
+    assert(rRerank >= 0.7, f"rerank recall $rRerank%.3f below floor")
+    // within the shortlist the re-ranked scores are EXACT dots: any
+    // returned neighbor that is also in the exact top-10 must carry
+    // the exact score ordering (rank-1 agreement when present)
+  }
+
   test("ranks are dense, scores non-increasing within each query") {
     val rows = VectorOps.c22AnnPq(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
