@@ -31,7 +31,7 @@ object Bench {
     "c04_dedup_ngram", "c05_embed_neardup", "c06_ann_brute",
     "c07_ann_ivf", "c07b_ann_ivf_refined", "c07c_ann_ivf_persisted",
     "c22_ann_pq", "c22b_ann_ivfpq", "c22c_ann_ivfpq_persisted",
-    "c26_ann_rerank",
+    "c26_ann_rerank", "c26b_ann_rerank_persisted",
     "c08_corpus_curate",
     "c09_decontaminate", "c09b_decontaminate_bloom",
     "c10_dedup_cluster", "c10b_cluster_star", "c11_semantic_dedup",
@@ -45,7 +45,8 @@ object Bench {
     "t10_mix_sample", "t11_top_quality_per_source", "t16_quota_sample",
     "t12_quality_dist", "t12x_quality_dist_approx", "t13_ngram_topk",
     "t14_corpus_shuffle", "t15_lm_score", "t17_dsir_sample",
-    "t18_fertility", "c23_df_spectrum", "c24_bm25_topk",
+    "t18_fertility", "t20_bpe_pairs", "t21_quality_bins",
+    "c23_df_spectrum", "c24_bm25_topk",
     "c25_cluster_sample", "m04_media_neardup")
 
   def main(args: Array[String]): Unit = {

@@ -213,11 +213,52 @@ object CorpusStats extends QueryModule {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** t21 — GLOBAL quality-quartile bin assignment without a global
+    * sort: the range-layout op (write the corpus laid out by quality
+    * so readers of "top-quality data first" curricula prune files).
+    * The naive `ntile(4) OVER (ORDER BY quality)` funnels the whole
+    * corpus through ONE range-sorted partition; this shape never
+    * does. Stage 1 collapses the corpus to the bounded fixed-point
+    * histogram (t12's trick, globally: ≤ 10^6 + 1 rows whatever the
+    * corpus size); stage 2 reads the three quartile boundaries off
+    * the histogram's cumulative window (single-partition, but over
+    * the BOUNDED histogram — the same argument as t12's per-source
+    * window); stage 3 assigns bins per-row against the broadcast
+    * 1-row boundary table — a narrow codegen'd pass, no shuffle.
+    * VALUE-based binning (bin = 1 + #{boundaries below q}), so tied
+    * scores always share a bin and the result is deterministic —
+    * b_k is the ⌈n·k/4⌉-th smallest score, the type-1 quantile both
+    * engines can select identically. */
+  def t21QualityBins(s: SparkSession, d: String): DataFrame = {
+    val qd = TextOps.withQualityCols(Tables.documents(s, d))
+      .filter(col("quality").isNotNull)
+      .select(col("doc_id"),
+        round(col("quality") * QFP).cast(LongType).as("q_fp"))
+    val hist = qd.groupBy(col("q_fp")).agg(count(lit(1)).as("cnt"))
+    val byQ = Window.orderBy(col("q_fp"))
+    val bounds = hist
+      .withColumn("cum", sum(col("cnt")).over(byQ))
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
+      .agg(
+        min(when(col("cum") >= expr("(n + 3) div 4"), col("q_fp"))).as("b1"),
+        min(when(col("cum") >= expr("(2 * n + 3) div 4"), col("q_fp"))).as("b2"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("q_fp"))).as("b3"))
+    qd.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("q_fp"),
+        (lit(1) +
+          when(col("q_fp") > col("b1"), 1).otherwise(0) +
+          when(col("q_fp") > col("b2"), 1).otherwise(0) +
+          when(col("q_fp") > col("b3"), 1).otherwise(0))
+          .cast(LongType).as("bin"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_quality_dist" -> t12QualityDist,
     "t12x_quality_dist_approx" -> t12xQualityDistApprox,
     "t13_ngram_topk" -> t13NgramTopK,
     "t14_corpus_shuffle" -> t14CorpusShuffle,
+    "t21_quality_bins" -> t21QualityBins,
     "c23_df_spectrum" -> c23DfSpectrum)
 
   override val oracle: Map[String, String] = Map(
@@ -276,5 +317,24 @@ object CorpusStats extends QueryModule {
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
          |FROM (SELECT doc_id, $skey AS skey, $skey % $SHARDS AS shard FROM documents)
          |ORDER BY shard, pos""".stripMargin
-    })
+    },
+    // t21: b_k = the ⌈n·k/4⌉-th smallest q_fp (type-1 quantile) —
+    // the oracle reads it off a row_number sort (fine at oracle
+    // scale; the engine reads it off the bounded histogram instead)
+    "t21_quality_bins" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, CAST(round(quality * ${QFP}) AS BIGINT) AS q_fp
+         |  FROM (${TextOps.qualityColsSql})
+         |  WHERE quality IS NOT NULL),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+         |s AS (SELECT q_fp, row_number() OVER (ORDER BY q_fp) AS rk FROM q),
+         |b AS (SELECT
+         |    max(CASE WHEN rk = (n + 3) // 4 THEN q_fp END) AS b1,
+         |    max(CASE WHEN rk = (2 * n + 3) // 4 THEN q_fp END) AS b2,
+         |    max(CASE WHEN rk = (3 * n + 3) // 4 THEN q_fp END) AS b3
+         |  FROM s CROSS JOIN n)
+         |SELECT doc_id, q_fp,
+         |  CAST(1 + CAST(q_fp > b.b1 AS INT) + CAST(q_fp > b.b2 AS INT)
+         |         + CAST(q_fp > b.b3 AS INT) AS BIGINT) AS bin
+         |FROM q CROSS JOIN b ORDER BY doc_id""".stripMargin)
 }

@@ -465,6 +465,41 @@ object TextOps extends QueryModule {
           .as("fertility"))
       .orderBy(col("lang"))
 
+  private val MERGES = 50 // t20 merge candidates reported per iteration
+
+  /** t20 — one BPE/WordPiece TRAINING iteration at corpus scale: the
+    * frequency table of ADJACENT SUBWORD PAIRS under the current
+    * vocabulary, i.e. exactly the statistic whose argmax becomes the
+    * next merge rule (Sennrich et al. 2016 §3.2). The engine-side
+    * trick is the one every real BPE trainer uses: first collapse
+    * the corpus to its WORD-FREQUENCY DICT (a vocabulary-saturating
+    * aggregation — partial agg collapses each partition to its local
+    * vocabulary, the same argument as t13), then segment and
+    * pair-count only DISTINCT words weighted by their counts — pair
+    * work is proportional to the vocabulary, not the corpus, and
+    * every later iteration would rescan only the dict. Pairs never
+    * cross word boundaries (merges are intra-word), which is why
+    * segmentation runs per word and not on the flat t03b stream.
+    * Top-MERGES by frequency compiles to TakeOrderedAndProject — a
+    * per-partition heap + driver merge, no global sort, no single
+    * reducer. Ties broken by pair text for determinism. */
+  def t20BpePairs(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    wc
+      .withColumn("toks", call_function("graft_subword_arr", col("w")))
+      .where(size(col("toks")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS a, toks[i + 1] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("wc")).as("freq"))
+      .orderBy(col("freq").desc, col("a"), col("b"))
+      .limit(MERGES)
+  }
+
   private val DSIR_B = 4096     // hashed-bigram feature buckets
   private val DSIR_KEEP = 100   // kept docs per language stratum
   private val DSIR_TARGET = "en"
@@ -705,7 +740,8 @@ object TextOps extends QueryModule {
     "t11_top_quality_per_source" -> t11TopQualityPerSource,
     "t15_lm_score" -> t15LmScore,
     "t17_dsir_sample" -> t17DsirSample,
-    "t18_fertility" -> t18Fertility)
+    "t18_fertility" -> t18Fertility,
+    "t20_bpe_pairs" -> t20BpePairs)
 
   /** Recursive-CTE subword segmentation of the corpus's DISTINCT
     * words (`wtok`: w → toks) — the DuckDB twin of
@@ -831,6 +867,23 @@ object TextOps extends QueryModule {
          |  CAST(SUM(COALESCE(s.sw, 0)) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility
          |FROM base b LEFT JOIN sw s USING (doc_id)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // t20: wtok segments the DISTINCT words (the same recursion as
+    // t03b); pair counting joins the word-frequency dict and zips
+    // the two shifted unnests into adjacent (a, b) pairs.
+    "t20_bpe_pairs" ->
+      s"""WITH RECURSIVE $subwordCtes,
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+         |    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |pairs AS (
+         |  SELECT unnest(k.toks[1:len(k.toks) - 1]) AS a,
+         |         unnest(k.toks[2:len(k.toks)]) AS b,
+         |         c.wc
+         |  FROM wc c JOIN wtok k ON c.w = k.w
+         |  WHERE len(k.toks) >= 2)
+         |SELECT a, b, CAST(SUM(wc) AS BIGINT) AS freq
+         |FROM pairs GROUP BY a, b
+         |ORDER BY freq DESC, a, b LIMIT $MERGES""".stripMargin,
     "t17_dsir_sample" ->
       s"""WITH toks AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents),
          |big AS (

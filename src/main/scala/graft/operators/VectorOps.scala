@@ -767,6 +767,15 @@ object VectorOps extends QueryModule {
       .toDF("qid", "cid", "base", "lut")
     val short = pqAdcScan(pqEncode(res, pqcb), probes, k = RERANK)
       .select(col("qid"), col("nid"))
+    exactRerank(s, d, short)
+  }
+
+  /** The exact second stage shared by c26 and c26b: broadcast the
+    * |Q|·RERANK (qid, nid) shortlist against the quantized corpus —
+    * one narrow semi-join pass, no corpus shuffle — and restore the
+    * true order with the exact integer dot. */
+  private def exactRerank(s: SparkSession, d: String,
+      short: DataFrame): DataFrame = {
     val qdf = s.createDataFrame(anchorVectors(s, d, NQ).map { case (qid, v) =>
       (qid.toLong, v.map(x => math.floor(x.toDouble * KM_Q).toLong))
     }).toDF("qid", "qq")
@@ -781,6 +790,20 @@ object VectorOps extends QueryModule {
       .select(col("qid"), col("rank"), col("nid"), col("score"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** c26b — the two-stage answer SERVED from the persisted index
+    * (oracle shared with c26 verbatim): shortlist = c22c's
+    * bucket-pruned ADC read path widened to c26's (nprobe, RERANK),
+    * re-rank = the same bounded exact pass. This is the deployment
+    * shape (FAISS IndexRefineFlat over an on-disk IndexIVFPQ): c26
+    * pays the full train+encode pipeline inside every query, c26b
+    * pays it once at build time — per query only the probed cells'
+    * 4-byte codes are read and exactly |Q|·RERANK rows are re-ranked,
+    * both corpus-size-independent in shuffle. */
+  def c26bAnnRerankPersisted(s: SparkSession, d: String): DataFrame =
+    exactRerank(s, d,
+      persistedAdcScan(s, d, nprobe = RERANK_PROBES, k = RERANK)
+        .select(col("qid"), col("nid")))
 
   /** Catalog names for the persisted IVF-PQ index (codes bucketed by
     * cell; coarse centroids; PQ codebooks), keyed by corpus dir. */
@@ -810,13 +833,15 @@ object VectorOps extends QueryModule {
       .write.mode("overwrite").format("parquet").saveAsTable(pqcbT)
   }
 
-  /** c22c — c22b's ANSWERS from the persisted index (oracle shared
-    * verbatim): the read path collects the two bounded model tables,
-    * builds the probe list driver-side, and runs ONE bucket-pruned
-    * scan of the probed cells' codes — no training, no corpus-wide
-    * assignment or encoding. The c07c lifecycle (token-checked
-    * rebuild on corpus drift) applied to the composed index. */
-  def c22cAnnIvfPqPersisted(s: SparkSession, d: String): DataFrame = {
+  /** The persisted-index ADC read path (shared by c22c and c26b):
+    * collect the two bounded model tables (token-checked rebuild on
+    * corpus drift, the c07c lifecycle), build the probe list
+    * driver-side, and run ONE bucket-pruned scan of the probed
+    * cells' codes — no training, no corpus-wide assignment or
+    * encoding. `nprobe`/`k` parameterize shortlist width for the
+    * two consumers. */
+  private def persistedAdcScan(s: SparkSession, d: String,
+      nprobe: Int = PROBES, k: Int = TOPK): DataFrame = {
     val (codesT, centT, pqcbT) = ivfPqTables(d)
     def centRows() =
       if (!s.catalog.tableExists(codesT) || !s.catalog.tableExists(centT) ||
@@ -831,12 +856,17 @@ object VectorOps extends QueryModule {
     val pqcbRows = s.table(pqcbT).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2))).toMap
     val pqcb = Seq.tabulate(SUBS)(m => Seq.tabulate(KSUB)(cid => pqcbRows((m, cid))))
-    val probeRows = ivfPqProbes(s, d, cents, pqcb)
+    val probeRows = ivfPqProbes(s, d, cents, pqcb, nprobe = nprobe)
     val probes = s.createDataFrame(probeRows).toDF("qid", "cid", "base", "lut")
     val cells = probeRows.map(_._2).distinct.sorted
     val codes = s.table(codesT).filter(col("cid").isin(cells.map(Int.box): _*))
-    pqAdcScan(codes, probes)
+    pqAdcScan(codes, probes, k = k)
   }
+
+  /** c22c — c22b's ANSWERS from the persisted index (oracle shared
+    * verbatim). */
+  def c22cAnnIvfPqPersisted(s: SparkSession, d: String): DataFrame =
+    persistedAdcScan(s, d)
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c05_embed_neardup" -> c05EmbedNeardup,
@@ -851,7 +881,8 @@ object VectorOps extends QueryModule {
     "c22_ann_pq" -> c22AnnPq,
     "c22b_ann_ivfpq" -> c22bAnnIvfPq,
     "c22c_ann_ivfpq_persisted" -> c22cAnnIvfPqPersisted,
-    "c26_ann_rerank" -> c26AnnRerank)
+    "c26_ann_rerank" -> c26AnnRerank,
+    "c26b_ann_rerank_persisted" -> c26bAnnRerankPersisted)
 
   private val dotEQ = Portable.dotSql("e.embedding", "q.qemb", DIM)
 
@@ -1005,7 +1036,10 @@ object VectorOps extends QueryModule {
     // c22b, so the oracle is shared verbatim (the c07c/c07b pattern).
     "c22b_ann_ivfpq" -> c22bOracleSql,
     "c22c_ann_ivfpq_persisted" -> c22bOracleSql,
-    "c26_ann_rerank" -> c26OracleSql)
+    "c26_ann_rerank" -> c26OracleSql,
+    // c26b answers from the PERSISTED index; same result contract as
+    // the in-query-trained two-stage composition
+    "c26b_ann_rerank_persisted" -> c26OracleSql)
 
   private lazy val c07bOracleSql: String =
       s"""WITH $kmCtes,

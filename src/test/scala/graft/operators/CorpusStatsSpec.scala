@@ -111,4 +111,62 @@ class CorpusStatsSpec extends SparkSpec {
       assert(fert >= 1.0 && fert === sw.toDouble / ws.toDouble, s"$lang")
     }
   }
+
+  test("t20 pair counts equal a brute-force per-word recount; top-k needs no global sort") {
+    val got = TextOps.t20BpePairs(spark, sf)
+      .as[(String, String, Long)].collect()
+    assert(got.nonEmpty)
+    // brute force: re-segment every word OCCURRENCE (not the dict)
+    // and count adjacent pairs — the dict-weighted rollup must agree
+    val brute = graft.Tables.documents(spark, sf)
+      .select(col("text")).as[String].collect()
+      .filter(_ != null)
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .flatMap { w =>
+        val t = graft.functions.SubwordTokenize.tokens(w)
+        t.iterator.zip(t.iterator.drop(1)).map { case (a, b) => (a, b) }
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (a, b, freq) =>
+      assert(brute((a, b)) === freq, s"pair ($a, $b)")
+    }
+    // got is exactly the brute top-|got| under (freq desc, a, b)
+    val want = brute.toSeq.map { case ((a, b), f) => (a, b, f) }
+      .sortBy { case (a, b, f) => (-f, a, b) }.take(got.length)
+    assert(got.toSeq === want)
+    // the merge-candidate cutoff compiles to TakeOrdered, not a
+    // global Sort+Limit over the pair table
+    val plan = TextOps.t20BpePairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("t21 bins are quartiles: value-monotone, sized n/4 up to ties, no corpus range-sort") {
+    val rows = CorpusStats.t21QualityBins(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    // monotone: a higher score never lands in a lower bin
+    val byBin = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBin.keySet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    for (b <- 1L to 3L if byBin.contains(b) && byBin.contains(b + 1))
+      assert(byBin(b).max <= byBin(b + 1).min, s"bins $b/${b + 1} overlap in value")
+    // sizes: each CUMULATIVE quartile boundary is exact up to the tie
+    // run at the boundary value (value-based binning keeps ties whole)
+    val sorted = rows.map(_._2).sorted
+    for (k <- 1 to 3) {
+      val cut = (n.toLong * k + 3) / 4
+      val bk = sorted((cut - 1).toInt)
+      val cumK = rows.count(_._3 <= k)
+      assert(cumK === sorted.count(_ <= bk),
+        s"cumulative size through bin $k must cover exactly the values ≤ b$k")
+    }
+    // the corpus pass must not range-partition (no global ntile sort);
+    // the only exchanges are the bounded histogram's and the
+    // presentation sort's
+    val plan = CorpusStats.t21QualityBins(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning(quality"),
+      s"corpus range-sorted by quality:\n$plan")
+  }
 }

@@ -54,4 +54,23 @@ class PqIndexSpec extends SparkSpec {
     assert(readT < fullT,
       f"persisted read path slower than the full lifecycle: read $readT%.3fs, full $fullT%.3fs")
   }
+
+  test("c26b equals c26 row-for-row and serves the re-rank from the index") {
+    VectorOps.buildIvfPqIndex(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = run(VectorOps.c26bAnnRerankPersisted(spark, sf))
+    val want = run(VectorOps.c26AnnRerank(spark, sf))
+    assert(got === want)
+
+    // the served composition must keep the persisted shortlist's
+    // bucket pruning — the re-rank stage must not re-introduce a
+    // corpus-wide scan of the codes table
+    val q = VectorOps.c26bAnnRerankPersisted(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("SelectedBucketsCount"),
+      "shortlist scan lost bucket pruning under the re-rank composition")
+  }
 }
