@@ -267,7 +267,10 @@ object DedupOps extends QueryModule {
     * parquet entry point below and c14's shared-pass composition.
     * The chunk table (4 short rows/doc) is localCheckpointed before
     * the self-join so the fingerprint scan runs once, not per side. */
-  private[graft] def c03SimhashOf(fp: DataFrame): DataFrame = {
+  /** Unordered Hamming-pair core (c03's chunk blocking + bit_count
+    * verify) — consumers that aggregate on top (m05's frame votes)
+    * skip the presentation sort. */
+  private[graft] def c03PairsOf(fp: DataFrame): DataFrame = {
     val chunks = fp.select(col("doc_id"), col("fp"), posexplode_outer(array(
       (0 until CHUNKS).map(c =>
         shiftright(col("fp"), c * CHUNK_BITS).bitwiseAND((1 << CHUNK_BITS) - 1)): _*)))
@@ -284,8 +287,10 @@ object DedupOps extends QueryModule {
       .withColumn("hamming", expr("CAST(bit_count(fpa ^ fpb) AS BIGINT)"))
       .filter(col("hamming") <= HAMMING_T)
       .select(col("da"), col("db"), col("fpa"), col("fpb"), col("hamming"))
-      .orderBy(col("da"), col("db"))
   }
+
+  private[graft] def c03SimhashOf(fp: DataFrame): DataFrame =
+    c03PairsOf(fp).orderBy(col("da"), col("db"))
 
   def c03Simhash(s: SparkSession, d: String): DataFrame =
     // The fingerprint is a per-document function, so it is ONE

@@ -257,11 +257,56 @@ object MediaOps extends QueryModule {
         call_function("graft_phash60", col("media")).as("fp"))
       .where(col("fp").isNotNull))
 
+  private val FRAMES = 8 // strided "video" frames per payload
+  private val VOTES = 4  // half the frame slots must match (short stub
+                         // frames make single-frame collisions cheap)
+
+  /** m05 — VIDEO near-duplicate detection by frame voting: the
+    * m02 × m04 composition every video-curation pipeline runs (e.g.
+    * re-encoded or trimmed copies of a clip). Each payload is cut
+    * into FRAMES equal byte slices — the deterministic stand-in for
+    * a strided frame sample, [[decodeStub]]'s honesty contract: swap
+    * the slicer for a real keyframe extractor and everything
+    * downstream stays — each frame is perceptually fingerprinted
+    * (graft_phash60, m04's expression), and frames flow through
+    * EXACTLY c03's pigeonhole machinery keyed by (doc, frame). Two
+    * videos are near-dups when ≥ VOTES distinct frame slots of the
+    * first find a Hamming ≤ 3 frame anywhere in the second —
+    * position-blind on the match side, so a trimmed/reordered copy
+    * still votes. Scale shape: FRAMES× the rows of m04 through the
+    * same linear band join, then one (da, db)-keyed count — pair
+    * output stays duplicate-proportional, and empty tail frames of
+    * short payloads are dropped so they can't band-match each other
+    * into a clique. */
+  def m05VideoNeardup(s: SparkSession, d: String): DataFrame = {
+    val frames = attachMedia(s, d).toDF()
+      .where(col("media").isNotNull)
+      .withColumn("fb",
+        greatest(expr(s"octet_length(media) div $FRAMES"), lit(1)))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${FRAMES - 1}), " +
+          "j -> substring(media, j * fb + 1, fb))")))
+      .toDF("doc_id", "frame", "fmedia")
+      .where(expr("octet_length(fmedia) > 0"))
+      .select((col("doc_id") * FRAMES + col("frame")).as("doc_id"),
+        call_function("graft_phash60", col("fmedia")).as("fp"))
+      .where(col("fp").isNotNull)
+    DedupOps.c03PairsOf(frames)
+      .select(expr(s"da div $FRAMES").as("va"), expr(s"da % $FRAMES").as("fra"),
+        expr(s"db div $FRAMES").as("vb"))
+      .where(col("va") < col("vb"))
+      .groupBy(col("va").as("da"), col("vb").as("db"))
+      .agg(countDistinct(col("fra")).as("n_frames"))
+      .where(col("n_frames") >= VOTES)
+      .orderBy(col("da"), col("db"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> ((s, d) => m01MediaMeta(s, d)),
     "m02_frame_sample" -> ((s, d) => m02FrameSample(s, d)),
     "m03_media_dedup" -> ((s, d) => m03MediaDedup(s, d)),
-    "m04_media_neardup" -> ((s, d) => m04MediaNeardup(s, d)))
+    "m04_media_neardup" -> ((s, d) => m04MediaNeardup(s, d)),
+    "m05_video_neardup" -> ((s, d) => m05VideoNeardup(s, d)))
 
   override val oracle: Map[String, String] = Map(
     "m03_media_dedup" ->
@@ -283,7 +328,8 @@ object MediaOps extends QueryModule {
          |  CAST(320 + ${Portable.h60Sql("text || ':w'")} % 1600 AS BIGINT) AS width,
          |  CAST(240 + ${Portable.h60Sql("text || ':h'")} % 840 AS BIGINT) AS height
          |FROM documents ORDER BY doc_id""".stripMargin,
-    "m04_media_neardup" -> m04OracleSql)
+    "m04_media_neardup" -> m04OracleSql,
+    "m05_video_neardup" -> m05OracleSql)
 
   /** DuckDB twin of [[m04MediaNeardup]]: same hex slicing, the same
     * h60 cell hashes, the same MSB-first bit fold, then c03's chunk
@@ -313,6 +359,49 @@ object MediaOps extends QueryModule {
        |SELECT da, db, fpa, fpb,
        |       CAST(bit_count(xor(fpa, fpb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(fpa, fpb)) <= ${DedupOps.HAMMING_T}
+       |ORDER BY da, db""".stripMargin
+  }
+
+  /** DuckDB twin of [[m05VideoNeardup]]: the same byte-equal frame
+    * slicing replayed on the hex string (frame j's bytes
+    * [j·fb+1, fb] are hex chars [j·2fb+1, 2fb]), m04's cell/bit
+    * pipeline per frame, c03's chunk blocking over (doc, frame)
+    * ids, then the frame-slot vote. */
+  private def m05OracleSql: String = {
+    val chunkRows = (0 until DedupOps.CHUNKS).map(c =>
+      s"SELECT fid, fp, $c AS chunk, (fp >> ${c * DedupOps.CHUNK_BITS}) & ${(1 << DedupOps.CHUNK_BITS) - 1} AS cv FROM fp")
+      .mkString("\n       UNION ALL ")
+    s"""WITH src AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hexs
+       |             FROM documents WHERE text IS NOT NULL),
+       |fr AS (SELECT doc_id, j, substr(hexs, j * fb * 2 + 1, fb * 2) AS fhex
+       |       FROM (SELECT doc_id, hexs,
+       |               greatest((length(hexs) // 2) // $FRAMES, 1) AS fb
+       |             FROM src)
+       |       CROSS JOIN (SELECT unnest(range(0, $FRAMES)) AS j)),
+       |frn AS (SELECT doc_id, j, fhex,
+       |          greatest(length(fhex) // $PH_CELLS, 1) AS w
+       |        FROM fr WHERE length(fhex) > 0),
+       |cells AS (SELECT doc_id, j, list_transform(range(0, $PH_CELLS),
+       |            k -> ${Portable.h60Sql(s"substr(fhex, k * w + 1, w)")}) AS cs
+       |          FROM frn),
+       |fp AS (SELECT doc_id * $FRAMES + j AS fid, list_reduce(
+       |         list_reverse(list_transform(range(1, $PH_CELLS),
+       |           i -> CAST(CASE WHEN cs[i] < cs[i + 1] THEN 1 ELSE 0 END
+       |                     AS BIGINT))),
+       |         (acc, x) -> acc * 2 + x) AS fp
+       |       FROM cells),
+       |chunks AS ($chunkRows),
+       |cand AS (SELECT DISTINCT x.fid AS fa, y.fid AS fbid,
+       |                x.fp AS fpa, y.fp AS fpb
+       |         FROM chunks x JOIN chunks y
+       |           ON x.chunk = y.chunk AND x.cv = y.cv AND x.fid < y.fid),
+       |hit AS (SELECT fa // $FRAMES AS da, fa % $FRAMES AS fra,
+       |               fbid // $FRAMES AS db
+       |        FROM cand
+       |        WHERE bit_count(xor(fpa, fpb)) <= ${DedupOps.HAMMING_T}
+       |          AND fa // $FRAMES < fbid // $FRAMES)
+       |SELECT da, db, CAST(count(DISTINCT fra) AS BIGINT) AS n_frames
+       |FROM hit GROUP BY da, db HAVING count(DISTINCT fra) >= $VOTES
        |ORDER BY da, db""".stripMargin
   }
 }

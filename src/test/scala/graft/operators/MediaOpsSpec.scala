@@ -117,4 +117,31 @@ class MediaOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(native.nonEmpty && native === staged)
   }
+
+  test("m05: byte-identical videos vote with every frame slot; votes stay in range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = MediaOps.m05VideoNeardup(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (da, db, n) =>
+      assert(da < db && n >= 4 && n <= 8, s"($da, $db, $n)")
+    }
+    // exact-dup payloads slice into identical frames, so every frame
+    // slot matches at hamming 0 — the full 8-vote floor (payloads
+    // long enough for 8 non-empty frames, which any fixture text is)
+    val texts = graft.Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val exactPairs = texts.filter(_._2.getBytes("UTF-8").length >= 8)
+      .groupBy(_._2).values.filter(_.size > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size)
+          yield (ids(i), ids(j))
+      }.toSet
+    val full = got.collect { case (a, b, 8L) => (a, b) }.toSet
+    assert(exactPairs.subsetOf(full),
+      s"missing full-vote pairs: ${exactPairs -- full}")
+  }
 }
