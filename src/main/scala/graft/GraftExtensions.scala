@@ -29,6 +29,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => functions.DotProduct(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_intdot"),
+      new ExpressionInfo(classOf[functions.IntDot].getName, "graft_intdot"),
+      (children: Seq[Expression]) => functions.IntDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pqcodes"),
+      new ExpressionInfo(classOf[functions.PqCodes].getName, "graft_pqcodes"),
+      (children: Seq[Expression]) =>
+        functions.PqCodes(children(0), children(1), children(2), children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[functions.AdcScore].getName, "graft_adc"),
+      (children: Seq[Expression]) =>
+        functions.AdcScore(children(0), children(1), children(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_h60"),
       new ExpressionInfo(classOf[functions.H60].getName, "graft_h60"),
       (children: Seq[Expression]) => functions.H60(children.head)))

@@ -20,22 +20,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as a long and truncate to micros — the
-    * same truncation DuckDB applies, so event times agree engine-side
-    * and oracle-side.
+  /** events.ts has shipped as two physical types across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read as long via nanosAsLong, truncate to micros, the
+    * same truncation DuckDB applies) and plain TIMESTAMP(MICROS)
+    * (read natively as TIMESTAMP_NTZ). This loader detects the
+    * physical type from the file schema and normalizes both to a
+    * session-local TimestampType column; with the UTC session
+    * timezone every entry point pins, the wall-clock values are
+    * identical either way, so event times agree engine-side and
+    * oracle-side.
     *
     * The nanosAsLong switch is only honored as a SESSION conf (a
     * per-read `.option(...)` is ignored by the parquet schema
     * converter — verified empirically), so this loader must set it;
     * it does so idempotently and never unsets, because the scan reads
-    * the conf lazily at plan/execution time. */
+    * the conf lazily at plan/execution time. It is a no-op for
+    * micros-typed files. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val k = "spark.sql.legacy.parquet.nanosAsLong"
     if (!s.conf.getOption(k).contains("true")) s.conf.set(k, "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

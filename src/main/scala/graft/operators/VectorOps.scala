@@ -248,14 +248,20 @@ object VectorOps extends QueryModule {
     transform(c, x => floor(x.cast(DoubleType) * KM_Q).cast(LongType))
 
   private def intDot(v: Column, qc: Seq[Long]): Column =
-    aggregate(zip_with(v, typedLit(qc), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    call_function("graft_intdot", v, typedLit(qc))
 
   /** Integer dot of two quantized array COLUMNS — exact, so the score
-    * is identical in both engines regardless of evaluation order. */
-  private def intDotCols(a: Column, b: Column): Column =
+    * is identical in both engines regardless of evaluation order.
+    * Resolves to the native codegen'd [[graft.functions.IntDot]];
+    * [[intDotColsFold]] keeps the built-in HOF form (PqAnnSpec pins
+    * the two bit-identical — trivially so, integer arithmetic). */
+  private[operators] def intDotCols(a: Column, b: Column): Column =
+    call_function("graft_intdot", a, b)
+
+  private[operators] def intDotColsFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private[operators] def quantized(s: SparkSession, d: String): DataFrame =
     emb(s, d).select(col("vec_id"), quantize(col("embedding")).as("qv"))
 
   /** Narrow argmax-integer-dot assignment against literal centroids
@@ -513,9 +519,9 @@ object VectorOps extends QueryModule {
   // c22 — product-quantization ANN (PQ codebooks + ADC scan)
   // ---------------------------------------------------------------
 
-  private val SUBS = 8    // subspaces (M): 64 dims → 8 × 8
+  private[operators] val SUBS = 8    // subspaces (M): 64 dims → 8 × 8
   private val SUBDIM = DIM / SUBS
-  private val KSUB = 16   // codes per subspace → 4-bit codes, 32-bit vector
+  private[operators] val KSUB = 16   // codes per subspace → 4-bit codes, 32-bit vector
 
   /** Integer squared-L2 between a sub-vector column and a literal
     * centroid — the PQ training/encoding metric (reconstruction
@@ -530,15 +536,31 @@ object VectorOps extends QueryModule {
 
   /** The 4-bit code of sub-vector m against codebook `cb` — argmin
     * integer L2, ties to the smallest code id (the (d, cid) struct
-    * min), computed as a narrow per-row projection. */
-  private def codeCol(m: Int, cb: Seq[Seq[Long]]): Column =
+    * min), computed as a narrow per-row projection. This is the
+    * RELATIONAL reference form the DuckDB oracle replays; the hot
+    * paths encode through [[pqCodesCol]] (native, all subspaces in
+    * one call) and PqAnnSpec pins the two equal. */
+  private[operators] def codeCol(m: Int, cb: Seq[Seq[Long]]): Column =
     array_min(array(cb.zipWithIndex.map { case (qc, cid) =>
       struct(intL2(subVec(m), qc).as("d"), lit(cid).as("cid"))
     }: _*)).getField("cid")
 
+  /** All SUBS codes of a quantized vector in one native codegen'd
+    * call ([[graft.functions.PqCodes]]); codebook flattened
+    * [m][cid][dim] as a plan-time literal. */
+  private[operators] def pqCodesCol(v: Column, cb: Seq[Seq[Seq[Long]]]): Column =
+    call_function("graft_pqcodes", v,
+      typedLit(cb.flatten.flatten), lit(SUBS), lit(KSUB))
+
+  /** ADC score of a code array against a per-query LUT — native
+    * ([[graft.functions.AdcScore]]), same fold as the element_at
+    * form. */
+  private[operators] def adcCol(codes: Column, lut: Column): Column =
+    call_function("graft_adc", codes, lut, lit(KSUB))
+
   /** Per-subspace seed codebooks: sub-slices of the first KSUB
     * corpus vectors, fixed-point (the qSeed pattern). */
-  private def pqSeed(s: SparkSession, d: String): Seq[Seq[Seq[Long]]] = {
+  private[operators] def pqSeed(s: SparkSession, d: String): Seq[Seq[Seq[Long]]] = {
     val anchors = anchorVectors(s, d, KSUB).map { case (_, v) =>
       v.map(x => math.floor(x.toDouble * KM_Q).toLong)
     }
@@ -557,8 +579,9 @@ object VectorOps extends QueryModule {
   private def pqRefineOnce(qe: DataFrame,
       cb: Seq[Seq[Seq[Long]]]): Seq[Seq[Seq[Long]]] = {
     val stats = qe
+      .select(col("qv"), pqCodesCol(col("qv"), cb).as("codes"))
       .select(explode(array((0 until SUBS).map(m =>
-        struct(lit(m).as("m"), codeCol(m, cb(m)).as("cid"),
+        struct(lit(m).as("m"), element_at(col("codes"), m + 1).as("cid"),
           subVec(m).as("sv"))): _*)).as("t"))
       .select(col("t.m"), col("t.cid"), posexplode(col("t.sv")))
       .select(col("m"), col("cid"), col("pos").as("dim"), col("col").as("q"))
@@ -602,7 +625,7 @@ object VectorOps extends QueryModule {
     val qe = quantized(s, d)
     val cb = pqRefineOnce(qe, pqSeed(s, d))
     val codes = qe.select(col("vec_id"),
-      array((0 until SUBS).map(m => codeCol(m, cb(m))): _*).as("codes"))
+      pqCodesCol(col("qv"), cb).as("codes"))
     val luts = anchorVectors(s, d, NQ).map { case (qid, v) =>
       val qq = v.map(x => math.floor(x.toDouble * KM_Q).toLong)
       val lut = for (m <- 0 until SUBS; cid <- 0 until KSUB) yield {
@@ -622,10 +645,7 @@ object VectorOps extends QueryModule {
       .select(col("vec_id").as("nid"), col("codes"), explode(qlits).as("q"))
       .filter(col("nid") =!= col("q.qid"))
       .select(col("q.qid").as("qid"), col("nid"),
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(SUBS - 1)),
-            (code, m) => element_at(col("q.lut"), m * KSUB + code + 1)),
-          lit(0L), (acc, x) => acc + x).as("score"))
+        adcCol(col("codes"), col("q.lut")).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TOPK)
       .select(col("qid"), col("rank").cast(LongType).as("rank"),
@@ -694,7 +714,7 @@ object VectorOps extends QueryModule {
   /** Encode the residual frame to (vec_id, cid, codes). */
   private def pqEncode(res: DataFrame, pqcb: Seq[Seq[Seq[Long]]]): DataFrame =
     res.select(col("vec_id"), col("cid"),
-      array((0 until SUBS).map(m => codeCol(m, pqcb(m))): _*).as("codes"))
+      pqCodesCol(col("qv"), pqcb).as("codes"))
 
   /** Driver-built probe list: for each query, its top-PROBES cells
     * with the per-cell base dot and the SUBS×KSUB ADC lookup table. */
@@ -719,10 +739,7 @@ object VectorOps extends QueryModule {
     broadcast(probes).join(codes, "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        (col("base") + aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(SUBS - 1)),
-            (code, m) => element_at(col("lut"), m * KSUB + code + 1)),
-          lit(0L), (acc, x) => acc + x)).as("score"))
+        (col("base") + adcCol(col("codes"), col("lut"))).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast(LongType).as("rank"),

@@ -77,6 +77,41 @@ class PqAnnSpec extends SparkSpec {
     }
   }
 
+  test("native pqcodes/intdot/adc expressions match their relational twins row-for-row") {
+    import org.apache.spark.sql.functions._
+    val qe = VectorOps.quantized(spark, sf).limit(200).cache()
+    val cb = VectorOps.pqSeed(spark, sf)
+
+    // graft_pqcodes vs the per-subspace argmin-struct relational encoder
+    val both = qe.select(
+      VectorOps.pqCodesCol(col("qv"), cb).as("native"),
+      array((0 until VectorOps.SUBS).map(m =>
+        VectorOps.codeCol(m, cb(m))): _*).as("rel"))
+    assert(both.filter(col("native") =!= col("rel")).count() === 0L,
+      "pqcodes must equal the relational encoder on every row")
+
+    // graft_intdot vs the aggregate/zip_with fold (self-dot: exact ints)
+    val dots = qe.select(
+      VectorOps.intDotCols(col("qv"), col("qv")).as("native"),
+      VectorOps.intDotColsFold(col("qv"), col("qv")).as("fold"))
+    assert(dots.filter(col("native") =!= col("fold")).count() === 0L,
+      "intdot must equal the HOF fold on every row")
+
+    // graft_adc vs the element_at fold against a synthetic LUT
+    val ksub = VectorOps.KSUB
+    val lutLit = typedLit((0 until VectorOps.SUBS * ksub).map(i => (i * 37 % 101).toLong))
+    val adc = qe.select(VectorOps.pqCodesCol(col("qv"), cb).as("codes"))
+      .select(
+        VectorOps.adcCol(col("codes"), lutLit).as("native"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(VectorOps.SUBS - 1)),
+            (code, m) => element_at(lutLit, m * ksub + code + 1)),
+          lit(0L), (acc, x) => acc + x).as("fold"))
+    assert(adc.filter(col("native") =!= col("fold")).count() === 0L,
+      "adc must equal the element_at fold on every row")
+    qe.unpersist()
+  }
+
   test("plan: ADC scan never shuffles the corpus — WindowGroupLimit top-k only") {
     val df = VectorOps.c22AnnPq(spark, sf)
     df.collect() // finalize the adaptive plan
