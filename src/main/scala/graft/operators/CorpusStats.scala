@@ -138,6 +138,38 @@ object CorpusStats extends QueryModule {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Sketch capacity for t13x — sized above the fixture's distinct
+    * bigram count so the spec can pin exactness; production sets it
+    * to the memory budget and takes the documented error. */
+  private val TOPK_SKETCH = 1 << 14
+
+  /** t13x — t13's PRODUCTION swap: per-language heavy hitters from
+    * Spark's `approx_top_k` (a DataSketches frequent-items sketch)
+    * instead of the exact (lang, bigram) count table. The exact form
+    * shuffles the full per-partition vocabulary; the sketch form
+    * shuffles ONE bounded buffer per partition per language — at
+    * 100 TB, where the bigram vocabulary no longer saturates (names,
+    * typos, code identifiers keep Heaps' law growing), the exchange
+    * drops from vocabulary-sized to `maxItemsTracked`-sized. The
+    * trade is bounded count error once the tracked-item budget is
+    * exceeded; with capacity above the true distinct count the
+    * sketch is exact, which ApproxAndRecallSpec pins against t13
+    * (same gate pattern as a21x/a23x/t12x — no DuckDB oracle, the
+    * sketch internals are engine-specific). */
+  def t13xNgramTopKApprox(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .where(size(col("toks")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 2)))")).as("bigram"))
+      .groupBy(col("lang"))
+      .agg(expr(s"approx_top_k(bigram, $TOPK, $TOPK_SKETCH)").as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast(LongType).as("rk"),
+        col("col.item").as("bigram"), col("col.count").cast(LongType).as("ct"))
+      .orderBy(col("lang"), col("rk"), col("bigram"))
+
   private val DF_N = 8 // c23 shingle width = the decontamination ngram
 
   /** c23 — the document-frequency SPECTRUM of hashed 8-gram
@@ -257,6 +289,7 @@ object CorpusStats extends QueryModule {
     "t12_quality_dist" -> t12QualityDist,
     "t12x_quality_dist_approx" -> t12xQualityDistApprox,
     "t13_ngram_topk" -> t13NgramTopK,
+    "t13x_ngram_topk_approx" -> t13xNgramTopKApprox,
     "t14_corpus_shuffle" -> t14CorpusShuffle,
     "t21_quality_bins" -> t21QualityBins,
     "c23_df_spectrum" -> c23DfSpectrum)

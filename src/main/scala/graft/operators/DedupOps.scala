@@ -1144,6 +1144,45 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** The t05 hash-split of an id column — shared by c21b's old/new
+    * split derivation so repair needs NO split table or join. */
+  private def hashSplitOf(id: Column): Column = {
+    val b = Portable.h60(concat(lit("split:"), id.cast(StringType))) % 100
+    when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+  }
+
+  /** c21b — split-leakage REPAIR: c21 finds near-duplicate pairs that
+    * straddle the train/eval boundary; the canonical fix is to move
+    * every near-dup CLUSTER wholly into one split so no pair can
+    * straddle it. Rule: a cluster adopts the hash-split of its
+    * representative (the min-doc_id member = the cluster_id c10
+    * already assigns) — deterministic, and because t05's split is
+    * itself derived per-row from `h60("split:" + id)`, the repaired
+    * assignment needs no stored split table and NO join: new_split is
+    * one hash of the cluster_id. Singleton documents (in no near-dup
+    * pair) are their own representative and never move.
+    *
+    * Shape: c02 candidates + c10 label propagation (the only
+    * shuffles), then one left join of corpus ids against the cluster
+    * labels (cluster membership is output-proportional — tiny next
+    * to the corpus) and per-row hashing. Post-repair leakage is ZERO
+    * by construction: a straddling pair shares a cluster, and a
+    * cluster lands in exactly one split (ClusterSpec pins this on a
+    * seeded cross-split near-dup pair). */
+  def c21bSplitRepair(s: SparkSession, d: String): DataFrame = {
+    val cc = connectedComponents(c02MinhashLsh(s, d).select(col("da"), col("db")))
+      .select(col("doc_id"), col("cluster_id"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"),
+        hashSplitOf(col("doc_id")).as("old_split"),
+        hashSplitOf(col("cluster_id")).as("new_split"))
+      .withColumn("moved",
+        (col("new_split") =!= col("old_split")).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------
   // c09b — decontamination behind a Bloom-filter prefilter
   // ---------------------------------------------------------------
@@ -1252,7 +1291,8 @@ object DedupOps extends QueryModule {
     "c19_substring_selfdup" -> c19SubstringSelfdup,
     "c19b_substring_dupfrac" -> c19bSubstringDupfrac,
     "c20_decon_consensus" -> c20DeconConsensus,
-    "c21_split_leakage" -> c21SplitLeakage)
+    "c21_split_leakage" -> c21SplitLeakage,
+    "c21b_split_repair" -> c21bSplitRepair)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
@@ -1430,6 +1470,32 @@ object DedupOps extends QueryModule {
     // c10b is the same component contract through large/small-star —
     // same clusters, same oracle.
     "c10b_cluster_star" -> c10OracleSql,
+    // c21b: c10's transitive closure + the t05 hash-split of doc and
+    // cluster representative — the repair is pure derivation on top
+    // of the component labels.
+    "c21b_split_repair" -> {
+      def splitSql(id: String): String =
+        s"""CASE WHEN ${Portable.h60Sql(s"'split:' || CAST($id AS VARCHAR)")} % 100 < 80 THEN 'train'
+           |     WHEN ${Portable.h60Sql(s"'split:' || CAST($id AS VARCHAR)")} % 100 < 90 THEN 'valid'
+           |     ELSE 'test' END""".stripMargin
+      s"""WITH RECURSIVE $c02Ctes,
+         |pairs AS (SELECT da, db FROM (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
+         |edges AS (SELECT da, db FROM pairs UNION SELECT db AS da, da AS db FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT da, da FROM edges
+         |  UNION
+         |  SELECT r.a, e.db FROM reach r JOIN edges e ON r.b = e.da),
+         |lbl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+         |lab AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id, old_split, new_split,
+         |  CAST(new_split <> old_split AS BIGINT) AS moved
+         |FROM (SELECT doc_id, cluster_id,
+         |        ${splitSql("doc_id")} AS old_split,
+         |        ${splitSql("cluster_id")} AS new_split
+         |      FROM lab)
+         |ORDER BY doc_id""".stripMargin
+    },
     "c09_decontaminate" -> c09OracleSql,
     // c09b is c09 behind a Bloom prefilter whose false positives die
     // in the exact verify join — same rows, same oracle.

@@ -721,6 +721,75 @@ object TextOps extends QueryModule {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** t19 — composite published-rule document filter (the Gopher /
+    * MassiveText rule family, Rae et al. 2021 §A.1.1): a document is
+    * kept only if every structural rule holds. Distinct from t02's
+    * scalar quality SCORE: these are hard pass/fail gates a corpus
+    * pass applies before any model-based scoring.
+    *
+    * Rules (thresholds follow the paper where the fixture can
+    * exercise them):
+    *   r_words    — 50 ≤ word count ≤ 100,000
+    *   r_meanlen  — mean word length in [3, 10] chars
+    *   r_symbol   — (# '#' + '...' occurrences) / words ≤ 0.1
+    *   r_alpha    — ≥ 80% of words contain an [a-zA-Z] character
+    *   r_stop     — ≥ 2 hits from the English stopword list
+    *   r_bullet   — ≤ 90% of lines start with a bullet
+    *   r_ellipsis — ≤ 30% of lines end with an ellipsis
+    *
+    * Every ratio threshold is evaluated by integer cross-
+    * multiplication (10·cnt ≤ k·total) — zero float comparisons, so
+    * the keep decision is bit-portable across engines and immune to
+    * divide-by-zero on degenerate rows. One narrow projection, no
+    * shuffle; at 100 TB this is a free rider on whatever scan feeds
+    * the rest of the pass. */
+  def t19RuleFilter(s: SparkSession, d: String): DataFrame =
+    t19RuleFilterOf(Tables.documents(s, d))
+
+  /** Core of t19 over any `(doc_id, text)` frame (spec-injectable). */
+  def t19RuleFilterOf(docs: DataFrame): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val tk = split(txt, "\\s+")
+    val lines = split(txt, "\n")
+    val en = array(langWords.head._2.map(lit): _*)
+    docs
+      .select(col("doc_id"),
+        size(tk).cast(LongType).as("n_tok"),
+        aggregate(tk, lit(0L), (a, t) => a + length(t)).as("wchars"),
+        size(regexp_extract_all(txt, lit("#|\\.\\.\\."), lit(0)))
+          .cast(LongType).as("sym_cnt"),
+        size(filter(tk, t => t.rlike("[a-zA-Z]"))).cast(LongType).as("alpha_words"),
+        size(filter(tk, t => array_contains(en, t))).cast(LongType).as("stop_hits"),
+        size(lines).cast(LongType).as("n_lines"),
+        size(filter(lines, l => l.rlike("^(- |\\* |• )")))
+          .cast(LongType).as("bullet_lines"),
+        size(filter(lines, l => l.rlike("\\.\\.\\.$")))
+          .cast(LongType).as("ellipsis_lines"))
+      .withColumn("r_words",
+        (col("n_tok") >= 50 && col("n_tok") <= 100000).cast(LongType))
+      .withColumn("r_meanlen",
+        (col("wchars") >= lit(3) * col("n_tok") &&
+          col("wchars") <= lit(10) * col("n_tok")).cast(LongType))
+      .withColumn("r_symbol",
+        (lit(10) * col("sym_cnt") <= col("n_tok")).cast(LongType))
+      .withColumn("r_alpha",
+        (lit(10) * col("alpha_words") >= lit(8) * col("n_tok")).cast(LongType))
+      .withColumn("r_stop", (col("stop_hits") >= 2).cast(LongType))
+      .withColumn("r_bullet",
+        (lit(10) * col("bullet_lines") <= lit(9) * col("n_lines")).cast(LongType))
+      .withColumn("r_ellipsis",
+        (lit(10) * col("ellipsis_lines") <= lit(3) * col("n_lines")).cast(LongType))
+      .withColumn("n_failed",
+        lit(7L) - col("r_words") - col("r_meanlen") - col("r_symbol") -
+          col("r_alpha") - col("r_stop") - col("r_bullet") - col("r_ellipsis"))
+      .withColumn("keep", (col("n_failed") === 0).cast(LongType))
+      .select(col("doc_id"), col("n_tok"), col("wchars"), col("alpha_words"),
+        col("stop_hits"), col("r_words"), col("r_meanlen"), col("r_symbol"),
+        col("r_alpha"), col("r_stop"), col("r_bullet"), col("r_ellipsis"),
+        col("n_failed"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> t01LangId,
     "t16_quota_sample" -> t16QuotaSample,
@@ -741,6 +810,7 @@ object TextOps extends QueryModule {
     "t15_lm_score" -> t15LmScore,
     "t17_dsir_sample" -> t17DsirSample,
     "t18_fertility" -> t18Fertility,
+    "t19_rule_filter" -> t19RuleFilter,
     "t20_bpe_pairs" -> t20BpePairs)
 
   /** Recursive-CTE subword segmentation of the corpus's DISTINCT
@@ -867,6 +937,40 @@ object TextOps extends QueryModule {
          |  CAST(SUM(COALESCE(s.sw, 0)) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility
          |FROM base b LEFT JOIN sw s USING (doc_id)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // t19: same integer cross-multiplied thresholds as the Spark
+    // side — no float comparison anywhere in the keep decision.
+    "t19_rule_filter" ->
+      s"""SELECT doc_id, n_tok, wchars, alpha_words, stop_hits,
+         |  r_words, r_meanlen, r_symbol, r_alpha, r_stop, r_bullet, r_ellipsis,
+         |  (7 - r_words - r_meanlen - r_symbol - r_alpha - r_stop
+         |     - r_bullet - r_ellipsis) AS n_failed,
+         |  CAST((r_words + r_meanlen + r_symbol + r_alpha + r_stop
+         |     + r_bullet + r_ellipsis) = 7 AS BIGINT) AS keep
+         |FROM (
+         |  SELECT doc_id, n_tok, wchars, alpha_words, stop_hits,
+         |    CAST(n_tok >= 50 AND n_tok <= 100000 AS BIGINT) AS r_words,
+         |    CAST(wchars >= 3 * n_tok AND wchars <= 10 * n_tok AS BIGINT) AS r_meanlen,
+         |    CAST(10 * sym_cnt <= n_tok AS BIGINT) AS r_symbol,
+         |    CAST(10 * alpha_words >= 8 * n_tok AS BIGINT) AS r_alpha,
+         |    CAST(stop_hits >= 2 AS BIGINT) AS r_stop,
+         |    CAST(10 * bullet_lines <= 9 * n_lines AS BIGINT) AS r_bullet,
+         |    CAST(10 * ellipsis_lines <= 3 * n_lines AS BIGINT) AS r_ellipsis
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(tk) AS BIGINT) AS n_tok,
+         |      CAST(COALESCE(list_sum(list_transform(tk, w -> length(w))), 0) AS BIGINT) AS wchars,
+         |      CAST(len(regexp_extract_all(txt, '#|\\.\\.\\.')) AS BIGINT) AS sym_cnt,
+         |      CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+         |      CAST(len(list_filter(tk, w -> list_contains(${langWords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")}, w))) AS BIGINT) AS stop_hits,
+         |      CAST(len(ln) AS BIGINT) AS n_lines,
+         |      CAST(len(list_filter(ln, l -> regexp_matches(l, '^(- |\\* |• )'))) AS BIGINT) AS bullet_lines,
+         |      CAST(len(list_filter(ln, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS BIGINT) AS ellipsis_lines
+         |    FROM (
+         |      SELECT doc_id, txt,
+         |        string_split_regex(txt, '\\s+') AS tk,
+         |        string_split(txt, chr(10)) AS ln
+         |      FROM (SELECT doc_id, COALESCE(text, '') AS txt FROM documents))))
+         |ORDER BY doc_id""".stripMargin,
     // t20: wtok segments the DISTINCT words (the same recursion as
     // t03b); pair counting joins the word-frequency dict and zips
     // the two shifted unnests into adjacent (a, b) pairs.

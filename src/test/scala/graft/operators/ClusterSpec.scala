@@ -90,4 +90,35 @@ class ClusterSpec extends SparkSpec {
     assert(comps.filter(_._1 >= 100L).forall(_._2 >= 100L),
       "a rider doc was labeled into the hot cluster")
   }
+
+  test("c21b: post-repair leakage is zero, singletons never move, clusters co-locate") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.01"
+    val repair = DedupOps.c21bSplitRepair(spark, sf)
+      .select(col("doc_id"), col("cluster_id"), col("new_split"), col("moved"))
+      .as[(Long, Long, String, Long)].collect()
+    val byDoc = repair.map(r => r._1 -> r).toMap
+    // full corpus covered, exactly once
+    assert(repair.length === 500 && byDoc.size === 500)
+    // every near-dup pair ends up in ONE split — leakage zero by
+    // construction, asserted against the actual pair list
+    val pairs = DedupOps.c02MinhashLsh(spark, sf)
+      .select(col("da"), col("db")).as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture lost its near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a)._3 === byDoc(b)._3,
+        s"pair ($a, $b) still straddles splits after repair")
+    }
+    // a whole cluster shares one new_split, and a singleton (its own
+    // representative) can never be marked moved
+    repair.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.map(_._3).distinct.length === 1, s"cluster $cl split-fragmented")
+    }
+    repair.filter(_._4 === 1L).foreach { r =>
+      assert(r._2 !== r._1, s"singleton ${r._1} was moved")
+    }
+    // the repair is not vacuous on this fixture: at least one doc in
+    // a multi-member cluster crosses the boundary and gets moved
+    assert(repair.exists(_._4 === 1L), "fixture exercised no actual move")
+  }
 }

@@ -27,7 +27,11 @@ class PlanShapeSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "a14c_range_join", "c06_ann_brute", "c07_ann_ivf",
     "c07b_ann_ivf_refined", "c11_semantic_dedup", "c05_embed_neardup",
-    "t15_lm_score", "c24_bm25_topk")
+    "t15_lm_score", "c24_bm25_topk",
+    // t21 crosses TWO one-row broadcast boundary tables (quartile
+    // bounds, total n) into the per-row binning projection — no
+    // equi-key exists, and a 1-row BNLJ build side is free
+    "t21_quality_bins")
 
   test("no query plan contains a cartesian product; BNLJ only where intended") {
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
