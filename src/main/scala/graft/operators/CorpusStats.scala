@@ -285,6 +285,97 @@ object CorpusStats extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------
+  // t22 — CCNet-style perplexity bucketing (head / middle / tail)
+  // ---------------------------------------------------------------
+
+  /** Fixed-point bins for the lm_score domain (0, 1]. 1024 bins keeps
+    * the per-language histogram bounded (≤ 1024 rows/lang whatever
+    * the corpus size) while bucket boundaries land within 0.1% of the
+    * exact terciles on any non-degenerate score distribution. */
+  private val PPL_BINS = 1024L
+
+  /** t22 — per-language perplexity TERCILES (the CCNet curation
+    * rule): score every document with the t15 bigram LM, then label
+    * each language's best-scored third `head`, the next `middle`,
+    * the rest `tail` — downstream pipelines keep head+middle and
+    * audit tail.
+    *
+    * The scale-correct shape mirrors t12/t21, NOT `ntile`: a naive
+    * `ntile(3) OVER (PARTITION BY lang ORDER BY lm_score)` funnels
+    * every document of a language through one sorted partition —
+    * exactly the skew-killer the survey warns about (one `en`
+    * partition at 100 TB). Instead the corpus collapses to a
+    * (lang, score-bin) histogram (map-side combine, ≤ 5×1024 rows),
+    * tercile CUTOFF bins are read off the histogram's cumulative
+    * window (bounded input), and each row gets its bucket from a
+    * broadcast join on its own bin. Documents in the same bin always
+    * share a bucket (value-based, like t21), so the result is
+    * deterministic and engine-portable with no tie-break subtleties. */
+  def t22PplBuckets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = TextOps.lmScore(docs, docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val binned = scored.select(col("doc_id"), col("lang"), col("lm_score"),
+      least(lit(PPL_BINS - 1L),
+        floor(col("lm_score") * PPL_BINS).cast(LongType)).as("bin"))
+    val hist = binned.groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("ct"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy(col("lang"))
+    val buckets = hist
+      .withColumn("cum", sum(col("ct")).over(wcum))
+      .withColumn("n", sum(col("ct")).over(wtot))
+      .select(col("lang"), col("bin"),
+        when(col("cum") <= expr("n div 3"), "tail")
+          .when(col("cum") <= expr("(2 * n) div 3"), "middle")
+          .otherwise("head").as("ppl_bucket"))
+    binned
+      .join(broadcast(buckets), Seq("lang", "bin"))
+      .select(col("doc_id"), col("lang"), col("lm_score"), col("bin"),
+        col("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // t23 — dataset card: hierarchical corpus rollup
+  // ---------------------------------------------------------------
+
+  /** Fixed-point scale for the card's quality sums (exact BIGINT
+    * accumulation — float sums would diverge across engines by
+    * summation order). */
+  private val CARD_Q = 1L << 20
+
+  /** t23 — the DATASET CARD rollup: one query emitting the
+    * (source × language), per-source, and whole-corpus grain of the
+    * release-note stats every corpus ships with — document count,
+    * token/char volume, mean quality. `ROLLUP` computes all three
+    * grains from ONE scan with map-side partial aggregation (the
+    * grain count multiplies rows only inside the agg, never a
+    * re-scan); `lvl` = 2·grouping(source) + grouping(lang)
+    * disambiguates a real NULL group value from a rollup total.
+    * Quality is summed in fixed point (exact), divided once at the
+    * end; null-text docs count toward n_docs but contribute no
+    * token/quality mass (explicit coalesce, same on both sides). */
+  def t23DatasetCard(s: SparkSession, d: String): DataFrame =
+    TextOps.withQualityCols(Tables.documents(s, d))
+      .select(col("source"), col("lang"),
+        coalesce(col("n_tok"), lit(0L)).as("nt"),
+        coalesce(col("n_char"), lit(0L)).as("nc"),
+        floor(col("quality") * CARD_Q).cast(LongType).as("qfp"))
+      .rollup(col("source"), col("lang"))
+      .agg(
+        (grouping(col("source")) * 2 + grouping(col("lang")))
+          .cast(LongType).as("lvl"),
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"),
+        (sum(col("qfp")).cast(DoubleType) /
+          count(col("qfp")).cast(DoubleType) /
+          lit(CARD_Q).cast(DoubleType)).as("avg_quality"))
+      .orderBy(col("lvl"), col("source").asc_nulls_first,
+        col("lang").asc_nulls_first)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_quality_dist" -> t12QualityDist,
     "t12x_quality_dist_approx" -> t12xQualityDistApprox,
@@ -292,6 +383,8 @@ object CorpusStats extends QueryModule {
     "t13x_ngram_topk_approx" -> t13xNgramTopKApprox,
     "t14_corpus_shuffle" -> t14CorpusShuffle,
     "t21_quality_bins" -> t21QualityBins,
+    "t22_ppl_buckets" -> t22PplBuckets,
+    "t23_dataset_card" -> t23DatasetCard,
     "c23_df_spectrum" -> c23DfSpectrum)
 
   override val oracle: Map[String, String] = Map(
@@ -320,6 +413,45 @@ object CorpusStats extends QueryModule {
          |       MAX(CASE WHEN cum - cnt < n // 2 + 1 AND n // 2 + 1 <= cum THEN q_fp END)
          |       AS DOUBLE) / ${2 * QFP} AS q_med
          |FROM cum GROUP BY source ORDER BY source""".stripMargin,
+    "t22_ppl_buckets" ->
+      s"""WITH ${TextOps.lmCtes},
+         |sc0 AS (${TextOps.lmSelect}),
+         |sc AS (SELECT sc0.doc_id, d.lang, sc0.lm_score
+         |       FROM sc0 JOIN documents d USING (doc_id)),
+         |b AS (SELECT doc_id, lang, lm_score,
+         |        least(${PPL_BINS - 1},
+         |              CAST(floor(lm_score * $PPL_BINS) AS BIGINT)) AS bin
+         |      FROM sc),
+         |h AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS ct
+         |      FROM b GROUP BY lang, bin),
+         |m AS (SELECT lang, bin,
+         |        CASE WHEN cum <= n // 3 THEN 'tail'
+         |             WHEN cum <= (2 * n) // 3 THEN 'middle'
+         |             ELSE 'head' END AS ppl_bucket
+         |      FROM (SELECT lang, bin,
+         |              SUM(ct) OVER (PARTITION BY lang ORDER BY bin
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |              SUM(ct) OVER (PARTITION BY lang) AS n
+         |            FROM h))
+         |SELECT b.doc_id, b.lang, b.lm_score, b.bin, m.ppl_bucket
+         |FROM b JOIN m USING (lang, bin)
+         |ORDER BY doc_id""".stripMargin,
+    "t23_dataset_card" ->
+      s"""SELECT source, lang,
+         |  CAST(2 * GROUPING(source) + GROUPING(lang) AS BIGINT) AS lvl,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+         |  CAST(SUM(qfp) AS DOUBLE) / CAST(count(qfp) AS DOUBLE) /
+         |    CAST($CARD_Q AS DOUBLE) AS avg_quality
+         |FROM (
+         |  SELECT source, lang,
+         |    CAST(COALESCE(n_tok, 0) AS BIGINT) AS nt,
+         |    CAST(COALESCE(n_char, 0) AS BIGINT) AS nc,
+         |    CAST(floor(quality * $CARD_Q) AS BIGINT) AS qfp
+         |  FROM (${TextOps.qualityColsSql}))
+         |GROUP BY ROLLUP (source, lang)
+         |ORDER BY lvl, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
     "c23_df_spectrum" ->
       s"""WITH ng AS (
          |  SELECT DISTINCT doc_id, ${Portable.h60Sql("s")} AS sh FROM (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
+import graft.functions.Portable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -167,39 +168,148 @@ object SearchOps extends QueryModule {
       .filter(col("score") > 0)
   }
 
+  // ---------------------------------------------------------------
+  // c28 — hybrid retrieval: BM25 ⊕ dense, reciprocal-rank fusion
+  // ---------------------------------------------------------------
+
+  /** Shortlist depth each retriever contributes to the fusion. */
+  private[operators] val RRF_SHORT = 20
+  /** The RRF dampening constant (k = 60, the value from Cormack &
+    * Clarke's original RRF paper that every deployment copies). */
+  private[operators] val RRF_K = 60L
+  /** Fixed-point scale: rrf = Σ Q div (k + rank) stays integer-exact
+    * and engine-portable (a double 1/(k+r) sum would be order-
+    * sensitive). Resolution 2^20 ≫ the ~3·10^4 spread between
+    * adjacent ranks at k=60, so no information is lost. */
+  private[operators] val RRF_Q = 1L << 20
+
+  /** c28 — HYBRID search: the sparse retriever (BM25, c24) and the
+    * dense retriever (exact cosine over embeddings, c06's shape) each
+    * produce a top-[[RRF_SHORT]] shortlist per query; reciprocal-rank
+    * fusion merges them and the top-[[TOPK]] fused results win. This
+    * is the standard RAG retrieval stack (Elasticsearch/Vespa/Weaviate
+    * all ship exactly this composition) — keyword precision plus
+    * semantic recall, no score calibration needed because RRF only
+    * consumes RANKS.
+    *
+    * Query workload: the i-th text query [[QUERIES]] is paired with
+    * query vector `embeddings[vec_id = i]` (fixture convention,
+    * enforced below). Scale shape: the BM25 side shuffles matched
+    * postings only (c24's argument); the dense side is one narrow
+    * corpus pass against |Q| literal query vectors whose rank-filter
+    * compiles to WindowGroupLimit (partial top-k map-side, the c06
+    * argument — the corpus never shuffles); fusion then joins two
+    * |Q|·[[RRF_SHORT]]-row frames — driver-scale, whatever the corpus
+    * size. */
+  def c28HybridRrf(s: SparkSession, d: String): DataFrame = {
+    QUERIES.zipWithIndex.foreach { case ((qid, _), i) =>
+      require(qid == s"q${i + 1}", s"QUERIES($i) must be q${i + 1} (vector pairing)") }
+    val byScore = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val text = bm25Scored(s, Tables.documents(s, d), QUERIES)
+      .withColumn("trk", row_number().over(byScore).cast(LongType))
+      .filter(col("trk") <= RRF_SHORT)
+      .select(col("qid"), col("doc_id"), col("trk"))
+    // Query vectors as literals (bounded collect, the anchorVectors
+    // pattern) — the dense scan is then a single codegen'd pass.
+    val emb = Tables.embeddings(s, d)
+    val qv = emb.filter(col("vec_id") < QUERIES.length)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1))).sortBy(_._1)
+    val perQ = qv.map { case (i, v) =>
+      struct(lit(QUERIES(i)._1).as("qid"),
+        Portable.dot(col("embedding"), typedLit(v)).as("score")) }
+    val denseRanked = emb
+      .select(col("vec_id").as("doc_id"), explode(array(perQ.toIndexedSeq: _*)).as("q"))
+      .select(col("q.qid").as("qid"), col("doc_id"), col("q.score").as("score"))
+      .withColumn("vrk", row_number().over(byScore).cast(LongType))
+      .filter(col("vrk") <= RRF_SHORT)
+      .select(col("qid"), col("doc_id"), col("vrk"))
+    val byFused = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    text.join(denseRanked, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"${RRF_Q}L div (${RRF_K}L + trk)"), lit(0L)) +
+          coalesce(expr(s"${RRF_Q}L div (${RRF_K}L + vrk)"), lit(0L)))
+      .withColumn("rank", row_number().over(byFused).cast(LongType))
+      .filter(col("rank") <= TOPK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf_score"),
+        col("trk").as("text_rank"), col("vrk").as("vec_rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("c24_bm25_topk" -> c24Bm25TopK)
+    Map("c24_bm25_topk" -> c24Bm25TopK,
+      "c28_hybrid_rrf" -> c28HybridRrf)
 
   private def queryValues: String = QUERIES
     .flatMap { case (qid, ws) => ws.map(w => s"('$qid', '$w')") }
     .mkString(", ")
 
+  /** The c24 oracle's CTE list through the scored (qid, doc_id,
+    * score) table `sc` — shared with the c28 hybrid fusion. */
+  private def bm25Ctes: String =
+    s"""q(qid, w) AS (VALUES $queryValues),
+       |base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+       |         FROM documents),
+       |d AS (SELECT doc_id, CAST(COALESCE(len(t), 0) AS BIGINT) AS dl
+       |      FROM base),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |              CAST(SUM(dl) AS BIGINT) AS l FROM d),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, unnest(t) AS w FROM base)
+       |       WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w),
+       |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+       |          FROM tf GROUP BY w),
+       |sc AS (SELECT q.qid, tf.doc_id, CAST(SUM(
+       |    ((2 * st.n - 2 * f.df + 1) * $Q1 // (2 * f.df + 1)) *
+       |    ((22 * st.l * tf.tf * $Q2) //
+       |     (10 * st.l * tf.tf + 3 * st.l + 9 * d.dl * st.n))
+       |  ) AS BIGINT) AS score
+       |  FROM tf JOIN q USING (w) JOIN dfreq f USING (w)
+       |       JOIN d USING (doc_id) CROSS JOIN st
+       |  GROUP BY q.qid, tf.doc_id)""".stripMargin
+
   override val oracle: Map[String, String] = Map(
     "c24_bm25_topk" ->
-      s"""WITH q(qid, w) AS (VALUES $queryValues),
-         |base AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
-         |         FROM documents),
-         |d AS (SELECT doc_id, CAST(COALESCE(len(t), 0) AS BIGINT) AS dl
-         |      FROM base),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |              CAST(SUM(dl) AS BIGINT) AS l FROM d),
-         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-         |       FROM (SELECT doc_id, unnest(t) AS w FROM base)
-         |       WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w),
-         |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
-         |          FROM tf GROUP BY w),
-         |sc AS (SELECT q.qid, tf.doc_id, CAST(SUM(
-         |    ((2 * st.n - 2 * f.df + 1) * $Q1 // (2 * f.df + 1)) *
-         |    ((22 * st.l * tf.tf * $Q2) //
-         |     (10 * st.l * tf.tf + 3 * st.l + 9 * d.dl * st.n))
-         |  ) AS BIGINT) AS score
-         |  FROM tf JOIN q USING (w) JOIN dfreq f USING (w)
-         |       JOIN d USING (doc_id) CROSS JOIN st
-         |  GROUP BY q.qid, tf.doc_id)
+      s"""WITH $bm25Ctes
          |SELECT qid, rk, doc_id, score FROM (
          |  SELECT qid, doc_id, score,
          |         CAST(row_number() OVER (PARTITION BY qid
          |           ORDER BY score DESC, doc_id) AS BIGINT) AS rk
          |  FROM sc)
-         |WHERE rk <= $TOPK ORDER BY qid, rk""".stripMargin)
+         |WHERE rk <= $TOPK ORDER BY qid, rk""".stripMargin,
+    "c28_hybrid_rrf" -> {
+      val dot = Portable.dotSql("e.embedding", "vq.qemb", 64)
+      s"""WITH $bm25Ctes,
+         |txt AS (SELECT qid, doc_id, trk FROM (
+         |  SELECT qid, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY score DESC, doc_id) AS BIGINT) AS trk
+         |  FROM sc) WHERE trk <= $RRF_SHORT),
+         |vq AS (SELECT 'q' || CAST(vec_id + 1 AS VARCHAR) AS qid,
+         |              embedding AS qemb
+         |       FROM embeddings WHERE vec_id < ${QUERIES.length}),
+         |vsc AS (SELECT vq.qid, e.vec_id AS doc_id, $dot AS score
+         |        FROM embeddings e CROSS JOIN vq),
+         |vr AS (SELECT qid, doc_id, vrk FROM (
+         |  SELECT qid, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY score DESC, doc_id) AS BIGINT) AS vrk
+         |  FROM vsc) WHERE vrk <= $RRF_SHORT),
+         |fused AS (SELECT
+         |    COALESCE(t.qid, v.qid) AS qid,
+         |    COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         |    t.trk AS text_rank, v.vrk AS vec_rank,
+         |    COALESCE($RRF_Q // ($RRF_K + t.trk), 0) +
+         |      COALESCE($RRF_Q // ($RRF_K + v.vrk), 0) AS rrf_score
+         |  FROM txt t FULL OUTER JOIN vr v
+         |    ON t.qid = v.qid AND t.doc_id = v.doc_id)
+         |SELECT qid, rank, doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+         |       text_rank, vec_rank
+         |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |        ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+         |      FROM fused)
+         |WHERE rank <= $TOPK ORDER BY qid, rank""".stripMargin
+    })
 }

@@ -662,6 +662,43 @@ object TextOps extends QueryModule {
         explode(sequence(lit(1L), col("copies"))).as("epoch"))
   }
 
+  /** t24 — TEMPERATURE-scaled language rebalancing (the mT5/XLM-R
+    * mixing rule): sampling weight per language ∝ p_l^α with α = ½,
+    * normalized so the expected emitted volume stays ≈ the corpus
+    * size, then fed through [[mixSample]]'s per-row copies decision.
+    * Minority languages are upsampled, majority languages downsampled
+    * — rate_l = √n_l · N / (Σ√n · n_l) is decreasing in n_l.
+    *
+    * α is fixed at ½ because `sqrt` is IEEE-754 correctly rounded in
+    * every engine while `pow(x, α)` is not — the rate table (and so
+    * the whole mix) stays bit-portable. The rate derivation is a
+    * bounded collect (one row per language, the anchorVectors
+    * pattern); the mix itself is t10's shape — per-row hash decision
+    * + bounded explode, no shuffle. */
+  def t24TemperatureMix(s: SparkSession, d: String): DataFrame =
+    mixSample(Tables.documents(s, d).filter(col("lang").isNotNull),
+      temperatureRates(Tables.documents(s, d)))
+      .orderBy(col("doc_id"), col("epoch"))
+
+  /** Per-language (copies, threshold/10000) rows for α=½ temperature
+    * mixing. Every double op is ordered exactly like the DuckDB twin:
+    * Σ√n folds language-ascending from a 0.0 seed, and each rate is
+    * (√n_l · N) / (Σ√n · n_l) with that parenthesization. */
+  def temperatureRates(docs: DataFrame): Seq[(String, Int, Int)] = {
+    val counts = docs.filter(col("lang").isNotNull)
+      .groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val n = counts.map(_._2).sum.toDouble
+    val roots = counts.map { case (_, nl) => math.sqrt(nl.toDouble) }
+    val stot = roots.foldLeft(0.0)(_ + _)
+    counts.zip(roots).map { case ((l, nl), sl) =>
+      val r = (sl * n) / (stot * nl.toDouble)
+      val base = math.floor(r)
+      val thr = math.floor((r - base) * 10000.0)
+      (l, base.toInt, thr.toInt)
+    }
+  }
+
   /** t04b — the fingerprint query as SQL TEXT (the a23b precedent
     * extended to the pipeline surface): the native `graft_winnow60`
     * expression is registered through SparkSessionExtensions, so a
@@ -811,7 +848,33 @@ object TextOps extends QueryModule {
     "t17_dsir_sample" -> t17DsirSample,
     "t18_fertility" -> t18Fertility,
     "t19_rule_filter" -> t19RuleFilter,
-    "t20_bpe_pairs" -> t20BpePairs)
+    "t20_bpe_pairs" -> t20BpePairs,
+    "t24_temperature_mix" -> t24TemperatureMix)
+
+  /** The t15 oracle's CTE list (toks/big/uni/vv/c2) — shared with the
+    * t22 perplexity bucketing in [[CorpusStats]]. */
+  private[operators] val lmCtes: String =
+    s"""toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |big AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+       |  FROM toks WHERE len(t) >= 2),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+       |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+       |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2)""".stripMargin
+
+  /** The t15 oracle's final select (no ORDER BY — composable). */
+  private[operators] val lmSelect: String =
+    s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST($LM_Q AS DOUBLE) AS lm_score
+       |FROM (
+       |  SELECT b.doc_id, ((c2.c2 + 1) * $LM_Q) // (u.c1 + vv.v) AS q
+       |  FROM big b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+       |             JOIN uni u ON b.w1 = u.w
+       |             CROSS JOIN vv)
+       |GROUP BY doc_id""".stripMargin
 
   /** Recursive-CTE subword segmentation of the corpus's DISTINCT
     * words (`wtok`: w → toks) — the DuckDB twin of
@@ -1016,24 +1079,9 @@ object TextOps extends QueryModule {
          |WHERE rk <= $DSIR_KEEP
          |ORDER BY lang, rk""".stripMargin,
     "t15_lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
-         |big AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
-         |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
-         |  FROM toks WHERE len(t) >= 2),
-         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
-         |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
-         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  CAST(SUM(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST($LM_Q AS DOUBLE) AS lm_score
-         |FROM (
-         |  SELECT b.doc_id, ((c2.c2 + 1) * $LM_Q) // (u.c1 + vv.v) AS q
-         |  FROM big b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
-         |             JOIN uni u ON b.w1 = u.w
-         |             CROSS JOIN vv)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmCtes
+         |$lmSelect
+         |ORDER BY doc_id""".stripMargin,
     "t04_fingerprint" ->
       s"""SELECT doc_id,
          |  list_min(list_transform(range(1, CAST(greatest(length(text) - 7, 1) AS BIGINT) + 1),
@@ -1136,6 +1184,32 @@ object TextOps extends QueryModule {
          |              ${Portable.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
          |            FROM documents))))
          |ORDER BY doc_id, bin""".stripMargin,
+    "t24_temperature_mix" ->
+      s"""WITH lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+         |            FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+         |tot AS (SELECT CAST(SUM(nl) AS BIGINT) AS n FROM lc),
+         |st AS (SELECT list_reduce(
+         |         [CAST(0.0 AS DOUBLE)] ||
+         |           list(sqrt(CAST(nl AS DOUBLE)) ORDER BY lang),
+         |         (x, y) -> x + y) AS stot FROM lc),
+         |rt AS (SELECT lang,
+         |         CAST(floor(r) AS BIGINT) AS base,
+         |         CAST(floor((r - floor(r)) * 10000.0) AS BIGINT) AS thr
+         |       FROM (SELECT lang,
+         |               (sqrt(CAST(nl AS DOUBLE)) * CAST(n AS DOUBLE)) /
+         |                 (stot * CAST(nl AS DOUBLE)) AS r
+         |             FROM lc CROSS JOIN tot CROSS JOIN st))
+         |SELECT doc_id, lang, copies, epoch FROM (
+         |  SELECT doc_id, lang, copies,
+         |    unnest(range(1, copies + 1)) AS epoch
+         |  FROM (
+         |    SELECT d.doc_id, d.lang,
+         |      CAST(rt.base + CASE WHEN
+         |          ${Portable.h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000
+         |            < rt.thr THEN 1 ELSE 0 END AS BIGINT) AS copies
+         |    FROM documents d JOIN rt USING (lang))
+         |  WHERE copies >= 1)
+         |ORDER BY doc_id, epoch""".stripMargin,
     "t10_mix_sample" -> {
       val baseCase = mixRates.map { case (l, b, _) => s"WHEN lang = '$l' THEN $b" }
         .mkString("CASE ", " ", " ELSE 1 END")

@@ -31,7 +31,10 @@ class PlanShapeSpec extends SparkSpec {
     // t21 crosses TWO one-row broadcast boundary tables (quartile
     // bounds, total n) into the per-row binning projection — no
     // equi-key exists, and a 1-row BNLJ build side is free
-    "t21_quality_bins")
+    "t21_quality_bins",
+    // c28 inherits c24's one-row corpus-stats cross; t22 inherits
+    // t15's one-row vocabulary-size cross
+    "c28_hybrid_rrf", "t22_ppl_buckets")
 
   test("no query plan contains a cartesian product; BNLJ only where intended") {
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
