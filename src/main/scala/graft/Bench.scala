@@ -47,7 +47,9 @@ object Bench {
     "t14_corpus_shuffle", "t15_lm_score", "t17_dsir_sample",
     "t18_fertility", "t20_bpe_pairs", "t21_quality_bins",
     "c23_df_spectrum", "c24_bm25_topk",
-    "c25_cluster_sample", "m04_media_neardup", "m05_video_neardup")
+    "c25_cluster_sample", "m04_media_neardup", "m05_video_neardup",
+    "c28_hybrid_rrf", "t22_ppl_buckets", "t23_dataset_card",
+    "t24_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -125,7 +125,11 @@ object ScaleProbe {
       "c26_ann_rerank" -> operators.VectorOps.c26AnnRerank _,
       "t12_quality_dist" -> operators.CorpusStats.t12QualityDist _,
       "t13_ngram_topk" -> operators.CorpusStats.t13NgramTopK _,
-      "t14_corpus_shuffle" -> operators.CorpusStats.t14CorpusShuffle _)
+      "t14_corpus_shuffle" -> operators.CorpusStats.t14CorpusShuffle _,
+      "c28_hybrid_rrf" -> operators.SearchOps.c28HybridRrf _,
+      "t22_ppl_buckets" -> operators.CorpusStats.t22PplBuckets _,
+      "t23_dataset_card" -> operators.CorpusStats.t23DatasetCard _,
+      "t24_temperature_mix" -> operators.TextOps.t24TemperatureMix _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

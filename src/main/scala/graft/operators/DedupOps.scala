@@ -270,7 +270,46 @@ object DedupOps extends QueryModule {
   /** Unordered Hamming-pair core (c03's chunk blocking + bit_count
     * verify) — consumers that aggregate on top (m05's frame votes)
     * skip the presentation sort. */
-  private[graft] def c03PairsOf(fp: DataFrame): DataFrame = {
+  /** c03's pigeonhole candidates with CHUNK-PAIR bands: every C(4,2)
+    * pair of 15-bit chunks forms a 30-bit band key. Exact for
+    * hammingT ≤ CHUNKS − 2 (≤ t flipped bits corrupt ≤ t chunks, so
+    * ≥ 2 survive and their pair collides); the 2^30 key space makes
+    * collisions ≈ true near-identity, where single-chunk 2^15 keys
+    * on LOW-ENTROPY fingerprints (m05's short frame slices) go
+    * quadratic — measured at sf0.1: 786k frame candidates / 19 s
+    * single-chunk vs duplicate-proportional / ~2 s with pair bands.
+    * Costs 6 band rows per fingerprint instead of 4 — the standard
+    * recall/candidate-volume trade, taken here only where the tight
+    * radius licenses it. */
+  private[graft] def c03PairsPairBand(fp: DataFrame, hammingT: Int): DataFrame = {
+    require(hammingT <= CHUNKS - 2,
+      s"pair-banding is exact only for hamming <= ${CHUNKS - 2}")
+    val chunkCols = (0 until CHUNKS).map(c =>
+      shiftright(col("fp"), c * CHUNK_BITS).bitwiseAND((1 << CHUNK_BITS) - 1))
+    val pairIdx = for { i <- 0 until CHUNKS; j <- i + 1 until CHUNKS } yield (i, j)
+    val bandArr = array(pairIdx.zipWithIndex.map { case ((i, j), b) =>
+      struct(lit(b).as("band"),
+        (chunkCols(i) * (1L << CHUNK_BITS) + chunkCols(j)).as("bv"))
+    }: _*)
+    val bands = fp
+      .select(col("doc_id"), col("fp"), explode(bandArr).as("b"))
+      .select(col("doc_id"), col("fp"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+      .localCheckpoint()
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        col("x.fp").as("fpa"), col("y.fp").as("fpb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(fpa ^ fpb) AS BIGINT)"))
+      .filter(col("hamming") <= hammingT)
+      .select(col("da"), col("db"), col("fpa"), col("fpb"), col("hamming"))
+  }
+
+  private[graft] def c03PairsOf(fp: DataFrame,
+      hammingT: Int = HAMMING_T): DataFrame = {
     val chunks = fp.select(col("doc_id"), col("fp"), posexplode_outer(array(
       (0 until CHUNKS).map(c =>
         shiftright(col("fp"), c * CHUNK_BITS).bitwiseAND((1 << CHUNK_BITS) - 1)): _*)))
@@ -285,7 +324,7 @@ object DedupOps extends QueryModule {
       .distinct()
     cand
       .withColumn("hamming", expr("CAST(bit_count(fpa ^ fpb) AS BIGINT)"))
-      .filter(col("hamming") <= HAMMING_T)
+      .filter(col("hamming") <= hammingT)
       .select(col("da"), col("db"), col("fpa"), col("fpb"), col("hamming"))
   }
 
@@ -1080,6 +1119,49 @@ object DedupOps extends QueryModule {
   def c19SubstringSelfdup(s: SparkSession, d: String): DataFrame =
     c19SubstringSelfdupOf(Tables.documents(s, d))
 
+  /** c29 containment threshold: flag when ≥ half of EITHER doc's
+    * fingerprints appear in the other. Deliberately asymmetric-aware:
+    * a short doc quoted inside a long one has cont_short ≈ 1 while
+    * Jaccard ≈ |short|/|long| ≈ 0 — c02/c03/c04 never fire. */
+  private val CONT_T = 0.5
+
+  /** c29 — asymmetric CONTAINMENT pairs (quote/subset detection):
+    * for candidate pairs sharing winnowed substring fingerprints
+    * (c19's machinery), emit the DIRECTIONAL overlap ratios
+    * cont_a = |fp(A)∩fp(B)|/|fp(A)| and cont_b = …/|fp(B)|, keeping
+    * pairs where either side is ≥ [[CONT_T]]-contained. This is the
+    * relation near-dup Jaccard misses by construction — containment
+    * is what catches a benchmark item quoted inside a long crawl
+    * page, or a doc assembled from another's paragraphs.
+    *
+    * Scale shape: identical to c19 (one narrow fingerprint pass, one
+    * output-proportional fp equi-join, two broadcast-size joins
+    * against the per-doc fingerprint counts) — the ratios add no
+    * shuffle beyond c19's. */
+  private[graft] def c29ContainmentOf(docs: DataFrame): DataFrame = {
+    val fp = docs
+      .select(col("doc_id"), explode_outer(winnowFps(col("text"))).as("fp"))
+      .where(col("fp").isNotNull)
+      .localCheckpoint()
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("za"), col("da") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("db") === col("zb.doc_id"))
+      .select(col("da"), col("db"),
+        col("za.n").as("na"), col("zb.n").as("nb"), col("inter"),
+        (col("inter").cast(DoubleType) / col("za.n").cast(DoubleType)).as("cont_a"),
+        (col("inter").cast(DoubleType) / col("zb.n").cast(DoubleType)).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= CONT_T)
+      .orderBy(col("da"), col("db"))
+  }
+
+  def c29Containment(s: SparkSession, d: String): DataFrame =
+    c29ContainmentOf(Tables.documents(s, d))
+
   /** c19b — the per-DOCUMENT face of c19: what fraction of a doc's
     * winnowing fingerprints is shared with ANY other document. This
     * is the decision signal the ExactSubstr pass actually filters
@@ -1292,11 +1374,27 @@ object DedupOps extends QueryModule {
     "c19b_substring_dupfrac" -> c19bSubstringDupfrac,
     "c20_decon_consensus" -> c20DeconConsensus,
     "c21_split_leakage" -> c21SplitLeakage,
-    "c21b_split_repair" -> c21bSplitRepair)
+    "c21b_split_repair" -> c21bSplitRepair,
+    "c29_containment" -> c29Containment)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
   // ---------------------------------------------------------------
+
+  /** Winnowed-fingerprint CTE list (wh/fp), DuckDB twin of
+    * [[winnowFps]] over `documents` — shared by c19 and c29. */
+  private lazy val winnowFpCtes: String = {
+    val h = Portable.h60Sql(s"substr(text, CAST(i AS INT), $SELF_W)")
+    s"""wh AS (
+       |  SELECT doc_id, list_transform(range(1, length(text) - $SELF_W + 2),
+       |    i -> $h) AS h
+       |  FROM documents WHERE length(text) >= $SELF_W),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(h) - $SELF_K + 1, 1) + 1),
+       |    i -> list_min(h[i:i + ${SELF_K - 1}]))) AS fp
+       |  FROM wh)""".stripMargin
+  }
 
   /** Hashed distinct word-n-grams per doc, DuckDB form (twin of
     * [[shingleDocs]] with hashed=true), over any
@@ -1596,22 +1694,28 @@ object DedupOps extends QueryModule {
          |FROM corpusw WHERE h IN (SELECT h FROM evalw)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
-    "c19_substring_selfdup" -> {
-      val h = Portable.h60Sql(s"substr(text, CAST(i AS INT), $SELF_W)")
-      s"""WITH wh AS (
-         |  SELECT doc_id, list_transform(range(1, length(text) - $SELF_W + 2),
-         |    i -> $h) AS h
-         |  FROM documents WHERE length(text) >= $SELF_W),
-         |fp AS (
-         |  SELECT DISTINCT doc_id, unnest(list_transform(
-         |    range(1, greatest(len(h) - $SELF_K + 1, 1) + 1),
-         |    i -> list_min(h[i:i + ${SELF_K - 1}]))) AS fp
-         |  FROM wh)
+    "c19_substring_selfdup" ->
+      s"""WITH $winnowFpCtes
          |SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS n_shared
          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY da, db
-         |ORDER BY da, db""".stripMargin
-    },
+         |ORDER BY da, db""".stripMargin,
+    "c29_containment" ->
+      s"""WITH $winnowFpCtes,
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |       FROM fp GROUP BY doc_id),
+         |iv AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |         CAST(count(*) AS BIGINT) AS inter
+         |       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY da, db)
+         |SELECT * FROM (
+         |  SELECT da, db, za.n AS na, zb.n AS nb, iv.inter,
+         |         CAST(iv.inter AS DOUBLE) / CAST(za.n AS DOUBLE) AS cont_a,
+         |         CAST(iv.inter AS DOUBLE) / CAST(zb.n AS DOUBLE) AS cont_b
+         |  FROM iv JOIN sz za ON da = za.doc_id
+         |          JOIN sz zb ON db = zb.doc_id)
+         |WHERE greatest(cont_a, cont_b) >= $CONT_T
+         |ORDER BY da, db""".stripMargin,
     "c20_decon_consensus" -> {
       val h = Portable.h60Sql(s"substr(text, CAST(i AS INT), $SUB_W)")
       s"""WITH ng AS (${hashedNgramsSql(DECON_N)}),

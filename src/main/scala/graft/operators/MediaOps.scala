@@ -260,6 +260,17 @@ object MediaOps extends QueryModule {
   private val FRAMES = 8 // strided "video" frames per payload
   private val VOTES = 4  // half the frame slots must match (short stub
                          // frames make single-frame collisions cheap)
+  /** Frame-IDENTITY Hamming gate — deliberately TIGHTER than c03's
+    * document gate (3). A frame is 1/FRAMES of a payload, so its
+    * 60-bit sketch carries far less entropy than a whole-document
+    * fingerprint; at ≤ 3 the per-frame match relation on short stub
+    * frames went quadratic (sf0.1: 786k frame pairs, 34k "video
+    * pairs", 18 s — measured). Frame matching in a vote scheme wants
+    * near-identity; ROBUSTNESS to re-encoding comes from the
+    * VOTES-of-FRAMES rule, not from a loose per-frame radius. At ≤ 1
+    * the same corpus yields output proportional to true duplicate
+    * clusters and the join cost collapses with it. */
+  private val FRAME_HAMMING_T = 1
 
   /** m05 — VIDEO near-duplicate detection by frame voting: the
     * m02 × m04 composition every video-curation pipeline runs (e.g.
@@ -271,15 +282,17 @@ object MediaOps extends QueryModule {
     * (graft_phash60, m04's expression), and frames flow through
     * EXACTLY c03's pigeonhole machinery keyed by (doc, frame). Two
     * videos are near-dups when ≥ VOTES distinct frame slots of the
-    * first find a Hamming ≤ 3 frame anywhere in the second —
-    * position-blind on the match side, so a trimmed/reordered copy
-    * still votes. Scale shape: FRAMES× the rows of m04 through the
-    * same linear band join, then one (da, db)-keyed count — pair
-    * output stays duplicate-proportional, and empty tail frames of
-    * short payloads are dropped so they can't band-match each other
-    * into a clique. */
-  def m05VideoNeardup(s: SparkSession, d: String): DataFrame = {
-    val frames = attachMedia(s, d).toDF()
+    * first find a Hamming ≤ [[FRAME_HAMMING_T]] frame anywhere in
+    * the second — position-blind on the match side, so a trimmed/
+    * reordered copy still votes. Scale shape: FRAMES× the rows of
+    * m04 through the same linear band join, then one (da, db)-keyed
+    * count — pair output stays duplicate-proportional, and empty
+    * tail frames of short payloads are dropped so they can't
+    * band-match each other into a clique. */
+  /** The per-frame fingerprint table m05 blocks on (spec/probe
+    * surface): synthetic frame id = doc_id · FRAMES + slot. */
+  private[graft] def m05Frames(s: SparkSession, d: String): DataFrame =
+    attachMedia(s, d).toDF()
       .where(col("media").isNotNull)
       .withColumn("fb",
         greatest(expr(s"octet_length(media) div $FRAMES"), lit(1)))
@@ -291,7 +304,10 @@ object MediaOps extends QueryModule {
       .select((col("doc_id") * FRAMES + col("frame")).as("doc_id"),
         call_function("graft_phash60", col("fmedia")).as("fp"))
       .where(col("fp").isNotNull)
-    DedupOps.c03PairsOf(frames)
+
+  def m05VideoNeardup(s: SparkSession, d: String): DataFrame = {
+    val frames = m05Frames(s, d)
+    DedupOps.c03PairsPairBand(frames, FRAME_HAMMING_T)
       .select(expr(s"da div $FRAMES").as("va"), expr(s"da % $FRAMES").as("fra"),
         expr(s"db div $FRAMES").as("vb"))
       .where(col("va") < col("vb"))
@@ -398,7 +414,7 @@ object MediaOps extends QueryModule {
        |hit AS (SELECT fa // $FRAMES AS da, fa % $FRAMES AS fra,
        |               fbid // $FRAMES AS db
        |        FROM cand
-       |        WHERE bit_count(xor(fpa, fpb)) <= ${DedupOps.HAMMING_T}
+       |        WHERE bit_count(xor(fpa, fpb)) <= $FRAME_HAMMING_T
        |          AND fa // $FRAMES < fbid // $FRAMES)
        |SELECT da, db, CAST(count(DISTINCT fra) AS BIGINT) AS n_frames
        |FROM hit GROUP BY da, db HAVING count(DISTINCT fra) >= $VOTES

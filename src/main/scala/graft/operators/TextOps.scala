@@ -35,27 +35,34 @@ object TextOps extends QueryModule {
 
   private def toks: Column = split(col("text"), "\\s+")
 
-  /** t01 — language ID: per-language stopword hit counts over the
-    * token stream; prediction = first language (in `langWords` order)
-    * with the maximal count, 'und' (undetermined) when no list hits. */
-  def t01LangId(s: SparkSession, d: String): DataFrame = {
-    val hitCols = langWords.map { case (lang, words) =>
-      val arr = array(words.map(lit): _*)
-      size(filter(toks, t => array_contains(arr, t))).cast(LongType).as(s"${lang}_hits")
-    }
+  /** Per-language stopword hit-count columns (`<lang>_hits`) —
+    * shared by t01 and the t25 one-pass annotator. */
+  private def langHitCols: Seq[Column] = langWords.map { case (lang, words) =>
+    val arr = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t))).cast(LongType).as(s"${lang}_hits")
+  }
+
+  /** Argmax-with-priority language prediction over the hit columns;
+    * 'und' (undetermined) when no list hits. Earlier language in
+    * `langWords` order wins ties. */
+  private def predLangExpr: Column = {
     val maxHits = greatest(langWords.map { case (l, _) => col(s"${l}_hits") }: _*)
-    // when-chain in langWords order: earlier language wins ties.
-    val predOrdered = langWords.map { case (l, _) =>
+    langWords.map { case (l, _) =>
       (l, col(s"${l}_hits") === maxHits && maxHits > 0)
     }.foldLeft[Option[Column]](None) {
       case (None, (l, cond)) => Some(when(cond, l))
       case (Some(c), (l, cond)) => Some(c.when(cond, l))
     }.get.otherwise("und")
-    Tables.documents(s, d)
-      .select(Seq(col("doc_id"), col("lang")) ++ hitCols: _*)
-      .withColumn("pred_lang", predOrdered)
-      .orderBy(col("doc_id"))
   }
+
+  /** t01 — language ID: per-language stopword hit counts over the
+    * token stream; prediction = first language (in `langWords` order)
+    * with the maximal count, 'und' (undetermined) when no list hits. */
+  def t01LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(Seq(col("doc_id"), col("lang")) ++ langHitCols: _*)
+      .withColumn("pred_lang", predLangExpr)
+      .orderBy(col("doc_id"))
 
   /** Adds the quality-feature columns (n_tok, n_char, stop_hits,
     * avg_word_len, stop_ratio, len_score, quality) to a documents
@@ -250,6 +257,29 @@ object TextOps extends QueryModule {
 
   /** Core of t08 over any `(doc_id, text, …)` frame. */
   def repetitionCols(docs: DataFrame): DataFrame =
+    withRepetitionFeatures(docs)
+      .select(
+        col("doc_id"), col("n_tok"), col("n_distinct"),
+        (col("n_distinct").cast(DoubleType) / col("n_tok").cast(DoubleType))
+          .as("distinct_ratio"),
+        col("top_tok_ct"),
+        (col("top_tok_ct").cast(DoubleType) / col("n_tok").cast(DoubleType))
+          .as("top_tok_frac"),
+        col("n_bigram"),
+        dupBigramFracExpr.as("dup_bigram_frac"))
+
+  /** `dup_bigram_frac` over the feature columns [[withRepetitionFeatures]]
+    * adds — shared by t08's select and the t25 annotator. */
+  private def dupBigramFracExpr: Column =
+    when(col("n_bigram") > 0,
+      (col("n_bigram") - size(array_distinct(col("bigrams"))).cast(LongType))
+        .cast(DoubleType) / col("n_bigram").cast(DoubleType))
+      .otherwise(lit(0.0))
+
+  /** Adds the t08 repetition feature columns (toks, n_tok,
+    * n_distinct, top_tok_ct, bigrams, n_bigram) WITHOUT projecting —
+    * composable into wider one-pass scans (t25). */
+  private def withRepetitionFeatures(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", toks)
       .withColumn("n_tok", size(col("toks")).cast(LongType))
@@ -281,18 +311,35 @@ object TextOps extends QueryModule {
                 element_at(col("toks"), i + 1))))
           .otherwise(array().cast(ArrayType(StringType))))
       .withColumn("n_bigram", size(col("bigrams")).cast(LongType))
-      .select(
-        col("doc_id"), col("n_tok"), col("n_distinct"),
+
+  /** t25 — the ONE-PASS annotator: language ID (t01), quality score
+    * (t02), winnowed fingerprint (t04), PII counts (t07's detectors
+    * over the raw text), and repetition signals (t08), emitted
+    * together from a SINGLE corpus scan. This is the optimization a
+    * real curation pipeline runs on: at 100 TB the dominant cost of
+    * the per-row signal family is the scan itself, so computing five
+    * operators' signals in one projection pays one scan instead of
+    * five — every expression here is codegen'd, shuffle-free, and
+    * already oracle-pinned through its standalone query. The sort
+    * rides BELOW the projections (t08's lesson: an orderBy on top
+    * makes the range sampler evaluate the HOF columns twice). */
+  def t25Annotate(s: SparkSession, d: String): DataFrame =
+    withRepetitionFeatures(
+      withQualityCols(Tables.documents(s, d).orderBy(col("doc_id"))))
+      .select(col("*") +: langHitCols: _*)
+      .withColumn("pred_lang", predLangExpr)
+      .select(col("doc_id"), col("lang"), col("source"), col("pred_lang"),
+        col("n_tok"), col("n_char"), col("quality"),
+        call_function("graft_winnow60", col("text")).as("fp"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(longNumRe), lit(0)))
+          .cast(LongType).as("n_long_nums"),
         (col("n_distinct").cast(DoubleType) / col("n_tok").cast(DoubleType))
           .as("distinct_ratio"),
-        col("top_tok_ct"),
         (col("top_tok_ct").cast(DoubleType) / col("n_tok").cast(DoubleType))
           .as("top_tok_frac"),
-        col("n_bigram"),
-        when(col("n_bigram") > 0,
-          (col("n_bigram") - size(array_distinct(col("bigrams"))).cast(LongType))
-            .cast(DoubleType) / col("n_bigram").cast(DoubleType))
-          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        dupBigramFracExpr.as("dup_bigram_frac"))
 
   /** t09 — sequence packing: assign documents to fixed-size context
     * windows (2048 tokens) for training-batch construction. Packing
@@ -849,7 +896,50 @@ object TextOps extends QueryModule {
     "t18_fertility" -> t18Fertility,
     "t19_rule_filter" -> t19RuleFilter,
     "t20_bpe_pairs" -> t20BpePairs,
-    "t24_temperature_mix" -> t24TemperatureMix)
+    "t24_temperature_mix" -> t24TemperatureMix,
+    "t25_annotate" -> t25Annotate)
+
+  /** The t08 oracle body (no ORDER BY) — shared with t25. */
+  private val t08Sql: String =
+    """SELECT doc_id, n_tok, n_distinct,
+      |  CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS distinct_ratio,
+      |  top_tok_ct,
+      |  CAST(top_tok_ct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_tok_frac,
+      |  n_bigram,
+      |  CASE WHEN n_bigram > 0
+      |       THEN CAST(n_bigram - n_bigram_distinct AS DOUBLE) / CAST(n_bigram AS DOUBLE)
+      |       ELSE 0.0 END AS dup_bigram_frac
+      |FROM (
+      |  SELECT doc_id, n_tok,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |    CAST(list_max(list_transform(list_distinct(toks),
+      |      t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS top_tok_ct,
+      |    CAST(len(bigrams) AS BIGINT) AS n_bigram,
+      |    CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_bigram_distinct
+      |  FROM (
+      |    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+      |      list_transform(range(1, CAST(len(toks) AS BIGINT)),
+      |        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |          FROM documents)))""".stripMargin
+
+  /** The t01 oracle's pred-lang derivation (no ORDER BY) — shared
+    * with t25. */
+  private def predLangSql: String = {
+    val hits = langWords.map { case (l, ws) => s"${hitsSql(ws)} AS ${l}_hits" }
+      .mkString(",\n       ")
+    val maxExpr = langWords.map { case (l, _) => s"${l}_hits" }
+      .mkString("greatest(", ", ", ")")
+    val cases = langWords.map { case (l, _) =>
+      s"WHEN ${l}_hits = $maxExpr AND $maxExpr > 0 THEN '$l'"
+    }.mkString("\n       ")
+    s"""SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+       |  CASE $cases ELSE 'und' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang,
+       |       $hits
+       |  FROM documents)""".stripMargin
+  }
 
   /** The t15 oracle's CTE list (toks/big/uni/vv/c2) — shared with the
     * t22 perplexity bucketing in [[CorpusStats]]. */
@@ -905,22 +995,25 @@ object TextOps extends QueryModule {
   }
 
   override val oracle: Map[String, String] = Map(
-    "t01_lang_id" -> {
-      val hits = langWords.map { case (l, ws) => s"${hitsSql(ws)} AS ${l}_hits" }
-        .mkString(",\n       ")
-      val maxExpr = langWords.map { case (l, _) => s"${l}_hits" }
-        .mkString("greatest(", ", ", ")")
-      val cases = langWords.map { case (l, _) =>
-        s"WHEN ${l}_hits = $maxExpr AND $maxExpr > 0 THEN '$l'"
-      }.mkString("\n       ")
-      s"""SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits, zh_hits,
-         |  CASE $cases ELSE 'und' END AS pred_lang
-         |FROM (
-         |  SELECT doc_id, lang,
-         |       $hits
-         |  FROM documents)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "t01_lang_id" ->
+      s"""$predLangSql
+         |ORDER BY doc_id""".stripMargin,
+    "t25_annotate" ->
+      s"""WITH q AS (${qualityColsSql}),
+         |r AS (SELECT doc_id, distinct_ratio, top_tok_frac, dup_bigram_frac
+         |      FROM ($t08Sql)),
+         |l AS (SELECT doc_id, pred_lang FROM ($predLangSql)),
+         |x AS (SELECT doc_id,
+         |        list_min(list_transform(range(1, CAST(greatest(length(text) - 7, 1) AS BIGINT) + 1),
+         |          i -> ${Portable.h60Sql("substr(text, CAST(i AS INT), 8)")})) AS fp,
+         |        CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+         |        CAST(len(regexp_extract_all(text, '$longNumRe')) AS BIGINT) AS n_long_nums
+         |      FROM documents)
+         |SELECT q.doc_id, q.lang, q.source, l.pred_lang, q.n_tok, q.n_char,
+         |       q.quality, x.fp, x.n_emails, x.n_long_nums,
+         |       r.distinct_ratio, r.top_tok_frac, r.dup_bigram_frac
+         |FROM q JOIN r USING (doc_id) JOIN l USING (doc_id) JOIN x USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "t02_quality" -> {
       val stop = hitsSql(langWords.head._2)
       s"""SELECT doc_id, n_tok, n_char, stop_hits, avg_word_len, stop_ratio,
@@ -1119,28 +1212,8 @@ object TextOps extends QueryModule {
         |      FROM documents)
         |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin,
     "t08_repetition" ->
-      """SELECT doc_id, n_tok, n_distinct,
-        |  CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS distinct_ratio,
-        |  top_tok_ct,
-        |  CAST(top_tok_ct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_tok_frac,
-        |  n_bigram,
-        |  CASE WHEN n_bigram > 0
-        |       THEN CAST(n_bigram - n_bigram_distinct AS DOUBLE) / CAST(n_bigram AS DOUBLE)
-        |       ELSE 0.0 END AS dup_bigram_frac
-        |FROM (
-        |  SELECT doc_id, n_tok,
-        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-        |    CAST(list_max(list_transform(list_distinct(toks),
-        |      t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS top_tok_ct,
-        |    CAST(len(bigrams) AS BIGINT) AS n_bigram,
-        |    CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_bigram_distinct
-        |  FROM (
-        |    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
-        |      list_transform(range(1, CAST(len(toks) AS BIGINT)),
-        |        i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
-        |    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-        |          FROM documents)))
-        |ORDER BY doc_id""".stripMargin,
+      s"""$t08Sql
+         |ORDER BY doc_id""".stripMargin,
     "t09_pack_sequences" ->
       // CAST the windowed-sum derivatives back to BIGINT: DuckDB's
       // SUM(BIGINT) widens to HUGEINT, which would diverge from
