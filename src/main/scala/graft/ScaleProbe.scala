@@ -129,7 +129,10 @@ object ScaleProbe {
       "c28_hybrid_rrf" -> operators.SearchOps.c28HybridRrf _,
       "t22_ppl_buckets" -> operators.CorpusStats.t22PplBuckets _,
       "t23_dataset_card" -> operators.CorpusStats.t23DatasetCard _,
-      "t24_temperature_mix" -> operators.TextOps.t24TemperatureMix _)
+      "t24_temperature_mix" -> operators.TextOps.t24TemperatureMix _,
+      "t25_annotate" -> operators.TextOps.t25Annotate _,
+      "c29_containment" -> operators.DedupOps.c29Containment _,
+      "m05_video_neardup" -> operators.MediaOps.m05VideoNeardup _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

@@ -344,7 +344,17 @@ object CorpusStats extends QueryModule {
   /** Fixed-point scale for the card's quality sums (exact BIGINT
     * accumulation — float sums would diverge across engines by
     * summation order). */
-  private val CARD_Q = 1L << 20
+  private[graft] val CARD_Q = 1L << 20
+
+  /** The card's per-row feature projection (source, lang, nt, nc,
+    * qfp) — shared by batch t23 (rollup) and the streaming running
+    * card (graft.streaming.Jobs.cardIngest, leaf grain only). */
+  private[graft] def cardFeatures(docs: DataFrame): DataFrame =
+    TextOps.withQualityCols(docs)
+      .select(col("source"), col("lang"),
+        coalesce(col("n_tok"), lit(0L)).as("nt"),
+        coalesce(col("n_char"), lit(0L)).as("nc"),
+        floor(col("quality") * CARD_Q).cast(LongType).as("qfp"))
 
   /** t23 — the DATASET CARD rollup: one query emitting the
     * (source × language), per-source, and whole-corpus grain of the
@@ -358,11 +368,7 @@ object CorpusStats extends QueryModule {
     * end; null-text docs count toward n_docs but contribute no
     * token/quality mass (explicit coalesce, same on both sides). */
   def t23DatasetCard(s: SparkSession, d: String): DataFrame =
-    TextOps.withQualityCols(Tables.documents(s, d))
-      .select(col("source"), col("lang"),
-        coalesce(col("n_tok"), lit(0L)).as("nt"),
-        coalesce(col("n_char"), lit(0L)).as("nc"),
-        floor(col("quality") * CARD_Q).cast(LongType).as("qfp"))
+    cardFeatures(Tables.documents(s, d))
       .rollup(col("source"), col("lang"))
       .agg(
         (grouping(col("source")) * 2 + grouping(col("lang")))

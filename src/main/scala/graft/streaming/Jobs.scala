@@ -472,6 +472,60 @@ object Jobs {
       .as[SearchHit]
   }
 
+  /** Standing-query DENSE retrieval over a vector ingest stream —
+    * the c06/c28-dense face of [[bm25SearchIngest]]: the query
+    * vectors are frozen literals (bounded: |Q|·DIM floats), each
+    * micro-batch is scored by one narrow codegen'd projection
+    * (graft_dot against every literal), no joins, no shuffle, no
+    * state. Stream scores are EXACTLY the batch dot products (same
+    * native fold, same order — VecIngestSpec), so a stream-side
+    * threshold gate agrees with any batch re-check. Batch c06 ranks
+    * top-k after seeing the whole corpus; an ingest gate can only
+    * threshold — the same batch-quota/stream-threshold split as
+    * DSIR/BM25. */
+  def annScoreIngest(spark: SparkSession, raw: DataFrame,
+      queryVecs: Seq[(String, Seq[Float])],
+      minScore: Double): Dataset[VecHit] = {
+    import spark.implicits._
+    import graft.functions.Portable
+    require(queryVecs.nonEmpty, "need at least one standing query")
+    val perQ = queryVecs.map { case (qid, v) =>
+      struct(lit(qid).as("qid"),
+        Portable.dot(col("embedding"), typedLit(v)).as("score")) }
+    raw
+      .select(col("vec_id"), explode(array(perQ: _*)).as("q"))
+      .select(col("vec_id"), col("q.qid").as("qid"), col("q.score").as("score"))
+      .filter(col("score") >= minScore)
+      .as[VecHit]
+  }
+
+  /** Streaming twin of t23's LEAF grain: the running dataset card.
+    * Each micro-batch folds into one stateful aggregation keyed by
+    * (source, lang) — bounded state: one row per grain cell, never
+    * per document, so the query holds a dataset-card's worth of
+    * state over any stream length. Quality accumulates in the same
+    * fixed point as batch t23; the mean divides once at read time.
+    * After the stream drains, the complete-mode table is EXACTLY the
+    * batch t23 lvl-0 rows over the same documents (CardIngestSpec) —
+    * integer sums, identical division. The rollup grains (per-source,
+    * global) are batch-side reads over this tiny table, not stream
+    * state. Emit with outputMode("complete") (grain table is the
+    * result) or "update" (changed cells only). */
+  def cardIngest(spark: SparkSession, raw: DataFrame): DataFrame =
+    graft.operators.CorpusStats.cardFeatures(raw)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("qfp")).as("q_sum"),
+        count(col("qfp")).as("q_cnt"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("n_tokens"), col("n_chars"),
+        (col("q_sum").cast("double") / col("q_cnt").cast("double") /
+          lit(graft.operators.CorpusStats.CARD_Q).cast("double"))
+          .as("avg_quality"))
+
   def substringDupIngest(spark: SparkSession, raw: DataFrame,
       corpus: DataFrame): Dataset[DocRow] = {
     import spark.implicits._

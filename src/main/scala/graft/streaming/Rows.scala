@@ -51,12 +51,22 @@ final case class ScrubbedDoc(doc_id: Long, text: String, n_removed: Long)
 /** A language-tagged document flowing through an ingest stream. */
 final case class LangDoc(doc_id: Long, lang: String, text: String)
 
+/** A fully-attributed document for the running dataset card. */
+final case class CardDoc(doc_id: Long, text: String, lang: String,
+    source: String)
+
 /** A document scored by the DSIR ingest gate. */
 final case class ScoredDoc(doc_id: Long, lang: String, n_big: Long,
     dsir_score: Double)
 
 /** A (document, standing query) match from the BM25 ingest scorer. */
 final case class SearchHit(doc_id: Long, qid: String, score: Long)
+
+/** An embedding row flowing through a vector ingest stream. */
+final case class VecRow(vec_id: Long, embedding: Seq[Float])
+
+/** A (vector, standing query) match from the dense ingest scorer. */
+final case class VecHit(vec_id: Long, qid: String, score: Double)
 
 /** Keyed state for streaming exact dedup: whether the content hash
   * has already emitted a document. */
