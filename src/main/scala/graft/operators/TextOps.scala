@@ -746,6 +746,88 @@ object TextOps extends QueryModule {
     }
   }
 
+  /** Merge rounds for t26 (production raises this to the target
+    * vocabulary size; the loop shape is identical). */
+  private val BPE_ROUNDS = 8
+
+  /** t26 — BPE tokenizer TRAINING (Sennrich et al. 2016): learn the
+    * first [[BPE_ROUNDS]] merge rules from the corpus, starting at
+    * character level. Each round counts adjacent-pair frequencies
+    * over the CURRENT segmentation (weighted by word frequency),
+    * adopts the most frequent pair (ties broken lexicographically —
+    * fully deterministic), and re-segments by merging that pair's
+    * non-overlapping occurrences left-to-right.
+    *
+    * Scale stance — the reason this belongs on a 100 TB engine: the
+    * corpus is scanned ONCE (the word count); every training round
+    * then runs over the DISTINCT-WORD table, which is bounded by the
+    * language's vocabulary, not the corpus (Heaps' law: ~10^6-10^7
+    * rows at web scale). Per round: one pair aggregation over that
+    * bounded table (map-side combine) + a 1-row collect — the same
+    * driver-bounded loop discipline as c10's label propagation and
+    * c12's Lloyd step. Re-segmentation is a per-row array fold, no
+    * shuffle.
+    *
+    * No DuckDB oracle: the merge recurrence (round r's counts depend
+    * on round r−1's winner) has no single-statement SQL form — the
+    * a21x precedent: rows-only driver check, correctness pinned by
+    * BpeLearnSpec against an independent in-memory reference
+    * implementation. */
+  def t26BpeLearn(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"), expr(
+        "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))")
+        .as("toks"))
+    bpeLearn(s, words, BPE_ROUNDS)
+  }
+
+  /** Core of t26: `words0` = (wc, toks) over the distinct-word
+    * table; emits (rank, a, b, freq) — the learned merge table. */
+  private[graft] def bpeLearn(s: SparkSession, words0: DataFrame,
+      rounds: Int): DataFrame = {
+    import scala.collection.mutable.ArrayBuffer
+    var words = words0.localCheckpoint()
+    val merges = ArrayBuffer[(Long, String, String, Long)]()
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val top = words
+        .where(size(col("toks")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS a, toks[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r + 1L, a, b, f))
+        // merge non-overlapping (a, b) occurrences left-to-right:
+        // fold rebuilds the token array, replacing a trailing `a`
+        // when `b` arrives; the merged token never re-merges within
+        // the same round (its VALUE a||b no longer equals `a`).
+        val folded = aggregate(col("toks"),
+          array().cast(ArrayType(StringType)),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(lit(a), lit(b)))))
+            .otherwise(concat(acc, array(x))))
+        val next = words.select(col("wc"), folded.as("toks")).localCheckpoint()
+        words = next
+        r += 1
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("rank", "a", "b", "freq")
+      .orderBy(col("rank"))
+  }
+
   /** t04b — the fingerprint query as SQL TEXT (the a23b precedent
     * extended to the pipeline surface): the native `graft_winnow60`
     * expression is registered through SparkSessionExtensions, so a
@@ -897,7 +979,8 @@ object TextOps extends QueryModule {
     "t19_rule_filter" -> t19RuleFilter,
     "t20_bpe_pairs" -> t20BpePairs,
     "t24_temperature_mix" -> t24TemperatureMix,
-    "t25_annotate" -> t25Annotate)
+    "t25_annotate" -> t25Annotate,
+    "t26_bpe_learn" -> t26BpeLearn)
 
   /** The t08 oracle body (no ORDER BY) — shared with t25. */
   private val t08Sql: String =
