@@ -828,6 +828,56 @@ object TextOps extends QueryModule {
       .orderBy(col("rank"))
   }
 
+  /** t27 — APPLY the learned BPE tokenizer: segment every document
+    * with t26's merge table, in rank order (the standard two-phase
+    * tokenizer lifecycle: train once on a sample, apply everywhere).
+    * The merge table is driver-bounded (R rows) and compiles into R
+    * chained per-row folds over each word's character array — one
+    * narrow codegen-free-but-shuffle-free pass; the corpus is
+    * touched once. Emits per doc: subword count under the learned
+    * vocabulary, whitespace-word count, and the fertility ratio —
+    * the end-to-end answer to "did training help" (compare against
+    * t18's fixed-vocab fertility). Spec-pinned to the same
+    * independent reference as t26 (no SQL face: the segmentation
+    * depends on the learned recurrence). */
+  def t27BpeApply(s: SparkSession, d: String): DataFrame = {
+    val merges = t26BpeLearn(s, d)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    bpeApply(Tables.documents(s, d), merges)
+  }
+
+  /** Core of t27: segment `docs` by `merges` (in order). */
+  private[graft] def bpeApply(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    def mergeFold(toksCol: Column, a: String, b: String): Column =
+      aggregate(toksCol, array().cast(ArrayType(StringType)),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(lit(a), lit(b)))))
+          .otherwise(concat(acc, array(x))))
+    val chars = expr(
+      "transform(sequence(1, char_length(w)), i -> substring(w, i, 1))")
+    val seg = merges.foldLeft(chars) { case (c, (a, b)) => mergeFold(c, a, b) }
+    // Segment the DISTINCT-WORD table (vocabulary-bound — the t03b
+    // oracle's trick), then join counts back onto occurrences: the
+    // R-fold chain runs |vocab| times, not once per token occurrence.
+    val words = docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+    val wn = words.select(col("w")).distinct()
+      .select(col("w"), size(seg).cast(LongType).as("n_sub"))
+    words.join(wn, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ws_tokens"), sum(col("n_sub")).as("bpe_tokens"))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+        (col("bpe_tokens").cast(DoubleType) / col("ws_tokens").cast(DoubleType))
+          .as("fertility"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t04b — the fingerprint query as SQL TEXT (the a23b precedent
     * extended to the pipeline surface): the native `graft_winnow60`
     * expression is registered through SparkSessionExtensions, so a
@@ -980,7 +1030,8 @@ object TextOps extends QueryModule {
     "t20_bpe_pairs" -> t20BpePairs,
     "t24_temperature_mix" -> t24TemperatureMix,
     "t25_annotate" -> t25Annotate,
-    "t26_bpe_learn" -> t26BpeLearn)
+    "t26_bpe_learn" -> t26BpeLearn,
+    "t27_bpe_apply" -> t27BpeApply)
 
   /** The t08 oracle body (no ORDER BY) — shared with t25. */
   private val t08Sql: String =

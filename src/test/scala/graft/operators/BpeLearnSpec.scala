@@ -61,6 +61,32 @@ class BpeLearnSpec extends SparkSpec {
     assert(got(1) === ((2L, "aa", "aa", 1L)))
   }
 
+  test("t27 apply: per-word subword counts match the reference segmentation") {
+    val wc = Map("low" -> 5L, "lower" -> 2L, "lowest" -> 6L, "newest" -> 3L)
+    val merges = refBpe(wc, 6).map { case (_, a, b, _) => (a, b) }
+    // reference apply: fold each merge over each word's chars
+    def refSeg(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) { case (toks, (a, b)) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.size) {
+          if (i + 1 < toks.size && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.result()
+      }
+    val docs = Seq(
+      (1L, "low lower"), (2L, "lowest newest newest"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeApply(docs, merges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((2L, refSeg("low").size.toLong + refSeg("lower").size.toLong)))
+    assert(got(2L) === ((3L,
+      refSeg("lowest").size.toLong + 2 * refSeg("newest").size.toLong)))
+  }
+
   test("corpus training is deterministic and ranks are contiguous") {
     val a = TextOps.t26BpeLearn(spark, "/root/testdata/sf0.001")
       .as[(Long, String, String, Long)].collect().toSeq
