@@ -132,7 +132,8 @@ object ScaleProbe {
       "t24_temperature_mix" -> operators.TextOps.t24TemperatureMix _,
       "t25_annotate" -> operators.TextOps.t25Annotate _,
       "c29_containment" -> operators.DedupOps.c29Containment _,
-      "m05_video_neardup" -> operators.MediaOps.m05VideoNeardup _)
+      "m05_video_neardup" -> operators.MediaOps.m05VideoNeardup _,
+      "c30_cross_source_dup" -> operators.DedupOps.c30CrossSourceDup _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

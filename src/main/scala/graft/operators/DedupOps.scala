@@ -1162,6 +1162,29 @@ object DedupOps extends QueryModule {
   def c29Containment(s: SparkSession, d: String): DataFrame =
     c29ContainmentOf(Tables.documents(s, d))
 
+  /** c30 — the cross-SOURCE duplication matrix: near-dup pairs (c02)
+    * rolled up by the unordered source pair they straddle. This is
+    * the provenance question every multi-source corpus audit asks —
+    * which feeds copy from which (mirrors, scrapers, syndication) —
+    * and it prices the marginal value of adding a source BEFORE
+    * paying to ingest it. Diagonal rows (src = src) measure
+    * within-feed redundancy. Scale shape: c02's candidate machinery
+    * end-to-end plus two broadcast-size joins against the (doc_id,
+    * source) projection and one grain-bounded aggregation —
+    * |sources|² rows out, whatever the corpus. */
+  def c30CrossSourceDup(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    c02MinhashLsh(s, d)
+      .select(col("da"), col("db"))
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb")), Seq("db"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** c19b — the per-DOCUMENT face of c19: what fraction of a doc's
     * winnowing fingerprints is shared with ANY other document. This
     * is the decision signal the ExactSubstr pass actually filters
@@ -1375,7 +1398,8 @@ object DedupOps extends QueryModule {
     "c20_decon_consensus" -> c20DeconConsensus,
     "c21_split_leakage" -> c21SplitLeakage,
     "c21b_split_repair" -> c21bSplitRepair,
-    "c29_containment" -> c29Containment)
+    "c29_containment" -> c29Containment,
+    "c30_cross_source_dup" -> c30CrossSourceDup)
 
   // ---------------------------------------------------------------
   // DuckDB oracle twins — same algorithm, same hashes, stage by stage
@@ -1700,6 +1724,17 @@ object DedupOps extends QueryModule {
          |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY da, db
          |ORDER BY da, db""".stripMargin,
+    "c30_cross_source_dup" ->
+      s"""WITH $c02Ctes,
+         |pairs AS (SELECT da, db FROM (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")}))
+         |SELECT least(sa.source, sb.source) AS src_a,
+         |       greatest(sa.source, sb.source) AS src_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs
+         |JOIN documents sa ON pairs.da = sa.doc_id
+         |JOIN documents sb ON pairs.db = sb.doc_id
+         |GROUP BY src_a, src_b
+         |ORDER BY src_a, src_b""".stripMargin,
     "c29_containment" ->
       s"""WITH $winnowFpCtes,
          |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n

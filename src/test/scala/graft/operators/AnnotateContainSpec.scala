@@ -57,6 +57,18 @@ class AnnotateContainSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == 3L || r._2 == 3L))
   }
 
+  test("c30 matrix totals equal the c02 pair count; keys are canonical") {
+    val matrix = DedupOps.c30CrossSourceDup(spark, sf)
+      .as[(String, String, Long)].collect().toSeq
+    val totalPairs = DedupOps.c02MinhashLsh(spark, sf).count()
+    assert(matrix.map(_._3).sum === totalPairs,
+      "every near-dup pair must land in exactly one matrix cell")
+    matrix.foreach { case (a, b, n) =>
+      assert(a <= b, s"unordered key not canonical: ($a, $b)")
+      assert(n > 0)
+    }
+  }
+
   test("c29 determinism and bounds on the real corpus") {
     val a = DedupOps.c29Containment(spark, sf).collect()
     val b = DedupOps.c29Containment(spark, sf).collect()
