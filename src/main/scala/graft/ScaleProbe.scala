@@ -133,7 +133,8 @@ object ScaleProbe {
       "t25_annotate" -> operators.TextOps.t25Annotate _,
       "c29_containment" -> operators.DedupOps.c29Containment _,
       "m05_video_neardup" -> operators.MediaOps.m05VideoNeardup _,
-      "c30_cross_source_dup" -> operators.DedupOps.c30CrossSourceDup _)
+      "c30_cross_source_dup" -> operators.DedupOps.c30CrossSourceDup _,
+      "t28_classifier_filter" -> operators.TextOps.t28ClassifierFilter _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

@@ -878,6 +878,45 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** t28 hashing-trick feature space and weight fixed point. */
+  private val CLF_B = 4096L
+  private val CLF_Q = 1000L
+
+  /** t28 — LINEAR-classifier quality filtering (the FineWeb-Edu /
+    * fastText-style model-based gate): each document's hashed
+    * bag-of-words margin  Σ_tok w[h(tok) mod B]  decides keep/drop.
+    * The weight for a bucket is derived here from the portable hash
+    * (w ∈ [−1000, 1000] fixed-point — a deterministic stand-in; in
+    * production the literal weight table of a TRAINED classifier
+    * ships exactly like dsirScoreAgainst's ratio table, and every
+    * line of the plumbing — hashing, per-row fold, threshold — is
+    * unchanged). The margin stays an exact BIGINT sum, so the keep
+    * decision is bit-portable; only the reported mean margin divides
+    * to double. One narrow codegen'd pass, no shuffle — at 100 TB
+    * this rides whatever scan feeds the rest of the pipeline, the
+    * t19 argument. Raw margins (not sigmoid probabilities): exp()
+    * is not bit-portable across engines and the GATE only needs the
+    * sign. */
+  def t28ClassifierFilter(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("__toks", toks)
+      .select(col("doc_id"),
+        coalesce(size(col("__toks")), lit(0)).cast(LongType).as("n_tok"),
+        aggregate(
+          coalesce(col("__toks"), array().cast(ArrayType(StringType))),
+          lit(0L),
+          (acc, t) => acc +
+            (Portable.h60(concat(lit("clfw:"),
+              (Portable.h60(t) % CLF_B).cast(StringType))) % (2 * CLF_Q + 1))
+            - CLF_Q)
+          .as("margin_fp"))
+      .select(col("doc_id"), col("n_tok"), col("margin_fp"),
+        when(col("n_tok") > 0,
+          col("margin_fp").cast(DoubleType) / col("n_tok").cast(DoubleType) /
+            lit(CLF_Q).cast(DoubleType)).otherwise(lit(0.0)).as("margin"),
+        (col("margin_fp") >= 0L).cast(LongType).as("kept"))
+      .orderBy(col("doc_id"))
+
   /** t04b — the fingerprint query as SQL TEXT (the a23b precedent
     * extended to the pipeline surface): the native `graft_winnow60`
     * expression is registered through SparkSessionExtensions, so a
@@ -1031,7 +1070,8 @@ object TextOps extends QueryModule {
     "t24_temperature_mix" -> t24TemperatureMix,
     "t25_annotate" -> t25Annotate,
     "t26_bpe_learn" -> t26BpeLearn,
-    "t27_bpe_apply" -> t27BpeApply)
+    "t27_bpe_apply" -> t27BpeApply,
+    "t28_classifier_filter" -> t28ClassifierFilter)
 
   /** The t08 oracle body (no ORDER BY) — shared with t25. */
   private val t08Sql: String =
@@ -1391,6 +1431,27 @@ object TextOps extends QueryModule {
          |              ${Portable.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
          |            FROM documents))))
          |ORDER BY doc_id, bin""".stripMargin,
+    "t28_classifier_filter" -> {
+      val wTok = s"(${Portable.h60Sql(
+        s"'clfw:' || CAST(${Portable.h60Sql("tok")} % $CLF_B AS VARCHAR)")} " +
+        s"% ${2 * CLF_Q + 1}) - $CLF_Q"
+      s"""SELECT doc_id, n_tok, margin_fp,
+         |  CASE WHEN n_tok > 0
+         |       THEN CAST(margin_fp AS DOUBLE) / CAST(n_tok AS DOUBLE) /
+         |            CAST($CLF_Q AS DOUBLE)
+         |       ELSE 0.0 END AS margin,
+         |  CAST(CASE WHEN margin_fp >= 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(COALESCE(len(t), 0) AS BIGINT) AS n_tok,
+         |    CAST(list_reduce([CAST(0 AS BIGINT)] ||
+         |      list_transform(COALESCE(t, CAST([] AS VARCHAR[])),
+         |        tok -> $wTok),
+         |      (x, y) -> x + y) AS BIGINT) AS margin_fp
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
     "t24_temperature_mix" ->
       s"""WITH lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
          |            FROM documents WHERE lang IS NOT NULL GROUP BY lang),

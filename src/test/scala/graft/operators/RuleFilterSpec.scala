@@ -69,4 +69,20 @@ class RuleFilterSpec extends SparkSpec {
     assert(words < n, "word-count floor should reject some short docs")
     assert(stop < n, "stopword floor should reject some non-English docs")
   }
+
+  test("t28: margin is the exact hashed-weight sum; gate follows its sign") {
+    val rows = TextOps.t28ClassifierFilter(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nTok, marginFp, margin, kept) =>
+      assert(kept === (if (marginFp >= 0) 1L else 0L))
+      if (nTok > 0)
+        assert(margin === marginFp.toDouble / nTok.toDouble / 1000.0)
+      assert(math.abs(marginFp) <= nTok * 1000L, "per-token weight bound")
+    }
+    // the fixture weight function must actually discriminate
+    val keptCt = rows.count(_._5 == 1L)
+    assert(keptCt > 0 && keptCt < rows.size,
+      s"classifier gate must split the corpus (kept $keptCt of ${rows.size})")
+  }
 }
