@@ -134,7 +134,8 @@ object ScaleProbe {
       "c29_containment" -> operators.DedupOps.c29Containment _,
       "m05_video_neardup" -> operators.MediaOps.m05VideoNeardup _,
       "c30_cross_source_dup" -> operators.DedupOps.c30CrossSourceDup _,
-      "t28_classifier_filter" -> operators.TextOps.t28ClassifierFilter _)
+      "t28_classifier_filter" -> operators.TextOps.t28ClassifierFilter _,
+      "t29_chunk" -> operators.TextOps.t29Chunk _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

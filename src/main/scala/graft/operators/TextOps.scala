@@ -917,6 +917,38 @@ object TextOps extends QueryModule {
         (col("margin_fp") >= 0L).cast(LongType).as("kept"))
       .orderBy(col("doc_id"))
 
+  /** t29 chunk geometry: 64-token windows, stride 48 (16 overlap). */
+  private val CHUNK_N = 64
+  private val CHUNK_STRIDE = 48
+
+  /** t29 — strided document CHUNKING: split every document into
+    * fixed-size token windows with overlap — the preprocessing step
+    * both RAG indexing and long-document training pipelines run
+    * before embedding/packing (overlap keeps boundary-straddling
+    * context retrievable). One narrow pass with a bounded explode
+    * (≤ n_tok/stride + 1 chunks per doc), no shuffle; chunk identity
+    * is (doc_id, chunk_idx), reproducible from the text alone.
+    * Emits the chunk text plus its exact token span so downstream
+    * stages (c06/c22 embedding search, t09 packing) can join back
+    * without re-tokenizing. */
+  def t29Chunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast(LongType).as("n_tok"))
+      .where(col("n_tok") >= 1)
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        posexplode(sequence(lit(0L), col("n_tok") - 1L, lit(CHUNK_STRIDE.toLong))))
+      .toDF("doc_id", "toks", "n_tok", "chunk_idx", "start_tok")
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("start_tok"),
+        least(lit(CHUNK_N.toLong), col("n_tok") - col("start_tok"))
+          .as("n_chunk_tok"),
+        array_join(slice(col("toks"), (col("start_tok") + 1L).cast("int"),
+          lit(CHUNK_N)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** t04b — the fingerprint query as SQL TEXT (the a23b precedent
     * extended to the pipeline surface): the native `graft_winnow60`
     * expression is registered through SparkSessionExtensions, so a
@@ -1071,7 +1103,8 @@ object TextOps extends QueryModule {
     "t25_annotate" -> t25Annotate,
     "t26_bpe_learn" -> t26BpeLearn,
     "t27_bpe_apply" -> t27BpeApply,
-    "t28_classifier_filter" -> t28ClassifierFilter)
+    "t28_classifier_filter" -> t28ClassifierFilter,
+    "t29_chunk" -> t29Chunk)
 
   /** The t08 oracle body (no ORDER BY) — shared with t25. */
   private val t08Sql: String =
@@ -1431,6 +1464,24 @@ object TextOps extends QueryModule {
          |              ${Portable.h60Sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
          |            FROM documents))))
          |ORDER BY doc_id, bin""".stripMargin,
+    "t29_chunk" ->
+      s"""SELECT doc_id,
+         |  CAST(i AS BIGINT) AS chunk_idx,
+         |  CAST(s AS BIGINT) AS start_tok,
+         |  CAST(least($CHUNK_N, n_tok - s) AS BIGINT) AS n_chunk_tok,
+         |  array_to_string(t[s + 1:s + $CHUNK_N], ' ') AS chunk_text
+         |FROM (
+         |  SELECT doc_id, t, n_tok,
+         |    generate_subscripts(starts, 1) - 1 AS i,
+         |    unnest(starts) AS s
+         |  FROM (
+         |    SELECT doc_id, t, n_tok,
+         |      range(0, CAST(n_tok AS BIGINT), $CHUNK_STRIDE) AS starts
+         |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t,
+         |            len(string_split_regex(text, '\\s+')) AS n_tok
+         |          FROM documents WHERE text IS NOT NULL)
+         |    WHERE n_tok >= 1))
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "t28_classifier_filter" -> {
       val wTok = s"(${Portable.h60Sql(
         s"'clfw:' || CAST(${Portable.h60Sql("tok")} % $CLF_B AS VARCHAR)")} " +

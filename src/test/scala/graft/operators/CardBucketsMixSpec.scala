@@ -57,6 +57,35 @@ class CardBucketsMixSpec extends SparkSpec {
       .flatten.foreach(q => assert(q >= 0.0 && q <= 1.0))
   }
 
+  test("t29: chunks tile every document at the stride; spans cover all tokens") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), "\\s+")).cast("long")
+          .as("n_tok"))
+      .as[(Long, Long)].collect().toMap
+    val chunks = TextOps.t29Chunk(spark, sf)
+      .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tok", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val n = docs(id)
+      val sorted = cs.sortBy(_._2)
+      // indices contiguous from 0; starts at exact stride multiples
+      assert(sorted.map(_._2) === (0L until sorted.size.toLong))
+      sorted.foreach { case (_, idx, start, len, text) =>
+        assert(start === idx * 48)
+        assert(len === math.min(64L, n - start) && len >= 1)
+        assert(text.split(" ", -1).length.toLong === len, s"doc $id chunk $idx")
+      }
+      // the last chunk reaches the end of the document
+      val last = sorted.last
+      assert(last._3 + last._4 === n || last._4 === 64L)
+      assert(last._3 + 48 >= n, "no token can start an uncovered chunk")
+    }
+  }
+
   test("t24: minority languages upsampled, volume preserved, rates reproducible") {
     val docs = Tables.documents(spark, sf)
     val rates = TextOps.temperatureRates(docs)
