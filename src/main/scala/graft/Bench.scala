@@ -51,7 +51,7 @@ object Bench {
     "c28_hybrid_rrf", "t22_ppl_buckets", "t23_dataset_card",
     "t24_temperature_mix", "t25_annotate", "c29_containment",
     "t26_bpe_learn", "t27_bpe_apply", "c30_cross_source_dup",
-    "t28_classifier_filter", "t29_chunk")
+    "t28_classifier_filter", "t29_chunk", "c31_chunk_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -135,7 +135,8 @@ object ScaleProbe {
       "m05_video_neardup" -> operators.MediaOps.m05VideoNeardup _,
       "c30_cross_source_dup" -> operators.DedupOps.c30CrossSourceDup _,
       "t28_classifier_filter" -> operators.TextOps.t28ClassifierFilter _,
-      "t29_chunk" -> operators.TextOps.t29Chunk _)
+      "t29_chunk" -> operators.TextOps.t29Chunk _,
+      "c31_chunk_dedup" -> operators.TextOps.c31ChunkDedup _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

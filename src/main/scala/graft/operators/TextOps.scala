@@ -949,6 +949,32 @@ object TextOps extends QueryModule {
           lit(CHUNK_N)), " ").as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** c31 — CHUNK-granularity exact dedup: t29's windows hashed and
+    * grouped, keeping hashes that recur (in other documents or
+    * elsewhere in the same one). This is boilerplate detection at
+    * the retrieval grain — a chunk store (RAG index, packed
+    * pretraining shards) wants each chunk ONCE, and the chunk grain
+    * catches repeated spans c01's whole-document hash can never see.
+    * Same scale shape as c01: one keyed aggregation on the content
+    * hash, grain rows only across the shuffle. */
+  def c31ChunkDedup(s: SparkSession, d: String): DataFrame =
+    t29Chunk(s, d)
+      .select(md5(regexp_replace(lower(col("chunk_text")), "\\s+", " "))
+        .as("chunk_hash"),
+        col("doc_id"), col("chunk_idx"))
+      .groupBy(col("chunk_hash"))
+      .agg(
+        count(lit(1)).as("dup_ct"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        // canonical (doc, chunk) as one packed BIGINT min — portable
+        // across engines where a struct-min's ordering might not be
+        min(col("doc_id") * lit(1048576L) + col("chunk_idx")).as("ck"))
+      .filter(col("dup_ct") >= 2)
+      .select(col("chunk_hash"), col("dup_ct"), col("n_docs"),
+        expr("ck div 1048576").as("canonical_doc"),
+        (col("ck") % 1048576L).as("canonical_chunk"))
+      .orderBy(col("canonical_doc"), col("canonical_chunk"), col("chunk_hash"))
+
   /** t04b — the fingerprint query as SQL TEXT (the a23b precedent
     * extended to the pipeline surface): the native `graft_winnow60`
     * expression is registered through SparkSessionExtensions, so a
@@ -1104,7 +1130,27 @@ object TextOps extends QueryModule {
     "t26_bpe_learn" -> t26BpeLearn,
     "t27_bpe_apply" -> t27BpeApply,
     "t28_classifier_filter" -> t28ClassifierFilter,
-    "t29_chunk" -> t29Chunk)
+    "t29_chunk" -> t29Chunk,
+    "c31_chunk_dedup" -> c31ChunkDedup)
+
+  /** The t29 oracle body (no ORDER BY) — shared with c31. */
+  private val t29Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(i AS BIGINT) AS chunk_idx,
+       |  CAST(s AS BIGINT) AS start_tok,
+       |  CAST(least($CHUNK_N, n_tok - s) AS BIGINT) AS n_chunk_tok,
+       |  array_to_string(t[s + 1:s + $CHUNK_N], ' ') AS chunk_text
+       |FROM (
+       |  SELECT doc_id, t, n_tok,
+       |    generate_subscripts(starts, 1) - 1 AS i,
+       |    unnest(starts) AS s
+       |  FROM (
+       |    SELECT doc_id, t, n_tok,
+       |      range(0, CAST(n_tok AS BIGINT), $CHUNK_STRIDE) AS starts
+       |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t,
+       |            len(string_split_regex(text, '\\s+')) AS n_tok
+       |          FROM documents WHERE text IS NOT NULL)
+       |    WHERE n_tok >= 1))""".stripMargin
 
   /** The t08 oracle body (no ORDER BY) — shared with t25. */
   private val t08Sql: String =
@@ -1465,23 +1511,21 @@ object TextOps extends QueryModule {
          |            FROM documents))))
          |ORDER BY doc_id, bin""".stripMargin,
     "t29_chunk" ->
-      s"""SELECT doc_id,
-         |  CAST(i AS BIGINT) AS chunk_idx,
-         |  CAST(s AS BIGINT) AS start_tok,
-         |  CAST(least($CHUNK_N, n_tok - s) AS BIGINT) AS n_chunk_tok,
-         |  array_to_string(t[s + 1:s + $CHUNK_N], ' ') AS chunk_text
-         |FROM (
-         |  SELECT doc_id, t, n_tok,
-         |    generate_subscripts(starts, 1) - 1 AS i,
-         |    unnest(starts) AS s
-         |  FROM (
-         |    SELECT doc_id, t, n_tok,
-         |      range(0, CAST(n_tok AS BIGINT), $CHUNK_STRIDE) AS starts
-         |    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t,
-         |            len(string_split_regex(text, '\\s+')) AS n_tok
-         |          FROM documents WHERE text IS NOT NULL)
-         |    WHERE n_tok >= 1))
+      s"""$t29Sql
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "c31_chunk_dedup" ->
+      s"""WITH ch AS ($t29Sql)
+         |SELECT chunk_hash, dup_ct, n_docs,
+         |  ck // 1048576 AS canonical_doc,
+         |  ck % 1048576 AS canonical_chunk
+         |FROM (
+         |  SELECT md5(regexp_replace(lower(chunk_text), '\\s+', ' ', 'g')) AS chunk_hash,
+         |    CAST(count(*) AS BIGINT) AS dup_ct,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(MIN(doc_id * 1048576 + chunk_idx) AS BIGINT) AS ck
+         |  FROM ch GROUP BY chunk_hash)
+         |WHERE dup_ct >= 2
+         |ORDER BY canonical_doc, canonical_chunk, chunk_hash""".stripMargin,
     "t28_classifier_filter" -> {
       val wTok = s"(${Portable.h60Sql(
         s"'clfw:' || CAST(${Portable.h60Sql("tok")} % $CLF_B AS VARCHAR)")} " +
