@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -158,6 +159,128 @@ object AdsQueries extends QueryModule {
       .orderBy(col("ct").desc, col("keyword"))
       .limit(20)
 
+  /** b10 — cohort retention matrix: users grouped by their FIRST
+    * active date (the cohort), then counted on each later day they
+    * return, out to a 7-day offset. The standard growth-analytics
+    * report (reference's visitor-stats family generalized over time:
+    * VisitorStatsMapper.java:13-16 tracks only per-day uniques).
+    *
+    * Scale stance: the corpus-sized pass is the `(user, day)`
+    * DISTINCT — one shuffle keyed by the pair with map-side partial
+    * dedup, volume bounded by active user-days, not raw events. The
+    * cohort date then comes from a window over the SAME user-keyed
+    * rows (no join back against the event log), and everything after
+    * operates on (cohort, offset) cells — at most cohorts × 8 rows.
+    * Cohort sizes are read off the offset-0 cells rather than a
+    * second user-level aggregation. */
+  def b10Retention(s: SparkSession, d: String): DataFrame =
+    retention(Tables.events(s, d))
+
+  /** [[b10Retention]] core over any (user_id, ts) frame. */
+  private[graft] def retention(events: DataFrame): DataFrame = {
+    val byDay = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id"))
+    val off = byDay
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast(LongType))
+      .filter(col("day_offset") <= 7)
+    // (user, day) is distinct and cohort_day is per-user constant, so
+    // each user hits a (cohort, offset) cell at most once: count(*)
+    // IS the distinct-user count, no countDistinct shuffle needed.
+    val counts = off.groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = counts.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("active_users").as("cohort_users"))
+    counts.join(broadcast(sizes), Seq("cohort_day"))
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("active_users"),
+        (col("active_users").cast(DoubleType) /
+          col("cohort_users").cast(DoubleType)).as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** b11 — ordered funnel conversion (view → click → purchase): a
+    * step counts only when it happens strictly AFTER the user's first
+    * completion of the previous step, the sequencing the reference's
+    * CEP layer (KeywordStatsApp's bounce pattern, §2.A16) expresses
+    * for abandonment; here it is the positive-path twin.
+    *
+    * Scale stance: ONE shuffle — events hash-partitioned by user and
+    * sorted once; both running-minimum window passes (first view so
+    * far, first qualifying click so far) reuse that sort, and the
+    * per-user flag aggregation collapses on the same partitioning, so
+    * no second exchange. The frame excludes the current row, which
+    * encodes "strictly earlier" with (ts, event_id) as the total
+    * deterministic order. Output is 3 rows. */
+  def b11Funnel(s: SparkSession, d: String): DataFrame =
+    funnel(Tables.events(s, d))
+
+  /** [[b11Funnel]] core over any (user_id, ts, event_id, event_type)
+    * frame. */
+  private[graft] def funnel(events: DataFrame): DataFrame = {
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prior_view",
+        min(when(col("event_type") === "view", col("ts"))).over(frame))
+      .withColumn("qual_click",
+        col("event_type") === "click" && col("prior_view").isNotNull)
+      .withColumn("prior_click",
+        min(when(col("qual_click"), col("ts"))).over(frame))
+    val flags = ev.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "view", 1L).otherwise(0L)).as("f1"),
+      max(when(col("qual_click"), 1L).otherwise(0L)).as("f2"),
+      max(when(col("event_type") === "purchase" && col("prior_click").isNotNull, 1L)
+        .otherwise(0L)).as("f3"))
+    flags.agg(sum(col("f1")).as("u1"), sum(col("f2")).as("u2"), sum(col("f3")).as("u3"))
+      .select(explode(array(
+        struct(lit(1L).as("step"), lit("view").as("step_name"), col("u1").as("users")),
+        struct(lit(2L).as("step"), lit("click").as("step_name"), col("u2").as("users")),
+        struct(lit(3L).as("step"), lit("purchase").as("step_name"), col("u3").as("users"))))
+        .as("r"), col("u1"))
+      .select(col("r.step").as("step"), col("r.step_name").as("step_name"),
+        col("r.users").as("users"),
+        (col("r.users").cast(DoubleType) / col("u1").cast(DoubleType)).as("conv"))
+      .orderBy(col("step"))
+  }
+
+  /** b12 — DAU / rolling-7-day WAU per day, with the stickiness
+    * ratio. Distinct users in a sliding window resist the
+    * sum-of-partials trick (users repeat across days), so the
+    * standard distributed shape is contribution fan-out: each active
+    * (user, day) claims membership in the 7 windows ENDING on
+    * day..day+6, and a second distinct collapses multi-day users
+    * inside one window. Two keyed exchanges total, both over
+    * user-day grain (≪ raw events); never a window sort over events.
+    * Days with zero activity have no row (no DAU to report). */
+  def b12RollingActive(s: SparkSession, d: String): DataFrame =
+    rollingActive(Tables.events(s, d))
+
+  /** [[b12RollingActive]] core over any (user_id, ts) frame. */
+  private[graft] def rollingActive(events: DataFrame): DataFrame = {
+    val byDay = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val days = byDay.select(col("day")).distinct()
+    val wau = byDay
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("k"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("day"))
+      .distinct()
+      .join(days, Seq("day"), "left_semi") // drop windows past the data
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    val dau = byDay.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        (col("dau").cast(DoubleType) / col("wau").cast(DoubleType)).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   private val rev =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
 
@@ -169,7 +292,10 @@ object AdsQueries extends QueryModule {
     "b5_province_map" -> b5ProvinceMap,
     "b6_visitor_ratios" -> b6VisitorRatios,
     "b7_hourly_curve" -> b7HourlyCurve,
-    "b8_keyword_weighted" -> b8KeywordWeighted)
+    "b8_keyword_weighted" -> b8KeywordWeighted,
+    "b10_retention" -> b10Retention,
+    "b11_funnel" -> b11Funnel,
+    "b12_rolling_active" -> b12RollingActive)
 
   override val oracle: Map[String, String] = Map(
     "b1_gmv" ->
@@ -232,5 +358,66 @@ object AdsQueries extends QueryModule {
         |                ELSE 1 END) AS BIGINT) AS ct
         |FROM (SELECT source, UNNEST(regexp_split_to_array(text, '\s+')) AS keyword FROM documents)
         |WHERE keyword <> '' GROUP BY keyword
-        |ORDER BY ct DESC, keyword LIMIT 20""".stripMargin)
+        |ORDER BY ct DESC, keyword LIMIT 20""".stripMargin,
+    "b10_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |off AS (
+        |  SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM ud),
+        |cnt AS (
+        |  SELECT cohort_day,
+        |         CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |         COUNT(*) AS active_users
+        |  FROM off WHERE date_diff('day', cohort_day, day) <= 7
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT cohort_day, active_users AS cohort_users FROM cnt WHERE day_offset = 0)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day, c.day_offset,
+        |       c.active_users,
+        |       CAST(c.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE) AS retention
+        |FROM cnt c JOIN sz s ON c.cohort_day = s.cohort_day
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "b11_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
+        |  FROM events),
+        |ev2 AS (
+        |  SELECT *, (event_type = 'click' AND prior_view IS NOT NULL) AS qual_click
+        |  FROM ev),
+        |ev3 AS (
+        |  SELECT *,
+        |    MIN(CASE WHEN qual_click THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+        |  FROM ev2),
+        |fl AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f1,
+        |    MAX(CASE WHEN qual_click THEN 1 ELSE 0 END) AS f2,
+        |    MAX(CASE WHEN event_type = 'purchase' AND prior_click IS NOT NULL
+        |        THEN 1 ELSE 0 END) AS f3
+        |  FROM ev3 GROUP BY user_id),
+        |u AS (SELECT CAST(SUM(f1) AS BIGINT) AS u1, CAST(SUM(f2) AS BIGINT) AS u2,
+        |             CAST(SUM(f3) AS BIGINT) AS u3 FROM fl)
+        |SELECT step, step_name, users, CAST(users AS DOUBLE) / CAST(u1 AS DOUBLE) AS conv
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, u1 AS users, u1 FROM u
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', u2, u1 FROM u
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', u3, u1 FROM u)
+        |ORDER BY step""".stripMargin,
+    "b12_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day + CAST(k AS INTEGER) AS day
+        |  FROM ud CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS k)),
+        |wau AS (SELECT day, COUNT(*) AS wau FROM contrib
+        |        WHERE day IN (SELECT day FROM days) GROUP BY day),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+        |       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day
+        |ORDER BY day""".stripMargin)
 }

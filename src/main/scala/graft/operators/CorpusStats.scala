@@ -382,7 +382,58 @@ object CorpusStats extends QueryModule {
       .orderBy(col("lvl"), col("source").asc_nulls_first,
         col("lang").asc_nulls_first)
 
+  // ---------------------------------------------------------------
+  // t30 — per-document TF-IDF keyword extraction
+  // ---------------------------------------------------------------
+
+  private val TFIDF_K = 5
+  /** idf fixed-point scale. The idf is kept as the raw ratio N/df in
+    * truncating integer arithmetic — (Q·N) div df — instead of
+    * ln(N/df): log is monotone, so per-document term RANKING is
+    * unchanged, and dropping libm makes scores bit-portable across
+    * engines (c24's trick). Overflow headroom: Q·N < 2^63 up to
+    * N ≈ 8.8·10^12 documents; beyond that shrink Q — only score
+    * resolution changes, ties still break on the term text. */
+  private val TFIDF_Q = 1L << 20
+
+  /** t30 — top-5 TF-IDF terms per document: the per-doc KEYWORD
+    * extraction every corpus debugging/labeling UI runs (and the
+    * classic relevance baseline BM25 (c24) refines). score =
+    * tf · ((Q·N) div df), exact BIGINTs end-to-end.
+    *
+    * Scale shape: one (doc, term) count aggregation (map-side partial
+    * collapses repeats inside a partition), a vocabulary-sized df
+    * table joined back by term (vocabulary ≪ corpus; AQE broadcasts
+    * at fixture scale and degrades to shuffle join when the vocab
+    * outgrows executors), the 1-row corpus count broadcast, and a
+    * per-doc rank filter that compiles to WindowGroupLimit — each
+    * partition forwards only its local top-5 per document. */
+  def t30TfidfTerms(s: SparkSession, d: String): DataFrame =
+    tfidfTerms(Tables.documents(s, d))
+
+  /** [[t30TfidfTerms]] core over any (doc_id, text) frame. */
+  private[graft] def tfidfTerms(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr(s"tf * ((${TFIDF_Q}L * n) div df)"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= TFIDF_K)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_tfidf_terms" -> t30TfidfTerms,
     "t12_quality_dist" -> t12QualityDist,
     "t12x_quality_dist_approx" -> t12xQualityDistApprox,
     "t13_ngram_topk" -> t13NgramTopK,
@@ -394,6 +445,24 @@ object CorpusStats extends QueryModule {
     "c23_df_spectrum" -> c23DfSpectrum)
 
   override val oracle: Map[String, String] = Map(
+    "t30_tfidf_terms" ->
+      s"""WITH tfq AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+         |        FROM documents)
+         |  WHERE term <> '' GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |scored AS (
+         |  SELECT tfq.doc_id, tfq.term, tfq.tf, dfreq.df,
+         |         tfq.tf * ((${TFIDF_Q} * n.n) // dfreq.df) AS score
+         |  FROM tfq JOIN dfreq ON tfq.term = dfreq.term CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT doc_id, rk, term, tf, df, score
+         |FROM ranked WHERE rk <= $TFIDF_K ORDER BY doc_id, rk""".stripMargin,
     "t12_quality_dist" ->
       s"""WITH hist AS (
          |  SELECT source, CAST(round(quality * ${QFP}) AS BIGINT) AS q_fp,

@@ -622,6 +622,42 @@ object DedupOps extends QueryModule {
   def c10bClusterStar(s: SparkSession, d: String): DataFrame =
     connectedComponentsStar(c02MinhashLsh(s, d).select(col("da"), col("db")))
 
+  /** c32 — cluster-representative selection: the step that turns
+    * c10's near-dup clusters into an actual training corpus decision.
+    * Within every cluster exactly ONE document survives — the highest
+    * t02 quality score, doc_id as the tie-break — and the rest are
+    * marked removed with a pointer at the survivor; documents in no
+    * cluster keep themselves. This is the "keep best, drop rest"
+    * policy of the C4/RefinedWeb pipelines (vs c01's keep-min-id at
+    * exact grain).
+    *
+    * Scale stance: only CLUSTER MEMBERS (a few % of the corpus) enter
+    * the per-cluster ranking window — singletons are identified by an
+    * anti-join against the label table (cluster-member-sized, so AQE
+    * broadcasts it) and never shuffle on cluster_id. The ranking
+    * itself is a first_value over (cluster_id) partitions whose
+    * running frame makes every row see the winner without a second
+    * pass. quality is t02's portable linear score (no libm). */
+  def c32ClusterKeep(s: SparkSession, d: String): DataFrame = {
+    val q = TextOps.withQualityCols(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality"))
+    val lbl = connectedComponents(c02MinhashLsh(s, d).select(col("da"), col("db")))
+      .select(col("doc_id"), col("cluster_id"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val members = q.join(lbl, Seq("doc_id"))
+      .withColumn("kept_doc_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") === col("kept_doc_id"), "kept")
+          .otherwise("removed").as("status"),
+        col("kept_doc_id"), col("quality"))
+    val singles = q.join(lbl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit("kept").as("status"), col("doc_id").as("kept_doc_id"), col("quality"))
+    members.unionByName(singles).orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------
   // c13 — incremental dedup: new batch vs existing corpus
   // ---------------------------------------------------------------
@@ -681,6 +717,23 @@ object DedupOps extends QueryModule {
   def c13IncrementalDedup(s: SparkSession, d: String): DataFrame =
     incrementalDedup(Tables.documents(s, d).withColumn("__new",
       Portable.h60(concat(lit("split:"), col("doc_id").cast(StringType))) % 100 >= 80))
+
+  /** c33 — fuzzy decontamination at WHOLE-DOCUMENT grain: every
+    * training document classified against the eval set (doc_id %
+    * 10 = 0, c09's stand-in suite) — `exact_dup` (normalized content
+    * hash present in eval), `near_dup` (verified MinHash-LSH Jaccard
+    * ≥ 0.8 against some eval doc), else `kept`. Complements the
+    * n-gram decon family: c09/c09b count local 8-gram hits, c16
+    * finds long verbatim substrings, c18 catches embedding-level
+    * paraphrases; c33 is the document-level near-dup face (the
+    * train/test-overlap audit of the dedup literature). It is
+    * [[incrementalDedup]] with the eval set as the existing corpus,
+    * so the scale shape is c13's: band keys join train×eval only —
+    * never train×train — and the Jaccard verify touches candidate
+    * documents' shingles only. */
+  def c33DeconFuzzy(s: SparkSession, d: String): DataFrame =
+    incrementalDedup(Tables.documents(s, d)
+      .withColumn("__new", col("doc_id") % EVAL_MOD =!= 0))
 
   // ---------------------------------------------------------------
   // c14 — consensus dedup: pairs flagged by ≥ 2 of the 3 near-dup
@@ -1387,7 +1440,9 @@ object DedupOps extends QueryModule {
     "c09b_decontaminate_bloom" -> c09bDecontaminateBloom,
     "c10_dedup_cluster" -> c10DedupCluster,
     "c10b_cluster_star" -> c10bClusterStar,
+    "c32_cluster_keep" -> c32ClusterKeep,
     "c13_incremental_dedup" -> c13IncrementalDedup,
+    "c33_decon_fuzzy" -> c33DeconFuzzy,
     "c14_dedup_consensus" -> c14DedupConsensus,
     "c15_paragraph_dedup" -> c15ParagraphDedup,
     "c16_substring_decon" -> c16SubstringDecon,
@@ -1592,6 +1647,25 @@ object DedupOps extends QueryModule {
     // c10b is the same component contract through large/small-star —
     // same clusters, same oracle.
     "c10b_cluster_star" -> c10OracleSql,
+    "c32_cluster_keep" ->
+      s"""WITH RECURSIVE $c02Ctes,
+         |pairs AS (SELECT da, db FROM (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
+         |edges AS (SELECT da, db FROM pairs UNION SELECT db AS da, da AS db FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT da, da FROM edges
+         |  UNION
+         |  SELECT r.a, e.db FROM reach r JOIN edges e ON r.b = e.da),
+         |lbl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+         |q AS (SELECT doc_id, quality FROM (${TextOps.qualityColsSqlFrom("documents")})),
+         |lab AS (SELECT q.doc_id, COALESCE(l.cluster_id, q.doc_id) AS cluster_id, q.quality
+         |        FROM q LEFT JOIN lbl l ON q.doc_id = l.doc_id),
+         |rk AS (SELECT *, FIRST_VALUE(doc_id) OVER
+         |         (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS kept_doc_id
+         |       FROM lab)
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN doc_id = kept_doc_id THEN 'kept' ELSE 'removed' END AS status,
+         |       kept_doc_id, quality
+         |FROM rk ORDER BY doc_id""".stripMargin,
     // c21b: c10's transitive closure + the t05 hash-split of doc and
     // cluster representative — the repair is pure derivation on top
     // of the component labels.
@@ -1878,5 +1952,27 @@ object DedupOps extends QueryModule {
          |            ELSE 'kept' END AS status
          |FROM flags f WHERE f.isnew
          |ORDER BY f.doc_id""".stripMargin
-    })
+    },
+    // identical machinery to c13 with the eval set as the old corpus
+    "c33_decon_fuzzy" ->
+      s"""WITH $shSigBandsCtes,
+         |flags AS (SELECT doc_id, doc_id % $EVAL_MOD <> 0 AS isnew FROM documents),
+         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |         FROM bands x JOIN flags fx ON x.doc_id = fx.doc_id AND fx.isnew
+         |              JOIN bands y ON x.band = y.band AND x.key = y.key
+         |              JOIN flags fy ON y.doc_id = fy.doc_id AND NOT fy.isnew),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |near AS (SELECT DISTINCT da AS doc_id FROM (
+         |  ${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
+         |oldh AS (SELECT DISTINCT md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS h
+         |         FROM documents d JOIN flags f ON d.doc_id = f.doc_id AND NOT f.isnew),
+         |exact AS (SELECT d.doc_id FROM documents d
+         |          JOIN flags f ON d.doc_id = f.doc_id AND f.isnew
+         |          WHERE md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) IN (SELECT h FROM oldh))
+         |SELECT f.doc_id,
+         |       CASE WHEN f.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+         |            WHEN f.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+         |            ELSE 'kept' END AS status
+         |FROM flags f WHERE f.isnew
+         |ORDER BY f.doc_id""".stripMargin)
 }

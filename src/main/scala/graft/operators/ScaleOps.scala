@@ -106,6 +106,58 @@ object ScaleOps extends QueryModule {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Z-order layout — multi-dimensional data skipping
+  // ---------------------------------------------------------------
+
+  /** Bits per dimension for the 2-D Morton (Z-order) curve. 16 bits
+    * each interleave into a 32-bit value — far inside BIGINT. At
+    * 100 TB, widen to 21+21 or quantize each dimension to its value
+    * histogram first; only curve RESOLUTION changes. */
+  private[graft] val Z_BITS = 16
+
+  /** The bit-interleave z = …y1x1y0x0 as pure integer arithmetic —
+    * ((x div 2^i) % 2)·2^(2i) + ((y div 2^i) % 2)·2^(2i+1), unrolled.
+    * Division/modulo only, so the SAME generated string runs through
+    * Spark's parser (divOp = "div", whole-stage-codegen'd — no UDF)
+    * and DuckDB's (divOp = "//") — the oracle replays the curve
+    * exactly rather than trusting a reimplementation. */
+  private[graft] def zExprSql(x: String, y: String, divOp: String): String =
+    (0 until Z_BITS).flatMap(i => Seq(
+      s"(($x $divOp ${1L << i}) % 2) * ${1L << (2 * i)}",
+      s"(($y $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}")).mkString(" + ")
+
+  /** Write `df` laid out along the z-curve of (xCol, yCol): range-
+    * partition by z into `files` files, z-sorted inside each. Every
+    * file then covers a BOUNDED RECTANGLE-ISH region of (x, y) space,
+    * so parquet row-group min/max statistics prune a box predicate on
+    * EITHER dimension — the layout for the 100 TB fact table queried
+    * by (customer, date) boxes, where a linear sort on one column
+    * leaves the other column's min/max spanning everything in every
+    * file. ZOrderSpec pins the skipping advantage by scan metrics. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      files: Int): Unit =
+    df.withColumn("__z", expr(zExprSql(
+        s"CAST($xCol AS BIGINT)", s"CAST($yCol AS BIGINT)", "div")))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** s01 — the z-curve itself as an oracle-checked query: every order
+    * keyed by (customer-id mod 2^15, days since 1992-01-01) with its
+    * Morton code, ordered along the curve. The ORDER here IS the
+    * layout [[writeZOrdered]] materializes — checking it end-to-end
+    * checks the interleave arithmetic both engines must agree on. */
+  def s01Zorder(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("zx", pmod(col("o_custkey").cast(LongType), lit(32768L)))
+      .withColumn("zy", datediff(col("o_orderdate").cast(DateType),
+        lit("1992-01-01").cast(DateType)).cast(LongType))
+      .withColumn("z", expr(zExprSql("zx", "zy", "div")))
+      .select(col("o_orderkey"), col("zx"), col("zy"), col("z"))
+      .orderBy(col("z"), col("o_orderkey"))
+
   /** a08 restated through the salted path — hot-key-safe keyed
     * aggregation with identical results (shared oracle). The
     * countDistinct becomes exact set-union across salt partitions. */
@@ -123,7 +175,8 @@ object ScaleOps extends QueryModule {
       .orderBy(col("user_id"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a08_salted" -> a08Salted)
+    "a08_salted" -> a08Salted,
+    "s01_zorder" -> s01Zorder)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   override val oracle: Map[String, String] = Map(
@@ -131,5 +184,15 @@ object ScaleOps extends QueryModule {
       """SELECT user_id, COUNT(*) AS event_ct,
         |       COUNT(DISTINCT event_type) AS type_ct,
         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "s01_zorder" ->
+      s"""WITH b AS (
+         |  SELECT o_orderkey,
+         |         CAST(o_custkey % 32768 AS BIGINT) AS zx,
+         |         CAST(date_diff('day', DATE '1992-01-01',
+         |                        CAST(o_orderdate AS DATE)) AS BIGINT) AS zy
+         |  FROM orders)
+         |SELECT o_orderkey, zx, zy,
+         |       CAST(${zExprSql("zx", "zy", "//")} AS BIGINT) AS z
+         |FROM b ORDER BY z, o_orderkey""".stripMargin)
 }

@@ -41,6 +41,12 @@ final case class LastVisitState(lastDate: String)
 /** Keyed state for the bounce detector: the pending entry event. */
 final case class PendingEntry(event_id: Long, tsMs: Long)
 
+/** A first-completion funnel step (b11's streaming twin). */
+final case class FunnelStep(user_id: Long, step: Long, ts: Timestamp)
+
+/** Keyed state for the streaming funnel: which steps completed. */
+final case class FunnelProgress(view: Boolean, click: Boolean, purchase: Boolean)
+
 /** A document flowing through an ingest stream (curation ops). */
 final case class DocRow(doc_id: Long, text: String)
 

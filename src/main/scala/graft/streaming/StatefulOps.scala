@@ -193,4 +193,41 @@ object StatefulOps {
           }
         })
   }
+
+  /** b11's STREAMING twin — the ordered funnel (view → click →
+    * purchase) as a per-user state machine: emits (user_id, step, ts)
+    * the moment a user FIRST completes a step, where step 2 needs a
+    * click strictly after the first view and step 3 a purchase
+    * strictly after the first qualifying click — the same
+    * (ts, event_id)-order semantics the batch window form encodes
+    * with its 1-PRECEDING frame. Events are ordered inside each
+    * micro-batch; in-order per-key delivery across batches is assumed
+    * (as for the other twins). State is three booleans per user —
+    * O(1), never grows with traffic — and the live per-step counters
+    * downstream are a plain streaming aggregation over this append
+    * stream. */
+  def funnelSteps(spark: SparkSession, events: Dataset[EventRow]): Dataset[FunnelStep] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[EventRow], state: GroupState[FunnelProgress]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FunnelProgress(false, false, false))
+          val out = Seq.newBuilder[FunnelStep]
+          sorted.foreach { e =>
+            e.event_type match {
+              case "view" if !st.view =>
+                st = st.copy(view = true); out += FunnelStep(userId, 1L, e.ts)
+              case "click" if st.view && !st.click =>
+                st = st.copy(click = true); out += FunnelStep(userId, 2L, e.ts)
+              case "purchase" if st.click && !st.purchase =>
+                st = st.copy(purchase = true); out += FunnelStep(userId, 3L, e.ts)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
 }

@@ -12,6 +12,21 @@ class CorpusStatsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("t30 ranks a rare term above a ubiquitous one despite lower tf") {
+    // 'rare' appears once in doc 0 only (df=1); 'common' appears in
+    // every doc, 3 times in doc 0 (df=4). idf ratio 4/1 vs 4/4 wins
+    // over the 3× tf edge: score(rare) = 1·4Q > score(common) = 3·1Q.
+    val docs = Seq(
+      (0L, "common common common rare"),
+      (1L, "common x"), (2L, "common y"), (3L, "common z"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.tfidfTerms(docs)
+      .filter($"doc_id" === 0)
+      .select($"rk", $"term", $"tf", $"df")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, "rare", 1L, 1L), (2L, "common", 3L, 4L)))
+  }
+
   test("t12 histogram median equals the sort-and-pick median per source") {
     val got = CorpusStats.t12QualityDist(spark, sf)
       .select("source", "n_docs", "q_med2_fp", "q_sum_fp")

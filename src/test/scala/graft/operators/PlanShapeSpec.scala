@@ -33,8 +33,9 @@ class PlanShapeSpec extends SparkSpec {
     // equi-key exists, and a 1-row BNLJ build side is free
     "t21_quality_bins",
     // c28 inherits c24's one-row corpus-stats cross; t22 inherits
-    // t15's one-row vocabulary-size cross
-    "c28_hybrid_rrf", "t22_ppl_buckets")
+    // t15's one-row vocabulary-size cross; t30 crosses the one-row
+    // corpus doc count into the idf projection
+    "c28_hybrid_rrf", "t22_ppl_buckets", "t30_tfidf_terms")
 
   test("no query plan contains a cartesian product; BNLJ only where intended") {
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

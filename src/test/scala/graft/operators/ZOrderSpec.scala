@@ -1,0 +1,66 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** ScaleOps z-order layout: the Morton interleave arithmetic on hand
+  * values, and the property the layout exists for — a box predicate
+  * on the SECOND dimension skips most row groups under the z-curve
+  * layout while a linear single-column sort layout reads everything.
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the interleave expression is the Morton code on hand values") {
+    // x=5 (101b), y=3 (011b): bits x0,y0,x1,y1,x2,y2 = 1,1,0,1,1,0
+    // → z = 1 + 2 + 8 + 16 = 27
+    val got = Seq((5L, 3L)).toDF("x", "y")
+      .select(expr(ScaleOps.zExprSql("x", "y", "div")).as("z"))
+      .as[Long].head()
+    assert(got === 27L)
+    // axis-only values: y=0 keeps even bits, x=0 keeps odd bits
+    val axes = Seq((7L, 0L), (0L, 7L)).toDF("x", "y")
+      .select(expr(ScaleOps.zExprSql("x", "y", "div")).as("z"))
+      .as[Long].collect().toSeq
+    assert(axes === Seq(21L, 42L)) // 10101b and 101010b
+  }
+
+  /** Rows the parquet scan emits after row-group statistics pruning
+    * (pushed filters drop whole row groups; the surviving rows are
+    * what the scan outputs). AQE is disabled for the measurement so
+    * the FileSourceScanExec node and its metrics are reachable. */
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: FileSourceScanExec => f.metrics("numOutputRows").value }
+      .sum
+  }
+
+  test("z-layout prunes a thin-y box query; a linear x-sort layout cannot") {
+    val dir = Files.createTempDirectory("zorder").toString
+    val grid = spark.range(0, 128L * 128L)
+      .select((col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    ScaleOps.writeZOrdered(grid, s"$dir/z", "x", "y", files = 32)
+    grid.repartitionByRange(32, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$dir/linear")
+
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def box(path: String): DataFrame =
+        spark.read.parquet(path).filter(col("y") >= 8 && col("y") <= 11)
+      val zRows = scanRows(box(s"$dir/z"))
+      val linRows = scanRows(box(s"$dir/linear"))
+      // linear-by-x files each span ALL y: statistics prune nothing
+      assert(linRows === 128L * 128L, s"linear layout read $linRows")
+      // z files cover bounded (x, y) rectangles: most row groups skip
+      assert(zRows <= linRows / 4, s"z layout read $zRows of $linRows")
+      // and the layouts agree on the answer
+      assert(box(s"$dir/z").count() === box(s"$dir/linear").count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
