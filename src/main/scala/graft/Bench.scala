@@ -51,7 +51,10 @@ object Bench {
     "c28_hybrid_rrf", "t22_ppl_buckets", "t23_dataset_card",
     "t24_temperature_mix", "t25_annotate", "c29_containment",
     "t26_bpe_learn", "t27_bpe_apply", "c30_cross_source_dup",
-    "t28_classifier_filter", "t29_chunk", "c31_chunk_dedup")
+    "t28_classifier_filter", "t29_chunk", "c31_chunk_dedup",
+    "b10_retention", "b11_funnel", "b12_rolling_active", "b13_pagerank",
+    "c32_cluster_keep", "c33_decon_fuzzy", "t30_tfidf_terms",
+    "b14_next_page", "c34_knn_graph", "t31_kn_lm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

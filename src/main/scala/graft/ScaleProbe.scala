@@ -136,7 +136,11 @@ object ScaleProbe {
       "c30_cross_source_dup" -> operators.DedupOps.c30CrossSourceDup _,
       "t28_classifier_filter" -> operators.TextOps.t28ClassifierFilter _,
       "t29_chunk" -> operators.TextOps.t29Chunk _,
-      "c31_chunk_dedup" -> operators.TextOps.c31ChunkDedup _)
+      "c31_chunk_dedup" -> operators.TextOps.c31ChunkDedup _,
+      "b13_pagerank" -> operators.AdsQueries.b13Pagerank _,
+      "b14_next_page" -> operators.AdsQueries.b14NextPage _,
+      "c34_knn_graph" -> operators.VectorOps.c34KnnGraph _,
+      "t31_kn_lm" -> operators.TextOps.t31KnLm _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

@@ -281,6 +281,118 @@ object AdsQueries extends QueryModule {
       .orderBy(col("day"))
   }
 
+  private val PR_ITERS = 3          // power iterations (fixed, bounded)
+  private val PR_R0 = 1000000L      // initial integer mass per page
+  private val PR_BASE = 150000L     // (1 - d) · R0 with d = 0.85
+
+  /** b13 — weighted PageRank over the page-transition graph: pages
+    * (`props.k`) are nodes, a user's consecutive page views are
+    * edges weighted by transition count, and PR_ITERS damped power
+    * iterations rank the pages. The iterative-graph face the
+    * reference's analytics layer lacks entirely (its nearest kin is
+    * the visitor-path CEP, §2.A16); alongside c10's connected
+    * components this completes the two classic distributed graph
+    * shapes (propagation to fixpoint / weighted power iteration).
+    *
+    * Integer-exact: scores start at PR_R0 per node; each iteration
+    * sends `(r·wt) div out_weight` along every edge and damps with
+    * `BASE + (85·Σ) div 100`. Every operation is BIGINT arithmetic
+    * on positive values (Spark `div` and DuckDB `//` truncate
+    * identically there), so the oracle replays all three iterations
+    * bit-for-bit — no float summation order to pin. Dangling pages
+    * keep the teleport BASE, as in the standard formulation.
+    *
+    * Scale shape: one window shuffle keyed by user builds the
+    * transitions (b11's exchange); edges collapse to (src, dst)
+    * grain — bounded by distinct page pairs, not events. Each
+    * iteration is an equi-join of the edge list with the node-grain
+    * score table on src plus one keyed SUM on dst — edges stay
+    * partitioned, scores are the small side (broadcast-eligible at
+    * page cardinality ≪ edge count), and map-side partial
+    * aggregation combines per-dst contributions before the
+    * exchange. The driver loop is PR_ITERS-bounded (c10's pattern);
+    * scores are localCheckpointed per round so lineage stays flat.
+    * No `.collect()` anywhere — the loop body is pure DataFrames. */
+  def b13Pagerank(s: SparkSession, d: String): DataFrame =
+    pagerank(Tables.events(s, d))
+
+  /** (user_id, ts, event_id, page) with invalid/missing pages
+    * dropped — the node stream under b13/b14. */
+  private def pageViews(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("page"))
+      .where(col("page").isNotNull)
+
+  /** Weighted page-transition edges (src, dst, wt): per-user
+    * consecutive page pairs in (ts, event_id) order, self-loops
+    * dropped, collapsed to distinct-pair counts. One user-keyed
+    * window exchange + one pair-keyed aggregation; shared by b13's
+    * power iteration and b14's transition model. */
+  private[graft] def pageEdges(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    pageViews(events)
+      .withColumn("src", lag(col("page"), 1).over(w))
+      .where(col("src").isNotNull && col("src") =!= col("page"))
+      .select(col("src"), col("page").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("wt"))
+  }
+
+  /** [[b13Pagerank]] core over any (user_id, ts, event_id, props)
+    * frame. */
+  private[graft] def pagerank(events: DataFrame): DataFrame = {
+    val ev = pageViews(events)
+    val nodes = ev.select(col("page")).distinct().localCheckpoint()
+    val edges = pageEdges(events)
+    val outw = edges.groupBy(col("src")).agg(sum(col("wt")).as("ow"))
+    val eo = edges.join(outw, "src").localCheckpoint()
+    var scores = nodes.select(col("page"), lit(PR_R0).as("r"))
+    for (_ <- 1 to PR_ITERS) {
+      val contrib = eo
+        .join(scores.withColumnRenamed("page", "src"), "src")
+        .select(col("dst"), expr("(r * wt) div ow").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      scores = nodes
+        .join(contrib.withColumnRenamed("dst", "page"), Seq("page"), "left")
+        .select(col("page"),
+          (lit(PR_BASE) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    scores.select(col("page"), col("r").as("rank_score"))
+      .orderBy(col("rank_score").desc, col("page"))
+  }
+
+  private val NEXT_K = 3 // successors reported per page
+
+  /** b14 — next-page TRANSITION MODEL: each page's NEXT_K most
+    * likely successors with the maximum-likelihood transition
+    * probability wt/Σwt — the first-order Markov model over b13's
+    * edge list (the "users who viewed X went to Y" panel; trained
+    * exactly like a bigram LM, t31's shape on the page alphabet).
+    *
+    * Scale shape: [[pageEdges]]' two exchanges, then a src-keyed
+    * SUM reusing the pair-grain rows and a rank window whose filter
+    * compiles to WindowGroupLimit — at most NEXT_K rows per page
+    * cross the final exchange. The probability is one double
+    * division of two exact BIGINTs — the identical IEEE operation
+    * in both engines. */
+  def b14NextPage(s: SparkSession, d: String): DataFrame =
+    nextPage(Tables.events(s, d))
+
+  /** [[b14NextPage]] core over any (user_id, ts, event_id, props)
+    * frame. */
+  private[graft] def nextPage(events: DataFrame): DataFrame = {
+    val edges = pageEdges(events).localCheckpoint()
+    val outw = edges.groupBy(col("src")).agg(sum(col("wt")).as("ow"))
+    val w = Window.partitionBy(col("src")).orderBy(col("wt").desc, col("dst"))
+    edges.join(outw, "src")
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= NEXT_K)
+      .select(col("src"), col("rk"), col("dst"), col("wt"),
+        (col("wt").cast(DoubleType) / col("ow").cast(DoubleType)).as("p"))
+      .orderBy(col("src"), col("rk"))
+  }
+
   private val rev =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
 
@@ -295,7 +407,9 @@ object AdsQueries extends QueryModule {
     "b8_keyword_weighted" -> b8KeywordWeighted,
     "b10_retention" -> b10Retention,
     "b11_funnel" -> b11Funnel,
-    "b12_rolling_active" -> b12RollingActive)
+    "b12_rolling_active" -> b12RollingActive,
+    "b13_pagerank" -> b13Pagerank,
+    "b14_next_page" -> b14NextPage)
 
   override val oracle: Map[String, String] = Map(
     "b1_gmv" ->
@@ -419,5 +533,53 @@ object AdsQueries extends QueryModule {
         |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
         |       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
         |FROM dau d JOIN wau w ON d.day = w.day
-        |ORDER BY day""".stripMargin)
+        |ORDER BY day""".stripMargin,
+    "b13_pagerank" -> {
+      // One damped iteration r_prev -> r_next, integer-exact.
+      def iter(prev: String, next: String): String =
+        s"""c_$next AS (SELECT eo.dst, SUM((r.r * eo.wt) // eo.ow) AS contrib
+           |  FROM eo JOIN $prev r ON eo.src = r.page GROUP BY eo.dst),
+           |$next AS (SELECT n.page,
+           |    $PR_BASE + (85 * COALESCE(c.contrib, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN c_$next c ON n.page = c.dst)""".stripMargin
+      val iters = (1 to PR_ITERS)
+        .map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+         |  FROM events
+         |  WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |tr AS (
+         |  SELECT page AS dst,
+         |         lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM ev),
+         |edges AS (SELECT src, dst, COUNT(*) AS wt FROM tr
+         |          WHERE src IS NOT NULL AND src <> dst GROUP BY src, dst),
+         |outw AS (SELECT src, SUM(wt) AS ow FROM edges GROUP BY src),
+         |eo AS (SELECT e.src, e.dst, e.wt, o.ow FROM edges e JOIN outw o ON e.src = o.src),
+         |nodes AS (SELECT DISTINCT page FROM ev),
+         |r0 AS (SELECT page, CAST($PR_R0 AS BIGINT) AS r FROM nodes),
+         |$iters
+         |SELECT page, CAST(r AS BIGINT) AS rank_score FROM r$PR_ITERS
+         |ORDER BY rank_score DESC, page""".stripMargin
+    },
+    "b14_next_page" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+         |  FROM events
+         |  WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |tr AS (
+         |  SELECT page AS dst,
+         |         lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM ev),
+         |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS wt FROM tr
+         |          WHERE src IS NOT NULL AND src <> dst GROUP BY src, dst),
+         |outw AS (SELECT src, CAST(SUM(wt) AS BIGINT) AS ow FROM edges GROUP BY src)
+         |SELECT src, rk, dst, wt, CAST(wt AS DOUBLE) / CAST(ow AS DOUBLE) AS p FROM (
+         |  SELECT e.src, e.dst, e.wt, o.ow,
+         |         CAST(row_number() OVER (PARTITION BY e.src
+         |           ORDER BY e.wt DESC, e.dst) AS BIGINT) AS rk
+         |  FROM edges e JOIN outw o ON e.src = o.src)
+         |WHERE rk <= $NEXT_K ORDER BY src, rk""".stripMargin)
 }

@@ -488,6 +488,62 @@ object TextOps extends QueryModule {
     lmScore(docs, docs)
   }
 
+  private val KN_D = 0.75   // absolute discount (the standard KN value)
+  private val KN_TOP = 50   // bigrams reported (by raw count)
+
+  /** t31 — KNESER–NEY smoothed bigram model, the LM behind
+    * CCNet/RefinedWeb-style perplexity filters (t15/t22 use add-V
+    * smoothing; interpolated KN is what KenLM actually fits). For
+    * the KN_TOP most frequent bigrams, emit the full sufficient
+    * statistics and the smoothed probability
+    *
+    *   P(w2|w1) = (max(c(w1w2) − D, 0) + D·N1+(w1,·)·N1+(·,w2)/B)
+    *              / c(w1·)
+    *
+    * where N1+ are the continuation-type counts and B the number of
+    * distinct bigram types (Kneser & Ney 1995; Chen & Goodman 1999
+    * eq. 4.25 with the unigram back-off in its continuation form).
+    *
+    * Scale shape: ONE corpus pass builds the bigram stream; after
+    * the (w1,w2) count — a vocabulary-saturating hash agg with
+    * map-side combine (t13's argument) — every other statistic
+    * derives from the COUNT TABLE, not the corpus: c(w1·) and
+    * N1+(w1,·) are one agg of c2 by w1, N1+(·,w2) one agg by w2, B
+    * a scalar. c2 is localCheckpointed so the three derivations and
+    * the final join replay no text scan. The probability is a fixed
+    * IEEE expression tree over exact BIGINTs — identical operand
+    * order in both engines, so the oracle matches bit-for-bit
+    * (integer statistics would survive any order; the doubles are
+    * order-pinned by writing the same parse tree). */
+  def t31KnLm(s: SparkSession, d: String): DataFrame =
+    knLm(Tables.documents(s, d))
+
+  /** [[t31KnLm]] core over any frame with a `text` column. */
+  private[graft] def knLm(docs: DataFrame): DataFrame = {
+    val big = docs
+      .select(split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2")).localCheckpoint()
+    val hist = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1r"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1l"))
+    val btot = c2.agg(count(lit(1)).as("bt"))
+    c2.join(hist, "w1").join(cont, "w2").crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("c2"), col("c1"),
+        col("n1r"), col("n1l"),
+        ((greatest(col("c2").cast(DoubleType) - lit(KN_D), lit(0.0)) +
+          lit(KN_D) * col("n1r").cast(DoubleType) * col("n1l").cast(DoubleType) /
+            col("bt").cast(DoubleType)) /
+          col("c1").cast(DoubleType)).as("p_kn"))
+      .orderBy(col("c2").desc, col("w1"), col("w2"))
+      .limit(KN_TOP)
+  }
+
   /** t18 — tokenizer FERTILITY by language: subword-per-word ratio
     * of the t03b tokenizer over each language slice (plus doc and
     * token totals). Fertility is the standard vocabulary-fit
@@ -1121,6 +1177,7 @@ object TextOps extends QueryModule {
     "t10_mix_sample" -> t10MixSample,
     "t11_top_quality_per_source" -> t11TopQualityPerSource,
     "t15_lm_score" -> t15LmScore,
+    "t31_kn_lm" -> t31KnLm,
     "t17_dsir_sample" -> t17DsirSample,
     "t18_fertility" -> t18Fertility,
     "t19_rule_filter" -> t19RuleFilter,
@@ -1428,6 +1485,26 @@ object TextOps extends QueryModule {
       s"""WITH $lmCtes
          |$lmSelect
          |ORDER BY doc_id""".stripMargin,
+    "t31_kn_lm" ->
+      s"""WITH toks AS (SELECT string_split_regex(text, '\\s+') AS t FROM documents),
+         |big AS (
+         |  SELECT
+         |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+         |  FROM toks WHERE len(t) >= 2),
+         |c2t AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2),
+         |hist AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+         |                CAST(count(*) AS BIGINT) AS n1r FROM c2t GROUP BY w1),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1l FROM c2t GROUP BY w2),
+         |btot AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM c2t)
+         |SELECT c.w1, c.w2, c.c2, h.c1, h.n1r, o.n1l,
+         |  (greatest(CAST(c.c2 AS DOUBLE) - $KN_D, 0.0) +
+         |    $KN_D * CAST(h.n1r AS DOUBLE) * CAST(o.n1l AS DOUBLE) /
+         |      CAST(b.bt AS DOUBLE)) / CAST(h.c1 AS DOUBLE) AS p_kn
+         |FROM c2t c JOIN hist h ON c.w1 = h.w1
+         |           JOIN cont o ON c.w2 = o.w2
+         |           CROSS JOIN btot b
+         |ORDER BY c.c2 DESC, c.w1, c.w2 LIMIT $KN_TOP""".stripMargin,
     "t04_fingerprint" ->
       s"""SELECT doc_id,
          |  list_min(list_transform(range(1, CAST(greatest(length(text) - 7, 1) AS BIGINT) + 1),

@@ -965,7 +965,65 @@ object VectorOps extends QueryModule {
       .orderBy(col("qid"), col("rank"))
   }
 
+  private val GRAPH_K = 5       // c34 neighbors kept per vector
+  private val GRAPH_PROBES = 2  // c34 cells probed per vector
+
+  /** c34 — kNN-GRAPH construction: every vector's GRAPH_K nearest
+    * neighbors, searched inside its GRAPH_PROBES closest IVF cells.
+    * This is the all-corpus generalization of c07 (there: a small
+    * query set; here: every vector is a query) and the input
+    * structure for graph-based curation — D4-style
+    * dedup-then-diversify, density/degree pruning, and
+    * graph-connected near-dup families richer than c10's
+    * edge-threshold components.
+    *
+    * Scale shape: both sides stay cell-bounded. Candidates per
+    * vector = the members of its probed cells, so total work is
+    * Σ_cell nprobe·|cell|·N/CELLS — with CELLS grown ~√N (16 here
+    * only for the fixture) that is O(N·√N), never all-pairs. The
+    * corpus shuffles once on cid for the probe equi-join; the
+    * per-vector top-k rank filter compiles to WindowGroupLimit, so
+    * each map task forwards ≤ GRAPH_K rows per query before the
+    * window exchange. Output is exactly N·GRAPH_K rows —
+    * corpus-linear. Same engine-portable float-dot discipline as
+    * c07 (sequential fold, vec_id tie-break), so the oracle replays
+    * assignment, probes and ranking bit-for-bit. */
+  def c34KnnGraph(s: SparkSession, d: String): DataFrame =
+    c34KnnGraphProbes(s, d, GRAPH_PROBES)
+
+  /** [[c34KnnGraph]] with an explicit nprobe — the recall/cost knob
+    * (KnnGraphSpec pins the measured recall band at 2 and 4 probes;
+    * this fixture's UNIFORM vectors are the worst case for any
+    * space-partitioned search — no cluster structure means true
+    * neighbors sit near cell boundaries — so production corpora,
+    * which cluster, sit above these floors). */
+  def c34KnnGraphProbes(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val e = emb(s, d)
+    val cents = anchorVectors(s, d, CELLS)
+    val assign = cellAssign(e, cents)
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val probeStructs = array(cents.map { case (cid, v) =>
+      struct((-Portable.dot(col("qemb"), typedLit(v))).as("neg"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probes = q
+      .select(col("qid"), col("qemb"),
+        explode_outer(slice(array_sort(probeStructs), 1, nprobe)).as("p"))
+      .select(col("qid"), col("qemb"), col("p.cid").as("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        Portable.dot(col("embedding"), col("qemb")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= GRAPH_K)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c34_knn_graph" -> c34KnnGraph,
     "c05_embed_neardup" -> c05EmbedNeardup,
     "c18_semantic_decon" -> c18SemanticDecon,
     "c06_ann_brute" -> c06AnnBrute,
@@ -1026,6 +1084,27 @@ object VectorOps extends QueryModule {
   }
 
   override val oracle: Map[String, String] = Map(
+    "c34_knn_graph" -> {
+      val dotEC = Portable.dotSql("e.embedding", "c.cemb", DIM)
+      val dotQC = Portable.dotSql("q.qemb", "c.cemb", DIM)
+      val dotEP = Portable.dotSql("e.embedding", "p.qemb", DIM)
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $CELLS),
+         |assign AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dotEC DESC, c.cid) AS crn
+         |  FROM embeddings e CROSS JOIN cent c) WHERE crn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings),
+         |probes AS (SELECT qid, qemb, cid FROM (
+         |  SELECT q.qid, q.qemb, c.cid,
+         |         row_number() OVER (PARTITION BY q.qid ORDER BY $dotQC DESC, c.cid) AS prn
+         |  FROM q CROSS JOIN cent c) WHERE prn <= $GRAPH_PROBES)
+         |SELECT qid, rank, nid, score FROM (
+         |  SELECT p.qid, e.vec_id AS nid, $dotEP AS score,
+         |         row_number() OVER (PARTITION BY p.qid
+         |           ORDER BY $dotEP DESC, e.vec_id) AS rank
+         |  FROM probes p JOIN assign e ON p.cid = e.cid AND e.vec_id <> p.qid)
+         |WHERE rank <= $GRAPH_K ORDER BY qid, rank""".stripMargin
+    },
     "c05_embed_neardup" -> {
       val dotAB = Portable.dotSql("a.embedding", "b.embedding", DIM)
       s"""WITH $signCtes,
