@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.Phash60].getName, "graft_phash60"),
       (children: Seq[Expression]) => functions.Phash60(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_pcm_stats"),
+      new ExpressionInfo(classOf[functions.PcmStats].getName, "graft_pcm_stats"),
+      (children: Seq[Expression]) => functions.PcmStats(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash60"),
       new ExpressionInfo(classOf[functions.MinHash60].getName, "graft_minhash60"),
       (children: Seq[Expression]) => functions.MinHash60(children.head)))

@@ -140,7 +140,9 @@ object ScaleProbe {
       "b13_pagerank" -> operators.AdsQueries.b13Pagerank _,
       "b14_next_page" -> operators.AdsQueries.b14NextPage _,
       "c34_knn_graph" -> operators.VectorOps.c34KnnGraph _,
-      "t31_kn_lm" -> operators.TextOps.t31KnLm _)
+      "t31_kn_lm" -> operators.TextOps.t31KnLm _,
+      "c35_graph_prune" -> operators.VectorOps.c35GraphPrune _,
+      "m06_audio_stats" -> operators.MediaOps.m06AudioStats _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

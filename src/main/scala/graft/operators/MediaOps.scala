@@ -317,8 +317,39 @@ object MediaOps extends QueryModule {
       .orderBy(col("da"), col("db"))
   }
 
+  /** m06 — AUDIO waveform statistics: each payload interpreted as
+    * 8-bit unsigned PCM (the honest stub decode —
+    * [[graft.functions.PcmStats]] carries the swap-for-a-real-codec
+    * contract) and reduced in ONE codegen'd per-row pass to sample/
+    * silence/clipping counts, peak amplitude and exact integer
+    * energy, plus the silence ratio every voice-activity gate cuts
+    * on. Completes the multimodal family's third modality: m01/m02
+    * image-shaped, m05 video-shaped, m06 audio-shaped.
+    *
+    * Scale shape: embarrassingly parallel projection, no shuffle
+    * but the determinism sort; the oracle replays the byte→sample
+    * arithmetic through DuckDB's hex/list machinery — all integer
+    * except the final single-division ratio. */
+  def m06AudioStats(s: SparkSession, d: String): DataFrame =
+    attachMedia(s, d).toDF()
+      .where(col("media").isNotNull)
+      .select(col("doc_id"),
+        call_function("graft_pcm_stats", col("media")).as("st"))
+      .select(col("doc_id"),
+        col("st")(0).as("n_samples"),
+        col("st")(1).as("silence_ct"),
+        col("st")(2).as("clip_ct"),
+        col("st")(3).as("peak"),
+        col("st")(4).as("energy"))
+      .withColumn("silence_ratio",
+        when(col("n_samples") > 0,
+          col("silence_ct").cast(DoubleType) / col("n_samples").cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta" -> ((s, d) => m01MediaMeta(s, d)),
+    "m06_audio_stats" -> ((s, d) => m06AudioStats(s, d)),
     "m02_frame_sample" -> ((s, d) => m02FrameSample(s, d)),
     "m03_media_dedup" -> ((s, d) => m03MediaDedup(s, d)),
     "m04_media_neardup" -> ((s, d) => m04MediaNeardup(s, d)),
@@ -345,7 +376,28 @@ object MediaOps extends QueryModule {
          |  CAST(240 + ${Portable.h60Sql("text || ':h'")} % 840 AS BIGINT) AS height
          |FROM documents ORDER BY doc_id""".stripMargin,
     "m04_media_neardup" -> m04OracleSql,
-    "m05_video_neardup" -> m05OracleSql)
+    "m05_video_neardup" -> m05OracleSql,
+    "m06_audio_stats" -> {
+      val band = graft.functions.PcmStats.SILENCE_BAND
+      s"""WITH src AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hexs,
+         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+         |     FROM documents WHERE text IS NOT NULL),
+         |b AS (SELECT doc_id, n,
+         |        list_transform(range(0, n),
+         |          i -> CAST(('0x' || substr(hexs, CAST(i * 2 + 1 AS INT), 2)) AS INT)) AS vs
+         |      FROM src)
+         |SELECT doc_id, n AS n_samples,
+         |  CAST(len(list_filter(vs, v -> abs(v - 128) < $band)) AS BIGINT) AS silence_ct,
+         |  CAST(len(list_filter(vs, v -> v = 0 OR v = 255)) AS BIGINT) AS clip_ct,
+         |  CAST(COALESCE(list_max(list_transform(vs, v -> abs(v - 128))), 0) AS BIGINT) AS peak,
+         |  CAST(COALESCE(list_sum(list_transform(vs,
+         |    v -> CAST((v - 128) * (v - 128) AS BIGINT))), 0) AS BIGINT) AS energy,
+         |  CASE WHEN n > 0
+         |       THEN CAST(len(list_filter(vs, v -> abs(v - 128) < $band)) AS DOUBLE)
+         |            / CAST(n AS DOUBLE)
+         |       ELSE 0.0 END AS silence_ratio
+         |FROM b ORDER BY doc_id""".stripMargin
+    })
 
   /** DuckDB twin of [[m04MediaNeardup]]: same hex slicing, the same
     * h60 cell hashes, the same MSB-first bit fold, then c03's chunk

@@ -1022,8 +1022,51 @@ object VectorOps extends QueryModule {
       .orderBy(col("qid"), col("rank"))
   }
 
+  private val PRUNE_PCT = 10 // densest percent pruned per cell
+
+  /** c35 — GRAPH-DENSITY pruning over the c34 kNN graph: a vector's
+    * density is the mean similarity to its GRAPH_K nearest
+    * neighbors, and the densest PRUNE_PCT% of each cell is marked
+    * for removal — the D4-style diversify step (dense graph
+    * neighborhoods are the redundant regions that survive pairwise
+    * near-dup thresholds; pruning them first measurably improves
+    * LM data efficiency, Abbas et al. 2023). Ranking WITHIN the
+    * cell keeps the quota spread across the embedding space (the
+    * SemDeDup discipline) and keeps every rank window bounded by
+    * cell size — no global sort at any scale.
+    *
+    * Scale shape: c34's cell-bounded graph + one qid-keyed
+    * aggregation (map-side combined) + one cid-partitioned rank
+    * window over node-grain rows. Portability: the density sum
+    * folds the SORTED score list sequentially (collect_list order
+    * is engine/partition-dependent; array_sort pins it — summing
+    * doubles in any other order would diverge in the last bit). */
+  def c35GraphPrune(s: SparkSession, d: String): DataFrame = {
+    val g = c34KnnGraph(s, d)
+    val dens = g.groupBy(col("qid").as("vec_id"))
+      .agg(
+        count(lit(1)).as("deg"),
+        aggregate(array_sort(collect_list(col("score"))), lit(0.0),
+          (acc, x) => acc + x).as("dsum"))
+      .select(col("vec_id"), col("deg"),
+        (col("dsum") / col("deg").cast(DoubleType)).as("density"))
+    val assign = cellAssign(emb(s, d), anchorVectors(s, d, CELLS))
+      .select(col("vec_id"), col("cid"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("density").desc, col("vec_id"))
+    val wn = Window.partitionBy(col("cid"))
+    dens.join(assign, "vec_id")
+      .withColumn("cell_rank", row_number().over(w).cast(LongType))
+      .withColumn("n_cell", count(lit(1)).over(wn))
+      .select(col("vec_id"), col("cid"), col("deg"), col("density"),
+        col("cell_rank"), col("n_cell"),
+        (col("cell_rank") * 100 <= col("n_cell") * PRUNE_PCT).as("pruned"))
+      .orderBy(col("vec_id"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c34_knn_graph" -> c34KnnGraph,
+    "c35_graph_prune" -> c35GraphPrune,
     "c05_embed_neardup" -> c05EmbedNeardup,
     "c18_semantic_decon" -> c18SemanticDecon,
     "c06_ann_brute" -> c06AnnBrute,
@@ -1083,28 +1126,52 @@ object VectorOps extends QueryModule {
        |bands AS ($bandRows)""".stripMargin
   }
 
+  /** cent → assign → all-queries probes → rank-limited graph: the
+    * kNN-graph CTE chain shared by the c34 and c35 oracles (c07's
+    * probe shape with every vector as a query). */
+  private lazy val knnCtes: String = {
+    val dotEC = Portable.dotSql("e.embedding", "c.cemb", DIM)
+    val dotQC = Portable.dotSql("q.qemb", "c.cemb", DIM)
+    val dotEP = Portable.dotSql("e.embedding", "p.qemb", DIM)
+    s"""cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $CELLS),
+       |assign AS (SELECT vec_id, embedding, cid FROM (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dotEC DESC, c.cid) AS crn
+       |  FROM embeddings e CROSS JOIN cent c) WHERE crn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings),
+       |probes AS (SELECT qid, qemb, cid FROM (
+       |  SELECT q.qid, q.qemb, c.cid,
+       |         row_number() OVER (PARTITION BY q.qid ORDER BY $dotQC DESC, c.cid) AS prn
+       |  FROM q CROSS JOIN cent c) WHERE prn <= $GRAPH_PROBES),
+       |graph AS (SELECT qid, rank, nid, score FROM (
+       |  SELECT p.qid, e.vec_id AS nid, $dotEP AS score,
+       |         row_number() OVER (PARTITION BY p.qid
+       |           ORDER BY $dotEP DESC, e.vec_id) AS rank
+       |  FROM probes p JOIN assign e ON p.cid = e.cid AND e.vec_id <> p.qid)
+       |WHERE rank <= $GRAPH_K)""".stripMargin
+  }
+
   override val oracle: Map[String, String] = Map(
-    "c34_knn_graph" -> {
-      val dotEC = Portable.dotSql("e.embedding", "c.cemb", DIM)
-      val dotQC = Portable.dotSql("q.qemb", "c.cemb", DIM)
-      val dotEP = Portable.dotSql("e.embedding", "p.qemb", DIM)
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $CELLS),
-         |assign AS (SELECT vec_id, embedding, cid FROM (
-         |  SELECT e.vec_id, e.embedding, c.cid,
-         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dotEC DESC, c.cid) AS crn
-         |  FROM embeddings e CROSS JOIN cent c) WHERE crn = 1),
-         |q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings),
-         |probes AS (SELECT qid, qemb, cid FROM (
-         |  SELECT q.qid, q.qemb, c.cid,
-         |         row_number() OVER (PARTITION BY q.qid ORDER BY $dotQC DESC, c.cid) AS prn
-         |  FROM q CROSS JOIN cent c) WHERE prn <= $GRAPH_PROBES)
-         |SELECT qid, rank, nid, score FROM (
-         |  SELECT p.qid, e.vec_id AS nid, $dotEP AS score,
-         |         row_number() OVER (PARTITION BY p.qid
-         |           ORDER BY $dotEP DESC, e.vec_id) AS rank
-         |  FROM probes p JOIN assign e ON p.cid = e.cid AND e.vec_id <> p.qid)
-         |WHERE rank <= $GRAPH_K ORDER BY qid, rank""".stripMargin
-    },
+    "c34_knn_graph" ->
+      s"""WITH $knnCtes
+         |SELECT qid, rank, nid, score FROM graph ORDER BY qid, rank""".stripMargin,
+    "c35_graph_prune" ->
+      s"""WITH $knnCtes,
+         |dens AS (SELECT qid AS vec_id, CAST(count(*) AS BIGINT) AS deg,
+         |    list_reduce([CAST(0.0 AS DOUBLE)] || list_sort(list(score)),
+         |                (x, y) -> x + y) AS dsum
+         |  FROM graph GROUP BY qid)
+         |SELECT vec_id, cid, deg, density, cell_rank, n_cell,
+         |       (cell_rank * 100 <= n_cell * $PRUNE_PCT) AS pruned
+         |FROM (
+         |  SELECT d.vec_id, a.cid, d.deg,
+         |         d.dsum / CAST(d.deg AS DOUBLE) AS density,
+         |         CAST(row_number() OVER (PARTITION BY a.cid
+         |           ORDER BY d.dsum / CAST(d.deg AS DOUBLE) DESC, d.vec_id)
+         |           AS BIGINT) AS cell_rank,
+         |         CAST(count(*) OVER (PARTITION BY a.cid) AS BIGINT) AS n_cell
+         |  FROM dens d JOIN assign a ON d.vec_id = a.vec_id)
+         |ORDER BY vec_id""".stripMargin,
     "c05_embed_neardup" -> {
       val dotAB = Portable.dotSql("a.embedding", "b.embedding", DIM)
       s"""WITH $signCtes,

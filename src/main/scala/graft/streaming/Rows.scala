@@ -77,3 +77,15 @@ final case class VecHit(vec_id: Long, qid: String, score: Double)
 /** Keyed state for streaming exact dedup: whether the content hash
   * has already emitted a document. */
 final case class SeenContent(seen: Boolean)
+
+/** A parsed page view (b13/b14's node stream). */
+final case class PageView(user_id: Long, ts: Timestamp, event_id: Long,
+    page: Long)
+
+/** One page transition (edge) emitted by the streaming twin of
+  * AdsQueries.pageEdges. */
+final case class PageTransition(user_id: Long, src: Long, dst: Long,
+    ts: Timestamp)
+
+/** Keyed state for the transition stream: the user's last page. */
+final case class LastPage(page: Long)

@@ -206,6 +206,49 @@ object StatefulOps {
     * O(1), never grows with traffic — and the live per-step counters
     * downstream are a plain streaming aggregation over this append
     * stream. */
+  /** b13/b14's STREAMING twin — the page-transition EDGE stream:
+    * per-user last-page state turns the event stream into (src, dst)
+    * edges the moment the next page view arrives; self-loops are
+    * dropped and malformed/missing page ids never reach the state,
+    * exactly like the batch `AdsQueries.pageEdges` lag-window form.
+    * Downstream, a plain streaming aggregation on (src, dst) keeps
+    * the live weighted edge list that b14's transition model and an
+    * incremental PageRank re-train read — the graph maintained AT
+    * INGEST, no replay of the event log.
+    *
+    * State is ONE long per user (the last page) — strictly smaller
+    * than the funnel's three booleans after encoding, and, as there,
+    * in-order per-key delivery across micro-batches is assumed while
+    * intra-batch order is restored by the (ts, event_id) sort. */
+  def pageTransitions(spark: SparkSession,
+      events: Dataset[EventRow]): Dataset[PageTransition] = {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    import spark.implicits._
+    events.toDF()
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k")
+          .cast(org.apache.spark.sql.types.LongType).as("page"))
+      .where(col("page").isNotNull)
+      .as[PageView]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[PageView], state: GroupState[LastPage]) => {
+          val sorted = it.toSeq.sortBy(v => (v.ts.getTime, v.event_id))
+          var last = state.getOption.map(_.page)
+          val out = Seq.newBuilder[PageTransition]
+          sorted.foreach { v =>
+            last match {
+              case Some(p) if p != v.page =>
+                out += PageTransition(userId, p, v.page, v.ts)
+              case _ => ()
+            }
+            last = Some(v.page)
+          }
+          last.foreach(p => state.update(LastPage(p)))
+          out.result().iterator
+        })
+  }
+
   def funnelSteps(spark: SparkSession, events: Dataset[EventRow]): Dataset[FunnelStep] = {
     import spark.implicits._
     events

@@ -39,6 +39,27 @@ class KnnGraphSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("c35 prune quota is exactly 10% per cell, taken from the top") {
+    val p = VectorOps.c35GraphPrune(spark, sf).cache()
+    // quota: floor(n_cell / 10) pruned per cell (rank·100 ≤ n·10)
+    val quotas = p.groupBy($"cid")
+      .agg(max($"n_cell").as("n"),
+        sum(when($"pruned", 1L).otherwise(0L)).as("npruned"))
+      .as[(Int, Long, Long)].collect()
+    quotas.foreach { case (cid, n, np) =>
+      assert(np === n / 10, s"cell $cid: $np pruned of $n")
+    }
+    // pruned set = the cell's densest: every pruned density ≥ every
+    // kept density within the cell (modulo the vec_id tie-break)
+    val bad = p.as("a").join(p.as("b"),
+        $"a.cid" === $"b.cid" && $"a.pruned" && !$"b.pruned" &&
+          $"a.density" < $"b.density")
+    assert(bad.count() === 0L)
+    // density is a mean of GRAPH_K cosines of unit-norm vectors
+    assert(p.filter($"deg" =!= 5 || abs($"density") > 1.0).count() === 0L)
+    p.unpersist()
+  }
+
   test("recall@5 vs brute force rises with nprobe and clears the bands") {
     val e = graft.Tables.embeddings(spark, sf)
     val w = Window.partitionBy($"qid").orderBy($"score".desc, $"nid")
