@@ -393,6 +393,40 @@ object AdsQueries extends QueryModule {
       .orderBy(col("src"), col("rk"))
   }
 
+  private val PATH_LEN = 3  // pages per mined path
+  private val PATH_TOP = 20 // paths reported
+
+  /** b15 — top-K PATH MINING: the most frequent length-3 page paths
+    * users actually walk (raw consecutive triples in (ts, event_id)
+    * order — b14 models single steps; this surfaces the multi-step
+    * trails a UX/funnel review reads). Self-transitions are kept:
+    * a reload is part of the walked path here, while b13/b14 model
+    * the page GRAPH and drop loops — both conventions stated, each
+    * oracle replays its own.
+    *
+    * Scale shape: ONE user-keyed exchange whose sort feeds both lag
+    * windows (same-frame windows share the single sort, b11's
+    * argument), then a path-keyed count with map-side combine —
+    * path cardinality saturates like t13's vocabulary — and a
+    * TakeOrdered top-K, never a global sort. */
+  def b15TopPaths(s: SparkSession, d: String): DataFrame =
+    topPaths(Tables.events(s, d))
+
+  /** [[b15TopPaths]] core over any (user_id, ts, event_id, props)
+    * frame. */
+  private[graft] def topPaths(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    pageViews(events)
+      .withColumn("p1", lag(col("page"), PATH_LEN - 1).over(w))
+      .withColumn("p2", lag(col("page"), PATH_LEN - 2).over(w))
+      .where(col("p1").isNotNull)
+      .select(col("p1"), col("p2"), col("page").as("p3"))
+      .groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("p1"), col("p2"), col("p3"))
+      .limit(PATH_TOP)
+  }
+
   private val rev =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE)"
 
@@ -409,7 +443,8 @@ object AdsQueries extends QueryModule {
     "b11_funnel" -> b11Funnel,
     "b12_rolling_active" -> b12RollingActive,
     "b13_pagerank" -> b13Pagerank,
-    "b14_next_page" -> b14NextPage)
+    "b14_next_page" -> b14NextPage,
+    "b15_top_paths" -> b15TopPaths)
 
   override val oracle: Map[String, String] = Map(
     "b1_gmv" ->
@@ -581,5 +616,20 @@ object AdsQueries extends QueryModule {
          |         CAST(row_number() OVER (PARTITION BY e.src
          |           ORDER BY e.wt DESC, e.dst) AS BIGINT) AS rk
          |  FROM edges e JOIN outw o ON e.src = o.src)
-         |WHERE rk <= $NEXT_K ORDER BY src, rk""".stripMargin)
+         |WHERE rk <= $NEXT_K ORDER BY src, rk""".stripMargin,
+    "b15_top_paths" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+         |  FROM events
+         |  WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+         |tr AS (
+         |  SELECT page AS p3,
+         |         lag(page, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+         |         lag(page, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+         |  FROM ev)
+         |SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS ct
+         |FROM tr WHERE p1 IS NOT NULL
+         |GROUP BY p1, p2, p3
+         |ORDER BY ct DESC, p1, p2, p3 LIMIT $PATH_TOP""".stripMargin)
 }

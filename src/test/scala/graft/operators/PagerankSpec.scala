@@ -82,6 +82,25 @@ class PagerankSpec extends SparkSpec {
       (1L, 1L, 2L, 2L, 0.4), (1L, 2L, 3L, 1L, 0.2), (1L, 3L, 4L, 1L, 0.2)))
   }
 
+  test("b15 path mining counts raw consecutive triples, top-K ordered") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 00:00:01", 1L, 1L), // u1 walks 1,2,3,2,3
+      (1L, "2024-01-01 00:00:02", 2L, 2L),
+      (1L, "2024-01-01 00:00:03", 3L, 3L),
+      (1L, "2024-01-01 00:00:04", 4L, 2L),
+      (1L, "2024-01-01 00:00:05", 5L, 3L),
+      (2L, "2024-01-01 00:00:01", 6L, 1L), // u2 walks 1,2,3
+      (2L, "2024-01-01 00:00:02", 7L, 2L),
+      (2L, "2024-01-01 00:00:03", 8L, 3L),
+      (3L, "2024-01-01 00:00:01", 9L, 7L), // u3: too short for a triple
+      (3L, "2024-01-01 00:00:02", 10L, 8L)))
+    val got = AdsQueries.topPaths(events)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // u1 triples: (1,2,3), (2,3,2), (3,2,3); u2: (1,2,3)
+    assert(got === Seq(
+      (1L, 2L, 3L, 2L), (2L, 3L, 2L, 1L), (3L, 2L, 3L, 1L)))
+  }
+
   test("a page with no in-links converges to the teleport base") {
     val events = ev(Seq(
       (1L, "2024-01-01 00:00:01", 1L, 5L),
