@@ -35,7 +35,10 @@ class PlanShapeSpec extends SparkSpec {
     // c28 inherits c24's one-row corpus-stats cross; t22 inherits
     // t15's one-row vocabulary-size cross; t30 crosses the one-row
     // corpus doc count into the idf projection
-    "c28_hybrid_rrf", "t22_ppl_buckets", "t30_tfidf_terms")
+    "c28_hybrid_rrf", "t22_ppl_buckets", "t30_tfidf_terms",
+    // t31 crosses the one-row bigram-type-count scalar (B in the KN
+    // backoff) into the probability projection — t15's pattern
+    "t31_kn_lm")
 
   test("no query plan contains a cartesian product; BNLJ only where intended") {
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
