@@ -142,7 +142,9 @@ object ScaleProbe {
       "c34_knn_graph" -> operators.VectorOps.c34KnnGraph _,
       "t31_kn_lm" -> operators.TextOps.t31KnLm _,
       "c35_graph_prune" -> operators.VectorOps.c35GraphPrune _,
-      "m06_audio_stats" -> operators.MediaOps.m06AudioStats _)
+      "m06_audio_stats" -> operators.MediaOps.m06AudioStats _,
+      "t32_vocab_drift" -> operators.TextOps.t32VocabDrift _,
+      "c36_incremental_knn" -> operators.VectorOps.c36IncrementalKnn _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

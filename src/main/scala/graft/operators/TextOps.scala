@@ -544,6 +544,53 @@ object TextOps extends QueryModule {
       .limit(KN_TOP)
   }
 
+  private val DRIFT_TOP = 50 // drifted tokens reported
+
+  /** t32 — VOCABULARY DRIFT between two corpus snapshots (fixture:
+    * even/odd doc_id halves; production: yesterday's ingest vs
+    * today's): the tokens whose frequency SHARE moved most. The
+    * monitoring panel every running ingest needs — a crawler source
+    * gone spammy, a language mix shift, boilerplate flooding in —
+    * all appear here before they hurt a trained model.
+    *
+    * Drift is ranked by |cA·totB − cB·totA| — the share difference
+    * cross-multiplied into EXACT integer form, so the ordering (and
+    * the reported statistic) is engine-portable with no float
+    * comparison anywhere; the double shares are emitted for human
+    * eyes only, each one division of exact BIGINTs. (Magnitude
+    * bound: token count × corpus total < 2^63 up to ~3·10^9-token
+    * snapshots with million-count tokens; at the 100 TB point,
+    * rescale counts to per-2^20 shares first — same integer
+    * discipline, documented rather than silent.)
+    *
+    * Scale shape: ONE corpus pass with a conditional aggregation
+    * per snapshot — no self-join, no full-outer join of two count
+    * tables; the (token → cA, cB) table saturates with vocabulary
+    * (t13's argument) and is localCheckpointed, the totals derive
+    * from IT, and top-K compiles to TakeOrdered. */
+  def t32VocabDrift(s: SparkSession, d: String): DataFrame =
+    vocabDrift(Tables.documents(s, d))
+
+  /** [[t32VocabDrift]] core over any (doc_id, text) frame. */
+  private[graft] def vocabDrift(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+        explode_outer(split(col("text"), "\\s+")).as("w"))
+      .where(col("w").isNotNull && col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b"))
+      .localCheckpoint()
+    val tot = counts.agg(sum(col("c_a")).as("tot_a"), sum(col("c_b")).as("tot_b"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("w"), col("c_a"), col("c_b"),
+        abs(col("c_a") * col("tot_b") - col("c_b") * col("tot_a")).as("drift"),
+        (col("c_a").cast(DoubleType) / col("tot_a").cast(DoubleType)).as("share_a"),
+        (col("c_b").cast(DoubleType) / col("tot_b").cast(DoubleType)).as("share_b"))
+      .orderBy(col("drift").desc, col("w"))
+      .limit(DRIFT_TOP)
+  }
+
   /** t18 — tokenizer FERTILITY by language: subword-per-word ratio
     * of the t03b tokenizer over each language slice (plus doc and
     * token totals). Fertility is the standard vocabulary-fit
@@ -1178,6 +1225,7 @@ object TextOps extends QueryModule {
     "t11_top_quality_per_source" -> t11TopQualityPerSource,
     "t15_lm_score" -> t15LmScore,
     "t31_kn_lm" -> t31KnLm,
+    "t32_vocab_drift" -> t32VocabDrift,
     "t17_dsir_sample" -> t17DsirSample,
     "t18_fertility" -> t18Fertility,
     "t19_rule_filter" -> t19RuleFilter,
@@ -1505,6 +1553,24 @@ object TextOps extends QueryModule {
          |           JOIN cont o ON c.w2 = o.w2
          |           CROSS JOIN btot b
          |ORDER BY c.c2 DESC, c.w1, c.w2 LIMIT $KN_TOP""".stripMargin,
+    "t32_vocab_drift" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id % 2 = 0 AS in_a,
+         |         unnest(string_split_regex(text, '\\s+')) AS w
+         |  FROM documents),
+         |counts AS (
+         |  SELECT w,
+         |         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         |         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+         |  FROM tok WHERE w IS NOT NULL AND w <> '' GROUP BY w),
+         |tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS tot_a,
+         |               CAST(SUM(c_b) AS BIGINT) AS tot_b FROM counts)
+         |SELECT w, c_a, c_b,
+         |       CAST(abs(c_a * tot_b - c_b * tot_a) AS BIGINT) AS drift,
+         |       CAST(c_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS share_a,
+         |       CAST(c_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS share_b
+         |FROM counts CROSS JOIN tot
+         |ORDER BY drift DESC, w LIMIT $DRIFT_TOP""".stripMargin,
     "t04_fingerprint" ->
       s"""SELECT doc_id,
          |  list_min(list_transform(range(1, CAST(greatest(length(text) - 7, 1) AS BIGINT) + 1),

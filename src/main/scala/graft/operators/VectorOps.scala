@@ -1064,9 +1064,53 @@ object VectorOps extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** c36 — INCREMENTAL kNN-graph maintenance: the day's new vectors
+    * (hash-based 20% slice, c13's split convention) searched against
+    * the EXISTING corpus only — the edges to append when a batch
+    * lands, never a rebuild and never new×new (a production run
+    * would then union these rows into the stored graph and re-run
+    * c35's density pass on the touched cells only). The ANN-family
+    * twin of c13's incremental dedup, completing the index
+    * lifecycle: c07c reads a persisted index, c22c persisted codes,
+    * c36 keeps the derived GRAPH current.
+    *
+    * The codebook stays the index's fixed 16 centroids (a new batch
+    * never moves the cells it is searched in — re-quantization is a
+    * separate, rarer lifecycle step, c12). Scale shape: one narrow
+    * assignment pass over old, one over new (batch-sized), then
+    * c34's cell equi-join bounded by |new|·nprobe·cellsize, with
+    * the same Partial WindowGroupLimit before the exchange. */
+  def c36IncrementalKnn(s: SparkSession, d: String): DataFrame = {
+    val newFlag = Portable.h60(concat(lit("split:"),
+      col("vec_id").cast(StringType))) % 100 >= 80
+    val e = emb(s, d).withColumn("__new", newFlag)
+    val cents = anchorVectors(s, d, CELLS)
+    val assign = cellAssign(e.filter(!col("__new")), cents)
+    val q = e.filter(col("__new"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val probeStructs = array(cents.map { case (cid, v) =>
+      struct((-Portable.dot(col("qemb"), typedLit(v))).as("neg"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probes = q
+      .select(col("qid"), col("qemb"),
+        explode_outer(slice(array_sort(probeStructs), 1, GRAPH_PROBES)).as("p"))
+      .select(col("qid"), col("qemb"), col("p.cid").as("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    probes.join(assign, "cid")
+      .select(col("qid"), col("vec_id").as("nid"),
+        Portable.dot(col("embedding"), col("qemb")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= GRAPH_K)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c34_knn_graph" -> c34KnnGraph,
     "c35_graph_prune" -> c35GraphPrune,
+    "c36_incremental_knn" -> c36IncrementalKnn,
     "c05_embed_neardup" -> c05EmbedNeardup,
     "c18_semantic_decon" -> c18SemanticDecon,
     "c06_ann_brute" -> c06AnnBrute,
@@ -1155,6 +1199,29 @@ object VectorOps extends QueryModule {
     "c34_knn_graph" ->
       s"""WITH $knnCtes
          |SELECT qid, rank, nid, score FROM graph ORDER BY qid, rank""".stripMargin,
+    "c36_incremental_knn" -> {
+      val dotEC = Portable.dotSql("e.embedding", "c.cemb", DIM)
+      val dotQC = Portable.dotSql("q.qemb", "c.cemb", DIM)
+      val dotEP = Portable.dotSql("e.embedding", "p.qemb", DIM)
+      val isNew = Portable.h60Sql("'split:' || CAST(vec_id AS VARCHAR)") + " % 100 >= 80"
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $CELLS),
+         |oldv AS (SELECT vec_id, embedding FROM embeddings WHERE NOT ($isNew)),
+         |newq AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE $isNew),
+         |assign AS (SELECT vec_id, embedding, cid FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dotEC DESC, c.cid) AS crn
+         |  FROM oldv e CROSS JOIN cent c) WHERE crn = 1),
+         |probes AS (SELECT qid, qemb, cid FROM (
+         |  SELECT q.qid, q.qemb, c.cid,
+         |         row_number() OVER (PARTITION BY q.qid ORDER BY $dotQC DESC, c.cid) AS prn
+         |  FROM newq q CROSS JOIN cent c) WHERE prn <= $GRAPH_PROBES)
+         |SELECT qid, rank, nid, score FROM (
+         |  SELECT p.qid, e.vec_id AS nid, $dotEP AS score,
+         |         row_number() OVER (PARTITION BY p.qid
+         |           ORDER BY $dotEP DESC, e.vec_id) AS rank
+         |  FROM probes p JOIN assign e ON p.cid = e.cid)
+         |WHERE rank <= $GRAPH_K ORDER BY qid, rank""".stripMargin
+    },
     "c35_graph_prune" ->
       s"""WITH $knnCtes,
          |dens AS (SELECT qid AS vec_id, CAST(count(*) AS BIGINT) AS deg,

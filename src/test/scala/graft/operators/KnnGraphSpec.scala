@@ -60,6 +60,26 @@ class KnnGraphSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("c36 incremental edges: new queries only, old neighbors only") {
+    val inc = VectorOps.c36IncrementalKnn(spark, sf).cache()
+    val isNew = graft.functions.Portable.h60(
+      concat(lit("split:"), $"vec_id".cast("string"))) % 100 >= 80
+    val e = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", isNew.as("n"))
+    val newIds = e.filter($"n").select($"vec_id").as[Long].collect().toSet
+    val qids = inc.select($"qid").distinct().as[Long].collect().toSet
+    assert(qids === newIds) // every new vector got its edge batch
+    // neighbors come exclusively from the existing corpus
+    val nids = inc.select($"nid").distinct().as[Long].collect().toSet
+    assert(nids.intersect(newIds).isEmpty)
+    // dense ranks 1..K per query
+    val bad = inc.groupBy($"qid")
+      .agg(count(lit(1)).as("ct"), max($"rank").as("hi"))
+      .filter($"ct" =!= $"hi" || $"hi" > 5)
+    assert(bad.count() === 0L)
+    inc.unpersist()
+  }
+
   test("recall@5 vs brute force rises with nprobe and clears the bands") {
     val e = graft.Tables.embeddings(spark, sf)
     val w = Window.partitionBy($"qid").orderBy($"score".desc, $"nid")
