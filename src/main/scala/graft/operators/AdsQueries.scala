@@ -339,11 +339,20 @@ object AdsQueries extends QueryModule {
   }
 
   /** [[b13Pagerank]] core over any (user_id, ts, event_id, props)
-    * frame. */
-  private[graft] def pagerank(events: DataFrame): DataFrame = {
-    val ev = pageViews(events)
-    val nodes = ev.select(col("page")).distinct().localCheckpoint()
-    val edges = pageEdges(events)
+    * frame. Node set = every valid page VIEWED (isolated pages rank
+    * at the teleport base). */
+  private[graft] def pagerank(events: DataFrame): DataFrame =
+    pagerankEdges(
+      pageViews(events).select(col("page")).distinct(),
+      pageEdges(events))
+
+  /** The damped power iteration over an explicit node set and a
+    * weighted edge list — b13's engine, also run by the standing
+    * streaming job (graft.streaming.Jobs.pagerankIngest) against
+    * its maintained edge store. */
+  private[graft] def pagerankEdges(nodeSet: DataFrame, edgeList: DataFrame): DataFrame = {
+    val nodes = nodeSet.localCheckpoint()
+    val edges = edgeList
     val outw = edges.groupBy(col("src")).agg(sum(col("wt")).as("ow"))
     val eo = edges.join(outw, "src").localCheckpoint()
     var scores = nodes.select(col("page"), lit(PR_R0).as("r"))
