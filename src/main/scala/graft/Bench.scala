@@ -56,7 +56,7 @@ object Bench {
     "c32_cluster_keep", "c33_decon_fuzzy", "t30_tfidf_terms",
     "b14_next_page", "c34_knn_graph", "t31_kn_lm",
     "c35_graph_prune", "m06_audio_stats", "b15_top_paths",
-    "t32_vocab_drift", "c36_incremental_knn")
+    "t32_vocab_drift", "c36_incremental_knn", "b16_spike_detect")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -144,7 +144,8 @@ object ScaleProbe {
       "c35_graph_prune" -> operators.VectorOps.c35GraphPrune _,
       "m06_audio_stats" -> operators.MediaOps.m06AudioStats _,
       "t32_vocab_drift" -> operators.TextOps.t32VocabDrift _,
-      "c36_incremental_knn" -> operators.VectorOps.c36IncrementalKnn _)
+      "c36_incremental_knn" -> operators.VectorOps.c36IncrementalKnn _,
+      "b16_spike_detect" -> operators.AdsQueries.b16SpikeDetect _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

@@ -402,6 +402,54 @@ object AdsQueries extends QueryModule {
       .orderBy(col("src"), col("rk"))
   }
 
+  private val SPIKE_LOOKBACK = 6 // trailing hourly buckets
+  private val SPIKE_MIN_N = 3    // buckets required before flagging
+  private val SPIKE_SIGMA = 3L   // the 3σ rule
+
+  /** b16 — traffic SPIKE detection: hourly event counts per type
+    * flagged when they sit more than 3σ from the trailing-window
+    * mean — the alerting panel over the reference's hourly-curve
+    * report (§2.B7 shows the curve; b16 says which points are
+    * anomalous).
+    *
+    * The 3σ test is evaluated in EXACT integer arithmetic by
+    * cross-multiplying the z-score inequality:
+    *   (n·x − Σx)² > σ²·(n·Σx² − (Σx)²)
+    * (both sides × n², using the population variance of the trailing
+    * buckets) — no sqrt, no division, no float anywhere, so the
+    * oracle replays the flag decision bit-for-bit; a DOUBLE z-score
+    * column would hang portability on two engines' sqrt rounding.
+    *
+    * Scale shape: one keyed count collapses the event log to
+    * (type, hour) grain — bucket cardinality, not traffic — and the
+    * three trailing aggregates share ONE window frame over those
+    * tiny rows. Flagging needs ≥ SPIKE_MIN_N trailing buckets (cold
+    * start emits unflagged rows). */
+  def b16SpikeDetect(s: SparkSession, d: String): DataFrame =
+    spikeDetect(Tables.events(s, d))
+
+  /** [[b16SpikeDetect]] core over any (ts, event_type) frame. */
+  private[graft] def spikeDetect(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("x"))
+    val frame = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(-SPIKE_LOOKBACK, -1)
+    hourly
+      .withColumn("n", count(col("x")).over(frame))
+      .withColumn("s1", coalesce(sum(col("x")).over(frame), lit(0L)))
+      .withColumn("s2", coalesce(sum(col("x") * col("x")).over(frame), lit(0L)))
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:00").as("hr"),
+        col("x"), col("n"), col("s1"), col("s2"),
+        (col("n") >= SPIKE_MIN_N &&
+          (col("n") * col("x") - col("s1")) * (col("n") * col("x") - col("s1")) >
+            lit(SPIKE_SIGMA * SPIKE_SIGMA) *
+              (col("n") * col("s2") - col("s1") * col("s1"))).as("spike"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
   private val PATH_LEN = 3  // pages per mined path
   private val PATH_TOP = 20 // paths reported
 
@@ -453,7 +501,8 @@ object AdsQueries extends QueryModule {
     "b12_rolling_active" -> b12RollingActive,
     "b13_pagerank" -> b13Pagerank,
     "b14_next_page" -> b14NextPage,
-    "b15_top_paths" -> b15TopPaths)
+    "b15_top_paths" -> b15TopPaths,
+    "b16_spike_detect" -> b16SpikeDetect)
 
   override val oracle: Map[String, String] = Map(
     "b1_gmv" ->
@@ -640,5 +689,23 @@ object AdsQueries extends QueryModule {
          |SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS ct
          |FROM tr WHERE p1 IS NOT NULL
          |GROUP BY p1, p2, p3
-         |ORDER BY ct DESC, p1, p2, p3 LIMIT $PATH_TOP""".stripMargin)
+         |ORDER BY ct DESC, p1, p2, p3 LIMIT $PATH_TOP""".stripMargin,
+    "b16_spike_detect" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hr,
+         |         CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |w AS (
+         |  SELECT event_type, hr, x,
+         |    CAST(COUNT(x) OVER tw AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(x) OVER tw, 0) AS BIGINT) AS s1,
+         |    CAST(COALESCE(SUM(x * x) OVER tw, 0) AS BIGINT) AS s2
+         |  FROM hourly
+         |  WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+         |                ROWS BETWEEN $SPIKE_LOOKBACK PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hr, x, n, s1, s2,
+         |       (n >= $SPIKE_MIN_N AND
+         |        (n * x - s1) * (n * x - s1) >
+         |          ${SPIKE_SIGMA * SPIKE_SIGMA} * (n * s2 - s1 * s1)) AS spike
+         |FROM w ORDER BY event_type, hr""".stripMargin)
 }
