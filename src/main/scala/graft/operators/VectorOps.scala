@@ -991,6 +991,37 @@ object VectorOps extends QueryModule {
   def c34KnnGraph(s: SparkSession, d: String): DataFrame =
     c34KnnGraphProbes(s, d, GRAPH_PROBES)
 
+  /** The cell-bounded kNN search shared by c34 and c36: each query's
+    * top-GRAPH_K members of `assign`, searched inside the query's
+    * `nprobe` closest cells (probe selection and ranking use c07's
+    * portable struct-sort / rank-window discipline). `excludeSelf`
+    * guards the self-join case; the bipartite incremental case has
+    * disjoint sides and skips the comparison. */
+  private def knnSearch(q: DataFrame, assign: DataFrame,
+      cents: Seq[(Int, Seq[Float])], nprobe: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val probeStructs = array(cents.map { case (cid, v) =>
+      struct((-Portable.dot(col("qemb"), typedLit(v))).as("neg"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probes = q
+      .select(col("qid"), col("qemb"),
+        explode_outer(slice(array_sort(probeStructs), 1, nprobe)).as("p"))
+      .select(col("qid"), col("qemb"), col("p.cid").as("cid"))
+    val joined = probes.join(assign, "cid")
+    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("qid"))
+      else joined
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    cand
+      .select(col("qid"), col("vec_id").as("nid"),
+        Portable.dot(col("embedding"), col("qemb")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= GRAPH_K)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** [[c34KnnGraph]] with an explicit nprobe — the recall/cost knob
     * (KnnGraphSpec pins the measured recall band at 2 and 4 probes;
     * this fixture's UNIFORM vectors are the worst case for any
@@ -1000,26 +1031,9 @@ object VectorOps extends QueryModule {
   def c34KnnGraphProbes(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val e = emb(s, d)
     val cents = anchorVectors(s, d, CELLS)
-    val assign = cellAssign(e, cents)
-    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val probeStructs = array(cents.map { case (cid, v) =>
-      struct((-Portable.dot(col("qemb"), typedLit(v))).as("neg"),
-        lit(cid).as("cid"))
-    }: _*)
-    val probes = q
-      .select(col("qid"), col("qemb"),
-        explode_outer(slice(array_sort(probeStructs), 1, nprobe)).as("p"))
-      .select(col("qid"), col("qemb"), col("p.cid").as("cid"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-    probes.join(assign, "cid")
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        Portable.dot(col("embedding"), col("qemb")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= GRAPH_K)
-      .select(col("qid"), col("rank").cast(LongType).as("rank"),
-        col("nid"), col("score"))
-      .orderBy(col("qid"), col("rank"))
+    knnSearch(
+      e.select(col("vec_id").as("qid"), col("embedding").as("qemb")),
+      cellAssign(e, cents), cents, nprobe, excludeSelf = true)
   }
 
   private val PRUNE_PCT = 10 // densest percent pruned per cell
@@ -1042,7 +1056,12 @@ object VectorOps extends QueryModule {
     * is engine/partition-dependent; array_sort pins it — summing
     * doubles in any other order would diverge in the last bit). */
   def c35GraphPrune(s: SparkSession, d: String): DataFrame = {
-    val g = c34KnnGraph(s, d)
+    val e = emb(s, d)
+    val cents = anchorVectors(s, d, CELLS) // ONE driver-side collect
+    val assignFull = cellAssign(e, cents)  // shared lineage: graph + cid join
+    val g = knnSearch(
+      e.select(col("vec_id").as("qid"), col("embedding").as("qemb")),
+      assignFull, cents, GRAPH_PROBES, excludeSelf = true)
     val dens = g.groupBy(col("qid").as("vec_id"))
       .agg(
         count(lit(1)).as("deg"),
@@ -1050,8 +1069,7 @@ object VectorOps extends QueryModule {
           (acc, x) => acc + x).as("dsum"))
       .select(col("vec_id"), col("deg"),
         (col("dsum") / col("deg").cast(DoubleType)).as("density"))
-    val assign = cellAssign(emb(s, d), anchorVectors(s, d, CELLS))
-      .select(col("vec_id"), col("cid"))
+    val assign = assignFull.select(col("vec_id"), col("cid"))
     val w = Window.partitionBy(col("cid"))
       .orderBy(col("density").desc, col("vec_id"))
     val wn = Window.partitionBy(col("cid"))
@@ -1085,26 +1103,11 @@ object VectorOps extends QueryModule {
       col("vec_id").cast(StringType))) % 100 >= 80
     val e = emb(s, d).withColumn("__new", newFlag)
     val cents = anchorVectors(s, d, CELLS)
-    val assign = cellAssign(e.filter(!col("__new")), cents)
-    val q = e.filter(col("__new"))
-      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val probeStructs = array(cents.map { case (cid, v) =>
-      struct((-Portable.dot(col("qemb"), typedLit(v))).as("neg"),
-        lit(cid).as("cid"))
-    }: _*)
-    val probes = q
-      .select(col("qid"), col("qemb"),
-        explode_outer(slice(array_sort(probeStructs), 1, GRAPH_PROBES)).as("p"))
-      .select(col("qid"), col("qemb"), col("p.cid").as("cid"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-    probes.join(assign, "cid")
-      .select(col("qid"), col("vec_id").as("nid"),
-        Portable.dot(col("embedding"), col("qemb")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= GRAPH_K)
-      .select(col("qid"), col("rank").cast(LongType).as("rank"),
-        col("nid"), col("score"))
-      .orderBy(col("qid"), col("rank"))
+    knnSearch(
+      e.filter(col("__new"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb")),
+      cellAssign(e.filter(!col("__new")), cents), cents, GRAPH_PROBES,
+      excludeSelf = false) // bipartite: sides are disjoint by the split
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -514,43 +514,42 @@ object Jobs {
   /** STANDING PageRank — the periodic-re-rank lifecycle over a live
     * event stream: [[StatefulOps.pageTransitions]] turns events into
     * edges at ingest (per-user last-page state), and each micro-batch
-    * (1) merges the batch's (src, dst) counts into a persistent edge
-    * store under `dir/edges` with the rename-aside swap (the
-    * crash-safe protocol of Sinks.upsertDim: the full store exists at
-    * `edges` or `edges__old` at every instant), then (2) re-runs
-    * b13's bounded power iteration over the MERGED store and
-    * overwrites `dir/scores`. Per-batch work is edge-store-grain
-    * (page pairs), never a replay of the event log — the property
-    * that makes a standing rank affordable: the raw stream is
-    * consumed once, forever, while the rank is recomputed from a
-    * saturating pair-grain table. Node set = edge endpoints (an
-    * isolated page has no edge in the store; the batch b13 form
-    * additionally ranks view-only pages at the teleport base —
-    * convention documented in PagerankIngestSpec's parity test). */
+    * (1) writes its (src, dst) counts into a per-batchId hive
+    * partition of `dir/edges` — overwrite into one's OWN partition
+    * is idempotent under foreachBatch's at-least-once replay, where
+    * a SUM-merge into a single table would double-count a replayed
+    * delta — then (2) re-runs b13's bounded power iteration over the
+    * aggregated store into `dir/scores`. Per-batch work is
+    * edge-store-grain (page pairs), never a replay of the event
+    * log — the property that makes a standing rank affordable: the
+    * raw stream is consumed once, forever, while the rank is
+    * recomputed from a saturating pair-grain table. Node set = edge
+    * endpoints (an isolated page has no edge in the store; the batch
+    * b13 form additionally ranks view-only pages at the teleport
+    * base — convention documented in PagerankIngestSpec's parity
+    * test). */
   def pagerankIngest(spark: SparkSession, events: Dataset[EventRow],
       dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     StatefulOps.pageTransitions(spark, events).toDF()
       .writeStream.outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val edgeDir = new org.apache.hadoop.fs.Path(s"$dir/edges")
-        val delta = batch.groupBy(col("src"), col("dst"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // IDEMPOTENT store: each micro-batch's (src, dst) counts land
+        // in their OWN hive partition keyed by batchId, written with
+        // overwrite — foreachBatch is at-least-once, and a replayed
+        // batch rewrites the SAME partition instead of summing its
+        // delta into a merged table twice (the non-idempotent-merge
+        // trap writeStatsJdbcExactlyOnce guards against on the JDBC
+        // side). A crash mid-write leaves a partial partition that
+        // the replay overwrites; no rename protocol needed because
+        // no batch ever touches another batch's partition. The
+        // partition count grows with batches — ScaleOps.compact is
+        // the standing remedy, and the re-rank below reads the
+        // store through partition discovery either way.
+        batch.groupBy(col("src"), col("dst"))
           .agg(count(lit(1)).as("wt"))
-        val merged =
-          if (fs.exists(edgeDir))
-            spark.read.parquet(edgeDir.toString).unionByName(delta)
-              .groupBy(col("src"), col("dst")).agg(sum(col("wt")).as("wt"))
-          else delta
-        val tmp = new org.apache.hadoop.fs.Path(s"$dir/edges__tmp")
-        val old = new org.apache.hadoop.fs.Path(s"$dir/edges__old")
-        merged.write.mode("overwrite").parquet(tmp.toString) // reads OLD store
-        fs.delete(old, true)
-        if (fs.exists(edgeDir))
-          require(fs.rename(edgeDir, old), s"pagerankIngest: $edgeDir -> $old failed")
-        require(fs.rename(tmp, edgeDir), s"pagerankIngest: $tmp -> $edgeDir failed")
-        fs.delete(old, true)
-        val edges = spark.read.parquet(edgeDir.toString)
+          .write.mode("overwrite").parquet(s"$dir/edges/batch=$batchId")
+        val edges = spark.read.parquet(s"$dir/edges")
+          .groupBy(col("src"), col("dst")).agg(sum(col("wt")).as("wt"))
         val nodes = edges.select(col("src").as("page"))
           .union(edges.select(col("dst").as("page"))).distinct()
         graft.operators.AdsQueries.pagerankEdges(nodes, edges)

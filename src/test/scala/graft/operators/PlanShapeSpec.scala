@@ -37,8 +37,9 @@ class PlanShapeSpec extends SparkSpec {
     // corpus doc count into the idf projection
     "c28_hybrid_rrf", "t22_ppl_buckets", "t30_tfidf_terms",
     // t31 crosses the one-row bigram-type-count scalar (B in the KN
-    // backoff) into the probability projection — t15's pattern
-    "t31_kn_lm")
+    // backoff) into the probability projection — t15's pattern; t32
+    // crosses its one-row snapshot-totals scalar the same way
+    "t31_kn_lm", "t32_vocab_drift")
 
   test("no query plan contains a cartesian product; BNLJ only where intended") {
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -34,9 +34,16 @@ class PagerankIngestSpec extends SparkSpec {
 
     val batchEvents = spark.createDataset(events).toDF()
     val batchEdges = graft.operators.AdsQueries.pageEdges(batchEvents)
+    // the store is per-batchId partitions (idempotent replay target);
+    // its aggregate is the edge list
     val storeEdges = spark.read.parquet(s"$dir/edges")
+      .groupBy($"src", $"dst").agg(sum($"wt").as("wt"))
     assert(storeEdges.exceptAll(batchEdges).count() === 0L)
     assert(batchEdges.exceptAll(storeEdges).count() === 0L)
+    // both micro-batches own their partition
+    val parts = new java.io.File(s"$dir/edges").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts === Set("batch=0", "batch=1"))
 
     val nodes = batchEdges.select($"src".as("page"))
       .union(batchEdges.select($"dst".as("page"))).distinct()
