@@ -56,7 +56,8 @@ object Bench {
     "c32_cluster_keep", "c33_decon_fuzzy", "t30_tfidf_terms",
     "b14_next_page", "c34_knn_graph", "t31_kn_lm",
     "c35_graph_prune", "m06_audio_stats", "b15_top_paths",
-    "t32_vocab_drift", "c36_incremental_knn", "b16_spike_detect")
+    "t32_vocab_drift", "c36_incremental_knn", "b16_spike_detect",
+    "c13b_incremental_persisted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,6 +96,8 @@ object Bench {
     // entry is the operator's actual read path.
     operators.VectorOps.buildIvfIndex(spark, sfDir)
     operators.VectorOps.buildIvfPqIndex(spark, sfDir)
+    // same lifecycle rule for c13b's dedup signature store
+    operators.DedupOps.buildSigStore(spark, sfDir)
 
     val results = (headline ++ extras).map(n => n -> materialize(n))
     val failed = results.collect { case (k, v) if v < 0 => k }

@@ -718,6 +718,80 @@ object DedupOps extends QueryModule {
     incrementalDedup(Tables.documents(s, d).withColumn("__new",
       Portable.h60(concat(lit("split:"), col("doc_id").cast(StringType))) % 100 >= 80))
 
+  private def sigTables(d: String): (String, String, String, String) = {
+    val tag = Integer.toHexString(d.hashCode)
+    (s"graft_sig_exact_$tag", s"graft_sig_band_$tag",
+      s"graft_sig_sh_$tag", s"graft_sig_meta_$tag")
+  }
+
+  private def newSplitFlag: Column =
+    Portable.h60(concat(lit("split:"), col("doc_id").cast(StringType))) % 100 >= 80
+
+  /** Persist the EXISTING corpus's dedup signatures — the build-once
+    * artifact every later ingest batch probes (the dedup twin of the
+    * IVF/PQ index lifecycle, VectorOps.buildIvfIndex): the distinct
+    * normalized content hashes (bucketed by hash), the MinHash band
+    * keys (bucketed by key, so a batch's probe join co-locates on
+    * the stored side without reshuffling the store), and the hashed
+    * 3-shingle arrays (bucketed by doc_id — the verify semi-join's
+    * key), plus the corpus token for drift-triggered rebuild. At
+    * 100 TB this is what makes daily dedup affordable: the old
+    * corpus is never re-read, re-normalized, or re-shingled. */
+  def buildSigStore(s: SparkSession, d: String): Unit = {
+    val (exactT, bandT, shT, metaT) = sigTables(d)
+    Seq(exactT, bandT, shT, metaT).foreach(ScaleOps.dropStale(s, _))
+    val oldDocs = Tables.documents(s, d).filter(!newSplitFlag)
+    ScaleOps.writeBucketed(
+      oldDocs.select(md5(norm(col("text"))).as("h")).distinct(),
+      exactT, "h", buckets = 16)
+    val shOld = shingleDocsOf(oldDocs, 3, hashed = true).localCheckpoint()
+    ScaleOps.writeBucketed(bandKeys(shOld), bandT, "key", buckets = 16)
+    ScaleOps.writeBucketed(shOld, shT, "doc_id", buckets = 16)
+    s.createDataFrame(Seq(Tuple1(ScaleOps.corpusToken(s, d, "documents.parquet"))))
+      .toDF("token").write.mode("overwrite").format("parquet").saveAsTable(metaT)
+  }
+
+  /** c13b — c13's ANSWERS from the persisted signature store (oracle
+    * shared verbatim): build once per corpus if absent or drifted,
+    * then the read path touches only the NEW batch's text — its
+    * hashes probe the stored hash table, its band keys equi-join the
+    * stored (key-bucketed) band table, and the verify semi-join
+    * pulls stored shingle rows for candidate old docs alone. The old
+    * corpus is read as bucketed parquet signatures, never as text. */
+  def c13bIncrementalPersisted(s: SparkSession, d: String): DataFrame = {
+    val (exactT, bandT, shT, metaT) = sigTables(d)
+    def token(): Option[String] =
+      if (!s.catalog.tableExists(metaT)) None
+      else s.table(metaT).collect().headOption.map(_.getString(0))
+    if (!token().contains(ScaleOps.corpusToken(s, d, "documents.parquet")))
+      buildSigStore(s, d)
+    val newDocs = Tables.documents(s, d).filter(newSplitFlag).localCheckpoint()
+    val exactIds = newDocs
+      .select(col("doc_id"), md5(norm(col("text"))).as("h"))
+      .join(s.table(exactT), Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("__ex", lit(1))
+    val shNew = shingleDocsOf(newDocs, 3, hashed = true).localCheckpoint()
+    val cand = bandKeys(shNew).as("x")
+      .join(s.table(bandT).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct().localCheckpoint()
+    val sh = shNew.unionByName(s.table(shT))
+      .join(candIds(cand), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+      .localCheckpoint()
+    val nearIds = verifyJaccard(cand, sh, JACCARD_T)
+      .select(col("da").as("doc_id")).distinct().withColumn("__nd", lit(1))
+    newDocs.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__ex") === 1, "exact_dup")
+          .when(col("__nd") === 1, "near_dup")
+          .otherwise("kept").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** c33 — fuzzy decontamination at WHOLE-DOCUMENT grain: every
     * training document classified against the eval set (doc_id %
     * 10 = 0, c09's stand-in suite) — `exact_dup` (normalized content
@@ -1442,6 +1516,7 @@ object DedupOps extends QueryModule {
     "c10b_cluster_star" -> c10bClusterStar,
     "c32_cluster_keep" -> c32ClusterKeep,
     "c13_incremental_dedup" -> c13IncrementalDedup,
+    "c13b_incremental_persisted" -> c13bIncrementalPersisted,
     "c33_decon_fuzzy" -> c33DeconFuzzy,
     "c14_dedup_consensus" -> c14DedupConsensus,
     "c15_paragraph_dedup" -> c15ParagraphDedup,
@@ -1930,31 +2005,38 @@ object DedupOps extends QueryModule {
          |FROM pairs GROUP BY da, db
          |HAVING count(DISTINCT method) >= 2
          |ORDER BY da, db""".stripMargin,
-    "c13_incremental_dedup" -> {
-      val bucket = Portable.h60Sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
-      s"""WITH $shSigBandsCtes,
-         |flags AS (SELECT doc_id, $bucket >= 80 AS isnew FROM documents),
-         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-         |         FROM bands x JOIN flags fx ON x.doc_id = fx.doc_id AND fx.isnew
-         |              JOIN bands y ON x.band = y.band AND x.key = y.key
-         |              JOIN flags fy ON y.doc_id = fy.doc_id AND NOT fy.isnew),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |near AS (SELECT DISTINCT da AS doc_id FROM (
-         |  ${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
-         |oldh AS (SELECT DISTINCT md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS h
-         |         FROM documents d JOIN flags f ON d.doc_id = f.doc_id AND NOT f.isnew),
-         |exact AS (SELECT d.doc_id FROM documents d
-         |          JOIN flags f ON d.doc_id = f.doc_id AND f.isnew
-         |          WHERE md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) IN (SELECT h FROM oldh))
-         |SELECT f.doc_id,
-         |       CASE WHEN f.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
-         |            WHEN f.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
-         |            ELSE 'kept' END AS status
-         |FROM flags f WHERE f.isnew
-         |ORDER BY f.doc_id""".stripMargin
-    },
+    "c13_incremental_dedup" -> c13OracleSql,
+    // c13b answers from the persisted store — value-identical by
+    // construction, so the oracle is shared verbatim
+    "c13b_incremental_persisted" -> c13OracleSql,
     // identical machinery to c13 with the eval set as the old corpus
-    "c33_decon_fuzzy" ->
+    "c33_decon_fuzzy" -> c33OracleSql)
+
+  private lazy val c13OracleSql: String = {
+    val bucket = Portable.h60Sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
+    s"""WITH $shSigBandsCtes,
+       |flags AS (SELECT doc_id, $bucket >= 80 AS isnew FROM documents),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |         FROM bands x JOIN flags fx ON x.doc_id = fx.doc_id AND fx.isnew
+       |              JOIN bands y ON x.band = y.band AND x.key = y.key
+       |              JOIN flags fy ON y.doc_id = fy.doc_id AND NOT fy.isnew),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |near AS (SELECT DISTINCT da AS doc_id FROM (
+       |  ${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
+       |oldh AS (SELECT DISTINCT md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS h
+       |         FROM documents d JOIN flags f ON d.doc_id = f.doc_id AND NOT f.isnew),
+       |exact AS (SELECT d.doc_id FROM documents d
+       |          JOIN flags f ON d.doc_id = f.doc_id AND f.isnew
+       |          WHERE md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) IN (SELECT h FROM oldh))
+       |SELECT f.doc_id,
+       |       CASE WHEN f.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+       |            WHEN f.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+       |            ELSE 'kept' END AS status
+       |FROM flags f WHERE f.isnew
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
+  private lazy val c33OracleSql: String =
       s"""WITH $shSigBandsCtes,
          |flags AS (SELECT doc_id, doc_id % $EVAL_MOD <> 0 AS isnew FROM documents),
          |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
@@ -1974,5 +2056,5 @@ object DedupOps extends QueryModule {
          |            WHEN f.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
          |            ELSE 'kept' END AS status
          |FROM flags f WHERE f.isnew
-         |ORDER BY f.doc_id""".stripMargin)
+         |ORDER BY f.doc_id""".stripMargin
 }

@@ -66,6 +66,38 @@ object ScaleOps extends QueryModule {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Identity token of the corpus a persisted artifact (IVF/PQ
+    * index, dedup signature store) was built from: the dir path plus
+    * the source file listing (name, length, mtime) — metadata only,
+    * no data scan. Stored with the artifact and re-checked on every
+    * read, so a regenerated corpus (same path, new files) or a
+    * 32-bit table-name hash collision between dirs triggers a
+    * rebuild instead of silently answering from a stale store. */
+  private[operators] def corpusToken(s: SparkSession, d: String,
+      file: String): String = {
+    val p = new org.apache.hadoop.fs.Path(d, file)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else if (fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
+      else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.toString)
+    files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .mkString(s"$d|", ",", "")
+  }
+
+  /** Drop a managed table AND its warehouse location. The in-memory
+    * catalog dies with the session but the warehouse files do not,
+    * and CREATE TABLE refuses a non-empty orphan location
+    * (LOCATION_ALREADY_EXISTS) — so a rebuild in a fresh session must
+    * clear both. */
+  private[operators] def dropStale(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Compact a parquet directory to ~`targetBytes` files — the
     * small-files remedy every long-lived ingest needs: streaming
     * micro-batches and fine-grained partitions accumulate KB-size

@@ -440,29 +440,11 @@ object VectorOps extends QueryModule {
     * corpus (same path, new files) or a 32-bit table-name hash
     * collision between two dirs triggers a rebuild instead of
     * silently answering from the wrong index. */
-  private def corpusToken(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(d, "embeddings.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val files =
-      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else if (fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
-      else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.toString)
-    files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      .mkString(s"$d|", ",", "")
-  }
+  private def corpusToken(s: SparkSession, d: String): String =
+    ScaleOps.corpusToken(s, d, "embeddings.parquet")
 
-  /** Drop a managed table AND its warehouse location. The in-memory
-    * catalog dies with the session but the warehouse files do not,
-    * and CREATE TABLE refuses a non-empty orphan location
-    * (LOCATION_ALREADY_EXISTS) — so a rebuild in a fresh session must
-    * clear both. */
-  private def dropStale(s: SparkSession, table: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS $table")
-    val p = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-  }
+  private def dropStale(s: SparkSession, table: String): Unit =
+    ScaleOps.dropStale(s, table)
 
   /** c07c — c07b's ANSWERS from the persisted index (oracle shared
     * verbatim): build once per corpus if absent, then the read path
