@@ -429,11 +429,17 @@ object AdsQueries extends QueryModule {
     spikeDetect(Tables.events(s, d))
 
   /** [[b16SpikeDetect]] core over any (ts, event_type) frame. */
-  private[graft] def spikeDetect(events: DataFrame): DataFrame = {
-    val hourly = events
+  private[graft] def spikeDetect(events: DataFrame): DataFrame =
+    spikeFlags(events
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
       .groupBy(col("event_type"), col("hr"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
+
+  /** The flag stage over a bucket-grain (event_type, hr, x) frame —
+    * shared by b16 and the standing streaming job
+    * (graft.streaming.Jobs.spikeAlertIngest), which maintains the
+    * hourly counts from the stream and re-flags from bucket grain. */
+  private[graft] def spikeFlags(hourly: DataFrame): DataFrame = {
     val frame = Window.partitionBy(col("event_type")).orderBy(col("hr"))
       .rowsBetween(-SPIKE_LOOKBACK, -1)
     hourly

@@ -556,6 +556,33 @@ object Jobs {
           .write.mode("overwrite").parquet(s"$dir/scores")
       }
 
+  /** STANDING spike alerts — b16's monitoring panel maintained over
+    * a live stream with [[pagerankIngest]]'s idempotent-store shape:
+    * each micro-batch writes its partial (event_type, hour) counts
+    * into a batchId-keyed hive partition of `dir/buckets` (overwrite
+    * → an at-least-once replay rewrites the same partition; events
+    * of one hour may span batches, so the store holds PARTIALS and
+    * the read side sums them), then b16's cross-multiplied integer
+    * 3σ flag stage re-runs over the aggregated bucket grid into
+    * `dir/alerts`. Per-batch work is bucket-grain; the raw stream is
+    * consumed exactly once. */
+  def spikeAlertIngest(spark: SparkSession, events: Dataset[EventRow],
+      dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("x"))
+          .write.mode("overwrite").parquet(s"$dir/buckets/batch=$batchId")
+        val hourly = spark.read.parquet(s"$dir/buckets")
+          .groupBy(col("event_type"), col("hr"))
+          .agg(sum(col("x")).as("x"))
+        graft.operators.AdsQueries.spikeFlags(hourly)
+          .write.mode("overwrite").parquet(s"$dir/alerts")
+      }
+
   def cardIngest(spark: SparkSession, raw: DataFrame): DataFrame =
     graft.operators.CorpusStats.cardFeatures(raw)
       .groupBy(col("source"), col("lang"))
