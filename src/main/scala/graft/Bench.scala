@@ -57,7 +57,7 @@ object Bench {
     "b14_next_page", "c34_knn_graph", "t31_kn_lm",
     "c35_graph_prune", "m06_audio_stats", "b15_top_paths",
     "t32_vocab_drift", "c36_incremental_knn", "b16_spike_detect",
-    "c13b_incremental_persisted")
+    "c13b_incremental_persisted", "s02_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,8 +96,10 @@ object Bench {
     // entry is the operator's actual read path.
     operators.VectorOps.buildIvfIndex(spark, sfDir)
     operators.VectorOps.buildIvfPqIndex(spark, sfDir)
-    // same lifecycle rule for c13b's dedup signature store
+    // same lifecycle rule for c13b's dedup signature store and
+    // s02's bucketed fact layout
     operators.DedupOps.buildSigStore(spark, sfDir)
+    operators.ScaleOps.buildBucketedFacts(spark, sfDir)
 
     val results = (headline ++ extras).map(n => n -> materialize(n))
     val failed = results.collect { case (k, v) if v < 0 => k }

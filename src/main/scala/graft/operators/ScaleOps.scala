@@ -181,6 +181,52 @@ object ScaleOps extends QueryModule {
     * Morton code, ordered along the curve. The ORDER here IS the
     * layout [[writeZOrdered]] materializes — checking it end-to-end
     * checks the interleave arithmetic both engines must agree on. */
+  private def bucketTables(d: String): (String, String, String) = {
+    val tag = Integer.toHexString(d.hashCode)
+    (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag", s"graft_bkt_meta_$tag")
+  }
+
+  /** Persist lineitem and orders bucketed + bucket-sorted on the
+    * join key — the co-location layout for the 100 TB fact tables,
+    * guarded by the corpus-drift token like every persisted
+    * artifact. Build-once; every later fact⋈fact join on the key is
+    * a local merge with NO shuffle exchange on either side. */
+  def buildBucketedFacts(s: SparkSession, d: String): Unit = {
+    val (liT, ordT, metaT) = bucketTables(d)
+    Seq(liT, ordT, metaT).foreach(dropStale(s, _))
+    writeBucketed(Tables.lineitem(s, d), liT, "l_orderkey", buckets = 8)
+    writeBucketed(Tables.orders(s, d), ordT, "o_orderkey", buckets = 8)
+    s.createDataFrame(Seq(Tuple1(corpusToken(s, d, "lineitem.parquet"))))
+      .toDF("token").write.mode("overwrite").format("parquet").saveAsTable(metaT)
+  }
+
+  /** s02 — the fact⋈fact join ANSWERED FROM the bucketed layout:
+    * order-priority quantity rollup over lineitem⋈orders where both
+    * sides read as bucket-sorted parquet, so the sort-merge join
+    * needs no Exchange and no Sort (BucketingSpec pins that plan
+    * property; this query makes the layout's ANSWERS oracle-gated
+    * too — the DuckDB twin runs the plain join, and value equality
+    * proves layout independence). Money flows through DECIMAL
+    * before the final DOUBLE cast (the b1 discipline), so the sum
+    * is order-independent and engine-exact. */
+  def s02BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (liT, ordT, metaT) = bucketTables(d)
+    def token(): Option[String] =
+      if (!s.catalog.tableExists(metaT)) None
+      else s.table(metaT).collect().headOption.map(_.getString(0))
+    if (!token().contains(corpusToken(s, d, "lineitem.parquet")))
+      buildBucketedFacts(s, d)
+    val li = s.table(liT)
+    val ord = s.table(ordT)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("total_qty"),
+        count(lit(1)).as("line_ct"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def s01Zorder(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .withColumn("zx", pmod(col("o_custkey").cast(LongType), lit(32768L)))
@@ -208,7 +254,8 @@ object ScaleOps extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_salted" -> a08Salted,
-    "s01_zorder" -> s01Zorder)
+    "s01_zorder" -> s01Zorder,
+    "s02_bucketed_join" -> s02BucketedJoin)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   override val oracle: Map[String, String] = Map(
@@ -226,5 +273,11 @@ object ScaleOps extends QueryModule {
          |  FROM orders)
          |SELECT o_orderkey, zx, zy,
          |       CAST(${zExprSql("zx", "zy", "//")} AS BIGINT) AS z
-         |FROM b ORDER BY z, o_orderkey""".stripMargin)
+         |FROM b ORDER BY z, o_orderkey""".stripMargin,
+    "s02_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS line_ct
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

@@ -72,6 +72,14 @@ class PlanShapeSpec extends SparkSpec {
       "the windows and final aggregate must share the source partitioning")
   }
 
+  test("s02's bucketed fact join has no exchange on either join side") {
+    val plan = finalPlan("s02_bucketed_join")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      "lineitem side shuffled — bucketed co-location lost")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      "orders side shuffled — bucketed co-location lost")
+  }
+
   test("c09b probes the bloom sketch before the exact semi-join verify") {
     val plan = finalPlan("c09b_decontaminate_bloom")
     assert(plan.contains("might_contain"), "bloom probe missing from the plan")
