@@ -57,7 +57,8 @@ object Bench {
     "b14_next_page", "c34_knn_graph", "t31_kn_lm",
     "c35_graph_prune", "m06_audio_stats", "b15_top_paths",
     "t32_vocab_drift", "c36_incremental_knn", "b16_spike_detect",
-    "c13b_incremental_persisted", "s02_bucketed_join")
+    "c13b_incremental_persisted", "s02_bucketed_join",
+    "c37_cluster_histogram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -146,7 +146,8 @@ object ScaleProbe {
       "t32_vocab_drift" -> operators.TextOps.t32VocabDrift _,
       "c36_incremental_knn" -> operators.VectorOps.c36IncrementalKnn _,
       "b16_spike_detect" -> operators.AdsQueries.b16SpikeDetect _,
-      "c13b_incremental_persisted" -> operators.DedupOps.c13bIncrementalPersisted _)
+      "c13b_incremental_persisted" -> operators.DedupOps.c13bIncrementalPersisted _,
+      "c37_cluster_histogram" -> operators.DedupOps.c37ClusterHistogram _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

@@ -540,6 +540,36 @@ object DedupOps extends QueryModule {
   def c10DedupCluster(s: SparkSession, d: String): DataFrame =
     connectedComponents(c02MinhashLsh(s, d).select(col("da"), col("db")))
 
+  /** c37 — duplicate-CLUSTER SIZE HISTOGRAM with dup-mass
+    * accounting: for each near-dup family size, how many families,
+    * how many documents they hold, and how many are REMOVABLE
+    * (size − 1 per family — what c32's keep-list would delete). The
+    * executive "how duplicated is my corpus" panel every curation
+    * run reports before committing a dedup pass; singletons (docs in
+    * no family) appear as the size-1 row so the docs column sums to
+    * the corpus.
+    *
+    * Scale shape: c10's component labels (edges-only rounds) +
+    * two keyed counts that collapse to family grain then SIZE grain
+    * — the histogram saturates at the largest family size. The
+    * singleton count is corpus total − labeled count, two scalar
+    * aggregates. */
+  def c37ClusterHistogram(s: SparkSession, d: String): DataFrame = {
+    val labels = c10DedupCluster(s, d).localCheckpoint()
+    val hist0 = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+    val singles = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("nc"))))
+      .select(lit(1L).as("sz"), (col("n") - col("nc")).as("n_clusters"))
+    hist0.unionByName(singles)
+      .groupBy(col("sz")).agg(sum(col("n_clusters")).as("n_clusters"))
+      .select(col("sz"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("docs"),
+        ((col("sz") - 1) * col("n_clusters")).as("dup_mass"))
+      .orderBy(col("sz"))
+  }
+
   /** Large-star/small-star connected components (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond") — the same
     * (doc_id, cluster_id, cluster_sz) contract as
@@ -1514,6 +1544,7 @@ object DedupOps extends QueryModule {
     "c09b_decontaminate_bloom" -> c09bDecontaminateBloom,
     "c10_dedup_cluster" -> c10DedupCluster,
     "c10b_cluster_star" -> c10bClusterStar,
+    "c37_cluster_histogram" -> c37ClusterHistogram,
     "c32_cluster_keep" -> c32ClusterKeep,
     "c13_incremental_dedup" -> c13IncrementalDedup,
     "c13b_incremental_persisted" -> c13bIncrementalPersisted,
@@ -1722,6 +1753,25 @@ object DedupOps extends QueryModule {
     // c10b is the same component contract through large/small-star —
     // same clusters, same oracle.
     "c10b_cluster_star" -> c10OracleSql,
+    "c37_cluster_histogram" ->
+      s"""WITH RECURSIVE $c02Ctes,
+         |pairs AS (SELECT da, db FROM (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
+         |edges AS (SELECT da, db FROM pairs UNION SELECT db AS da, da AS db FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT da, da FROM edges
+         |  UNION
+         |  SELECT r.a, e.db FROM reach r JOIN edges e ON r.b = e.da),
+         |lbl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+         |cl AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM lbl GROUP BY cluster_id),
+         |hist0 AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cl GROUP BY sz),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |ncl AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM lbl),
+         |hist AS (SELECT sz, n_clusters FROM hist0
+         |         UNION ALL SELECT CAST(1 AS BIGINT), n - nc FROM tot, ncl)
+         |SELECT sz, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+         |       CAST(SUM(sz * n_clusters) AS BIGINT) AS docs,
+         |       CAST(SUM((sz - 1) * n_clusters) AS BIGINT) AS dup_mass
+         |FROM hist GROUP BY sz ORDER BY sz""".stripMargin,
     "c32_cluster_keep" ->
       s"""WITH RECURSIVE $c02Ctes,
          |pairs AS (SELECT da, db FROM (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
