@@ -44,6 +44,20 @@ import org.apache.spark.sql.types._
   */
 object DedupOps extends QueryModule {
 
+  /** Frees a localCheckpoint'd frame's blocks once a later round has
+    * materialized past it. The iterative components loops checkpoint
+    * every round; without this, superseded round frames linger in the
+    * block manager until the ContextCleaner happens to GC them — a
+    * long-lived session (streaming driver, bench reps) accumulates
+    * them, which showed up as c37's warm runs being SLOWER than cold
+    * (BENCH_FULL r06). Safe to call once a downstream checkpoint has
+    * materialized: the blocks are never re-read. */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+    }
+
   // ---------------------------------------------------------------
   // c01 — exact dedup on normalized content hash
   // ---------------------------------------------------------------
@@ -528,8 +542,10 @@ object DedupOps extends QueryModule {
         .localCheckpoint()
       changed = next.as("n").join(lbl.as("o"), "node")
         .filter(col("n.lbl") =!= col("o.lbl")).count()
+      freeCheckpoint(lbl) // superseded round — next is materialized
       lbl = next
     }
+    freeCheckpoint(edges) // final labels depend only on lbl's blocks
     val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_sz"))
     lbl.join(sizes, "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
@@ -549,25 +565,40 @@ object DedupOps extends QueryModule {
     * no family) appear as the size-1 row so the docs column sums to
     * the corpus.
     *
-    * Scale shape: c10's component labels (edges-only rounds) +
-    * two keyed counts that collapse to family grain then SIZE grain
-    * — the histogram saturates at the largest family size. The
-    * singleton count is corpus total − labeled count, two scalar
-    * aggregates. */
-  def c37ClusterHistogram(s: SparkSession, d: String): DataFrame = {
-    val labels = c10DedupCluster(s, d).localCheckpoint()
+    * Scale shape: component labels from the ROUND-BOUNDED large/
+    * small-star contraction (O(log²) rounds on any topology — a deep
+    * dup chain can't blow the round count the way min-label
+    * propagation's O(diameter) loop could) + two keyed counts that
+    * collapse to family grain then SIZE grain — the histogram
+    * saturates at the largest family size. The singleton count is
+    * corpus total − labeled count, two scalar aggregates. */
+  def c37ClusterHistogram(s: SparkSession, d: String): DataFrame =
+    clusterHistogram(c10bClusterStar(s, d),
+      Tables.documents(s, d).select(col("doc_id")))
+
+  /** c37's core over arbitrary (doc_id, cluster_id, …) labels + a
+    * corpus id frame — factored out so the deep-chain spec can drive
+    * the exact production path with a synthetic graph. */
+  private[graft] def clusterHistogram(lblIn: DataFrame, corpusIds: DataFrame): DataFrame = {
+    val labels = lblIn.localCheckpoint()
     val hist0 = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("sz"))
       .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
-    val singles = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val singles = corpusIds.agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(labels.agg(count(lit(1)).as("nc"))))
       .select(lit(1L).as("sz"), (col("n") - col("nc")).as("n_clusters"))
-    hist0.unionByName(singles)
+    // materialize the (histogram-sized, i.e. tiny) result eagerly so
+    // the member-sized labels blocks can be freed NOW instead of
+    // lingering across bench reps / a long-lived session
+    val out = hist0.unionByName(singles)
       .groupBy(col("sz")).agg(sum(col("n_clusters")).as("n_clusters"))
       .select(col("sz"), col("n_clusters"),
         (col("sz") * col("n_clusters")).as("docs"),
         ((col("sz") - 1) * col("n_clusters")).as("dup_mass"))
       .orderBy(col("sz"))
+      .localCheckpoint()
+    freeCheckpoint(labels)
+    out
   }
 
   /** Large-star/small-star connected components (Kiveris et al.,
@@ -632,6 +663,7 @@ object DedupOps extends QueryModule {
       // both sides are distinct canonical sets: equal count + empty
       // one-sided difference ⇔ set equality
       converged = nextCount == eCount && next.except(e).isEmpty
+      freeCheckpoint(e) // superseded round — next is materialized
       e = next
       eCount = nextCount
     }
@@ -668,10 +700,19 @@ object DedupOps extends QueryModule {
     * itself is a first_value over (cluster_id) partitions whose
     * running frame makes every row see the winner without a second
     * pass. quality is t02's portable linear score (no libm). */
-  def c32ClusterKeep(s: SparkSession, d: String): DataFrame = {
-    val q = TextOps.withQualityCols(Tables.documents(s, d))
-      .select(col("doc_id"), col("quality"))
-    val lbl = connectedComponents(c02MinhashLsh(s, d).select(col("da"), col("db")))
+  def c32ClusterKeep(s: SparkSession, d: String): DataFrame =
+    clusterKeep(
+      TextOps.withQualityCols(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality")),
+      // round-bounded star components (identical contract/labels to the
+      // propagation twin; O(log²) rounds even on deep dup chains)
+      c02MinhashLsh(s, d).select(col("da"), col("db")))
+
+  /** c32's core over arbitrary (doc_id, quality) + dup-pair frames —
+    * factored out so the deep-chain spec can drive the exact
+    * production path with a synthetic graph. */
+  private[graft] def clusterKeep(q: DataFrame, pairs: DataFrame): DataFrame = {
+    val lbl = connectedComponentsStar(pairs)
       .select(col("doc_id"), col("cluster_id"))
       .localCheckpoint()
     val w = Window.partitionBy(col("cluster_id"))

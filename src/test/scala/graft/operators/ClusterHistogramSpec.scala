@@ -29,4 +29,17 @@ class ClusterHistogramSpec extends SparkSpec {
     assert(single === corpus - labeled)
     h.unpersist()
   }
+
+  test("deep-chain graph: the production path stays round-bounded and the books close") {
+    // a 1,000-doc dup CHAIN (diameter 999 — the topology min-label
+    // propagation cannot absorb) inside a 1,200-doc corpus; c37's
+    // core runs over the same star-components labels production uses
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("da", "db")
+    val labels = DedupOps.connectedComponentsStar(chain)
+    val corpus = (0L until 1200L).toDF("doc_id")
+    val h = DedupOps.clusterHistogram(labels, corpus)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // one 1,000-family + 200 singletons; dup_mass = 999
+    assert(h === List((1L, 200L, 200L, 0L), (1000L, 1L, 1000L, 999L)))
+  }
 }

@@ -47,4 +47,23 @@ class ClusterKeepSpec extends SparkSpec {
       assert(quality === q(doc), s"doc $doc quality mismatch")
     }
   }
+
+  test("deep-chain graph: one survivor, max quality, round-bounded path") {
+    // a 1,000-doc dup chain (diameter 999) + 50 singletons through
+    // c32's factored core — the star components keep this bounded
+    // where min-label propagation would need ~999 rounds
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("da", "db")
+    val quality = (0L until 1050L).map(i => (i, (i % 97).toDouble)).toDF("doc_id", "quality")
+    val keep = DedupOps.clusterKeep(quality, chain)
+      .as[(Long, Long, String, Long, Double)].collect().toSeq
+    assert(keep.size === 1050)
+    val members = keep.filter(_._1 < 1000L)
+    // best quality in the chain: max (i % 97) over 0..999 is 96,
+    // smallest doc_id achieving it is 96
+    assert(members.count(_._3 == "kept") === 1)
+    assert(members.forall(r => r._2 === 0L && r._4 === 96L))
+    assert(members.find(_._3 == "kept").get._1 === 96L)
+    val singles = keep.filter(_._1 >= 1000L)
+    assert(singles.forall(r => r._3 == "kept" && r._4 == r._1 && r._2 == r._1))
+  }
 }

@@ -39,7 +39,11 @@ class PlanShapeSpec extends SparkSpec {
     // t31 crosses the one-row bigram-type-count scalar (B in the KN
     // backoff) into the probability projection — t15's pattern; t32
     // crosses its one-row snapshot-totals scalar the same way
-    "t31_kn_lm", "t32_vocab_drift")
+    "t31_kn_lm", "t32_vocab_drift",
+    // c37 crosses the one-row cluster-totals scalar (total docs /
+    // clustered docs, for the singleton row of the histogram) into
+    // the final projection — the same one-row build side as t15/t21
+    "c37_cluster_histogram")
 
   test("no query plan contains a cartesian product; BNLJ only where intended") {
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
