@@ -933,8 +933,10 @@ object TextOps extends QueryModule {
 
   /** t27 — APPLY the learned BPE tokenizer: segment every document
     * with t26's merge table, in rank order (the standard two-phase
-    * tokenizer lifecycle: train once on a sample, apply everywhere).
-    * The merge table is driver-bounded (R rows) and compiles into R
+    * tokenizer lifecycle: train once on a sample, apply everywhere —
+    * the merge table is PERSISTED behind a corpus-drift token via
+    * [[buildBpeModel]], so repeat applies never pay the training
+    * scan). The merge table is driver-bounded (R rows) and compiles into R
     * chained per-row folds over each word's character array — one
     * narrow codegen-free-but-shuffle-free pass; the corpus is
     * touched once. Emits per doc: subword count under the learned
@@ -944,10 +946,36 @@ object TextOps extends QueryModule {
     * independent reference as t26 (no SQL face: the segmentation
     * depends on the learned recurrence). */
   def t27BpeApply(s: SparkSession, d: String): DataFrame = {
-    val merges = t26BpeLearn(s, d)
+    val (mT, metaT) = bpeTables(d)
+    def token(): Option[String] =
+      if (!s.catalog.tableExists(metaT)) None
+      else s.table(metaT).collect().headOption.map(_.getString(0))
+    if (!token().contains(ScaleOps.corpusToken(s, d, "documents.parquet")))
+      buildBpeModel(s, d)
+    val merges = s.table(mT).orderBy(col("rank"))
       .select(col("a"), col("b")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     bpeApply(Tables.documents(s, d), merges)
+  }
+
+  private def bpeTables(d: String): (String, String) = {
+    val tag = Integer.toHexString(d.hashCode)
+    (s"graft_bpe_merges_$tag", s"graft_bpe_meta_$tag")
+  }
+
+  /** Persist t26's learned merge table behind a corpus-drift token —
+    * the c13b/c22c build-once lifecycle applied to the tokenizer:
+    * training (one corpus scan + R rounds over the Heaps-bounded word
+    * table) runs ONCE per corpus version; every later t27 apply reads
+    * the R-row merge table and pays only the apply cost. The token is
+    * the corpus file listing (ScaleOps.corpusToken), so a regenerated
+    * corpus triggers retrain instead of a silently stale tokenizer. */
+  def buildBpeModel(s: SparkSession, d: String): Unit = {
+    val (mT, metaT) = bpeTables(d)
+    Seq(mT, metaT).foreach(ScaleOps.dropStale(s, _))
+    t26BpeLearn(s, d).write.mode("overwrite").format("parquet").saveAsTable(mT)
+    s.createDataFrame(Seq(Tuple1(ScaleOps.corpusToken(s, d, "documents.parquet"))))
+      .toDF("token").write.mode("overwrite").format("parquet").saveAsTable(metaT)
   }
 
   /** Core of t27: segment `docs` by `merges` (in order). */

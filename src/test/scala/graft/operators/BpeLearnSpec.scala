@@ -103,4 +103,32 @@ class BpeLearnSpec extends SparkSpec {
       .groupBy("w").count().as[(String, Long)].collect().toMap
     assert(a === refBpe(wc, a.size))
   }
+
+  test("t27 reuses the persisted model while the token matches; drift retrains") {
+    val sf = "/root/testdata/sf0.001"
+    val metaTable = s"graft_bpe_meta_${Integer.toHexString(sf.hashCode)}"
+    val mergeTable = s"graft_bpe_merges_${Integer.toHexString(sf.hashCode)}"
+    // first apply trains + persists; answers pin to the live trainer
+    val first = TextOps.t27BpeApply(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val liveMerges = TextOps.t26BpeLearn(spark, sf)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val storedMerges = spark.table(mergeTable).orderBy("rank")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(storedMerges === liveMerges)
+    // token current → a second apply must NOT rebuild (stable token)
+    val tok1 = spark.table(metaTable).as[String].collect().head
+    val second = TextOps.t27BpeApply(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(second === first)
+    assert(spark.table(metaTable).as[String].collect().head === tok1)
+    // corrupt the token → next apply retrains and restores the token
+    Seq("stale").toDF("token").write.mode("overwrite")
+      .format("parquet").saveAsTable(metaTable)
+    val third = TextOps.t27BpeApply(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(third === first)
+    val tok = spark.table(metaTable).as[String].collect().head
+    assert(tok !== "stale")
+  }
 }
