@@ -438,7 +438,16 @@ object AdsQueries extends QueryModule {
   /** The flag stage over a bucket-grain (event_type, hr, x) frame —
     * shared by b16 and the standing streaming job
     * (graft.streaming.Jobs.spikeAlertIngest), which maintains the
-    * hourly counts from the stream and re-flags from bucket grain. */
+    * hourly counts from the stream and re-flags from bucket grain.
+    *
+    * Magnitude bound (the t32 discipline): the cross-multiplied 3σ
+    * test's largest term is 9·(n·x − s1)² ≤ 9·n²·x² with n ≤
+    * SPIKE_LOOKBACK = 6, so BIGINT holds while the per-(type, hour)
+    * count stays under ~1.7·10^8 (≈47k events/s sustained per type)
+    * — Spark (non-ANSI) would wrap silently past that while DuckDB
+    * raises, so the engines diverge rather than agree-wrong. Beyond
+    * that traffic, pre-scale x to a coarser unit (e.g. thousands)
+    * before the quadratic terms; the flag is scale-invariant. */
   private[graft] def spikeFlags(hourly: DataFrame): DataFrame = {
     val frame = Window.partitionBy(col("event_type")).orderBy(col("hr"))
       .rowsBetween(-SPIKE_LOOKBACK, -1)

@@ -196,9 +196,16 @@ object ScaleOps extends QueryModule {
     Seq(liT, ordT, metaT).foreach(dropStale(s, _))
     writeBucketed(Tables.lineitem(s, d), liT, "l_orderkey", buckets = 8)
     writeBucketed(Tables.orders(s, d), ordT, "o_orderkey", buckets = 8)
-    s.createDataFrame(Seq(Tuple1(corpusToken(s, d, "lineitem.parquet"))))
+    s.createDataFrame(Seq(Tuple1(factsToken(s, d))))
       .toDF("token").write.mode("overwrite").format("parquet").saveAsTable(metaT)
   }
+
+  /** Drift token covering BOTH persisted fact tables — a regenerated
+    * orders.parquet with an unchanged lineitem must still trigger a
+    * rebuild (the store holds both). */
+  private def factsToken(s: SparkSession, d: String): String =
+    corpusToken(s, d, "lineitem.parquet") + "§" +
+      corpusToken(s, d, "orders.parquet")
 
   /** s02 — the fact⋈fact join ANSWERED FROM the bucketed layout:
     * order-priority quantity rollup over lineitem⋈orders where both
@@ -214,7 +221,7 @@ object ScaleOps extends QueryModule {
     def token(): Option[String] =
       if (!s.catalog.tableExists(metaT)) None
       else s.table(metaT).collect().headOption.map(_.getString(0))
-    if (!token().contains(corpusToken(s, d, "lineitem.parquet")))
+    if (!token().contains(factsToken(s, d)))
       buildBucketedFacts(s, d)
     val li = s.table(liT)
     val ord = s.table(ordT)

@@ -518,10 +518,13 @@ object TextOps extends QueryModule {
   def t31KnLm(s: SparkSession, d: String): DataFrame =
     knLm(Tables.documents(s, d))
 
-  /** [[t31KnLm]] core over any frame with a `text` column. */
+  /** [[t31KnLm]] core over any frame with a `text` column. Tokens
+    * are the NON-EMPTY whitespace splits (t32's convention — a
+    * leading-whitespace document must not inject "" into the
+    * vocabulary); the oracle applies the identical list_filter. */
   private[graft] def knLm(docs: DataFrame): DataFrame = {
     val big = docs
-      .select(split(col("text"), "\\s+").as("toks"))
+      .select(filter(split(col("text"), "\\s+"), x => x =!= "").as("toks"))
       .where(size(col("toks")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(toks) - 2), " +
@@ -1562,7 +1565,8 @@ object TextOps extends QueryModule {
          |$lmSelect
          |ORDER BY doc_id""".stripMargin,
     "t31_kn_lm" ->
-      s"""WITH toks AS (SELECT string_split_regex(text, '\\s+') AS t FROM documents),
+      s"""WITH toks AS (SELECT list_filter(string_split_regex(text, '\\s+'),
+         |                                 x -> x <> '') AS t FROM documents),
          |big AS (
          |  SELECT
          |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
