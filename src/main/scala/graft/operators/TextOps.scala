@@ -1051,6 +1051,170 @@ object TextOps extends QueryModule {
         (col("margin_fp") >= 0L).cast(LongType).as("kept"))
       .orderBy(col("doc_id"))
 
+  /** t33 training hyper-parameters: hashed feature buckets, batch
+    * rounds, and the damping divisor. B is deliberately small — the
+    * weight table must stay a broadcast/driver-literal object (the
+    * c12 centroid discipline), and 256 buckets are plenty for
+    * distilling a 7-rule cascade. K damps each batch step (Δw//K,
+    * toward-zero) — the plain batch perceptron 2-cycles on this
+    * objective; fractional steps let it descend. */
+  private val CLF_TRAIN_B = 256L
+  private val CLF_TRAIN_R = 6
+  private val CLF_TRAIN_K = 24L
+
+  /** t33 — TRAIN the quality classifier distributed (the step t28
+    * stubs with a fixed table): a batch perceptron over hashed
+    * bag-of-words features, with t19's rule-cascade verdict as the
+    * weak label (the rules-as-teacher distillation every production
+    * curation stack runs to replace an expensive gate with a fast
+    * linear one). All arithmetic is exact BIGINT fixed-point, so the
+    * learned weights are bit-portable and the DuckDB oracle replays
+    * training EXACTLY — each round unrolled as a CTE group, pocket
+    * selection included.
+    *
+    * Per round (POCKET batch perceptron): margin_d = Σ_b w[b]·x[d,b];
+    * every misclassified doc (y·margin ≤ 0) contributes y·x to Δw,
+    * applied damped (Δw//K — the undamped batch step 2-cycles); the
+    * kept model is the round with the best train accuracy (earliest
+    * wins ties), so a late oscillation can never ship a worse model
+    * than an earlier round found. Deterministic — no per-row update
+    * order, no floats, no randomness.
+    *
+    * Scale shape: ONE corpus scan builds the (doc, bucket, count)
+    * feature table (joined with t19's labels, checkpointed); each of
+    * the R rounds is a doc-keyed window sum (margins) + a bucket-
+    * keyed aggregation (Δw) over that counts-grain table, with the
+    * current weights entering as a 256-literal array — never a
+    * shuffle of the corpus text. The per-round collect is ≤ B rows.
+    * The learned table persists behind a corpus-drift token (the
+    * c13b/t27 lifecycle), so t33b applies never retrain.
+    *
+    * Magnitude bound (t32's discipline): |w| after R rounds ≤
+    * R·Σ_docs x ≈ R·(corpus tokens), and a doc's margin multiplies
+    * that by its token count — BIGINT holds to ~10^14 corpus tokens
+    * for 10^4-token docs; past that, train on a hash-sampled seed
+    * (the realistic regime: labels are the expensive part). */
+  def t33ClassifierTrain(s: SparkSession, d: String): DataFrame = {
+    ensureClfModel(s, d)
+    s.table(clfTables(d)._1).orderBy(col("bucket"))
+  }
+
+  /** t33b — APPLY the trained classifier: t28's narrow per-row fold
+    * with the LEARNED weight table (read from the persisted model,
+    * drift-token guarded) instead of t28's fixed stand-in. Margin
+    * stays an exact BIGINT sum → bit-portable keep decision; the
+    * oracle replays training (t33's unrolled CTEs) then this join. */
+  def t33bClassifierApply(s: SparkSession, d: String): DataFrame = {
+    ensureClfModel(s, d)
+    val w = s.table(clfTables(d)._1).orderBy(col("bucket"))
+      .collect().map(_.getLong(1)) // exactly B rows — bounded
+    val wCol = array(w.toSeq.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("__toks",
+        filter(split(coalesce(col("text"), lit("")), "\\s+"), t => t =!= ""))
+      .select(col("doc_id"),
+        size(col("__toks")).cast(LongType).as("n_tok"),
+        aggregate(col("__toks"), lit(0L),
+          (acc, t) => acc + element_at(wCol,
+            (Portable.h60(concat(lit("clfb:"), t)) % CLF_TRAIN_B + 1L)
+              .cast(IntegerType)))
+          .as("margin_fp"))
+      .select(col("doc_id"), col("n_tok"), col("margin_fp"),
+        (col("margin_fp") >= 0L).cast(LongType).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pocket batch-perceptron training core over any (doc_id, text)
+    * frame — returns the B-entry weight array of the BEST round
+    * (train accuracy over feature-bearing docs; earliest round wins
+    * ties). Each round: margins per doc (one doc-keyed agg with the
+    * current weights as a 256-literal array), the damped update
+    * Δw//K from misclassified docs' features (one bucket-keyed agg),
+    * and the round's accuracy (scalar). Spec-pinned against an
+    * independent in-memory reference (ClassifierTrainSpec). */
+  private[graft] def clfTrain(docs: DataFrame): Array[Long] = {
+    val feats = docs
+      .select(col("doc_id"),
+        explode(filter(split(coalesce(col("text"), lit("")), "\\s+"),
+          t => t =!= "")).as("tok"))
+      .select(col("doc_id"),
+        (Portable.h60(concat(lit("clfb:"), col("tok"))) % CLF_TRAIN_B).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("x"))
+      .join(t19RuleFilterOf(docs)
+        .select(col("doc_id"), (col("keep") * 2L - 1L).as("y")), Seq("doc_id"))
+      .localCheckpoint()
+    val w = Array.fill(CLF_TRAIN_B.toInt)(0L)
+    var bestW = w.clone()
+    var bestAcc = -1L
+    // rounds 0..R: margins(w_r) feed BOTH the pocket check (r ≥ 1,
+    // trained rounds only) and the next update (r < R) — one doc-
+    // keyed aggregation per round, exactly the oracle's m{r} CTE
+    for (r <- 0 to CLF_TRAIN_R) {
+      val wCol = array(w.toSeq.map(lit): _*)
+      val margins = feats
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(element_at(wCol, (col("b") + 1L).cast(IntegerType)) * col("x"))
+          .as("m"))
+        .localCheckpoint()
+      if (r >= 1) {
+        val acc = margins
+          .where(when(col("m") >= 0L, 1L).otherwise(-1L) === col("y"))
+          .count()
+        if (acc > bestAcc) { bestAcc = acc; bestW = w.clone() }
+      }
+      if (r < CLF_TRAIN_R) {
+        val delta = feats
+          .join(margins.where(col("y") * col("m") <= 0L)
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .groupBy(col("b")).agg(sum(col("y") * col("x")).as("dw"))
+          .collect() // ≤ B rows — bounded
+        // toward-zero damping (Scala Long division), mirrored
+        // sign-symmetrically in the oracle's floor-division CASE
+        delta.foreach(d => w(d.getLong(0).toInt) += d.getLong(1) / CLF_TRAIN_K)
+      }
+      DedupOps.freeCheckpoint(margins)
+    }
+    DedupOps.freeCheckpoint(feats)
+    bestW
+  }
+
+  private def clfTables(d: String): (String, String) = {
+    val tag = Integer.toHexString(d.hashCode)
+    (s"graft_clf_w_$tag", s"graft_clf_meta_$tag")
+  }
+
+  /** Stored-model identity: corpus listing PLUS the training
+    * hyper-parameters — a hyper-parameter (or algorithm-version)
+    * change must invalidate the persisted model exactly like corpus
+    * drift, or a re-deployed engine silently serves weights trained
+    * by the previous code. */
+  private def clfToken(s: SparkSession, d: String): String =
+    s"pocket-perceptron|B=$CLF_TRAIN_B|R=$CLF_TRAIN_R|K=$CLF_TRAIN_K|" +
+      ScaleOps.corpusToken(s, d, "documents.parquet")
+
+  /** Persist the learned weight table behind a corpus-drift token
+    * (the c13b/t27 build-once lifecycle). */
+  def buildClfModel(s: SparkSession, d: String): Unit = {
+    val (wT, metaT) = clfTables(d)
+    Seq(wT, metaT).foreach(ScaleOps.dropStale(s, _))
+    val w = clfTrain(Tables.documents(s, d))
+    import s.implicits._
+    w.toSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+      .toDF("bucket", "w")
+      .write.mode("overwrite").format("parquet").saveAsTable(wT)
+    s.createDataFrame(Seq(Tuple1(clfToken(s, d))))
+      .toDF("token").write.mode("overwrite").format("parquet").saveAsTable(metaT)
+  }
+
+  private def ensureClfModel(s: SparkSession, d: String): Unit = {
+    val (_, metaT) = clfTables(d)
+    def token(): Option[String] =
+      if (!s.catalog.tableExists(metaT)) None
+      else s.table(metaT).collect().headOption.map(_.getString(0))
+    if (!token().contains(clfToken(s, d)))
+      buildClfModel(s, d)
+  }
+
   /** t29 chunk geometry: 64-token windows, stride 48 (16 overlap). */
   private val CHUNK_N = 64
   private val CHUNK_STRIDE = 48
@@ -1266,6 +1430,8 @@ object TextOps extends QueryModule {
     "t26_bpe_learn" -> t26BpeLearn,
     "t27_bpe_apply" -> t27BpeApply,
     "t28_classifier_filter" -> t28ClassifierFilter,
+    "t33_classifier_train" -> t33ClassifierTrain,
+    "t33b_classifier_apply" -> t33bClassifierApply,
     "t29_chunk" -> t29Chunk,
     "c31_chunk_dedup" -> c31ChunkDedup)
 
@@ -1287,6 +1453,97 @@ object TextOps extends QueryModule {
        |            len(string_split_regex(text, '\\s+')) AS n_tok
        |          FROM documents WHERE text IS NOT NULL)
        |    WHERE n_tok >= 1))""".stripMargin
+
+  /** The t19 oracle body (no ORDER BY) — shared with t33/t33b, whose
+    * training labels replay the rule cascade. */
+  private val t19Sql: String =
+    s"""SELECT doc_id, n_tok, wchars, alpha_words, stop_hits,
+       |  r_words, r_meanlen, r_symbol, r_alpha, r_stop, r_bullet, r_ellipsis,
+       |  (7 - r_words - r_meanlen - r_symbol - r_alpha - r_stop
+       |     - r_bullet - r_ellipsis) AS n_failed,
+       |  CAST((r_words + r_meanlen + r_symbol + r_alpha + r_stop
+       |     + r_bullet + r_ellipsis) = 7 AS BIGINT) AS keep
+       |FROM (
+       |  SELECT doc_id, n_tok, wchars, alpha_words, stop_hits,
+       |    CAST(n_tok >= 50 AND n_tok <= 100000 AS BIGINT) AS r_words,
+       |    CAST(wchars >= 3 * n_tok AND wchars <= 10 * n_tok AS BIGINT) AS r_meanlen,
+       |    CAST(10 * sym_cnt <= n_tok AS BIGINT) AS r_symbol,
+       |    CAST(10 * alpha_words >= 8 * n_tok AS BIGINT) AS r_alpha,
+       |    CAST(stop_hits >= 2 AS BIGINT) AS r_stop,
+       |    CAST(10 * bullet_lines <= 9 * n_lines AS BIGINT) AS r_bullet,
+       |    CAST(10 * ellipsis_lines <= 3 * n_lines AS BIGINT) AS r_ellipsis
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(tk) AS BIGINT) AS n_tok,
+       |      CAST(COALESCE(list_sum(list_transform(tk, w -> length(w))), 0) AS BIGINT) AS wchars,
+       |      CAST(len(regexp_extract_all(txt, '#|\\.\\.\\.')) AS BIGINT) AS sym_cnt,
+       |      CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+       |      CAST(len(list_filter(tk, w -> list_contains(${langWords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")}, w))) AS BIGINT) AS stop_hits,
+       |      CAST(len(ln) AS BIGINT) AS n_lines,
+       |      CAST(len(list_filter(ln, l -> regexp_matches(l, '^(- |\\* |• )'))) AS BIGINT) AS bullet_lines,
+       |      CAST(len(list_filter(ln, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS BIGINT) AS ellipsis_lines
+       |    FROM (
+       |      SELECT doc_id, txt,
+       |        string_split_regex(txt, '\\s+') AS tk,
+       |        string_split(txt, chr(10)) AS ln
+       |      FROM (SELECT doc_id, COALESCE(text, '') AS txt FROM documents))))""".stripMargin
+
+  /** Shared CTE chain for t33/t33b: rule labels, hashed features,
+    * the R unrolled pocket-perceptron rounds (per round: margins
+    * m{r} with w{r}, the damped update to w{r+1}, the round's train
+    * accuracy acc{r}), and the pocket selection `clfbest` — the
+    * best-accuracy round's weight table (earliest round wins ties).
+    * Plain chained CTEs, not WITH RECURSIVE, so every round's tables
+    * can be referenced freely. Bit-exact replay of [[clfTrain]]. */
+  private lazy val clfTrainCtes: String = {
+    val base =
+      s"""clflab AS (SELECT doc_id, CAST(2 * keep - 1 AS BIGINT) AS y FROM ($t19Sql)),
+         |clftok AS (
+         |  SELECT doc_id, ${Portable.h60Sql("'clfb:' || tok")} % $CLF_TRAIN_B AS b
+         |  FROM (SELECT doc_id,
+         |          unnest(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+         |                             t -> t <> '')) AS tok
+         |        FROM documents)),
+         |clffeats AS (
+         |  SELECT t.doc_id, t.b, CAST(count(*) AS BIGINT) AS x, l.y
+         |  FROM clftok t JOIN clflab l USING (doc_id)
+         |  GROUP BY t.doc_id, t.b, l.y),
+         |w0 AS (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS wt
+         |       FROM range($CLF_TRAIN_B))""".stripMargin
+    val rounds = (0 to CLF_TRAIN_R).map { r =>
+      val m =
+        s"""m$r AS (
+           |  SELECT f.doc_id, f.y, SUM(w.wt * f.x) AS m
+           |  FROM w$r w JOIN clffeats f ON f.b = w.b
+           |  GROUP BY f.doc_id, f.y)""".stripMargin
+      val acc = if (r >= 1) Some(
+        s"""acc$r AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS acc FROM m$r
+           |  WHERE (CASE WHEN m >= 0 THEN 1 ELSE -1 END) = y)""".stripMargin)
+      else None
+      val next = if (r < CLF_TRAIN_R) Some(
+        s"""w${r + 1} AS (
+           |  SELECT w.b, w.wt + (CASE WHEN COALESCE(dd.d, 0) >= 0
+           |      THEN COALESCE(dd.d, 0) // $CLF_TRAIN_K
+           |      ELSE -((-COALESCE(dd.d, 0)) // $CLF_TRAIN_K) END) AS wt
+           |  FROM w$r w LEFT JOIN (
+           |    SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS d
+           |    FROM clffeats f JOIN m$r q ON f.doc_id = q.doc_id
+           |    WHERE q.y * q.m <= 0 GROUP BY f.b) dd ON dd.b = w.b)""".stripMargin)
+      else None
+      (Seq(m) ++ acc ++ next).mkString(",\n")
+    }.mkString(",\n")
+    val pocket =
+      s"""clfcand AS (${(1 to CLF_TRAIN_R)
+            .map(r => s"SELECT $r AS r, acc FROM acc$r")
+            .mkString("\n  UNION ALL ")}),
+         |clfbestr AS (SELECT r FROM clfcand ORDER BY acc DESC, r LIMIT 1),
+         |clfallw AS (${(1 to CLF_TRAIN_R)
+            .map(r => s"SELECT $r AS r, b, wt FROM w$r")
+            .mkString("\n  UNION ALL ")}),
+         |clfbest AS (SELECT b, wt FROM clfallw JOIN clfbestr USING (r))""".stripMargin
+    base + ",\n" + rounds + ",\n" + pocket
+  }
 
   /** The t08 oracle body (no ORDER BY) — shared with t25. */
   private val t08Sql: String =
@@ -1484,38 +1741,23 @@ object TextOps extends QueryModule {
          |GROUP BY lang ORDER BY lang""".stripMargin,
     // t19: same integer cross-multiplied thresholds as the Spark
     // side — no float comparison anywhere in the keep decision.
-    "t19_rule_filter" ->
-      s"""SELECT doc_id, n_tok, wchars, alpha_words, stop_hits,
-         |  r_words, r_meanlen, r_symbol, r_alpha, r_stop, r_bullet, r_ellipsis,
-         |  (7 - r_words - r_meanlen - r_symbol - r_alpha - r_stop
-         |     - r_bullet - r_ellipsis) AS n_failed,
-         |  CAST((r_words + r_meanlen + r_symbol + r_alpha + r_stop
-         |     + r_bullet + r_ellipsis) = 7 AS BIGINT) AS keep
-         |FROM (
-         |  SELECT doc_id, n_tok, wchars, alpha_words, stop_hits,
-         |    CAST(n_tok >= 50 AND n_tok <= 100000 AS BIGINT) AS r_words,
-         |    CAST(wchars >= 3 * n_tok AND wchars <= 10 * n_tok AS BIGINT) AS r_meanlen,
-         |    CAST(10 * sym_cnt <= n_tok AS BIGINT) AS r_symbol,
-         |    CAST(10 * alpha_words >= 8 * n_tok AS BIGINT) AS r_alpha,
-         |    CAST(stop_hits >= 2 AS BIGINT) AS r_stop,
-         |    CAST(10 * bullet_lines <= 9 * n_lines AS BIGINT) AS r_bullet,
-         |    CAST(10 * ellipsis_lines <= 3 * n_lines AS BIGINT) AS r_ellipsis
-         |  FROM (
-         |    SELECT doc_id,
-         |      CAST(len(tk) AS BIGINT) AS n_tok,
-         |      CAST(COALESCE(list_sum(list_transform(tk, w -> length(w))), 0) AS BIGINT) AS wchars,
-         |      CAST(len(regexp_extract_all(txt, '#|\\.\\.\\.')) AS BIGINT) AS sym_cnt,
-         |      CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
-         |      CAST(len(list_filter(tk, w -> list_contains(${langWords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")}, w))) AS BIGINT) AS stop_hits,
-         |      CAST(len(ln) AS BIGINT) AS n_lines,
-         |      CAST(len(list_filter(ln, l -> regexp_matches(l, '^(- |\\* |• )'))) AS BIGINT) AS bullet_lines,
-         |      CAST(len(list_filter(ln, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS BIGINT) AS ellipsis_lines
-         |    FROM (
-         |      SELECT doc_id, txt,
-         |        string_split_regex(txt, '\\s+') AS tk,
-         |        string_split(txt, chr(10)) AS ln
-         |      FROM (SELECT doc_id, COALESCE(text, '') AS txt FROM documents))))
-         |ORDER BY doc_id""".stripMargin,
+    "t19_rule_filter" -> s"$t19Sql\nORDER BY doc_id",
+    "t33_classifier_train" ->
+      s"""WITH $clfTrainCtes
+         |SELECT b AS bucket, wt AS w FROM clfbest ORDER BY bucket""".stripMargin,
+    "t33b_classifier_apply" ->
+      s"""WITH $clfTrainCtes,
+         |appagg AS (
+         |  SELECT doc_id, CAST(SUM(x) AS BIGINT) AS n_tok,
+         |    CAST(SUM(w.wt * f.x) AS BIGINT) AS margin_fp
+         |  FROM clffeats f JOIN clfbest w ON w.b = f.b
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(g.n_tok, 0) AS n_tok,
+         |  COALESCE(g.margin_fp, 0) AS margin_fp,
+         |  CAST(COALESCE(g.margin_fp, 0) >= 0 AS BIGINT) AS kept
+         |FROM documents d LEFT JOIN appagg g USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // t20: wtok segments the DISTINCT words (the same recursion as
     // t03b); pair counting joins the word-frequency dict and zips
     // the two shifted unnests into adjacent (a, b) pairs.
