@@ -139,6 +139,136 @@ object ScaleOps extends QueryModule {
   }
 
   // ---------------------------------------------------------------
+  // s03 — versioned corpus snapshots (manifest-based time travel)
+  // ---------------------------------------------------------------
+
+  private def fsOf(s: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Published snapshot versions under `root`, ascending. ONLY
+    * committed manifests count — data directories without a
+    * manifest (a crashed publish) are invisible. */
+  def snapshotVersions(s: SparkSession, root: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val fs = fsOf(s, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .toSeq.sorted
+  }
+
+  /** Atomically publish `df` as the next snapshot version of the
+    * corpus at `root` and return its version number.
+    *
+    * Protocol (the Iceberg/Delta commit shape, minimal form): data
+    * files land under a version-private directory, then a manifest
+    * naming EXACTLY those files is renamed into `_manifests/` — the
+    * rename is the commit point. Readers resolve a manifest and read
+    * only its file list, never a directory listing, so a reader
+    * pinned to version N is fully isolated from any concurrent
+    * publish of N+1 (snapshot isolation), and a crash before the
+    * manifest rename leaves nothing visible. Concurrent publishers
+    * racing to the same version: the second manifest rename fails
+    * (rename-to-existing), so at most one wins — single-writer is
+    * the intended deployment, the race is merely safe. On object
+    * stores without atomic rename this needs the usual swap to a
+    * CAS/log-append commit; the reader contract is unchanged. */
+  def publishSnapshot(s: SparkSession, root: String, df: DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    val rootP = new Path(root)
+    val fs = fsOf(s, rootP)
+    fs.mkdirs(new Path(rootP, "_manifests"))
+    val next = snapshotVersions(s, root).lastOption.getOrElse(0L) + 1L
+    val tmpData = new Path(rootP, s".tmp-data-v$next")
+    val dataDir = new Path(rootP, s"data-v$next")
+    df.write.mode("overwrite").parquet(tmpData.toString)
+    fs.delete(dataDir, true) // leftover of a crashed attempt at this version
+    require(fs.rename(tmpData, dataDir), s"publish: data rename failed for v$next")
+    val files = fs.listStatus(dataDir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    val tmpMan = new Path(rootP, s"_manifests/.tmp-v$next")
+    val out = fs.create(tmpMan, true)
+    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val man = new Path(rootP, s"_manifests/v$next.manifest")
+    require(fs.rename(tmpMan, man), s"publish: commit rename failed for v$next")
+    next
+  }
+
+  /** Read a published snapshot — `version` pins time travel, None
+    * reads the latest COMMITTED version. The returned frame scans
+    * only the manifest's file list; later publishes cannot change
+    * what it reads. */
+  def readSnapshot(s: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
+    val man = new Path(root, s"_manifests/v$v.manifest")
+    val fs = fsOf(s, man)
+    val in = fs.open(man)
+    val files =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    s.read.parquet(files: _*)
+  }
+
+  private def snapRoot(s: SparkSession, d: String): String =
+    new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_snap_${Integer.toHexString(d.hashCode)}").toString
+
+  /** Build-once fixture history for s03 (drift-token guarded, the
+    * c13b lifecycle): v1 = the deterministic half-split of documents
+    * (h60 bucket < 50 — replayable in the oracle), v2 = the full
+    * corpus. */
+  private def ensureSnapshots(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = snapRoot(s, d)
+    val tokP = new Path(root, "_token")
+    val fs = fsOf(s, tokP)
+    val want = corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(root), true)
+      val docs = Tables.documents(s, d)
+      publishSnapshot(s, root, docs.filter(
+        graft.functions.Portable.h60(concat(lit("snap:"),
+          col("doc_id").cast(StringType))) % 100 < 50))
+      publishSnapshot(s, root, docs)
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    root
+  }
+
+  /** s03 — READ-AT-VERSION over the snapshot store: per-version,
+    * per-language doc and character totals for the pinned v1 read
+    * and the latest (v2) read. The oracle replays both versions'
+    * CONTENTS from the raw corpus (v1 via the split predicate), so
+    * value equality proves the manifests captured exactly the right
+    * files — time travel answers from data, not trust. */
+  def s03SnapshotRead(s: SparkSession, d: String): DataFrame = {
+    val root = ensureSnapshots(s, d)
+    def stats(df: DataFrame, v: Long): DataFrame = df
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast(LongType).as("n_chars"))
+      .select(lit(v).as("version"), col("lang"), col("n_docs"), col("n_chars"))
+    stats(readSnapshot(s, root, Some(1L)), 1L)
+      .unionByName(stats(readSnapshot(s, root), 2L)) // latest = v2
+      .orderBy(col("version"), col("lang"))
+  }
+
+  // ---------------------------------------------------------------
   // Z-order layout — multi-dimensional data skipping
   // ---------------------------------------------------------------
 
@@ -262,7 +392,8 @@ object ScaleOps extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a08_salted" -> a08Salted,
     "s01_zorder" -> s01Zorder,
-    "s02_bucketed_join" -> s02BucketedJoin)
+    "s02_bucketed_join" -> s02BucketedJoin,
+    "s03_snapshot_read" -> s03SnapshotRead)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   override val oracle: Map[String, String] = Map(
@@ -286,5 +417,21 @@ object ScaleOps extends QueryModule {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
         |       CAST(COUNT(*) AS BIGINT) AS line_ct
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // replays both snapshot versions' CONTENTS from the raw corpus:
+    // v1 is the deterministic h60 half-split, v2 the full table
+    "s03_snapshot_read" ->
+      s"""SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS version, lang,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(length(text)) AS BIGINT) AS n_chars
+         |  FROM documents
+         |  WHERE ${graft.functions.Portable.h60Sql("'snap:' || CAST(doc_id AS VARCHAR)")} % 100 < 50
+         |  GROUP BY lang
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT) AS version, lang,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(length(text)) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY lang)
+         |ORDER BY version, lang""".stripMargin)
 }
