@@ -1250,6 +1250,63 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Number of fixture eval SUITES for c38 (eval docs partitioned by
+    * (doc_id div 10) % N_SUITES — deterministic, oracle-replayable). */
+  private val N_SUITES = 3L
+
+  /** c38 — MULTI-SUITE decontamination matrix: c20's consensus report
+    * with the eval side parameterized BY SUITE. Real releases
+    * decontaminate against many benchmark suites at once and must
+    * account per suite — "drop for suite A, keep for suite B" is a
+    * per-suite decision, and the release note wants the full
+    * (doc, suite, methods) matrix, not one merged flag. The fixture
+    * partitions the eval slice (doc_id % 10 = 0) into suite0..suite2
+    * by (doc_id div 10) % 3.
+    *
+    * Scale shape: identical to c20 — ONE corpus scan builds both
+    * feature sets; each detector's flag stage is ONE equi-join on the
+    * feature hash, now carrying the suite id on the eval side
+    * (adding a suite column to the build side of a hash join costs
+    * bytes, not an extra shuffle), and the matrix agg runs over
+    * flagged (doc, suite) rows only — output-proportional. Suites
+    * are data, not code: adding a suite changes the eval-side rows,
+    * never the plan. */
+  def c38MultiSuiteDecon(s: SparkSession, d: String): DataFrame = {
+    val feats = Tables.documents(s, d)
+      .withColumn("__toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"),
+        hashedShingles("__toks", DECON_N).as("shs"),
+        when(col("doc_id") % EVAL_MOD === 0,
+          call_function("graft_winhash60", col("text"), lit(SUB_W), lit(1)))
+          .otherwise(
+            call_function("graft_winhash60", col("text"), lit(SUB_W), lit(SUB_STRIDE)))
+          .as("wins"))
+      .localCheckpoint()
+    val suite = concat(lit("suite"),
+      (expr(s"doc_id div $EVAL_MOD") % N_SUITES).cast(StringType))
+    val ng = feats.select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+      .where(col("sh").isNotNull)
+    val evalNg = ng.filter(col("doc_id") % EVAL_MOD === 0)
+      .select(suite.as("suite"), col("sh")).distinct()
+    val tokFlag = ng.filter(col("doc_id") % EVAL_MOD =!= 0)
+      .join(evalNg, Seq("sh"))
+      .select(col("doc_id"), col("suite")).distinct()
+    val wn = feats.select(col("doc_id"), explode_outer(col("wins")).as("h"))
+      .where(col("h").isNotNull)
+    val evalW = wn.filter(col("doc_id") % EVAL_MOD === 0)
+      .select(suite.as("suite"), col("h")).distinct()
+    val subFlag = wn.filter(col("doc_id") % EVAL_MOD =!= 0)
+      .join(evalW, Seq("h"))
+      .select(col("doc_id"), col("suite")).distinct()
+    tokFlag.withColumn("method", lit("ngram"))
+      .unionByName(subFlag.withColumn("method", lit("substring")))
+      .groupBy(col("doc_id"), col("suite"))
+      .agg(
+        countDistinct(col("method")).as("n_methods"),
+        array_join(array_sort(collect_set(col("method"))), ",").as("methods"))
+      .orderBy(col("doc_id"), col("suite"))
+  }
+
   // ---------------------------------------------------------------
   // c19 — within-corpus exact-substring pairs via winnowing
   // ---------------------------------------------------------------
@@ -1598,6 +1655,7 @@ object DedupOps extends QueryModule {
     "c19_substring_selfdup" -> c19SubstringSelfdup,
     "c19b_substring_dupfrac" -> c19bSubstringDupfrac,
     "c20_decon_consensus" -> c20DeconConsensus,
+    "c38_multisuite_decon" -> c38MultiSuiteDecon,
     "c21_split_leakage" -> c21SplitLeakage,
     "c21b_split_repair" -> c21bSplitRepair,
     "c29_containment" -> c29Containment,
@@ -2014,6 +2072,37 @@ object DedupOps extends QueryModule {
          |       string_agg(DISTINCT method, ',' ORDER BY method) AS methods
          |FROM m GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
+    },
+    "c38_multisuite_decon" -> {
+      val h = Portable.h60Sql(s"substr(text, CAST(i AS INT), $SUB_W)")
+      val suite = s"'suite' || CAST((doc_id // $EVAL_MOD) % 3 AS VARCHAR)"
+      s"""WITH ng AS (${hashedNgramsSql(DECON_N)}),
+         |evalng AS (SELECT DISTINCT $suite AS suite, sh FROM ng
+         |           WHERE doc_id % $EVAL_MOD = 0),
+         |tokflag AS (
+         |  SELECT DISTINCT ng.doc_id, e.suite
+         |  FROM ng JOIN evalng e ON ng.sh = e.sh
+         |  WHERE ng.doc_id % $EVAL_MOD <> 0),
+         |evalw AS (
+         |  SELECT DISTINCT suite, h FROM (
+         |    SELECT $suite AS suite,
+         |      unnest(list_transform(range(1, length(text) - $SUB_W + 2),
+         |        i -> $h)) AS h
+         |    FROM documents WHERE doc_id % $EVAL_MOD = 0 AND length(text) >= $SUB_W)),
+         |corpusw AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, length(text) - $SUB_W + 2, $SUB_STRIDE),
+         |    i -> $h)) AS h
+         |  FROM documents WHERE doc_id % $EVAL_MOD <> 0 AND length(text) >= $SUB_W),
+         |subflag AS (
+         |  SELECT DISTINCT c.doc_id, e.suite
+         |  FROM corpusw c JOIN evalw e ON c.h = e.h),
+         |m AS (SELECT doc_id, suite, 'ngram' AS method FROM tokflag
+         |      UNION ALL SELECT doc_id, suite, 'substring' AS method FROM subflag)
+         |SELECT doc_id, suite,
+         |       CAST(count(DISTINCT method) AS BIGINT) AS n_methods,
+         |       string_agg(DISTINCT method, ',' ORDER BY method) AS methods
+         |FROM m GROUP BY doc_id, suite
+         |ORDER BY doc_id, suite""".stripMargin
     },
     "c21_split_leakage" -> {
       val h = Portable.h60Sql(s"substr(text, CAST(i AS INT), $SELF_W)")
