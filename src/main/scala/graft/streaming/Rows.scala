@@ -89,3 +89,22 @@ final case class PageTransition(user_id: Long, src: Long, dst: Long,
 
 /** Keyed state for the transition stream: the user's last page. */
 final case class LastPage(page: Long)
+
+/** One cohort-retention cell hit (b10's streaming twin): emitted the
+  * first time a user is active on cohort_day + day_offset. */
+final case class RetentionHit(user_id: Long, cohort_day: String,
+    day_offset: Long)
+
+/** Keyed state for streaming retention: the user's cohort epoch-day
+  * and a bitmask of the ≤ 8 offsets (0..7) already emitted — O(1),
+  * never grows with traffic. */
+final case class RetentionState(cohortEpochDay: Long, offsetMask: Int)
+
+/** One rolling-activity emission (b12's streaming twin): `dau` the
+  * first time a user is active on `day`, `wau` the first time a
+  * user's trailing-7-day window covers `day`. */
+final case class ActivityHit(user_id: Long, day: String, kind: String)
+
+/** Keyed state for rolling actives: the user's last active epoch-day
+  * (one long — the emitted-wau frontier is derivable as last + 6). */
+final case class LastActiveDay(epochDay: Long)

@@ -249,6 +249,83 @@ object StatefulOps {
         })
   }
 
+  /** UTC epoch-day of an event timestamp — the streaming twin of the
+    * batch faces' `to_date(ts)` under the session's pinned UTC zone. */
+  private def epochDayOf(e: EventRow): Long =
+    Math.floorDiv(e.ts.getTime, 86400000L)
+
+  private def dayStr(epochDay: Long): String =
+    java.time.LocalDate.ofEpochDay(epochDay).toString // yyyy-MM-dd
+
+  /** b10's STREAMING twin — cohort retention maintained AT INGEST:
+    * per user, the first active day fixes the cohort, and the first
+    * activity at each day_offset 0..7 emits ONE (cohort, offset)
+    * hit, so the live retention matrix downstream is a plain
+    * streaming count over this append stream — no replay of the
+    * event log. State is one long + an 8-bit mask per user (O(1));
+    * as for the other twins, per-key delivery across micro-batches
+    * is assumed in order while intra-batch order is restored by the
+    * sort. Offsets past 7 and (with ordered delivery, impossible)
+    * negative offsets are ignored — the batch face's `≤ 7` filter. */
+  def retentionHits(spark: SparkSession,
+      events: Dataset[EventRow]): Dataset[RetentionHit] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[EventRow], state: GroupState[RetentionState]) => {
+          val days = it.map(epochDayOf).toSeq.distinct.sorted
+          val out = Seq.newBuilder[RetentionHit]
+          var st = state.getOption.orNull
+          days.foreach { d =>
+            if (st == null) st = RetentionState(d, 0)
+            val off = d - st.cohortEpochDay
+            if (off >= 0 && off <= 7 && (st.offsetMask & (1 << off.toInt)) == 0) {
+              st = st.copy(offsetMask = st.offsetMask | (1 << off.toInt))
+              out += RetentionHit(userId, dayStr(st.cohortEpochDay), off)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+        })
+  }
+
+  /** b12's STREAMING twin — rolling DAU/WAU maintained AT INGEST:
+    * a user's first activity on a new day emits one `dau` hit, plus
+    * one `wau` hit for every day its new trailing-7 window covers
+    * that no earlier window did. With per-key ordered delivery the
+    * already-covered frontier is exactly lastDay + 6, so state is
+    * ONE long per user and emissions are set-exact: grouping hits
+    * by (day, kind) downstream gives b12's distinct-user DAU/WAU
+    * without a distinct — each (user, day) pair is emitted at most
+    * once per kind. (The batch face drops window days past the
+    * data's horizon with a semi-join; the live store simply holds
+    * those future days' partial counts until their data arrives —
+    * the parity spec restricts to realized days.) */
+  def activityHits(spark: SparkSession,
+      events: Dataset[EventRow]): Dataset[ActivityHit] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[EventRow], state: GroupState[LastActiveDay]) => {
+          val days = it.map(epochDayOf).toSeq.distinct.sorted
+          val out = Seq.newBuilder[ActivityHit]
+          var last = state.getOption.map(_.epochDay)
+          days.foreach { d =>
+            if (last.forall(_ < d)) {
+              out += ActivityHit(userId, dayStr(d), "dau")
+              val from = last.map(l => math.max(d, l + 7)).getOrElse(d)
+              (from to d + 6).foreach(wd =>
+                out += ActivityHit(userId, dayStr(wd), "wau"))
+              last = Some(d)
+            }
+          }
+          last.foreach(l => state.update(LastActiveDay(l)))
+          out.result().iterator
+        })
+  }
+
   def funnelSteps(spark: SparkSession, events: Dataset[EventRow]): Dataset[FunnelStep] = {
     import spark.implicits._
     events
