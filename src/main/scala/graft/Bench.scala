@@ -58,7 +58,10 @@ object Bench {
     "c35_graph_prune", "m06_audio_stats", "b15_top_paths",
     "t32_vocab_drift", "c36_incremental_knn", "b16_spike_detect",
     "c13b_incremental_persisted", "s02_bucketed_join",
-    "c37_cluster_histogram")
+    "c37_cluster_histogram",
+    "t33_classifier_train", "t33b_classifier_apply",
+    "s03_snapshot_read", "s04_snapshot_diff",
+    "c38_multisuite_decon", "c39_ngram_novelty")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,10 +100,14 @@ object Bench {
     // entry is the operator's actual read path.
     operators.VectorOps.buildIvfIndex(spark, sfDir)
     operators.VectorOps.buildIvfPqIndex(spark, sfDir)
-    // same lifecycle rule for c13b's dedup signature store and
-    // s02's bucketed fact layout
+    // same lifecycle rule for c13b's dedup signature store, s02's
+    // bucketed fact layout, the t27 BPE and t33 classifier models,
+    // and s03/s04's published snapshot history
     operators.DedupOps.buildSigStore(spark, sfDir)
     operators.ScaleOps.buildBucketedFacts(spark, sfDir)
+    operators.TextOps.buildBpeModel(spark, sfDir)
+    operators.TextOps.buildClfModel(spark, sfDir)
+    operators.ScaleOps.ensureSnapshots(spark, sfDir)
 
     val results = (headline ++ extras).map(n => n -> materialize(n))
     val failed = results.collect { case (k, v) if v < 0 => k }

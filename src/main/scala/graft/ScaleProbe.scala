@@ -147,7 +147,13 @@ object ScaleProbe {
       "c36_incremental_knn" -> operators.VectorOps.c36IncrementalKnn _,
       "b16_spike_detect" -> operators.AdsQueries.b16SpikeDetect _,
       "c13b_incremental_persisted" -> operators.DedupOps.c13bIncrementalPersisted _,
-      "c37_cluster_histogram" -> operators.DedupOps.c37ClusterHistogram _)
+      "c37_cluster_histogram" -> operators.DedupOps.c37ClusterHistogram _,
+      "t33_classifier_train" -> operators.TextOps.t33ClassifierTrain _,
+      "t33b_classifier_apply" -> operators.TextOps.t33bClassifierApply _,
+      "s03_snapshot_read" -> operators.ScaleOps.s03SnapshotRead _,
+      "s04_snapshot_diff" -> operators.ScaleOps.s04SnapshotDiff _,
+      "c38_multisuite_decon" -> operators.DedupOps.c38MultiSuiteDecon _,
+      "c39_ngram_novelty" -> operators.DedupOps.c39NgramNovelty _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

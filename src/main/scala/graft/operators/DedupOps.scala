@@ -1250,6 +1250,35 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** c39 — per-document n-gram NOVELTY (duplication density): for
+    * every document, what fraction of its distinct 8-gram hashes
+    * occurs in at least one OTHER document — the memorization-risk /
+    * boilerplate-density score the dedup literature reports per doc
+    * (a doc can dodge c01/c02 as a whole yet be 90% recycled
+    * phrases; this measures that directly, complementing c15's
+    * paragraph grain and c09's vs-eval grain).
+    *
+    * Scale shape: the distinct (doc, ngram-hash) pass feeds one
+    * keyed count to document frequency (count-table grain), joined
+    * back onto the per-doc ngrams — two keyed exchanges, both
+    * ngram-grain, linear in corpus size; the ratio is a single
+    * double division (identical parse tree in the oracle). df ≥ 2
+    * over DISTINCT per-doc ngrams means "some other doc has it". */
+  def c39NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val ng = shingleDocs(s, d, DECON_N, hashed = true)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val dfreq = ng.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    ng.join(dfreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_shared"),
+        (col("n_shared").cast(DoubleType) / col("n_ngrams").cast(DoubleType))
+          .as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Number of fixture eval SUITES for c38 (eval docs partitioned by
     * (doc_id div 10) % N_SUITES — deterministic, oracle-replayable). */
   private val N_SUITES = 3L
@@ -1656,6 +1685,7 @@ object DedupOps extends QueryModule {
     "c19b_substring_dupfrac" -> c19bSubstringDupfrac,
     "c20_decon_consensus" -> c20DeconConsensus,
     "c38_multisuite_decon" -> c38MultiSuiteDecon,
+    "c39_ngram_novelty" -> c39NgramNovelty,
     "c21_split_leakage" -> c21SplitLeakage,
     "c21b_split_repair" -> c21bSplitRepair,
     "c29_containment" -> c29Containment,
@@ -2073,6 +2103,16 @@ object DedupOps extends QueryModule {
          |FROM m GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
     },
+    "c39_ngram_novelty" ->
+      s"""WITH ng AS (${hashedNgramsSql(DECON_N)}),
+         |dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM ng GROUP BY sh)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_ngrams,
+         |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE) AS shared_frac
+         |FROM ng JOIN dfreq USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "c38_multisuite_decon" -> {
       val h = Portable.h60Sql(s"substr(text, CAST(i AS INT), $SUB_W)")
       val suite = s"'suite' || CAST((doc_id // $EVAL_MOD) % 3 AS VARCHAR)"

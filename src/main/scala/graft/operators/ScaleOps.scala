@@ -224,7 +224,7 @@ object ScaleOps extends QueryModule {
     * c13b lifecycle): v1 = the deterministic half-split of documents
     * (h60 bucket < 50 — replayable in the oracle), v2 = the full
     * corpus. */
-  private def ensureSnapshots(s: SparkSession, d: String): String = {
+  private[graft] def ensureSnapshots(s: SparkSession, d: String): String = {
     import org.apache.hadoop.fs.Path
     val root = snapRoot(s, d)
     val tokP = new Path(root, "_token")
@@ -266,6 +266,36 @@ object ScaleOps extends QueryModule {
     stats(readSnapshot(s, root, Some(1L)), 1L)
       .unionByName(stats(readSnapshot(s, root), 2L)) // latest = v2
       .orderBy(col("version"), col("lang"))
+  }
+
+  /** s04 — SNAPSHOT DIFF: what a new corpus version adds over the
+    * previous one, per language — the planning query every
+    * incremental pipeline runs before processing a release ("how
+    * much is actually new?") and the natural companion of the
+    * version-pinned artifact stores (c13b/c22c process exactly the
+    * added slice). Reads BOTH versions through the manifest store
+    * (never the raw directory), anti-joins on doc_id, and reports
+    * added/carried counts and added bytes.
+    *
+    * Scale shape: one equi-join keyed on doc_id between two manifest
+    * reads — the v1 side projects the key only, so the join carries
+    * (id, id) pairs, and the agg collapses to language grain. The
+    * oracle replays both versions' membership from the raw corpus
+    * via the publish split predicate, so value equality again proves
+    * the manifests captured exactly the right files. */
+  def s04SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val root = ensureSnapshots(s, d)
+    val v1 = readSnapshot(s, root, Some(1L))
+      .select(col("doc_id")).withColumn("__in1", lit(1L))
+    readSnapshot(s, root, Some(2L))
+      .join(v1, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("__in1").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__in1").isNull, length(col("text")).cast(LongType))
+          .otherwise(0L)).as("added_chars"),
+        sum(when(col("__in1").isNotNull, 1L).otherwise(0L)).as("n_carried"))
+      .orderBy(col("lang"))
   }
 
   // ---------------------------------------------------------------
@@ -393,7 +423,8 @@ object ScaleOps extends QueryModule {
     "a08_salted" -> a08Salted,
     "s01_zorder" -> s01Zorder,
     "s02_bucketed_join" -> s02BucketedJoin,
-    "s03_snapshot_read" -> s03SnapshotRead)
+    "s03_snapshot_read" -> s03SnapshotRead,
+    "s04_snapshot_diff" -> s04SnapshotDiff)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   override val oracle: Map[String, String] = Map(
@@ -433,5 +464,16 @@ object ScaleOps extends QueryModule {
          |         CAST(count(*) AS BIGINT) AS n_docs,
          |         CAST(SUM(length(text)) AS BIGINT) AS n_chars
          |  FROM documents GROUP BY lang)
-         |ORDER BY version, lang""".stripMargin)
+         |ORDER BY version, lang""".stripMargin,
+    // v1 membership = the publish split predicate; added = the rest
+    "s04_snapshot_diff" ->
+      s"""SELECT lang,
+         |  CAST(SUM(CASE WHEN NOT in1 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         |  CAST(SUM(CASE WHEN NOT in1 THEN length(text) ELSE 0 END) AS BIGINT) AS added_chars,
+         |  CAST(SUM(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) AS n_carried
+         |FROM (
+         |  SELECT lang, text,
+         |    ${graft.functions.Portable.h60Sql("'snap:' || CAST(doc_id AS VARCHAR)")} % 100 < 50 AS in1
+         |  FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin)
 }
