@@ -316,9 +316,13 @@ object DedupOps extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
         col("x.fp").as("fpa"), col("y.fp").as("fpb"))
-      .distinct()
+      // hamming BEFORE the pair-dedup distinct: bit_count is free in
+      // the join's output stage, so the radius filter shrinks what
+      // the distinct must shuffle (hamming is a function of the
+      // fingerprints, so the distinct set is unchanged)
       .withColumn("hamming", expr("CAST(bit_count(fpa ^ fpb) AS BIGINT)"))
       .filter(col("hamming") <= hammingT)
+      .distinct()
       .select(col("da"), col("db"), col("fpa"), col("fpb"), col("hamming"))
   }
 
@@ -335,10 +339,12 @@ object DedupOps extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
         col("x.fp").as("fpa"), col("y.fp").as("fpb"))
-      .distinct()
     cand
+      // radius filter before the pair-dedup distinct — see
+      // [[c03PairsPairBand]]; same set, less shuffled
       .withColumn("hamming", expr("CAST(bit_count(fpa ^ fpb) AS BIGINT)"))
       .filter(col("hamming") <= hammingT)
+      .distinct()
       .select(col("da"), col("db"), col("fpa"), col("fpb"), col("hamming"))
   }
 
@@ -573,7 +579,8 @@ object DedupOps extends QueryModule {
     * saturates at the largest family size. The singleton count is
     * corpus total − labeled count, two scalar aggregates. */
   def c37ClusterHistogram(s: SparkSession, d: String): DataFrame =
-    clusterHistogram(c10bClusterStar(s, d),
+    clusterHistogram(
+      starLabels(c02MinhashLsh(s, d).select(col("da"), col("db"))),
       Tables.documents(s, d).select(col("doc_id")))
 
   /** c37's core over arbitrary (doc_id, cluster_id, …) labels + a
@@ -624,8 +631,24 @@ object DedupOps extends QueryModule {
   private[graft] def connectedComponentsStar(pairs: DataFrame): DataFrame =
     starComponents(pairs)._1
 
-  /** [[connectedComponentsStar]] + the round count (spec instrument). */
+  /** [[connectedComponentsStar]] + the round count (spec instrument):
+    * the sized, doc_id-ordered declared contract over [[starEdges]]. */
   private[graft] def starComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val (e, rounds) = starEdges(pairs)
+    val lbl = e.select(col("hi").as("node"), col("lo").as("lbl"))
+      .unionByName(e.select(col("lo").as("node"), col("lo").as("lbl")))
+      .distinct()
+    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_sz"))
+    val out = lbl.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_sz"))
+      .orderBy(col("doc_id"))
+    (out, rounds)
+  }
+
+  /** The star-contraction loop itself → (converged canonical edge
+    * set, rounds). */
+  private[graft] def starEdges(pairs: DataFrame): (DataFrame, Int) = {
     val whi = Window.partitionBy(col("hi"))
     val wsrc = Window.partitionBy(col("src"))
 
@@ -652,30 +675,44 @@ object DedupOps extends QueryModule {
         least(col("da"), col("db")).as("lo"))
       .where(col("hi") =!= col("lo"))
       .distinct().localCheckpoint()
-    var eCount = e.count()
+    // Per-round convergence screen: (count, order-independent XOR
+    // checksum over
+    // the canonical edge hashes) in ONE scalar aggregation. Set
+    // equality is still ARBITRATED by except — but except (a full
+    // extra shuffle per round in the earlier form) now runs only on
+    // the round the cheap signature already calls stable, i.e. once
+    // on the final round in practice.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(Portable.h60(concat_ws(":", col("hi"), col("lo"))))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var eSig = sig(e)
     var rounds = 0
     var converged = false
     while (!converged) {
       rounds += 1
       require(rounds <= 64, "large/small-star failed to converge in 64 rounds")
       val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextCount = next.count()
-      // both sides are distinct canonical sets: equal count + empty
-      // one-sided difference ⇔ set equality
-      converged = nextCount == eCount && next.except(e).isEmpty
+      val nextSig = sig(next)
+      converged = nextSig == eSig && next.except(e).isEmpty
       freeCheckpoint(e) // superseded round — next is materialized
       e = next
-      eCount = nextCount
+      eSig = nextSig
     }
-    val lbl = e.select(col("hi").as("node"), col("lo").as("lbl"))
+    (e, rounds)
+  }
+
+  /** Labels-only star components — (doc_id, cluster_id) without the
+    * size join or determinism sort, for cluster-CONSUMING operators
+    * (c32/c37) that re-aggregate anyway; c10b's declared face keeps
+    * the full sized/ordered contract. */
+  private[graft] def starLabels(pairs: DataFrame): DataFrame = {
+    val e = starEdges(pairs)._1
+    e.select(col("hi").as("node"), col("lo").as("lbl"))
       .unionByName(e.select(col("lo").as("node"), col("lo").as("lbl")))
       .distinct()
-    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_sz"))
-    val out = lbl.join(sizes, "lbl")
-      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
-        col("cluster_sz"))
-      .orderBy(col("doc_id"))
-    (out, rounds)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /** c10b — c10's clusters through the large/small-star contraction
@@ -712,9 +749,7 @@ object DedupOps extends QueryModule {
     * factored out so the deep-chain spec can drive the exact
     * production path with a synthetic graph. */
   private[graft] def clusterKeep(q: DataFrame, pairs: DataFrame): DataFrame = {
-    val lbl = connectedComponentsStar(pairs)
-      .select(col("doc_id"), col("cluster_id"))
-      .localCheckpoint()
+    val lbl = starLabels(pairs).localCheckpoint()
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id"))
     val members = q.join(lbl, Seq("doc_id"))

@@ -925,11 +925,15 @@ object TextOps extends QueryModule {
               array(concat(lit(a), lit(b)))))
             .otherwise(concat(acc, array(x))))
         val next = words.select(col("wc"), folded.as("toks")).localCheckpoint()
+        DedupOps.freeCheckpoint(words) // superseded round — next is materialized
         words = next
         r += 1
       }
     }
     import s.implicits._
+    // the merge table is already driver-side — the last round's
+    // word-table blocks have no further reader
+    DedupOps.freeCheckpoint(words)
     merges.toSeq.toDF("rank", "a", "b", "freq")
       .orderBy(col("rank"))
   }
