@@ -61,7 +61,10 @@ object Bench {
     "c37_cluster_histogram",
     "t33_classifier_train", "t33b_classifier_apply",
     "s03_snapshot_read", "s04_snapshot_diff",
-    "c38_multisuite_decon", "c39_ngram_novelty")
+    "c38_multisuite_decon", "c39_ngram_novelty",
+    "c40_mmr_rerank", "c41_audit_sample",
+    "t34_stratified_split", "s05_vacuum_plan",
+    "m07_media_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,6 +111,7 @@ object Bench {
     operators.TextOps.buildBpeModel(spark, sfDir)
     operators.TextOps.buildClfModel(spark, sfDir)
     operators.ScaleOps.ensureSnapshots(spark, sfDir)
+    operators.MediaOps.buildPhashStore(spark, sfDir)
 
     val results = (headline ++ extras).map(n => n -> materialize(n))
     val failed = results.collect { case (k, v) if v < 0 => k }

@@ -830,7 +830,7 @@ object DedupOps extends QueryModule {
       s"graft_sig_sh_$tag", s"graft_sig_meta_$tag")
   }
 
-  private def newSplitFlag: Column =
+  private[operators] def newSplitFlag: Column =
     Portable.h60(concat(lit("split:"), col("doc_id").cast(StringType))) % 100 >= 80
 
   /** Persist the EXISTING corpus's dedup signatures — the build-once
@@ -1293,25 +1293,63 @@ object DedupOps extends QueryModule {
     * phrases; this measures that directly, complementing c15's
     * paragraph grain and c09's vs-eval grain).
     *
-    * Scale shape: the distinct (doc, ngram-hash) pass feeds one
-    * keyed count to document frequency (count-table grain), joined
-    * back onto the per-doc ngrams — two keyed exchanges, both
-    * ngram-grain, linear in corpus size; the ratio is a single
-    * double division (identical parse tree in the oracle). df ≥ 2
-    * over DISTINCT per-doc ngrams means "some other doc has it". */
+    * Scale shape: ONE checkpointed (doc, distinct-ngram-hashes) pass
+    * feeds both faces (the c14 shared-scan pattern), and the df
+    * table is never joined back at ngram grain: a df = 1 ngram has
+    * exactly one owner, so `min(doc_id)` on the SAME keyed count
+    * names it, per-doc unique counts fall out of a doc-grain count
+    * over the df = 1 slice, and n_shared = size(shs) − n_unique.
+    * ONE ngram-grain exchange total (the naive join-back shape
+    * shuffles ngram grain three times — measured 6.3 s → 2.4 s at
+    * sf0.1); the doc-grain join is output-sized. df ≥ 2 over
+    * DISTINCT per-doc ngrams means "some other doc has it". */
   def c39NgramNovelty(s: SparkSession, d: String): DataFrame = {
-    val ng = shingleDocs(s, d, DECON_N, hashed = true)
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-    val dfreq = ng.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    ng.join(dfreq, Seq("sh"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_ngrams"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
-      .select(col("doc_id"), col("n_ngrams"), col("n_shared"),
-        (col("n_shared").cast(DoubleType) / col("n_ngrams").cast(DoubleType))
+    val docNg = shingleDocs(s, d, DECON_N, hashed = true).localCheckpoint()
+    val uniq = docNg.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .where(col("df") === 1)
+      .groupBy(col("owner")).agg(count(lit(1)).as("n_unique"))
+    val shared = col("n_ngrams") - coalesce(col("n_unique"), lit(0L))
+    docNg.select(col("doc_id"), size(col("shs")).cast(LongType).as("n_ngrams"))
+      .join(uniq, col("doc_id") === col("owner"), "left")
+      .select(col("doc_id"), col("n_ngrams"), shared.as("n_shared"),
+        (shared.cast(DoubleType) / col("n_ngrams").cast(DoubleType))
           .as("shared_frac"))
       .orderBy(col("doc_id"))
+  }
+
+  /** c41 audit: pairs drawn per similarity bin. */
+  private val AUDIT_N = 10
+
+  /** c41 — DEDUP AUDIT SAMPLE: a reproducible, similarity-stratified
+    * sample of c02's verified near-dup pairs for human review —
+    * before a destructive dedup pass deletes millions of documents,
+    * someone signs off on a sample, and a sample drawn only from the
+    * jac ≈ 1 mass (where dups concentrate) never shows the reviewer
+    * the risky borderline band. Pairs are binned by Jaccard in 0.05
+    * steps and AUDIT_N drawn per bin by seeded hash order, so the
+    * borderline bins are covered no matter how skewed the mass is,
+    * and re-running draws the identical sample.
+    *
+    * Scale shape: c02's output-proportional pair set + ONE bin-keyed
+    * window whose rank filter compiles to WindowGroupLimit (each
+    * partition keeps its local top-AUDIT_N before the ≤21-bin
+    * exchange). The bin is integer arithmetic — (20·inter) div
+    * (na+nb−inter) — so no float boundary can disagree with the
+    * oracle. */
+  def c41AuditSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("bin"))
+      .orderBy(col("hk"), col("da"), col("db"))
+    c02MinhashLsh(s, d)
+      .withColumn("bin", expr("(20 * inter) div (na + nb - inter)"))
+      .withColumn("hk", Portable.h60(concat_ws(":", lit("audit"),
+        col("da").cast(StringType), col("db").cast(StringType))))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= AUDIT_N)
+      .select(col("bin"), col("rk"), col("da"), col("db"),
+        col("inter"), col("jac"))
+      .orderBy(col("bin"), col("rk"))
   }
 
   /** Number of fixture eval SUITES for c38 (eval docs partitioned by
@@ -1721,6 +1759,7 @@ object DedupOps extends QueryModule {
     "c20_decon_consensus" -> c20DeconConsensus,
     "c38_multisuite_decon" -> c38MultiSuiteDecon,
     "c39_ngram_novelty" -> c39NgramNovelty,
+    "c41_audit_sample" -> c41AuditSample,
     "c21_split_leakage" -> c21SplitLeakage,
     "c21b_split_repair" -> c21bSplitRepair,
     "c29_containment" -> c29Containment,
@@ -1896,6 +1935,19 @@ object DedupOps extends QueryModule {
     "c02_dedup_minhash" ->
       s"""WITH $c02Ctes
          |${verifySql(JACCARD_T)}""".stripMargin,
+    "c41_audit_sample" ->
+      s"""WITH $c02Ctes,
+         |v AS (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")}),
+         |b AS (SELECT da, db, inter, jac,
+         |        (20 * inter) // (na + nb - inter) AS bin,
+         |        ${Portable.h60Sql(
+              "'audit:' || CAST(da AS VARCHAR) || ':' || CAST(db AS VARCHAR)")} AS hk
+         |      FROM v)
+         |SELECT bin, rk, da, db, inter, jac FROM (
+         |  SELECT bin, da, db, inter, jac,
+         |    row_number() OVER (PARTITION BY bin ORDER BY hk, da, db) AS rk
+         |  FROM b)
+         |WHERE rk <= $AUDIT_N ORDER BY bin, rk""".stripMargin,
     "c08_corpus_curate" ->
       s"""WITH $c02Ctes,
          |neardup AS (SELECT DISTINCT db AS doc_id FROM (

@@ -347,7 +347,77 @@ object MediaOps extends QueryModule {
           .otherwise(lit(0.0)))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------
+  // m07 — incremental media ingest vs a persisted fingerprint store
+  // ---------------------------------------------------------------
+
+  private def phashTables(d: String): (String, String) = {
+    val tag = Integer.toHexString(d.hashCode)
+    (s"graft_phash_band_$tag", s"graft_phash_meta_$tag")
+  }
+
+  /** Per-asset (doc_id, fp, bandv) chunk-band rows — bandv packs
+    * (chunk, 15-bit chunk value) into ONE join key so the store can
+    * be bucketed on a single column. */
+  private def bandRows(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("fp"), explode(array(
+      (0 until DedupOps.CHUNKS).map(c =>
+        (lit(c.toLong) * (1L << DedupOps.CHUNK_BITS)) +
+          shiftright(col("fp"), c * DedupOps.CHUNK_BITS)
+            .bitwiseAND((1 << DedupOps.CHUNK_BITS) - 1)): _*)).as("bandv"))
+
+  private def splitFp(s: SparkSession, d: String, newSide: Boolean): DataFrame =
+    attachMedia(s, d).toDF()
+      .where(col("media").isNotNull &&
+        (if (newSide) DedupOps.newSplitFlag else !DedupOps.newSplitFlag))
+      .select(col("doc_id"),
+        call_function("graft_phash60", col("media")).as("fp"))
+      .where(col("fp").isNotNull)
+
+  /** Persist the EXISTING media corpus's perceptual fingerprints as
+    * a band-keyed bucketed table + drift token — c13b's build-once
+    * lifecycle for the media modality. Every later ingest batch
+    * probes these buckets instead of re-fingerprinting the corpus. */
+  def buildPhashStore(s: SparkSession, d: String): Unit = {
+    val (bandT, metaT) = phashTables(d)
+    Seq(bandT, metaT).foreach(ScaleOps.dropStale(s, _))
+    ScaleOps.writeBucketed(
+      bandRows(splitFp(s, d, newSide = false)), bandT, "bandv", buckets = 16)
+    s.createDataFrame(Seq(Tuple1(ScaleOps.corpusToken(s, d, "documents.parquet"))))
+      .toDF("token").write.mode("overwrite").format("parquet").saveAsTable(metaT)
+  }
+
+  /** m07 — INCREMENTAL media near-dup: a new ingest batch (the c13
+    * split convention) against the PERSISTED fingerprint store only
+    * — batch-vs-corpus, never corpus-vs-corpus. The steady-state
+    * shape every media ingest runs nightly: fingerprint the batch,
+    * probe the bucketed band table (the store side reads bucketed —
+    * no corpus-side exchange), verify candidates by exact Hamming.
+    *
+    * Scale shape: batch-side work is batch-sized; the store is
+    * touched only through the band equi-join's bucket-pruned read.
+    * Shuffle ∝ batch bands + candidates, independent of the old
+    * corpus's size. Oracle replays fingerprints and the split for
+    * both sides relationally (m04's pipeline). */
+  def m07MediaIncremental(s: SparkSession, d: String): DataFrame = {
+    val (bandT, metaT) = phashTables(d)
+    def token(): Option[String] =
+      if (!s.catalog.tableExists(metaT)) None
+      else s.table(metaT).collect().headOption.map(_.getString(0))
+    if (!token().contains(ScaleOps.corpusToken(s, d, "documents.parquet")))
+      buildPhashStore(s, d)
+    bandRows(splitFp(s, d, newSide = true)).as("n")
+      .join(s.table(bandT).as("o"), col("n.bandv") === col("o.bandv"))
+      .select(col("n.doc_id").as("da"), col("o.doc_id").as("db"),
+        col("n.fp").as("fpa"), col("o.fp").as("fpb"))
+      .withColumn("hamming", expr("CAST(bit_count(fpa ^ fpb) AS BIGINT)"))
+      .filter(col("hamming") <= DedupOps.HAMMING_T)
+      .distinct()
+      .orderBy(col("da"), col("db"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_media_incremental" -> ((s, d) => m07MediaIncremental(s, d)),
     "m01_media_meta" -> ((s, d) => m01MediaMeta(s, d)),
     "m06_audio_stats" -> ((s, d) => m06AudioStats(s, d)),
     "m02_frame_sample" -> ((s, d) => m02FrameSample(s, d)),
@@ -376,6 +446,7 @@ object MediaOps extends QueryModule {
          |  CAST(240 + ${Portable.h60Sql("text || ':h'")} % 840 AS BIGINT) AS height
          |FROM documents ORDER BY doc_id""".stripMargin,
     "m04_media_neardup" -> m04OracleSql,
+    "m07_media_incremental" -> m07OracleSql,
     "m05_video_neardup" -> m05OracleSql,
     "m06_audio_stats" -> {
       val band = graft.functions.PcmStats.SILENCE_BAND
@@ -402,11 +473,10 @@ object MediaOps extends QueryModule {
   /** DuckDB twin of [[m04MediaNeardup]]: same hex slicing, the same
     * h60 cell hashes, the same MSB-first bit fold, then c03's chunk
     * blocking and bit_count verify replayed relationally. */
-  private def m04OracleSql: String = {
-    val chunkRows = (0 until DedupOps.CHUNKS).map(c =>
-      s"SELECT doc_id, fp, $c AS chunk, (fp >> ${c * DedupOps.CHUNK_BITS}) & ${(1 << DedupOps.CHUNK_BITS) - 1} AS cv FROM fp")
-      .mkString("\n       UNION ALL ")
-    s"""WITH src AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hexs
+  /** src→cw→cells→fp: the whole-asset perceptual-hash pipeline as
+    * CTEs — shared by the m04 and m07 oracles. */
+  private def phashFpCtes: String =
+    s"""src AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hexs
        |             FROM documents WHERE text IS NOT NULL),
        |cw AS (SELECT doc_id, hexs,
        |         greatest(length(hexs) // $PH_CELLS, 1) AS w FROM src),
@@ -418,8 +488,16 @@ object MediaOps extends QueryModule {
        |           i -> CAST(CASE WHEN cs[i] < cs[i + 1] THEN 1 ELSE 0 END
        |                     AS BIGINT))),
        |         (acc, x) -> acc * 2 + x) AS fp
-       |       FROM cells),
-       |chunks AS ($chunkRows),
+       |       FROM cells)""".stripMargin
+
+  private def chunkRowsSql(from: String): String =
+    (0 until DedupOps.CHUNKS).map(c =>
+      s"SELECT doc_id, fp, $c AS chunk, (fp >> ${c * DedupOps.CHUNK_BITS}) & ${(1 << DedupOps.CHUNK_BITS) - 1} AS cv FROM $from")
+      .mkString("\n       UNION ALL ")
+
+  private def m04OracleSql: String =
+    s"""WITH $phashFpCtes,
+       |chunks AS (${chunkRowsSql("fp")}),
        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
        |                x.fp AS fpa, y.fp AS fpb
        |         FROM chunks x JOIN chunks y
@@ -427,6 +505,23 @@ object MediaOps extends QueryModule {
        |SELECT da, db, fpa, fpb,
        |       CAST(bit_count(xor(fpa, fpb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(fpa, fpb)) <= ${DedupOps.HAMMING_T}
+       |ORDER BY da, db""".stripMargin
+
+  /** DuckDB twin of [[m07MediaIncremental]]: the same fp pipeline,
+    * sides split by the c13 convention, batch × store chunk join. */
+  private def m07OracleSql: String = {
+    val newPred =
+      s"${Portable.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 >= 80"
+    s"""WITH $phashFpCtes,
+       |newfp AS (SELECT doc_id, fp FROM fp WHERE $newPred),
+       |oldfp AS (SELECT doc_id, fp FROM fp WHERE NOT ($newPred)),
+       |nb AS (${chunkRowsSql("newfp")}),
+       |ob AS (${chunkRowsSql("oldfp")})
+       |SELECT DISTINCT n.doc_id AS da, o.doc_id AS db,
+       |       n.fp AS fpa, o.fp AS fpb,
+       |       CAST(bit_count(xor(n.fp, o.fp)) AS BIGINT) AS hamming
+       |FROM nb n JOIN ob o ON n.chunk = o.chunk AND n.cv = o.cv
+       |WHERE bit_count(xor(n.fp, o.fp)) <= ${DedupOps.HAMMING_T}
        |ORDER BY da, db""".stripMargin
   }
 

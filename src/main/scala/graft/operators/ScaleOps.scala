@@ -174,7 +174,27 @@ object ScaleOps extends QueryModule {
     * the intended deployment, the race is merely safe. On object
     * stores without atomic rename this needs the usual swap to a
     * CAS/log-append commit; the reader contract is unchanged. */
-  def publishSnapshot(s: SparkSession, root: String, df: DataFrame): Long = {
+  def publishSnapshot(s: SparkSession, root: String, df: DataFrame): Long =
+    commitVersion(s, root, df, parentFiles = Nil)
+
+  /** Publish `df` as the next snapshot version WITHOUT rewriting the
+    * existing data: the new manifest lists the PARENT version's
+    * files plus only the appended rows' new files (the Iceberg
+    * fast-append shape). Content of version N+1 = parent ∪ df.
+    * Readers are unchanged — a manifest is a file list however it
+    * was produced — and because versions now SHARE files, expiring
+    * an old version must not blindly delete its file list; that is
+    * [[vacuumSnapshots]]' reference counting. */
+  def appendSnapshot(s: SparkSession, root: String, df: DataFrame): Long = {
+    val vs = snapshotVersions(s, root)
+    val parent = vs.lastOption.map(v => manifestFiles(s, root, v)).getOrElse(Nil)
+    commitVersion(s, root, df, parentFiles = parent)
+  }
+
+  /** Shared publish tail: land `df`'s files under a version-private
+    * directory, commit `parentFiles ++ newFiles` as the manifest. */
+  private def commitVersion(s: SparkSession, root: String, df: DataFrame,
+      parentFiles: Seq[String]): Long = {
     import org.apache.hadoop.fs.Path
     val rootP = new Path(root)
     val fs = fsOf(s, rootP)
@@ -185,7 +205,7 @@ object ScaleOps extends QueryModule {
     df.write.mode("overwrite").parquet(tmpData.toString)
     fs.delete(dataDir, true) // leftover of a crashed attempt at this version
     require(fs.rename(tmpData, dataDir), s"publish: data rename failed for v$next")
-    val files = fs.listStatus(dataDir)
+    val files = parentFiles ++ fs.listStatus(dataDir)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted
     val tmpMan = new Path(rootP, s"_manifests/.tmp-v$next")
@@ -196,40 +216,74 @@ object ScaleOps extends QueryModule {
     next
   }
 
+  /** A committed version's manifest file list. */
+  private def manifestFiles(s: SparkSession, root: String, v: Long): Seq[String] = {
+    val man = new org.apache.hadoop.fs.Path(root, s"_manifests/v$v.manifest")
+    val fs = fsOf(s, man)
+    val in = fs.open(man)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** Expire every snapshot but the newest `keep`, deleting only data
+    * files REFERENCED BY NO retained manifest — with [[appendSnapshot]]
+    * in play a file can back many versions, so expiry is reference
+    * counting, never "delete the version's directory". The expired
+    * manifests are removed last (a crash mid-vacuum leaves a version
+    * whose re-vacuum is a no-op for already-deleted files). Returns
+    * (files deleted, bytes reclaimed). Destructive — the dry-run
+    * accounting that should run first is [[s05VacuumPlan]]. */
+  def vacuumSnapshots(s: SparkSession, root: String, keep: Int): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    require(keep >= 1, "vacuum must retain at least one version")
+    val fs = fsOf(s, new Path(root))
+    val vs = snapshotVersions(s, root)
+    val expired = vs.dropRight(keep)
+    val referenced = vs.takeRight(keep)
+      .flatMap(v => manifestFiles(s, root, v)).toSet
+    val reclaim = expired.flatMap(v => manifestFiles(s, root, v))
+      .distinct.filterNot(referenced)
+    var bytes = 0L
+    reclaim.foreach { f =>
+      val p = new Path(f)
+      if (fs.exists(p)) { bytes += fs.getFileStatus(p).getLen; fs.delete(p, false) }
+    }
+    expired.foreach(v =>
+      fs.delete(new Path(root, s"_manifests/v$v.manifest"), false))
+    (reclaim.size.toLong, bytes)
+  }
+
   /** Read a published snapshot — `version` pins time travel, None
     * reads the latest COMMITTED version. The returned frame scans
     * only the manifest's file list; later publishes cannot change
     * what it reads. */
   def readSnapshot(s: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val vs = snapshotVersions(s, root)
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
-    val man = new Path(root, s"_manifests/v$v.manifest")
-    val fs = fsOf(s, man)
-    val in = fs.open(man)
-    val files =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    s.read.parquet(files: _*)
+    s.read.parquet(manifestFiles(s, root, v): _*)
   }
 
   private def snapRoot(s: SparkSession, d: String): String =
     new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"),
       s"graft_snap_${Integer.toHexString(d.hashCode)}").toString
 
-  /** Build-once fixture history for s03 (drift-token guarded, the
-    * c13b lifecycle): v1 = the deterministic half-split of documents
-    * (h60 bucket < 50 — replayable in the oracle), v2 = the full
-    * corpus. */
+  /** Build-once fixture history for s03/s04/s05 (drift-token
+    * guarded, the c13b lifecycle): v1 = the deterministic half-split
+    * of documents (h60 bucket < 50 — replayable in the oracle), v2 =
+    * the OTHER half APPENDED (so v2 reads as the full corpus and its
+    * manifest REUSES v1's files), v3 = a compaction REWRITE of the
+    * full corpus (same content, all-new files). The token carries a
+    * layout revision so stores published under the older 2-version
+    * history rebuild. */
   private[graft] def ensureSnapshots(s: SparkSession, d: String): String = {
     import org.apache.hadoop.fs.Path
     val root = snapRoot(s, d)
     val tokP = new Path(root, "_token")
     val fs = fsOf(s, tokP)
-    val want = corpusToken(s, d, "documents.parquet")
+    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
     val have =
       if (!fs.exists(tokP)) None
       else {
@@ -240,9 +294,10 @@ object ScaleOps extends QueryModule {
     if (!have.contains(want)) {
       fs.delete(new Path(root), true)
       val docs = Tables.documents(s, d)
-      publishSnapshot(s, root, docs.filter(
-        graft.functions.Portable.h60(concat(lit("snap:"),
-          col("doc_id").cast(StringType))) % 100 < 50))
+      val bucket = graft.functions.Portable.h60(concat(lit("snap:"),
+        col("doc_id").cast(StringType))) % 100
+      publishSnapshot(s, root, docs.filter(bucket < 50))
+      appendSnapshot(s, root, docs.filter(bucket >= 50))
       publishSnapshot(s, root, docs)
       val out = fs.create(tokP, true)
       try out.write(want.getBytes("UTF-8")) finally out.close()
@@ -252,7 +307,7 @@ object ScaleOps extends QueryModule {
 
   /** s03 — READ-AT-VERSION over the snapshot store: per-version,
     * per-language doc and character totals for the pinned v1 read
-    * and the latest (v2) read. The oracle replays both versions'
+    * and the pinned v2 (append-completed) read. The oracle replays both versions'
     * CONTENTS from the raw corpus (v1 via the split predicate), so
     * value equality proves the manifests captured exactly the right
     * files — time travel answers from data, not trust. */
@@ -264,7 +319,7 @@ object ScaleOps extends QueryModule {
         sum(length(col("text"))).cast(LongType).as("n_chars"))
       .select(lit(v).as("version"), col("lang"), col("n_docs"), col("n_chars"))
     stats(readSnapshot(s, root, Some(1L)), 1L)
-      .unionByName(stats(readSnapshot(s, root), 2L)) // latest = v2
+      .unionByName(stats(readSnapshot(s, root, Some(2L)), 2L))
       .orderBy(col("version"), col("lang"))
   }
 
@@ -296,6 +351,46 @@ object ScaleOps extends QueryModule {
           .otherwise(0L)).as("added_chars"),
         sum(when(col("__in1").isNotNull, 1L).otherwise(0L)).as("n_carried"))
       .orderBy(col("lang"))
+  }
+
+  /** s05 retention policy: keep the newest KEEP_VERSIONS snapshots. */
+  private val KEEP_VERSIONS = 2
+
+  /** s05 — VACUUM PLAN: the dry-run accounting a retention pass
+    * publishes before [[vacuumSnapshots]] deletes anything — per
+    * version, its retain/expire status under the keep-newest-2
+    * policy, its full document count, and how many documents the
+    * version actually ADDED over its parent (an [[appendSnapshot]]
+    * adds its delta; a compaction rewrite adds zero — that is how
+    * the plan tells "history worth keeping" from "rewrite noise").
+    * Every count reads through the manifests, so value equality
+    * against the raw-corpus oracle proves the whole lifecycle —
+    * publish, file-reusing append, compaction — produced manifests
+    * naming exactly the right files. The FILE-grain claims (append
+    * reuses the parent's files; vacuum reclaims only unreferenced
+    * files; a retained reader survives vacuum) are pinned in
+    * SnapshotSpec, where destructive vacuum can run on a scratch
+    * store.
+    *
+    * Scale shape: one scan + one id-grain anti-join-shaped count per
+    * version — linear in the history's total bytes, no wider than
+    * s04's diff. */
+  def s05VacuumPlan(s: SparkSession, d: String): DataFrame = {
+    val root = ensureSnapshots(s, d)
+    val vs = snapshotVersions(s, root)
+    val cut = vs.size - KEEP_VERSIONS
+    vs.zipWithIndex.map { case (v, i) =>
+      val cur = readSnapshot(s, root, Some(v)).select(col("doc_id"))
+      val prev =
+        if (i == 0) cur.limit(0)
+        else readSnapshot(s, root, Some(vs(i - 1))).select(col("doc_id"))
+      val status = if (i < cut) "expired" else "retained"
+      cur.join(prev.withColumn("__p", lit(1L)), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__p").isNull, 1L).otherwise(0L)).as("n_added"))
+        .select(lit(v).as("version"), lit(status).as("status"),
+          col("n_docs"), col("n_added"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 
   // ---------------------------------------------------------------
@@ -424,7 +519,8 @@ object ScaleOps extends QueryModule {
     "s01_zorder" -> s01Zorder,
     "s02_bucketed_join" -> s02BucketedJoin,
     "s03_snapshot_read" -> s03SnapshotRead,
-    "s04_snapshot_diff" -> s04SnapshotDiff)
+    "s04_snapshot_diff" -> s04SnapshotDiff,
+    "s05_vacuum_plan" -> s05VacuumPlan)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   override val oracle: Map[String, String] = Map(
@@ -475,5 +571,23 @@ object ScaleOps extends QueryModule {
          |  SELECT lang, text,
          |    ${graft.functions.Portable.h60Sql("'snap:' || CAST(doc_id AS VARCHAR)")} % 100 < 50 AS in1
          |  FROM documents)
-         |GROUP BY lang ORDER BY lang""".stripMargin)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "s05_vacuum_plan" ->
+      s"""SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS version, 'expired' AS status,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_added
+         |  FROM documents
+         |  WHERE ${graft.functions.Portable.h60Sql("'snap:' || CAST(doc_id AS VARCHAR)")} % 100 < 50
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), 'retained',
+         |         CAST(count(*) AS BIGINT),
+         |         CAST(SUM(CASE WHEN ${graft.functions.Portable.h60Sql("'snap:' || CAST(doc_id AS VARCHAR)")} % 100 >= 50
+         |                  THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), 'retained',
+         |         CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM documents)
+         |ORDER BY version""".stripMargin)
 }

@@ -1336,6 +1336,41 @@ object TextOps extends QueryModule {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** t34 held-out share: 1/HELD_DEN of every stratum, exactly. */
+  private val HELD_DEN = 10
+
+  /** t34 — EXACT STRATIFIED train/held-out split: every
+    * (source, lang) stratum gives up exactly ⌈n/10⌉ documents,
+    * chosen by a seeded hash order. t05's hash-bucket split hits
+    * 80/10/10 only in expectation — fine for big strata, but a
+    * stratified eval set must cover SMALL strata too (a 7-doc
+    * stratum gets exactly 1 held-out doc here; t05 gives it 0 or 2+
+    * with high probability). The per-stratum quota derives from the
+    * stratum's own size, so the split is self-calibrating:
+    * re-running on the same corpus is byte-identical, and adding
+    * documents only moves the frontier of the strata they join.
+    *
+    * Scale shape: ONE per-stratum exchange (row_number and the
+    * stratum count share the same Window partitioning, so Catalyst
+    * plans a single Exchange + Window) — linear in the corpus like
+    * t14's shuffle; no rank limit exists to push down because every
+    * row gets an assignment. The quota arithmetic is integer
+    * (⌈n/10⌉ = (n+9) div 10 — positive operands, so Spark div and
+    * DuckDB // agree). */
+  def t34StratifiedSplit(s: SparkSession, d: String): DataFrame = {
+    val part = Window.partitionBy(col("source"), col("lang"))
+    val w = part.orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("hk",
+        Portable.h60(concat(lit("strat:"), col("doc_id").cast(StringType))))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(part))
+      .select(col("doc_id"), col("source"), col("lang"),
+        when(col("rk") <= expr(s"(n + ${HELD_DEN - 1}) div $HELD_DEN"),
+          "heldout").otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t19 — composite published-rule document filter (the Gopher /
     * MassiveText rule family, Rae et al. 2021 §A.1.1): a document is
     * kept only if every structural rule holds. Distinct from t02's
@@ -1408,6 +1443,7 @@ object TextOps extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> t01LangId,
     "t16_quota_sample" -> t16QuotaSample,
+    "t34_stratified_split" -> t34StratifiedSplit,
     "t02_quality" -> t02Quality,
     "t03_token_count" -> t03TokenCount,
     "t03b_subword_tokens" -> t03bSubwordTokens,
@@ -1868,6 +1904,17 @@ object TextOps extends QueryModule {
          |      ${Portable.h60Sql("'quota:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= $QUOTA_N ORDER BY lang, rk""".stripMargin,
+    "t34_stratified_split" ->
+      s"""SELECT doc_id, source, lang,
+         |  CASE WHEN rk <= (n + ${HELD_DEN - 1}) // $HELD_DEN
+         |       THEN 'heldout' ELSE 'train' END AS split
+         |FROM (SELECT doc_id, source, lang,
+         |        row_number() OVER (PARTITION BY source, lang ORDER BY
+         |          ${Portable.h60Sql("'strat:' || CAST(doc_id AS VARCHAR)")},
+         |          doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY source, lang) AS n
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "t05_train_split" ->
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 80 THEN 'train'

@@ -1092,7 +1092,74 @@ object VectorOps extends QueryModule {
       excludeSelf = false) // bipartite: sides are disjoint by the split
   }
 
+  /** c40 MMR knobs: shortlist size, returned k, λ·10 (integer — the
+    * 0.7/0.3 trade scaled by 10 so the ranking expression is exact
+    * integer×double arithmetic on both engines). */
+  private val MMR_SHORT = 16
+  private val MMR_K = 5
+  private val MMR_LAM10 = 7.0
+
+  /** c40 — MMR-DIVERSIFIED retrieval (maximal marginal relevance,
+    * Carbonell & Goldstein 1998): top-MMR_K results per query where
+    * each pick maximizes λ·relevance − (1−λ)·max-similarity-to-
+    * already-picked. Plain top-k (c06/c26) returns near-duplicate
+    * neighbors together — for RAG context assembly or labeling-batch
+    * construction the 5 slots should not be spent on 5 copies; MMR is
+    * the standard fix. λ = 0.7, both terms the corpus' own dot
+    * scores, ranking by 7·rel − 3·maxsim (the ×10-scaled form — same
+    * order, exact constants).
+    *
+    * Scale shape: stage 1 is c06's broadcast-query scan (corpus never
+    * shuffles; at 100 TB swap in the c26b persisted-index shortlist —
+    * same downstream), checkpointed at NQ×MMR_SHORT rows. The greedy
+    * loop then runs MMR_K−1 rounds of shortlist-grain joins — every
+    * frame it touches is ≤ NQ×MMR_SHORT rows, corpus-independent; the
+    * unrolled-CTE oracle replays each pick bit-for-bit (fold-order-
+    * pinned dots, ties on nid). */
+  def c40MmrRerank(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    val short = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        Portable.dot(col("embedding"), col("qemb")).as("score"),
+        col("embedding").as("emb"))
+      .withColumn("srk", row_number().over(w))
+      .filter(col("srk") <= MMR_SHORT)
+      .drop("srk")
+      .localCheckpoint()
+    var sel = short
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nid"), col("score"), col("emb"),
+        lit(1L).as("mmr_rank"))
+      .localCheckpoint()
+    for (t <- 2 to MMR_K) {
+      val cand = short.join(sel.select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_anti")
+      val pen = cand.select(col("qid"), col("nid"), col("emb"))
+        .join(sel.select(col("qid"), col("emb").as("semb")), Seq("qid"))
+        .select(col("qid"), col("nid"),
+          Portable.dot(col("emb"), col("semb")).as("dp"))
+        .groupBy(col("qid"), col("nid")).agg(max(col("dp")).as("pen"))
+      val wm = Window.partitionBy(col("qid")).orderBy(
+        (lit(MMR_LAM10) * col("score") - lit(10.0 - MMR_LAM10) * col("pen")).desc,
+        col("nid"))
+      val pick = cand.join(pen, Seq("qid", "nid"))
+        .withColumn("rn", row_number().over(wm))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), col("score"), col("emb"),
+          lit(t.toLong).as("mmr_rank"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.select(col("qid"), col("mmr_rank"), col("nid"), col("score"))
+      .orderBy(col("qid"), col("mmr_rank"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c40_mmr_rerank" -> c40MmrRerank,
     "c34_knn_graph" -> c34KnnGraph,
     "c35_graph_prune" -> c35GraphPrune,
     "c36_incremental_knn" -> c36IncrementalKnn,
@@ -1181,6 +1248,43 @@ object VectorOps extends QueryModule {
   }
 
   override val oracle: Map[String, String] = Map(
+    "c40_mmr_rerank" -> {
+      val dotSA = Portable.dotSql("s.emb", "a.emb", DIM)
+      val rounds = (2 to MMR_K).map { t =>
+        val p = t - 1
+        s"""pen$t AS (
+           |  SELECT s.qid, s.nid, max($dotSA) AS pen
+           |  FROM short s
+           |  JOIN acc$p a ON a.qid = s.qid
+           |  LEFT JOIN acc$p x ON x.qid = s.qid AND x.nid = s.nid
+           |  WHERE x.nid IS NULL
+           |  GROUP BY s.qid, s.nid),
+           |sel$t AS (
+           |  SELECT qid, nid, score, emb, CAST($t AS BIGINT) AS mmr_rank FROM (
+           |    SELECT s.qid, s.nid, s.score, s.emb,
+           |      row_number() OVER (PARTITION BY s.qid
+           |        ORDER BY $MMR_LAM10 * s.score - ${10.0 - MMR_LAM10} * p.pen DESC, s.nid) AS rn
+           |    FROM short s JOIN pen$t p ON p.qid = s.qid AND p.nid = s.nid)
+           |  WHERE rn = 1),
+           |acc$t AS (SELECT * FROM acc$p UNION ALL SELECT * FROM sel$t)"""
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb
+         |           FROM embeddings WHERE vec_id < $NQ),
+         |short AS (
+         |  SELECT qid, nid, score, emb FROM (
+         |    SELECT q.qid, e.vec_id AS nid, $dotEQ AS score, e.embedding AS emb,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY $dotEQ DESC, e.vec_id) AS srk
+         |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+         |  WHERE srk <= $MMR_SHORT),
+         |acc1 AS (
+         |  SELECT qid, nid, score, emb, CAST(1 AS BIGINT) AS mmr_rank FROM (
+         |    SELECT qid, nid, score, emb,
+         |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+         |    FROM short)
+         |  WHERE rn = 1),
+         |$rounds
+         |SELECT qid, mmr_rank, nid, score FROM acc$MMR_K ORDER BY qid, mmr_rank""".stripMargin
+    },
     "c34_knn_graph" ->
       s"""WITH $knnCtes
          |SELECT qid, rank, nid, score FROM graph ORDER BY qid, rank""".stripMargin,

@@ -43,7 +43,9 @@ class PlanShapeSpec extends SparkSpec {
     // c37 crosses the one-row cluster-totals scalar (total docs /
     // clustered docs, for the singleton row of the histogram) into
     // the final projection — the same one-row build side as t15/t21
-    "c37_cluster_histogram")
+    "c37_cluster_histogram",
+    // c40's shortlist stage is c06's broadcast-query scan
+    "c40_mmr_rerank")
 
   test("no query plan contains a cartesian product; BNLJ only where intended") {
     val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -70,4 +70,60 @@ class SnapshotSpec extends SparkSpec {
     assert(v2docs === graft.Tables.documents(spark, sf).count())
     assert(v1docs > 0L && v1docs < v2docs) // the half split is proper
   }
+
+  test("append reuses the parent's files; vacuum reclaims only unreferenced ones") {
+    val root = freshRoot("vac")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    ScaleOps.appendSnapshot(spark, root, Seq((3L, "c")).toDF("id", "s"))
+    // v2 = v1 ∪ append, reading through a manifest that REUSES v1's
+    // physical files (no rewrite): every v1 data file still exists
+    // exactly once and v2 sees all three rows
+    assert(ScaleOps.readSnapshot(spark, root, Some(2L)).count() === 3L)
+    val v1Files = fs(root).listStatus(new Path(root, "data-v1"))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    assert(v1Files.nonEmpty)
+    // compaction rewrite: same content, all-new files
+    ScaleOps.publishSnapshot(spark, root,
+      ScaleOps.readSnapshot(spark, root, Some(2L)))
+    assert(ScaleOps.readSnapshot(spark, root, Some(3L)).count() === 3L)
+
+    // vacuum keep=2 retains v2 (which references v1's files) and v3:
+    // NOTHING is reclaimable even though v1 itself expires
+    val (n1, b1) = ScaleOps.vacuumSnapshots(spark, root, keep = 2)
+    assert(n1 === 0L && b1 === 0L)
+    assert(ScaleOps.snapshotVersions(spark, root) === Seq(2L, 3L))
+    assert(ScaleOps.readSnapshot(spark, root, Some(2L)).count() === 3L)
+
+    // resolve a v3 reader BEFORE the next vacuum: it must survive it
+    val pinned = ScaleOps.readSnapshot(spark, root, Some(3L))
+    // vacuum keep=1 retains only v3 (all-new files): v1+v2's files
+    // are now unreferenced and ARE reclaimed
+    val (n2, b2) = ScaleOps.vacuumSnapshots(spark, root, keep = 1)
+    assert(n2 > 0L && b2 > 0L)
+    assert(ScaleOps.snapshotVersions(spark, root) === Seq(3L))
+    assert(pinned.count() === 3L)
+    assert(ScaleOps.readSnapshot(spark, root).count() === 3L)
+    // the expired versions' data files are gone from disk
+    assert(!fs(root).exists(new Path(root, "data-v1")) ||
+      fs(root).listStatus(new Path(root, "data-v1"))
+        .forall(!_.getPath.getName.startsWith("part-")))
+    intercept[IllegalArgumentException] {
+      ScaleOps.vacuumSnapshots(spark, root, keep = 0)
+    }
+  }
+
+  test("s05's plan matches the fixture history: append adds, compaction adds zero") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = ScaleOps.s05VacuumPlan(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) === Seq(1L, 2L, 3L))
+    assert(rows.map(_._2) === Seq("expired", "retained", "retained"))
+    val total = graft.Tables.documents(spark, sf).count()
+    val Seq(r1, r2, r3) = rows
+    assert(r1._3 === r1._4)            // v1: everything is new
+    assert(r2._3 === total)            // v2 = the full corpus
+    assert(r2._4 === total - r1._3)    // append added exactly the other half
+    assert(r3._3 === total && r3._4 === 0L) // compaction adds nothing
+  }
 }
