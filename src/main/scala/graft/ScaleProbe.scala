@@ -153,7 +153,12 @@ object ScaleProbe {
       "s03_snapshot_read" -> operators.ScaleOps.s03SnapshotRead _,
       "s04_snapshot_diff" -> operators.ScaleOps.s04SnapshotDiff _,
       "c38_multisuite_decon" -> operators.DedupOps.c38MultiSuiteDecon _,
-      "c39_ngram_novelty" -> operators.DedupOps.c39NgramNovelty _)
+      "c39_ngram_novelty" -> operators.DedupOps.c39NgramNovelty _,
+      "c40_mmr_rerank" -> operators.VectorOps.c40MmrRerank _,
+      "c41_audit_sample" -> operators.DedupOps.c41AuditSample _,
+      "t34_stratified_split" -> operators.TextOps.t34StratifiedSplit _,
+      "s05_vacuum_plan" -> operators.ScaleOps.s05VacuumPlan _,
+      "m07_media_incremental" -> operators.MediaOps.m07MediaIncremental _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
@@ -173,6 +178,10 @@ object ScaleProbe {
     // operator's probe-join shuffle, not the one-time build
     if (qsRun.exists(_._1 == "c13b_incremental_persisted"))
       sfs.foreach(operators.DedupOps.buildSigStore(spark, _))
+    if (qsRun.exists(_._1 == "m07_media_incremental"))
+      sfs.foreach(operators.MediaOps.buildPhashStore(spark, _))
+    if (qsRun.exists(_._1 == "s05_vacuum_plan"))
+      sfs.foreach(operators.ScaleOps.ensureSnapshots(spark, _))
 
     for (sf <- sfs; (name, fn) <- qsRun) {
       val group = s"$name@$sf"

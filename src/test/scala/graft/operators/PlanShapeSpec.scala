@@ -60,7 +60,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("top-k rank filters compile to partial WindowGroupLimit") {
     Seq("t11_top_quality_per_source", "t13_ngram_topk", "a14b_asof_join",
-      "t16_quota_sample", "c24_bm25_topk", "c25_cluster_sample")
+      "t16_quota_sample", "c24_bm25_topk", "c25_cluster_sample",
+      "c41_audit_sample")
       .foreach { q =>
         assert(finalPlan(q).contains("WindowGroupLimit"), s"$q lost its WindowGroupLimit")
       }
