@@ -158,7 +158,11 @@ object ScaleProbe {
       "c41_audit_sample" -> operators.DedupOps.c41AuditSample _,
       "t34_stratified_split" -> operators.TextOps.t34StratifiedSplit _,
       "s05_vacuum_plan" -> operators.ScaleOps.s05VacuumPlan _,
-      "m07_media_incremental" -> operators.MediaOps.m07MediaIncremental _)
+      "m07_media_incremental" -> operators.MediaOps.m07MediaIncremental _,
+      "t35_weighted_sample" -> operators.TextOps.t35WeightedSample _,
+      "t36_mix_plan" -> operators.TextOps.t36MixPlan _,
+      "s06_pruned_read" -> operators.ScaleOps.s06PrunedRead _,
+      "c42_cdc_dedup" -> operators.DedupOps.c42CdcDedup _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
@@ -180,7 +184,7 @@ object ScaleProbe {
       sfs.foreach(operators.DedupOps.buildSigStore(spark, _))
     if (qsRun.exists(_._1 == "m07_media_incremental"))
       sfs.foreach(operators.MediaOps.buildPhashStore(spark, _))
-    if (qsRun.exists(_._1 == "s05_vacuum_plan"))
+    if (qsRun.exists(n => n._1 == "s05_vacuum_plan" || n._1 == "s06_pruned_read"))
       sfs.foreach(operators.ScaleOps.ensureSnapshots(spark, _))
 
     for (sf <- sfs; (name, fn) <- qsRun) {

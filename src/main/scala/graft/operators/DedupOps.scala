@@ -1734,8 +1734,82 @@ object DedupOps extends QueryModule {
     finally s.catalog.dropTempView(view)
   }
 
+  // ---------------------------------------------------------------
+  // c42 — content-defined chunking (CDC) dedup
+  // ---------------------------------------------------------------
+
+  /** c42 rolling-window width (the hash context deciding a cut). */
+  private[graft] val CDC_W = 16
+  /** c42 cut modulus — a window whose hash ≡ 0 (mod 64) ends a
+    * chunk, so chunks average ~64 chars on random text. */
+  private[graft] val CDC_DIV = 64L
+
+  /** c42 — CONTENT-DEFINED chunking dedup (the Rabin/FastCDC family,
+    * Xia et al. FAST'16): chunk boundaries are chosen by the CONTENT
+    * (a rolling-window hash hitting 0 mod [[CDC_DIV]]), not by fixed
+    * offsets, so an insertion early in a document shifts only the
+    * chunk it lands in — every later boundary re-synchronizes and
+    * the remaining chunks still deduplicate. That is the property
+    * c31's fixed-stride chunks fundamentally lack (one leading char
+    * shifts every stride boundary) and the reason CAS/backup systems
+    * and long-document near-dedup use CDC. Reported: every chunk
+    * content recurring across the corpus, with occurrence and
+    * document counts.
+    *
+    * Engine portability: windows are [[graft.functions.WinHash60]]
+    * code-point windows, cuts land at window start + [[CDC_W]], and
+    * chunk identity is the portable hash of the chunk substring —
+    * the oracle replays boundary selection and chunk hashing
+    * verbatim (list_transform + substr).
+    *
+    * Scale shape: chunking is ONE narrow codegen'd pass (native
+    * rolling hash + per-row array geometry — no shuffle); the only
+    * exchange is the chunk-hash aggregation, map-side combined and
+    * linear in total chunks (~chars/64). Output is duplicate-
+    * proportional. At 100 TB this is c01's shape at sub-document
+    * grain. */
+  def c42CdcDedup(s: SparkSession, d: String): DataFrame =
+    c42CdcDedupOf(Tables.documents(s, d))
+
+  /** [[c42CdcDedup]] over any `(doc_id, text, …)` frame (spec
+    * surface for the boundary-resynchronization property). */
+  private[graft] def c42CdcDedupOf(docs: DataFrame): DataFrame = {
+    val n = length(col("text"))
+    val wins = call_function("graft_winhash60",
+      col("text"), lit(CDC_W), lit(1))
+    // cut = first char of the NEXT chunk: window start p (1-based,
+    // = 0-based index + 1) plus the window width; a cut past the
+    // last char is no cut (the final chunk always ends at n)
+    val cuts = filter(
+      transform(wins, (h, i) =>
+        when(h % CDC_DIV === 0L, i + lit(CDC_W + 1))),
+      c => c.isNotNull && c <= n)
+    docs
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .withColumn("cl", cuts)
+      .withColumn("starts", concat(array(lit(1)), col("cl")))
+      // nexts[j] pairs with starts[j] (both length |cl|+1), so every
+      // element_at below is in-bounds regardless of ANSI mode
+      .withColumn("nexts", concat(col("cl"), array(n + 1)))
+      .select(col("doc_id"), col("text"),
+        posexplode(transform(col("starts"), (st, j) => struct(
+          st.as("st"),
+          (element_at(col("nexts"), j + 1) - st).as("ln")))))
+      .select(col("doc_id"),
+        Portable.h60(col("text").substr(col("col.st"), col("col.ln")))
+          .as("chunk_h"),
+        col("col.ln").cast(LongType).as("ln"))
+      .groupBy(col("chunk_h"))
+      .agg(min(col("ln")).as("chunk_len"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") > 1)
+      .orderBy(col("chunk_h"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_dedup_exact" -> c01Exact,
+    "c42_cdc_dedup" -> c42CdcDedup,
     "c02_dedup_minhash" -> c02MinhashLsh,
     "c03_dedup_simhash" -> c03Simhash,
     "c04_dedup_ngram" -> c04NgramJaccard,
@@ -1932,6 +2006,34 @@ object DedupOps extends QueryModule {
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
         |       MIN(doc_id) AS canonical_id, COUNT(*) AS dup_ct
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    // replays c42's boundary selection and chunk hashing verbatim:
+    // cut after window p iff h60(window) ≡ 0 (mod CDC_DIV), chunk
+    // spans between consecutive cuts, identity = h60(chunk text)
+    "c42_cdc_dedup" ->
+      s"""WITH cu AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    list_filter(
+         |      list_transform(range(1, greatest(length(text) - ${CDC_W - 1}, 0) + 1),
+         |        i -> CASE WHEN ${Portable.h60Sql(s"substr(text, CAST(i AS INT), $CDC_W)")}
+         |                       % $CDC_DIV = 0
+         |                  THEN i + $CDC_W END),
+         |      c -> c IS NOT NULL AND c <= length(text)) AS cl
+         |  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+         |ch AS (
+         |  SELECT doc_id,
+         |    ${Portable.h60Sql("substr(text, CAST(c.st AS INT), CAST(c.ln AS INT))")} AS chunk_h,
+         |    CAST(c.ln AS BIGINT) AS ln
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      unnest(list_transform(range(1, len(cl) + 2),
+         |        j -> struct_pack(st := ([1] || cl)[j],
+         |                         ln := (cl || [n + 1])[j] - ([1] || cl)[j]))) AS c
+         |    FROM cu))
+         |SELECT chunk_h, MIN(ln) AS chunk_len,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM ch
+         |GROUP BY chunk_h HAVING COUNT(*) > 1 ORDER BY chunk_h""".stripMargin,
     "c02_dedup_minhash" ->
       s"""WITH $c02Ctes
          |${verifySql(JACCARD_T)}""".stripMargin,

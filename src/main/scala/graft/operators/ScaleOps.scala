@@ -174,8 +174,10 @@ object ScaleOps extends QueryModule {
     * the intended deployment, the race is merely safe. On object
     * stores without atomic rename this needs the usual swap to a
     * CAS/log-append commit; the reader contract is unchanged. */
-  def publishSnapshot(s: SparkSession, root: String, df: DataFrame): Long =
-    commitVersion(s, root, df, parentFiles = Nil)
+  def publishSnapshot(s: SparkSession, root: String, df: DataFrame,
+      statsCol: Option[String] = None): Long =
+    commitVersion(s, root, df, parentFiles = Nil, parentStats = Nil,
+      statsCol, tag = None)
 
   /** Publish `df` as the next snapshot version WITHOUT rewriting the
     * existing data: the new manifest lists the PARENT version's
@@ -185,16 +187,59 @@ object ScaleOps extends QueryModule {
     * was produced — and because versions now SHARE files, expiring
     * an old version must not blindly delete its file list; that is
     * [[vacuumSnapshots]]' reference counting. */
-  def appendSnapshot(s: SparkSession, root: String, df: DataFrame): Long = {
+  def appendSnapshot(s: SparkSession, root: String, df: DataFrame,
+      statsCol: Option[String] = None, tag: Option[String] = None): Long = {
     val vs = snapshotVersions(s, root)
     val parent = vs.lastOption.map(v => manifestFiles(s, root, v)).getOrElse(Nil)
-    commitVersion(s, root, df, parentFiles = parent)
+    val pStats = vs.lastOption.map(v => statsLines(s, root, v)).getOrElse(Nil)
+    commitVersion(s, root, df, parentFiles = parent, parentStats = pStats,
+      statsCol, tag)
   }
 
+  /** Batch-tagged IDEMPOTENT append — the streaming-sink commit
+    * contract (Delta/Iceberg `txn`-style): commit `df` as the next
+    * version tagged `tag`, unless a COMMITTED version already
+    * carries that tag, in which case do nothing and return None (an
+    * at-least-once replay). Only tags of committed manifests count,
+    * and the tag sidecar lands before the manifest rename, so every
+    * crash window re-runs cleanly: data-without-tag and tag-without-
+    * manifest are both invisible debris the retry overwrites at the
+    * same version number, while tag-with-manifest is the committed
+    * state the replay check catches. One version per micro-batch;
+    * version count growth is [[vacuumSnapshots]]' standing remedy,
+    * exactly like compact() for small files. */
+  def snapshotAppendOnce(s: SparkSession, root: String, df: DataFrame,
+      tag: String, statsCol: Option[String] = None): Option[Long] =
+    if (committedTags(s, root).contains(tag)) None
+    else Some(appendSnapshot(s, root, df, statsCol, Some(tag)))
+
+  /** Tags of all COMMITTED versions, in version order. */
+  def committedTags(s: SparkSession, root: String): Seq[String] =
+    snapshotVersions(s, root).flatMap { v =>
+      val p = new org.apache.hadoop.fs.Path(root, s"_manifests/v$v.tag")
+      val fs = fsOf(s, p)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    }
+
   /** Shared publish tail: land `df`'s files under a version-private
-    * directory, commit `parentFiles ++ newFiles` as the manifest. */
+    * directory, commit `parentFiles ++ newFiles` as the manifest.
+    *
+    * When `statsCol` is set, a zone-map sidecar (`v<N>.stats`, lines
+    * `path\tmin\tmax`) is committed BEFORE the manifest rename — the
+    * manifest stays the single commit point and a reader never sees
+    * a manifest whose sidecar is missing. Stats for the NEW files
+    * cost one projection-pruned scan of just-written data (one
+    * column, no shuffle past the per-file agg — bounded collect, one
+    * row per new file); `parentStats` carries reused files' entries
+    * forward untouched, so an append never re-reads the parent. */
   private def commitVersion(s: SparkSession, root: String, df: DataFrame,
-      parentFiles: Seq[String]): Long = {
+      parentFiles: Seq[String], parentStats: Seq[String],
+      statsCol: Option[String], tag: Option[String]): Long = {
     import org.apache.hadoop.fs.Path
     val rootP = new Path(root)
     val fs = fsOf(s, rootP)
@@ -205,15 +250,56 @@ object ScaleOps extends QueryModule {
     df.write.mode("overwrite").parquet(tmpData.toString)
     fs.delete(dataDir, true) // leftover of a crashed attempt at this version
     require(fs.rename(tmpData, dataDir), s"publish: data rename failed for v$next")
-    val files = parentFiles ++ fs.listStatus(dataDir)
+    val newFiles = fs.listStatus(dataDir)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString).sorted
-    val tmpMan = new Path(rootP, s"_manifests/.tmp-v$next")
-    val out = fs.create(tmpMan, true)
-    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
-    val man = new Path(rootP, s"_manifests/v$next.manifest")
-    require(fs.rename(tmpMan, man), s"publish: commit rename failed for v$next")
+      .map(_.getPath.toString).sorted.toSeq
+    val files = parentFiles ++ newFiles
+    val statLines = parentStats ++ statsCol.toSeq.flatMap { c =>
+      val byName = s.read.parquet(dataDir.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).cast(LongType).as("lo"),
+          max(col(c)).cast(LongType).as("hi"))
+        .collect()
+        .map(r => (new Path(r.getString(0)).getName,
+          (r.getLong(1), r.getLong(2)))).toMap
+      newFiles.flatMap(f => byName.get(new Path(f).getName)
+        .map { case (lo, hi) => s"$f\t$lo\t$hi" })
+    }
+    def commitText(tmpName: String, finalName: String, text: String,
+        overwrite: Boolean): Unit = {
+      val tmp = new Path(rootP, s"_manifests/$tmpName")
+      val out = fs.create(tmp, true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+      val dst = new Path(rootP, s"_manifests/$finalName")
+      if (overwrite) fs.delete(dst, false)
+      require(fs.rename(tmp, dst),
+        s"publish: commit rename failed for $finalName")
+    }
+    // the sidecar is NOT the commit point — a crashed attempt's
+    // orphan is overwritten; the manifest rename keeps its
+    // fail-on-existing race guard
+    if (statLines.nonEmpty)
+      commitText(s".tmp-v$next.stats", s"v$next.stats",
+        statLines.mkString("\n"), overwrite = true)
+    tag.foreach(t =>
+      commitText(s".tmp-v$next.tag", s"v$next.tag", t, overwrite = true))
+    commitText(s".tmp-v$next", s"v$next.manifest", files.mkString("\n"),
+      overwrite = false)
     next
+  }
+
+  /** A committed version's zone-map sidecar lines (empty when the
+    * version was published without stats — pruning then degrades to
+    * reading every file, never to wrong answers). */
+  private def statsLines(s: SparkSession, root: String, v: Long): Seq[String] = {
+    val st = new org.apache.hadoop.fs.Path(root, s"_manifests/v$v.stats")
+    val fs = fsOf(s, st)
+    if (!fs.exists(st)) Nil
+    else {
+      val in = fs.open(st)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
   }
 
   /** A committed version's manifest file list. */
@@ -248,8 +334,11 @@ object ScaleOps extends QueryModule {
       val p = new Path(f)
       if (fs.exists(p)) { bytes += fs.getFileStatus(p).getLen; fs.delete(p, false) }
     }
-    expired.foreach(v =>
-      fs.delete(new Path(root, s"_manifests/v$v.manifest"), false))
+    expired.foreach { v =>
+      fs.delete(new Path(root, s"_manifests/v$v.manifest"), false)
+      fs.delete(new Path(root, s"_manifests/v$v.stats"), false)
+      fs.delete(new Path(root, s"_manifests/v$v.tag"), false)
+    }
     (reclaim.size.toLong, bytes)
   }
 
@@ -265,6 +354,41 @@ object ScaleOps extends QueryModule {
     require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
     s.read.parquet(manifestFiles(s, root, v): _*)
   }
+
+  /** ZONE-MAP-PRUNED snapshot read: plan only the manifest files
+    * whose `[min, max]` sidecar interval intersects `[lo, hi]`, then
+    * apply the predicate to the survivors — Iceberg/Delta-style scan
+    * planning from metadata alone. At 100 TB the difference is the
+    * whole game: a range query over range-clustered data opens the
+    * handful of files that can contain it instead of listing —
+    * let alone reading — a million. Files without a stats entry
+    * (published before stats, or a different schema) are always
+    * kept, so pruning can only skip files PROVEN empty for the
+    * predicate; correctness never depends on the sidecar. */
+  def readSnapshotPruned(s: SparkSession, root: String, version: Option[Long],
+      colName: String, lo: Long, hi: Long): DataFrame = {
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
+    val stats = statsLines(s, root, v).flatMap { line =>
+      line.split('\t') match {
+        case Array(f, mn, mx) => Some(f -> (mn.toLong, mx.toLong))
+        case _ => None
+      }
+    }.toMap
+    val files = manifestFiles(s, root, v)
+    val kept = files.filter(f =>
+      stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val base = if (kept.nonEmpty) s.read.parquet(kept: _*)
+      else s.read.parquet(files: _*) // schema-only; predicate yields 0 rows
+    base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
+  /** Files per snapshot publish in the fixture store — small enough
+    * that sf0.001 still fills every range bucket, large enough that
+    * s06's range predicate proves real pruning (reads 2-3 of 8). */
+  private val SNAP_FILES = 8
 
   private def snapRoot(s: SparkSession, d: String): String =
     new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"),
@@ -283,7 +407,7 @@ object ScaleOps extends QueryModule {
     val root = snapRoot(s, d)
     val tokP = new Path(root, "_token")
     val fs = fsOf(s, tokP)
-    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
+    val want = "layout3§" + corpusToken(s, d, "documents.parquet")
     val have =
       if (!fs.exists(tokP)) None
       else {
@@ -296,9 +420,16 @@ object ScaleOps extends QueryModule {
       val docs = Tables.documents(s, d)
       val bucket = graft.functions.Portable.h60(concat(lit("snap:"),
         col("doc_id").cast(StringType))) % 100
-      publishSnapshot(s, root, docs.filter(bucket < 50))
-      appendSnapshot(s, root, docs.filter(bucket >= 50))
-      publishSnapshot(s, root, docs)
+      // each publish is range-clustered on doc_id so the zone-map
+      // sidecar is selective (layout3): per file, [min,max] doc_id
+      // spans ~1/SNAP_FILES of the id space instead of all of it
+      def ranged(df: DataFrame): DataFrame =
+        df.repartitionByRange(SNAP_FILES, col("doc_id"))
+      publishSnapshot(s, root, ranged(docs.filter(bucket < 50)),
+        statsCol = Some("doc_id"))
+      appendSnapshot(s, root, ranged(docs.filter(bucket >= 50)),
+        statsCol = Some("doc_id"))
+      publishSnapshot(s, root, ranged(docs), statsCol = Some("doc_id"))
       val out = fs.create(tokP, true)
       try out.write(want.getBytes("UTF-8")) finally out.close()
     }
@@ -391,6 +522,33 @@ object ScaleOps extends QueryModule {
         .select(lit(v).as("version"), lit(status).as("status"),
           col("n_docs"), col("n_added"))
     }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  /** s06 — ZONE-MAP-PRUNED range read over the snapshot store: the
+    * per-language profile of the doc_id slice [20%, 40%] of the id
+    * space, answered at v3 (the range-clustered compaction rewrite)
+    * through [[readSnapshotPruned]] — the manifest's min/max sidecar
+    * plans 2-3 of the version's [[SNAP_FILES]] files and the rest
+    * are never opened (pinned in SnapshotPruneSpec via inputFiles;
+    * the oracle proves the pruned scan still returns exactly the
+    * full-scan answer). This is the metadata half of data skipping —
+    * s01's z-order is the row-group half; together they are how a
+    * 100 TB table answers a selective query from a few files'
+    * footers instead of a full listing-and-scan.
+    *
+    * The range bounds derive from max(doc_id) by integer arithmetic
+    * (a 1-row bounded collect), so every scale factor exercises a
+    * genuinely selective slice. */
+  def s06PrunedRead(s: SparkSession, d: String): DataFrame = {
+    val root = ensureSnapshots(s, d)
+    val mx = Tables.documents(s, d).agg(max(col("doc_id")))
+      .collect()(0).getLong(0) // bounded: one row
+    val (lo, hi) = (mx * 2 / 10, mx * 4 / 10)
+    readSnapshotPruned(s, root, Some(3L), "doc_id", lo, hi)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast(LongType).as("n_chars"))
+      .orderBy(col("lang"))
   }
 
   // ---------------------------------------------------------------
@@ -520,7 +678,8 @@ object ScaleOps extends QueryModule {
     "s02_bucketed_join" -> s02BucketedJoin,
     "s03_snapshot_read" -> s03SnapshotRead,
     "s04_snapshot_diff" -> s04SnapshotDiff,
-    "s05_vacuum_plan" -> s05VacuumPlan)
+    "s05_vacuum_plan" -> s05VacuumPlan,
+    "s06_pruned_read" -> s06PrunedRead)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   override val oracle: Map[String, String] = Map(
@@ -589,5 +748,14 @@ object ScaleOps extends QueryModule {
          |  SELECT CAST(3 AS BIGINT), 'retained',
          |         CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
          |  FROM documents)
-         |ORDER BY version""".stripMargin)
+         |ORDER BY version""".stripMargin,
+    // v3's content is the full corpus; the pruned read must still
+    // return exactly the raw table's slice
+    "s06_pruned_read" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id >= (SELECT max(doc_id) * 2 // 10 FROM documents)
+        |  AND doc_id <= (SELECT max(doc_id) * 4 // 10 FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
 }

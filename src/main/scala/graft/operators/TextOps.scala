@@ -852,6 +852,189 @@ object TextOps extends QueryModule {
     }
   }
 
+  /** t35 sample size. At sf0.001 the corpus is smaller than K (the
+    * sample degenerates to the full corpus, still deterministic);
+    * sf0.01/sf0.1 exercise the real top-K path. */
+  private val WSAMP_K = 200
+
+  /** t35 — EXACT-SIZE weighted sample without replacement: draw
+    * [[WSAMP_K]] documents with inclusion probability approximately
+    * proportional to token count — sequential Poisson sampling
+    * (Ohlsson 1998, the order-πps estimator family; Rosén's Pareto
+    * variant differs only in the priority transform). Each document
+    * gets priority q = u / w with u uniform from the portable hash
+    * and w its token weight; the K smallest priorities form the
+    * sample. Unlike t10/t24 (per-row rate decisions → binomial
+    * sample SIZE), the draw here is exactly K documents — what a
+    * fixed annotation/eval budget needs ("label exactly 200 docs,
+    * prefer big ones").
+    *
+    * Engine portability: u = (h60+1) and w are int64; both engines
+    * cast each to DOUBLE (exactly-rounded IEEE conversion — h60
+    * exceeds 2^53 but rounds identically) and divide once, so the
+    * priority — and therefore the sample — is bit-identical and the
+    * oracle replays the whole draw. Ties break on doc_id.
+    *
+    * Scale shape: ONE narrow scan computes (w, priority); the global
+    * top-K compiles to TakeOrderedAndProject — every partition
+    * forwards at most K rows and no global sort ever runs (pinned in
+    * PlanShapeSpec). Shuffle volume is K·partitions rows of keys,
+    * independent of corpus size. */
+  def t35WeightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        greatest(coalesce(size(toks).cast(LongType), lit(0L)), lit(1L))
+          .as("w_tok"))
+      .withColumn("priority",
+        (Portable.h60(concat(lit("wsamp:"), col("doc_id").cast(StringType)))
+          + lit(1L)).cast(DoubleType) / col("w_tok").cast(DoubleType))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(WSAMP_K)
+
+  /** t36 knobs: spend half the corpus' tokens, repeat-cap any
+    * language at 2.5 epochs, and unroll exactly [[MIX_ROUNDS]]
+    * water-filling rounds (≥ #languages + 1 ⇒ the capped-set fixed
+    * point is always reached; extra rounds are no-ops because each
+    * round recomputes the set from scratch). */
+  private val MIX_BUDGET_DEN = 2L
+  private val MIX_CAP_X1000 = 2500L
+  private val MIX_ROUNDS = 6
+
+  /** t36 target weights — the zh-centric rebalancing scenario: the
+    * smallest language family is upweighted toward majority share,
+    * which its 2.5-epoch repeat cap cannot meet, so the fixture
+    * exercises the cap-and-redistribute path on real data (a uniform
+    * target never caps when every language holds ≥ 1/(2.5·n) of the
+    * corpus). Unlisted languages default to weight 1. */
+  private val mixWeights: Map[String, Long] = Map("zh" -> 20L)
+  private def mixWeight(lang: String): Long = mixWeights.getOrElse(lang, 1L)
+
+  /** t36 — token-BUDGET mix plan with repeat caps (water-filling):
+    * given a token budget B = total/2 and a uniform per-language
+    * target, compute each language's token allocation subject to the
+    * cap "no language repeats beyond 2.5 epochs" and redistribute
+    * what capped languages can't absorb to the rest — the static
+    * mixing computation behind DoReMi-style domain reweighting and
+    * every "epochs per domain" table in a pretraining data card.
+    * t24 answers "what rates rebalance languages"; t36 answers "what
+    * does each language actually get under a hard budget AND repeat
+    * caps" — the two compose (plan here, emit with t10's mixSample).
+    *
+    * Water-filling as a monotone fixed point: round k recomputes the
+    * capped set from scratch against ideal_k = ⌊rb_k / na_k⌋ where
+    * rb_k/na_k exclude the previously capped languages. Removing
+    * below-average caps never lowers the floor-average, so the set
+    * grows monotonically and stabilizes within #languages rounds;
+    * both engines run the identical [[MIX_ROUNDS]]-round unroll
+    * (idempotent once stable), keeping every division an int64
+    * floor — no float anywhere, bit-portable. Bounds: alloc·1000 and
+    * nt·[[MIX_CAP_X1000]] stay under int64 while the corpus holds
+    * < ~3.7e15 tokens — ample at 100 TB (~2.5e13).
+    *
+    * Scale shape: ONE corpus scan (the per-language token sum, map-
+    * side combined); the fixed point runs on the collected language
+    * table — bounded by language cardinality (t24's rate-table
+    * pattern), a few dozen rows at web scale. The driver loop exits
+    * on the fixed point and asserts it converged within the same
+    * [[MIX_ROUNDS]] the oracle unrolls. */
+  def t36MixPlan(s: SparkSession, d: String): DataFrame = {
+    // bounded collect: one row per language (documented bound above)
+    val counts = Tables.documents(s, d).filter(col("lang").isNotNull)
+      .groupBy(col("lang"))
+      .agg(sum(coalesce(size(toks), lit(0))).cast(LongType).as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    mixPlanOf(s, counts)
+  }
+
+  /** t36's water-fill over an arbitrary (lang, token-count) table
+    * (spec surface — the fixed point and its accounting identities
+    * are exercised on crafted multi-round cascades). Capping is
+    * decided by integer cross-multiplication (cap·W ≤ rb·w — no
+    * division in the decision); only the final uncapped share
+    * divides, floored identically in the oracle. */
+  private[operators] def mixPlanOf(s: SparkSession,
+      counts: Seq[(String, Long)]): DataFrame = {
+    val budget = counts.map(_._2).sum / MIX_BUDGET_DEN
+    val caps = counts.map { case (l, nt) =>
+      (l, mixWeight(l), nt, nt * MIX_CAP_X1000 / 1000L) }
+    var capped = Set.empty[String]
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < MIX_ROUNDS) {
+      rounds += 1
+      val rb = budget - caps.collect { case (l, _, _, c) if capped(l) => c }.sum
+      val wa = caps.collect { case (l, w, _, _) if !capped(l) => w }.sum
+      val next = caps.collect {
+        case (l, w, _, c) if c * wa <= rb * w => l }.toSet
+      stable = next == capped
+      capped = next
+    }
+    require(stable, s"t36 water-fill unconverged after $MIX_ROUNDS rounds " +
+      s"(${caps.length} languages) — raise MIX_ROUNDS with the oracle unroll")
+    val rbF = budget - caps.collect { case (l, _, _, c) if capped(l) => c }.sum
+    val waF = caps.collect { case (l, w, _, _) if !capped(l) => w }.sum
+    val rows = caps.map { case (l, w, nt, cap) =>
+      val alloc = if (capped(l)) cap else if (waF == 0) 0L else rbF * w / waF
+      val ep = if (nt == 0) 0L else alloc * 1000L / nt
+      (l, w, nt, cap, alloc, ep, if (capped(l)) 1L else 0L)
+    }
+    import s.implicits._
+    rows.toDF("lang", "weight", "n_tok", "cap_tok", "alloc_tok",
+      "epochs_x1000", "capped")
+      .orderBy(col("lang"))
+  }
+
+  /** The t36 oracle: the identical [[MIX_ROUNDS]]-round unroll as
+    * chained MATERIALIZED CTEs — round k's one-row (rb, na) state
+    * CTE `s k` derives from round k−1's flags, and the flag CTE
+    * `k k` recomputes the capped set from scratch against it.
+    * MATERIALIZED is load-bearing: inlined, the chain re-expands the
+    * whole prefix per reference and the plan blows up exponentially
+    * in the round count. The na=0 corner (everything capped) keeps
+    * flags true via the COALESCE-to-own-cap comparison. */
+  private def t36Sql: String = {
+    val wCase = mixWeights.toSeq.sortBy(_._1)
+      .map { case (l, w) => s"WHEN '$l' THEN CAST($w AS BIGINT)" }
+      .mkString("CASE lang ", " ", " ELSE CAST(1 AS BIGINT) END")
+    val scalarCte = (from: String) =>
+      s"""  SELECT CAST((SELECT b FROM tot)
+         |           - COALESCE(SUM(CASE WHEN cp THEN cap END), 0) AS BIGINT) AS rb,
+         |         CAST(COALESCE(SUM(CASE WHEN NOT cp THEN w END), 0) AS BIGINT) AS wa
+         |  FROM $from""".stripMargin
+    val base =
+      s"""base AS MATERIALIZED (
+         |  SELECT lang, $wCase AS w, nt, nt * $MIX_CAP_X1000 // 1000 AS cap
+         |  FROM (SELECT lang,
+         |          CAST(SUM(COALESCE(len(string_split_regex(text, '\\s+')), 0))
+         |            AS BIGINT) AS nt
+         |        FROM documents WHERE lang IS NOT NULL GROUP BY lang)),
+         |tot AS MATERIALIZED (
+         |  SELECT CAST(SUM(nt) // $MIX_BUDGET_DEN AS BIGINT) AS b FROM base),
+         |k0 AS MATERIALIZED (SELECT lang, w, nt, cap, FALSE AS cp FROM base)""".stripMargin
+    val rounds = (1 to MIX_ROUNDS).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |${scalarCte(s"k${k - 1}")}),
+         |k$k AS MATERIALIZED (
+         |  SELECT lang, w, nt, cap,
+         |    cap * (SELECT wa FROM s$k) <= (SELECT rb FROM s$k) * w AS cp
+         |  FROM base)""".stripMargin
+    }
+    val fin = MIX_ROUNDS + 1
+    val idealF = s"COALESCE((SELECT rb FROM s$fin) * w" +
+      s" // NULLIF((SELECT wa FROM s$fin), 0), 0)"
+    s"""WITH $base,
+       |${rounds.mkString(",\n")},
+       |s$fin AS MATERIALIZED (
+       |${scalarCte(s"k$MIX_ROUNDS")})
+       |SELECT lang, w AS weight, nt AS n_tok, cap AS cap_tok,
+       |  CASE WHEN cp THEN cap ELSE $idealF END AS alloc_tok,
+       |  CASE WHEN nt = 0 THEN 0 ELSE
+       |    (CASE WHEN cp THEN cap ELSE $idealF END) * 1000 // nt
+       |  END AS epochs_x1000,
+       |  CAST(cp AS BIGINT) AS capped
+       |FROM k$MIX_ROUNDS ORDER BY lang""".stripMargin
+  }
+
   /** Merge rounds for t26 (production raises this to the target
     * vocabulary size; the loop shape is identical). */
   private val BPE_ROUNDS = 8
@@ -1466,6 +1649,8 @@ object TextOps extends QueryModule {
     "t19_rule_filter" -> t19RuleFilter,
     "t20_bpe_pairs" -> t20BpePairs,
     "t24_temperature_mix" -> t24TemperatureMix,
+    "t35_weighted_sample" -> t35WeightedSample,
+    "t36_mix_plan" -> t36MixPlan,
     "t25_annotate" -> t25Annotate,
     "t26_bpe_learn" -> t26BpeLearn,
     "t27_bpe_apply" -> t27BpeApply,
@@ -2058,6 +2243,17 @@ object TextOps extends QueryModule {
          |  WHERE copies >= 1)
          |ORDER BY doc_id, epoch""".stripMargin
     },
+    "t35_weighted_sample" ->
+      s"""SELECT doc_id, source, lang, w_tok,
+         |  CAST(h + 1 AS DOUBLE) / CAST(w_tok AS DOUBLE) AS priority
+         |FROM (SELECT doc_id, source, lang,
+         |        greatest(COALESCE(
+         |          CAST(len(string_split_regex(text, '\\s+')) AS BIGINT), 0), 1)
+         |          AS w_tok,
+         |        ${Portable.h60Sql("'wsamp:' || CAST(doc_id AS VARCHAR)")} AS h
+         |      FROM documents)
+         |ORDER BY priority, doc_id LIMIT $WSAMP_K""".stripMargin,
+    "t36_mix_plan" -> t36Sql,
     "t07_pii_scrub" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_emails,

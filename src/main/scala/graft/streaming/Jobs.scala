@@ -583,6 +583,30 @@ object Jobs {
           .write.mode("overwrite").parquet(s"$dir/alerts")
       }
 
+  /** Streaming ingest INTO the versioned snapshot store — the
+    * streaming-sink face of the s03/s05 lifecycle (what Delta's
+    * streaming writer and Iceberg's commit-with-txn-id do): each
+    * micro-batch commits exactly one [[graft.operators.ScaleOps
+    * .appendSnapshot]] version tagged `batch:<id>`, and foreachBatch's
+    * at-least-once replay is absorbed by the committed-tag check
+    * (`snapshotAppendOnce`) instead of double-appending rows. Every
+    * committed version is immediately time-travel-readable and
+    * zone-map-pruned (doc_id stats sidecar), so standing readers pin
+    * a version while ingest keeps publishing — reader isolation at
+    * ingest speed. Version growth is vacuumSnapshots' standing
+    * remedy; vacuum may forget EXPIRED versions' batch tags, which
+    * is safe because replays only ever touch the un-checkpointed
+    * tail, never batches old enough to expire. */
+  def snapshotIngest(spark: SparkSession, docs: Dataset[DocRow],
+      root: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.ScaleOps.snapshotAppendOnce(
+          spark, root, batch, s"batch:$batchId", statsCol = Some("doc_id"))
+        ()
+      }
+
   def cardIngest(spark: SparkSession, raw: DataFrame): DataFrame =
     graft.operators.CorpusStats.cardFeatures(raw)
       .groupBy(col("source"), col("lang"))
