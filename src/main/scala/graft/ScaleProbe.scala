@@ -162,7 +162,9 @@ object ScaleProbe {
       "t35_weighted_sample" -> operators.TextOps.t35WeightedSample _,
       "t36_mix_plan" -> operators.TextOps.t36MixPlan _,
       "s06_pruned_read" -> operators.ScaleOps.s06PrunedRead _,
-      "c42_cdc_dedup" -> operators.DedupOps.c42CdcDedup _)
+      "c42_cdc_dedup" -> operators.DedupOps.c42CdcDedup _,
+      "t37_token_quota" -> operators.TextOps.t37TokenQuota _,
+      "c43_effective_tokens" -> operators.DedupOps.c43EffectiveTokens _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

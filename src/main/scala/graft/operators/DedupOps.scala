@@ -1734,6 +1734,40 @@ object DedupOps extends QueryModule {
     finally s.catalog.dropTempView(view)
   }
 
+  /** c43 — DEDUP-ADJUSTED token accounting (the "effective dataset
+    * size" report): per source, raw vs effective docs/tokens where
+    * effective counts only c32's cluster representatives (best-
+    * quality doc per near-dup cluster, singletons keep themselves).
+    * This is the number that matters when pricing a corpus: raw
+    * token counts overstate what a model actually sees after dedup,
+    * and the per-source dup_tokens column is how you find which
+    * supplier's crawl is redundant. Composes c32's keep decision
+    * with t03's token grain — no new algorithm, which is the point:
+    * the report is trustworthy because both inputs already have
+    * oracles.
+    *
+    * Scale shape: c32's own shape (banded candidate join + members-
+    * only window) plus ONE doc_id equi-join against the narrow token
+    * projection and a source-grain aggregation — strictly cheaper
+    * than the c32 it contains. */
+  def c43EffectiveTokens(s: SparkSession, d: String): DataFrame = {
+    val keep = c32ClusterKeep(s, d).select(col("doc_id"), col("status"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        coalesce(size(split(col("text"), "\\s+")), lit(0))
+          .cast(LongType).as("nt"))
+      .join(keep, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("raw_docs"),
+        sum(col("nt")).as("raw_tokens"),
+        sum(when(col("status") === "kept", 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("status") === "kept", col("nt")).otherwise(0L))
+          .as("kept_tokens"))
+      .withColumn("dup_tokens", col("raw_tokens") - col("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------
   // c42 — content-defined chunking (CDC) dedup
   // ---------------------------------------------------------------
@@ -1810,6 +1844,7 @@ object DedupOps extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_dedup_exact" -> c01Exact,
     "c42_cdc_dedup" -> c42CdcDedup,
+    "c43_effective_tokens" -> c43EffectiveTokens,
     "c02_dedup_minhash" -> c02MinhashLsh,
     "c03_dedup_simhash" -> c03Simhash,
     "c04_dedup_ngram" -> c04NgramJaccard,
@@ -2001,6 +2036,25 @@ object DedupOps extends QueryModule {
        |FROM lbl l JOIN csz s ON l.cluster_id = s.cluster_id
        |ORDER BY l.doc_id""".stripMargin
 
+  /** The c32 keep-decision CTE chain (pairs → transitive closure →
+    * quality-ranked kept_doc_id per cluster, singletons labeled by
+    * themselves) — shared by the c32 and c43 oracles. Expects the
+    * c02 candidate CTEs in scope. */
+  private lazy val c32KeepCtes: String =
+    s"""pairs AS (SELECT da, db FROM (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
+       |edges AS (SELECT da, db FROM pairs UNION SELECT db AS da, da AS db FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT da, da FROM edges
+       |  UNION
+       |  SELECT r.a, e.db FROM reach r JOIN edges e ON r.b = e.da),
+       |lbl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+       |q AS (SELECT doc_id, quality FROM (${TextOps.qualityColsSqlFrom("documents")})),
+       |lab AS (SELECT q.doc_id, COALESCE(l.cluster_id, q.doc_id) AS cluster_id, q.quality
+       |        FROM q LEFT JOIN lbl l ON q.doc_id = l.doc_id),
+       |rk AS (SELECT *, FIRST_VALUE(doc_id) OVER
+       |         (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS kept_doc_id
+       |       FROM lab)""".stripMargin
+
   override val oracle: Map[String, String] = Map(
     "c01_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
@@ -2092,23 +2146,32 @@ object DedupOps extends QueryModule {
          |FROM hist GROUP BY sz ORDER BY sz""".stripMargin,
     "c32_cluster_keep" ->
       s"""WITH RECURSIVE $c02Ctes,
-         |pairs AS (SELECT da, db FROM (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
-         |edges AS (SELECT da, db FROM pairs UNION SELECT db AS da, da AS db FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT da, da FROM edges
-         |  UNION
-         |  SELECT r.a, e.db FROM reach r JOIN edges e ON r.b = e.da),
-         |lbl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
-         |q AS (SELECT doc_id, quality FROM (${TextOps.qualityColsSqlFrom("documents")})),
-         |lab AS (SELECT q.doc_id, COALESCE(l.cluster_id, q.doc_id) AS cluster_id, q.quality
-         |        FROM q LEFT JOIN lbl l ON q.doc_id = l.doc_id),
-         |rk AS (SELECT *, FIRST_VALUE(doc_id) OVER
-         |         (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS kept_doc_id
-         |       FROM lab)
+         |$c32KeepCtes
          |SELECT doc_id, cluster_id,
          |       CASE WHEN doc_id = kept_doc_id THEN 'kept' ELSE 'removed' END AS status,
          |       kept_doc_id, quality
          |FROM rk ORDER BY doc_id""".stripMargin,
+    // c43 = c32's keep decision joined onto token counts at source
+    // grain — the chain is shared verbatim with the c32 oracle
+    "c43_effective_tokens" ->
+      s"""WITH RECURSIVE $c02Ctes,
+         |$c32KeepCtes,
+         |keep AS (SELECT doc_id,
+         |           CASE WHEN doc_id = kept_doc_id THEN 1 ELSE 0 END AS kept
+         |         FROM rk),
+         |tok AS (SELECT doc_id, source,
+         |          CAST(COALESCE(len(string_split_regex(text, '\\s+')), 0)
+         |            AS BIGINT) AS nt
+         |        FROM documents)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS raw_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS raw_tokens,
+         |  CAST(SUM(kept) AS BIGINT) AS kept_docs,
+         |  CAST(SUM(CASE WHEN kept = 1 THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |  CAST(SUM(nt) - SUM(CASE WHEN kept = 1 THEN nt ELSE 0 END) AS BIGINT)
+         |    AS dup_tokens
+         |FROM tok JOIN keep USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
     // c21b: c10's transitive closure + the t05 hash-split of doc and
     // cluster representative — the repair is pure derivation on top
     // of the component labels.

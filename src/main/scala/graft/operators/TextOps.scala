@@ -1519,6 +1519,43 @@ object TextOps extends QueryModule {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** t37 token budget per source — sized so the sf0.01/sf0.1
+    * fixtures keep roughly a third of each source (the budget binds)
+    * while sf0.001 sources fit entirely (degenerate but still
+    * deterministic). */
+  private val TOKEN_QUOTA = 500L
+
+  /** t37 — per-source TOKEN-budget quota: keep documents from each
+    * source, in seeded hash order, until [[TOKEN_QUOTA]] tokens are
+    * spent — the budget version of t16 (which counts DOCUMENTS; a
+    * token budget is what a training mix actually allocates, and doc
+    * counts misprice sources with long documents). Whole documents
+    * only: a doc is kept iff the budget BEFORE it is unspent, so the
+    * crossing document is included — progress is guaranteed even
+    * when a single doc exceeds the whole budget (the packing
+    * convention t09 uses).
+    *
+    * Scale shape: ONE per-source exchange — the seeded rank and the
+    * running token sum share the same Window partitioning, so
+    * Catalyst plans a single Exchange + Window (t34's shape); the
+    * decision is then a per-row comparison. Linear in the corpus,
+    * no rank limit to push because the cut depends on the running
+    * sum, not a fixed row count. */
+  def t37TokenQuota(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        coalesce(size(toks), lit(0)).cast(LongType).as("nt"),
+        Portable.h60(concat(lit("tq:"), col("doc_id").cast(StringType)))
+          .as("hk"))
+      .withColumn("spent_before", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .filter(col("spent_before") < TOKEN_QUOTA)
+      .select(col("source"), col("spent_before"), col("doc_id"), col("nt"))
+      .orderBy(col("source"), col("spent_before"), col("doc_id"))
+  }
+
   /** t34 held-out share: 1/HELD_DEN of every stratum, exactly. */
   private val HELD_DEN = 10
 
@@ -1626,6 +1663,7 @@ object TextOps extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> t01LangId,
     "t16_quota_sample" -> t16QuotaSample,
+    "t37_token_quota" -> t37TokenQuota,
     "t34_stratified_split" -> t34StratifiedSplit,
     "t02_quality" -> t02Quality,
     "t03_token_count" -> t03TokenCount,
@@ -2089,6 +2127,20 @@ object TextOps extends QueryModule {
          |      ${Portable.h60Sql("'quota:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= $QUOTA_N ORDER BY lang, rk""".stripMargin,
+    "t37_token_quota" ->
+      s"""SELECT source, spent_before, doc_id, nt FROM (
+         |  SELECT source, doc_id, nt,
+         |    CAST(COALESCE(SUM(nt) OVER (PARTITION BY source
+         |      ORDER BY hk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS spent_before
+         |  FROM (SELECT doc_id, source,
+         |          CAST(COALESCE(len(string_split_regex(text, '\\s+')), 0)
+         |            AS BIGINT) AS nt,
+         |          ${Portable.h60Sql("'tq:' || CAST(doc_id AS VARCHAR)")} AS hk
+         |        FROM documents))
+         |WHERE spent_before < $TOKEN_QUOTA
+         |ORDER BY source, spent_before, doc_id""".stripMargin,
     "t34_stratified_split" ->
       s"""SELECT doc_id, source, lang,
          |  CASE WHEN rk <= (n + ${HELD_DEN - 1}) // $HELD_DEN
