@@ -17,11 +17,11 @@ import org.apache.spark.sql.SparkSession
   *    operator.
   */
 object Bench {
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "b1_gmv", "b2_topn_spu", "b3_topn_category", "b4_topn_trademark",
     "b5_province_map", "b6_visitor_ratios", "b7_hourly_curve",
     "b8_keyword_weighted")
-  private val extras = Seq(
+  private[graft] val extras = Seq(
     "a14b_asof_join", "a14c_range_join", "a17b_sessionize",
     "a20_tumble_visitor", "a20b_4dim_visitor", "a20c_sliding_visitor",
     "a21_product_stats",
@@ -64,7 +64,38 @@ object Bench {
     "c38_multisuite_decon", "c39_ngram_novelty",
     "c40_mmr_rerank", "c41_audit_sample",
     "t34_stratified_split", "s05_vacuum_plan",
-    "m07_media_incremental")
+    "m07_media_incremental",
+    // round-8 coverage closure: every SparkEntry query is either
+    // timed here or named in `excluded` — BenchCoverageSpec enforces
+    // the partition, so the list can never silently lag again (the
+    // round-6/round-7 drift)
+    "t35_weighted_sample", "t36_mix_plan", "t37_token_quota",
+    "s06_pruned_read", "c42_cdc_dedup", "c43_effective_tokens",
+    "c21b_split_repair", "c27_ann_filtered", "c27b_ann_filtered_ivf",
+    "m01_media_meta", "m02_frame_sample", "m03_media_dedup",
+    "s01_zorder",
+    "t01_lang_id", "t02_quality", "t03_token_count",
+    "t03b_subword_tokens", "t05_train_split", "t06_length_histogram",
+    "t09b_pack_spans", "t09c_pack_subword", "t13x_ngram_topk_approx",
+    "t19_rule_filter")
+
+  /** Queries deliberately NOT timed, each for a stated reason — the
+    * third leg of the coverage partition. The a-layer rows are
+    * reference-parity DWD/DWM verification probes whose bodies end in
+    * a full-result ORDER BY for oracle determinism: timing them times
+    * the sort, and their operator cost is already carried by the
+    * b-layer queries built on top. a08/a15 are the untimed warmups
+    * (timing a query that also warms the JVM would flatter it);
+    * a08_salted shares a08's plan shape. The *_sql twins re-state an
+    * already-timed query through SQL text — same plan after parsing. */
+  private[graft] val excluded = Seq(
+    "a04_cdc_envelope", "a05_json_parse", "a06_dirty_split",
+    "a07_filter", "a09_is_new_repair", "a10_daily_first_visit",
+    "a11_dynamic_route", "a12_explode_pos", "a12_log_split",
+    "a14_interval_join", "a16_bounce", "a17_union_stats",
+    "a24_tokenize", "a25_keyword_window",
+    "a08_keyed_agg", "a08_salted", "a15_order_wide",
+    "a23b_province_sql", "t04b_fingerprint_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1631,10 +1631,19 @@ object DedupOps extends QueryModule {
     * by construction: a straddling pair shares a cluster, and a
     * cluster lands in exactly one split (ClusterSpec pins this on a
     * seeded cross-split near-dup pair). */
-  def c21bSplitRepair(s: SparkSession, d: String): DataFrame = {
-    val cc = connectedComponents(c02MinhashLsh(s, d).select(col("da"), col("db")))
-      .select(col("doc_id"), col("cluster_id"))
-    Tables.documents(s, d).select(col("doc_id"))
+  def c21bSplitRepair(s: SparkSession, d: String): DataFrame =
+    splitRepair(Tables.documents(s, d).select(col("doc_id")),
+      c02MinhashLsh(s, d).select(col("da"), col("db")))
+
+  /** c21b's core over arbitrary id + dup-pair frames — factored out so
+    * the deep-chain spec can drive the exact production path with a
+    * synthetic graph (ClusterKeepSpec's precedent). */
+  private[graft] def splitRepair(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    // round-bounded star components (same min-id label contract as the
+    // propagation twin, O(log²) rounds on deep dup chains) — the last
+    // cluster consumer moved off the O(diameter) path
+    val cc = starLabels(pairs)
+    ids
       .join(cc, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .select(col("doc_id"), col("cluster_id"),
@@ -1777,6 +1786,21 @@ object DedupOps extends QueryModule {
   /** c42 cut modulus — a window whose hash ≡ 0 (mod 64) ends a
     * chunk, so chunks average ~64 chars on random text. */
   private[graft] val CDC_DIV = 64L
+  /** c42 minimum chunk size: a content-defined cut closer than this
+    * to its predecessor CANDIDATE (or the doc start) is dropped —
+    * FastCDC's min bound, avg/4. The predecessor-candidate rule (vs
+    * previous-ACCEPTED) keeps the pass stateless/replayable while
+    * still guaranteeing >= CDC_MIN between surviving content cuts:
+    * a survivor's predecessor candidate is >= the previous survivor. */
+  private[graft] val CDC_MIN = 16
+  /** c42 maximum chunk size: any gap between accepted cuts (or doc
+    * ends) longer than this gets forced cuts every CDC_MAX chars —
+    * FastCDC's max bound, avg*4. Forced positions are pure
+    * arithmetic on the two adjacent accepted cuts, so the pass is
+    * per-gap parallel, not sequential. A forced cut may leave ONE
+    * sub-min trailing chunk per over-long gap (the price of the
+    * stateless rule); min violations cannot chain. */
+  private[graft] val CDC_MAX = 256
 
   /** c42 — CONTENT-DEFINED chunking dedup (the Rabin/FastCDC family,
     * Xia et al. FAST'16): chunk boundaries are chosen by the CONTENT
@@ -1793,8 +1817,21 @@ object DedupOps extends QueryModule {
     * Engine portability: windows are [[graft.functions.WinHash60]]
     * code-point windows, cuts land at window start + [[CDC_W]], and
     * chunk identity is the portable hash of the chunk substring —
-    * the oracle replays boundary selection and chunk hashing
-    * verbatim (list_transform + substr).
+    * the oracle replays boundary selection, the [[CDC_MIN]]/[[CDC_MAX]]
+    * bound passes, and chunk hashing verbatim (list_transform +
+    * substr).
+    *
+    * Chunk-size bounds (FastCDC's min/max, without its sequential
+    * scan): the min pass drops content cuts closer than [[CDC_MIN]]
+    * to their predecessor candidate, the max pass forces cuts every
+    * [[CDC_MAX]] chars inside any remaining over-long gap — so
+    * boilerplate/whitespace-heavy text (where every window hashes
+    * identically) degrades to uniform ~CDC_MAX chunks instead of a
+    * ~1-char chunk-per-char storm with one massively hot chunk_h
+    * group, and a document with NO content cuts still chunks. Both
+    * passes are stateless per-row array transforms (replayable in
+    * the oracle), at the documented price that one sub-min trailing
+    * chunk can follow each forced cut.
     *
     * Scale shape: chunking is ONE narrow codegen'd pass (native
     * rolling hash + per-row array geometry — no shuffle); the only
@@ -1820,7 +1857,27 @@ object DedupOps extends QueryModule {
       c => c.isNotNull && c <= n)
     docs
       .filter(col("text").isNotNull && length(col("text")) >= 1)
-      .withColumn("cl", cuts)
+      .withColumn("cl0", cuts)
+      // min bound: drop a candidate closer than CDC_MIN to its
+      // predecessor candidate (doc start for the first) — on
+      // low-entropy text where EVERY window cuts, this collapses the
+      // ~1-char chunk storm to (almost) nothing and the max pass
+      // below re-cuts it uniformly
+      .withColumn("cmin", filter(col("cl0"), (c, i) =>
+        c - when(i === 0, lit(1)).otherwise(element_at(col("cl0"), i))
+          >= CDC_MIN))
+      // max bound: force cuts every CDC_MAX chars inside any gap
+      // longer than CDC_MAX between accepted cuts / doc ends —
+      // per-gap arithmetic on adjacent fence posts, no sequential
+      // state
+      .withColumn("posts", concat(array(lit(1)), col("cmin"), array(n + 1)))
+      .withColumn("cl", array_sort(concat(col("cmin"), flatten(transform(
+        slice(col("posts"), lit(1), size(col("posts")) - 1), (p, j) => {
+          val q = element_at(col("posts"), j + 2)
+          when(q - p > CDC_MAX,
+            sequence(p + lit(CDC_MAX), q - 1, lit(CDC_MAX)))
+            .otherwise(array().cast("array<int>"))
+        })))))
       .withColumn("starts", concat(array(lit(1)), col("cl")))
       // nexts[j] pairs with starts[j] (both length |cl|+1), so every
       // element_at below is in-bounds regardless of ANSI mode
@@ -2061,8 +2118,10 @@ object DedupOps extends QueryModule {
         |       MIN(doc_id) AS canonical_id, COUNT(*) AS dup_ct
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     // replays c42's boundary selection and chunk hashing verbatim:
-    // cut after window p iff h60(window) ≡ 0 (mod CDC_DIV), chunk
-    // spans between consecutive cuts, identity = h60(chunk text)
+    // cut after window p iff h60(window) ≡ 0 (mod CDC_DIV), then the
+    // CDC_MIN predecessor-gap filter and the CDC_MAX per-gap forced
+    // cuts, chunk spans between consecutive cuts, identity =
+    // h60(chunk text)
     "c42_cdc_dedup" ->
       s"""WITH cu AS (
          |  SELECT doc_id, text, length(text) AS n,
@@ -2071,8 +2130,23 @@ object DedupOps extends QueryModule {
          |        i -> CASE WHEN ${Portable.h60Sql(s"substr(text, CAST(i AS INT), $CDC_W)")}
          |                       % $CDC_DIV = 0
          |                  THEN i + $CDC_W END),
-         |      c -> c IS NOT NULL AND c <= length(text)) AS cl
+         |      c -> c IS NOT NULL AND c <= length(text)) AS cl0
          |  FROM documents WHERE text IS NOT NULL AND length(text) >= 1),
+         |cb AS (
+         |  SELECT doc_id, text, n,
+         |    list_filter(cl0, (c, i) -> c - coalesce(cl0[i - 1], 1) >= $CDC_MIN) AS cmin
+         |  FROM cu),
+         |cp AS (
+         |  SELECT doc_id, text, n, cmin, ([1] || cmin || [n + 1]) AS posts
+         |  FROM cb),
+         |cm AS (
+         |  SELECT doc_id, text, n,
+         |    list_sort(cmin || flatten(list_transform(range(1, len(posts)),
+         |      j -> CASE WHEN posts[CAST(j + 1 AS INT)] - posts[CAST(j AS INT)] > $CDC_MAX
+         |                THEN range(posts[CAST(j AS INT)] + $CDC_MAX,
+         |                           posts[CAST(j + 1 AS INT)], $CDC_MAX)
+         |                ELSE CAST([] AS BIGINT[]) END))) AS cl
+         |  FROM cp),
          |ch AS (
          |  SELECT doc_id,
          |    ${Portable.h60Sql("substr(text, CAST(c.st AS INT), CAST(c.ln AS INT))")} AS chunk_h,
@@ -2082,7 +2156,7 @@ object DedupOps extends QueryModule {
          |      unnest(list_transform(range(1, len(cl) + 2),
          |        j -> struct_pack(st := ([1] || cl)[j],
          |                         ln := (cl || [n + 1])[j] - ([1] || cl)[j]))) AS c
-         |    FROM cu))
+         |    FROM cm))
          |SELECT chunk_h, MIN(ln) AS chunk_len,
          |  CAST(COUNT(*) AS BIGINT) AS n_occ,
          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs

@@ -162,22 +162,26 @@ object ScaleOps extends QueryModule {
     * corpus at `root` and return its version number.
     *
     * Protocol (the Iceberg/Delta commit shape, minimal form): data
-    * files land under a version-private directory, then a manifest
-    * naming EXACTLY those files is renamed into `_manifests/` — the
-    * rename is the commit point. Readers resolve a manifest and read
-    * only its file list, never a directory listing, so a reader
-    * pinned to version N is fully isolated from any concurrent
-    * publish of N+1 (snapshot isolation), and a crash before the
-    * manifest rename leaves nothing visible. Concurrent publishers
-    * racing to the same version: the second manifest rename fails
-    * (rename-to-existing), so at most one wins — single-writer is
-    * the intended deployment, the race is merely safe. On object
-    * stores without atomic rename this needs the usual swap to a
-    * CAS/log-append commit; the reader contract is unchanged. */
+    * files land under an ATTEMPT-PRIVATE directory
+    * (`data-v<N>-<attempt>`), then ONE manifest file — carrying the
+    * batch tag as a `#tag:` header and per-file zone-map stats inline
+    * on each data line — is renamed into `_manifests/`. The rename is
+    * the SINGLE commit point: tag, stats, and file list become
+    * visible atomically, so there is no window in which a racing
+    * writer can clobber a committed sidecar (the round-7 tag-race
+    * finding). Readers resolve a manifest and read only its file
+    * list, never a directory listing, so a reader pinned to version N
+    * is fully isolated from any concurrent publish of N+1 (snapshot
+    * isolation), and a crash before the manifest rename leaves
+    * nothing visible. Concurrent publishers racing to the same
+    * version write DISJOINT attempt directories; the second manifest
+    * rename fails (rename-to-existing), the loser deletes its own
+    * data and throws — it can never touch the winner's files. On
+    * object stores without atomic rename this needs the usual swap to
+    * a CAS/log-append commit; the reader contract is unchanged. */
   def publishSnapshot(s: SparkSession, root: String, df: DataFrame,
       statsCol: Option[String] = None): Long =
-    commitVersion(s, root, df, parentFiles = Nil, parentStats = Nil,
-      statsCol, tag = None)
+    commitVersion(s, root, df, parentLines = Nil, statsCol, tag = None)
 
   /** Publish `df` as the next snapshot version WITHOUT rewriting the
     * existing data: the new manifest lists the PARENT version's
@@ -190,126 +194,171 @@ object ScaleOps extends QueryModule {
   def appendSnapshot(s: SparkSession, root: String, df: DataFrame,
       statsCol: Option[String] = None, tag: Option[String] = None): Long = {
     val vs = snapshotVersions(s, root)
-    val parent = vs.lastOption.map(v => manifestFiles(s, root, v)).getOrElse(Nil)
-    val pStats = vs.lastOption.map(v => statsLines(s, root, v)).getOrElse(Nil)
-    commitVersion(s, root, df, parentFiles = parent, parentStats = pStats,
-      statsCol, tag)
+    // parent data lines carry their inline stats forward verbatim —
+    // an append never re-reads (or re-profiles) the parent's data.
+    // Growth bound: manifest N lists O(total live files) lines, so N
+    // un-vacuumed appends write O(N^2) total manifest lines. The
+    // standing remedy is the same as for file count: a vacuum cadence
+    // (keep the newest K) bounds live manifests to K x files, and a
+    // periodic compaction rewrite (publishSnapshot of readSnapshot)
+    // resets the file count itself. With vacuum every V batches the
+    // steady-state metadata is O(V x files) — flat over stream life.
+    val parent = vs.lastOption.map(v => manifestDataLines(s, root, v)).getOrElse(Nil)
+    commitVersion(s, root, df, parentLines = parent, statsCol, tag)
   }
 
   /** Batch-tagged IDEMPOTENT append — the streaming-sink commit
     * contract (Delta/Iceberg `txn`-style): commit `df` as the next
-    * version tagged `tag`, unless a COMMITTED version already
+    * version tagged `tag`, unless the LAST committed version already
     * carries that tag, in which case do nothing and return None (an
-    * at-least-once replay). Only tags of committed manifests count,
-    * and the tag sidecar lands before the manifest rename, so every
-    * crash window re-runs cleanly: data-without-tag and tag-without-
-    * manifest are both invisible debris the retry overwrites at the
-    * same version number, while tag-with-manifest is the committed
-    * state the replay check catches. One version per micro-batch;
-    * version count growth is [[vacuumSnapshots]]' standing remedy,
-    * exactly like compact() for small files. */
+    * at-least-once replay). The tag lives INSIDE the manifest, so
+    * tag-with-manifest is the only committed state and every crash
+    * window (data without manifest) is invisible debris a retry
+    * simply ignores — its attempt directory is unique, so the retry
+    * never collides with debris or with a racing winner.
+    *
+    * The replay probe reads ONE manifest header line — O(1)
+    * filesystem round-trips per micro-batch regardless of stream age
+    * (the round-7 O(versions)-per-batch finding). Checking only the
+    * tail is sufficient because foreachBatch replays are strictly
+    * sequential: batch N is retried only until its commit is
+    * checkpointed, and batch N+1 cannot start before that, so a
+    * replayed tag can only ever be the latest committed version's.
+    * One version per micro-batch; version-count and manifest-line
+    * growth are [[vacuumSnapshots]]' standing remedy, exactly like
+    * compact() for small files. */
   def snapshotAppendOnce(s: SparkSession, root: String, df: DataFrame,
       tag: String, statsCol: Option[String] = None): Option[Long] =
-    if (committedTags(s, root).contains(tag)) None
+    if (snapshotVersions(s, root).lastOption
+        .exists(v => manifestTag(s, root, v).contains(tag))) None
     else Some(appendSnapshot(s, root, df, statsCol, Some(tag)))
 
-  /** Tags of all COMMITTED versions, in version order. */
+  /** Tags of all COMMITTED versions, in version order — an O(versions)
+    * inspection helper (audits, tests); the per-batch replay check in
+    * [[snapshotAppendOnce]] probes only the tail. */
   def committedTags(s: SparkSession, root: String): Seq[String] =
-    snapshotVersions(s, root).flatMap { v =>
-      val p = new org.apache.hadoop.fs.Path(root, s"_manifests/v$v.tag")
-      val fs = fsOf(s, p)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-        finally in.close()
-      }
-    }
+    snapshotVersions(s, root).flatMap(v => manifestTag(s, root, v))
 
-  /** Shared publish tail: land `df`'s files under a version-private
-    * directory, commit `parentFiles ++ newFiles` as the manifest.
+  /** Tag-probe counter: test instrumentation pinning that streaming
+    * ingest reads O(1) manifest headers per batch (SnapshotIngestSpec). */
+  private[graft] val tagProbes = new java.util.concurrent.atomic.AtomicLong
+
+  /** A committed version's batch tag, read from the manifest's first
+    * line only — one open + one line, never the whole file list. */
+  def manifestTag(s: SparkSession, root: String, v: Long): Option[String] = {
+    tagProbes.incrementAndGet()
+    val man = new org.apache.hadoop.fs.Path(root, s"_manifests/v$v.manifest")
+    val fs = fsOf(s, man)
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(man), "UTF-8"))
+    try Option(in.readLine()).filter(_.startsWith(TAG_HEADER))
+      .map(_.stripPrefix(TAG_HEADER))
+    finally in.close()
+  }
+
+  private val TAG_HEADER = "#tag:"
+
+  /** Shared publish tail: land `df`'s files under an attempt-private
+    * directory, commit `parentLines ++ newLines` as ONE manifest.
     *
-    * When `statsCol` is set, a zone-map sidecar (`v<N>.stats`, lines
-    * `path\tmin\tmax`) is committed BEFORE the manifest rename — the
-    * manifest stays the single commit point and a reader never sees
-    * a manifest whose sidecar is missing. Stats for the NEW files
-    * cost one projection-pruned scan of just-written data (one
-    * column, no shuffle past the per-file agg — bounded collect, one
-    * row per new file); `parentStats` carries reused files' entries
-    * forward untouched, so an append never re-reads the parent. */
+    * Manifest format: an optional `#tag:<tag>` header line, then one
+    * line per data file — `path` alone, or `path\tmin\tmax` when the
+    * file has zone-map stats for the store's stats column. Tag and
+    * stats ride the manifest rename, so they are atomic with the file
+    * list: no sidecar can be half-committed or clobbered by a racing
+    * loser. Stats for the NEW files cost one projection-pruned scan
+    * of just-written data (one column, no shuffle past the per-file
+    * agg — bounded collect, one row per new file); files whose
+    * min/max are NULL (all-NULL stats column) simply get no bounds
+    * and are always kept by pruned reads — the documented degrade
+    * path, never a failure. `parentLines` carries reused files'
+    * entries forward untouched, so an append never re-reads the
+    * parent's data.
+    *
+    * The attempt id makes data directories disjoint across racing or
+    * crashed publishers: nobody ever deletes or overwrites another
+    * attempt's files, the manifest rename picks at most one winner,
+    * and a loser removes only its OWN debris. Crash debris (an
+    * attempt dir with no manifest) is invisible to readers and
+    * reclaimed by [[vacuumSnapshots]]' orphan sweep once its version
+    * slot is decided. */
   private def commitVersion(s: SparkSession, root: String, df: DataFrame,
-      parentFiles: Seq[String], parentStats: Seq[String],
-      statsCol: Option[String], tag: Option[String]): Long = {
+      parentLines: Seq[String], statsCol: Option[String],
+      tag: Option[String]): Long = {
     import org.apache.hadoop.fs.Path
     val rootP = new Path(root)
     val fs = fsOf(s, rootP)
     fs.mkdirs(new Path(rootP, "_manifests"))
     val next = snapshotVersions(s, root).lastOption.getOrElse(0L) + 1L
-    val tmpData = new Path(rootP, s".tmp-data-v$next")
-    val dataDir = new Path(rootP, s"data-v$next")
+    val att = java.util.UUID.randomUUID().toString.take(8)
+    val tmpData = new Path(rootP, s".tmp-data-v$next-$att")
+    val dataDir = new Path(rootP, s"data-v$next-$att")
     df.write.mode("overwrite").parquet(tmpData.toString)
-    fs.delete(dataDir, true) // leftover of a crashed attempt at this version
     require(fs.rename(tmpData, dataDir), s"publish: data rename failed for v$next")
     val newFiles = fs.listStatus(dataDir)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted.toSeq
-    val files = parentFiles ++ newFiles
-    val statLines = parentStats ++ statsCol.toSeq.flatMap { c =>
-      val byName = s.read.parquet(dataDir.toString)
-        .groupBy(input_file_name().as("f"))
-        .agg(min(col(c)).cast(LongType).as("lo"),
-          max(col(c)).cast(LongType).as("hi"))
-        .collect()
-        .map(r => (new Path(r.getString(0)).getName,
-          (r.getLong(1), r.getLong(2)))).toMap
-      newFiles.flatMap(f => byName.get(new Path(f).getName)
-        .map { case (lo, hi) => s"$f\t$lo\t$hi" })
+    val bounds: Map[String, (Long, Long)] = statsCol match {
+      case None => Map.empty
+      case Some(c) =>
+        s.read.parquet(dataDir.toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c)).cast(LongType).as("lo"),
+            max(col(c)).cast(LongType).as("hi"))
+          .collect()
+          .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
+          .map(r => (new Path(r.getString(0)).getName,
+            (r.getLong(1), r.getLong(2)))).toMap
     }
-    def commitText(tmpName: String, finalName: String, text: String,
-        overwrite: Boolean): Unit = {
-      val tmp = new Path(rootP, s"_manifests/$tmpName")
-      val out = fs.create(tmp, true)
-      try out.write(text.getBytes("UTF-8")) finally out.close()
-      val dst = new Path(rootP, s"_manifests/$finalName")
-      if (overwrite) fs.delete(dst, false)
-      require(fs.rename(tmp, dst),
-        s"publish: commit rename failed for $finalName")
+    val newLines = newFiles.map { f =>
+      bounds.get(new Path(f).getName) match {
+        case Some((lo, hi)) => s"$f\t$lo\t$hi"
+        case None => f
+      }
     }
-    // the sidecar is NOT the commit point — a crashed attempt's
-    // orphan is overwritten; the manifest rename keeps its
-    // fail-on-existing race guard
-    if (statLines.nonEmpty)
-      commitText(s".tmp-v$next.stats", s"v$next.stats",
-        statLines.mkString("\n"), overwrite = true)
-    tag.foreach(t =>
-      commitText(s".tmp-v$next.tag", s"v$next.tag", t, overwrite = true))
-    commitText(s".tmp-v$next", s"v$next.manifest", files.mkString("\n"),
-      overwrite = false)
+    val text = (tag.toSeq.map(TAG_HEADER + _) ++ parentLines ++ newLines)
+      .mkString("\n")
+    val tmp = new Path(rootP, s"_manifests/.tmp-v$next-$att")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(rootP, s"_manifests/v$next.manifest")
+    if (!fs.rename(tmp, dst)) { // lost the commit race — clean own debris
+      fs.delete(tmp, false)
+      fs.delete(dataDir, true)
+      throw new IllegalStateException(s"publish: lost the commit race for v$next")
+    }
     next
   }
 
-  /** A committed version's zone-map sidecar lines (empty when the
-    * version was published without stats — pruning then degrades to
-    * reading every file, never to wrong answers). */
-  private def statsLines(s: SparkSession, root: String, v: Long): Seq[String] = {
-    val st = new org.apache.hadoop.fs.Path(root, s"_manifests/v$v.stats")
-    val fs = fsOf(s, st)
-    if (!fs.exists(st)) Nil
-    else {
-      val in = fs.open(st)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-    }
-  }
-
-  /** A committed version's manifest file list. */
-  private def manifestFiles(s: SparkSession, root: String, v: Long): Seq[String] = {
+  /** A committed version's manifest data lines (headers stripped),
+    * each `path` or `path\tmin\tmax` — the carry-forward unit for
+    * [[appendSnapshot]]. */
+  private def manifestDataLines(s: SparkSession, root: String,
+      v: Long): Seq[String] = {
     val man = new org.apache.hadoop.fs.Path(root, s"_manifests/v$v.manifest")
     val fs = fsOf(s, man)
     val in = fs.open(man)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filterNot(_.startsWith("#")).toList
     finally in.close()
   }
+
+  /** A committed version's file list. */
+  private def manifestFiles(s: SparkSession, root: String, v: Long): Seq[String] =
+    manifestDataLines(s, root, v).map(_.split('\t')(0))
+
+  /** A committed version's zone-map bounds: file path -> (min, max)
+    * for every manifest line that carries stats (absent entries
+    * degrade pruned reads to keeping the file, never to wrong
+    * answers). */
+  private def manifestBounds(s: SparkSession, root: String,
+      v: Long): Map[String, (Long, Long)] =
+    manifestDataLines(s, root, v).flatMap { line =>
+      line.split('\t') match {
+        case Array(f, mn, mx) => Some(f -> (mn.toLong, mx.toLong))
+        case _ => None
+      }
+    }.toMap
 
   /** Expire every snapshot but the newest `keep`, deleting only data
     * files REFERENCED BY NO retained manifest — with [[appendSnapshot]]
@@ -336,8 +385,28 @@ object ScaleOps extends QueryModule {
     }
     expired.foreach { v =>
       fs.delete(new Path(root, s"_manifests/v$v.manifest"), false)
-      fs.delete(new Path(root, s"_manifests/v$v.stats"), false)
+      fs.delete(new Path(root, s"_manifests/v$v.stats"), false) // legacy sidecars
       fs.delete(new Path(root, s"_manifests/v$v.tag"), false)
+    }
+    // Orphan sweep: attempt directories (`data-v<N>[-attempt]`) whose
+    // version slot is already DECIDED (N <= last committed) and none
+    // of whose files any retained manifest references are crash/race
+    // debris — losers cleaned their own, but a hard crash between the
+    // data rename and the manifest rename leaves one. An in-flight
+    // attempt is always at version lastCommitted+1 (or will lose its
+    // rename), so the N <= last guard never touches live work.
+    val dataDirRe = "data-v(\\d+)(-.*)?".r
+    vs.lastOption.foreach { last =>
+      fs.listStatus(new Path(root)).filter(_.isDirectory).foreach { d =>
+        d.getPath.getName match {
+          case dataDirRe(vStr, _) if vStr.toLong <= last =>
+            val fls = fs.listStatus(d.getPath).filter(_.isFile)
+              .filter(_.getPath.getName.startsWith("part-"))
+            if (fls.forall(f => !referenced(f.getPath.toString)))
+              fs.delete(d.getPath, true)
+          case _ =>
+        }
+      }
     }
     (reclaim.size.toLong, bytes)
   }
@@ -371,12 +440,7 @@ object ScaleOps extends QueryModule {
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
-    val stats = statsLines(s, root, v).flatMap { line =>
-      line.split('\t') match {
-        case Array(f, mn, mx) => Some(f -> (mn.toLong, mx.toLong))
-        case _ => None
-      }
-    }.toMap
+    val stats = manifestBounds(s, root, v)
     val files = manifestFiles(s, root, v)
     val kept = files.filter(f =>
       stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
@@ -407,7 +471,7 @@ object ScaleOps extends QueryModule {
     val root = snapRoot(s, d)
     val tokP = new Path(root, "_token")
     val fs = fsOf(s, tokP)
-    val want = "layout3§" + corpusToken(s, d, "documents.parquet")
+    val want = "layout4§" + corpusToken(s, d, "documents.parquet")
     val have =
       if (!fs.exists(tokP)) None
       else {
@@ -421,7 +485,7 @@ object ScaleOps extends QueryModule {
       val bucket = graft.functions.Portable.h60(concat(lit("snap:"),
         col("doc_id").cast(StringType))) % 100
       // each publish is range-clustered on doc_id so the zone-map
-      // sidecar is selective (layout3): per file, [min,max] doc_id
+      // stats are selective (layout4): per file, [min,max] doc_id
       // spans ~1/SNAP_FILES of the id space instead of all of it
       def ranged(df: DataFrame): DataFrame =
         df.repartitionByRange(SNAP_FILES, col("doc_id"))

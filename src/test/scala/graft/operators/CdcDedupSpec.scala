@@ -49,6 +49,34 @@ class CdcDedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("low-entropy text: bounded uniform chunks, no 1-char storm, no unbounded chunk") {
+    // "aaaa…" makes every window hash identical: either every window
+    // cuts (the pre-bounds 1-char-chunk storm) or none does (one
+    // n-char chunk). The min/max bounds must collapse both cases to
+    // ~CDC_MAX-uniform chunks.
+    val t = "a" * 5000
+    val out = DedupOps.c42CdcDedupOf(Seq((1L, t), (2L, t)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (_, len, _, nDocs) =>
+      assert(len <= DedupOps.CDC_MAX, s"chunk of $len chars exceeds the max bound")
+      assert(nDocs === 2L)
+    }
+    val chunksPerDoc = out.map(_._3).sum / 2
+    assert(chunksPerDoc >= t.length / DedupOps.CDC_MAX,
+      "max bound failed to cut an over-long gap")
+    assert(chunksPerDoc <= t.length / DedupOps.CDC_MIN + 2,
+      s"$chunksPerDoc chunks/doc — the min bound did not stop the chunk storm")
+  }
+
+  test("bounds hold on random text too: every chunk is at most CDC_MAX") {
+    val t = randText(11, 6000)
+    val out = DedupOps.c42CdcDedupOf(Seq((1L, t), (2L, t)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 <= DedupOps.CDC_MAX))
+  }
+
   test("short and single-char docs chunk as one whole-text chunk") {
     val out = DedupOps.c42CdcDedupOf(
       Seq((1L, "ab"), (2L, "ab"), (3L, "x")).toDF("doc_id", "text"))

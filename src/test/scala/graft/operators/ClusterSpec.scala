@@ -121,4 +121,30 @@ class ClusterSpec extends SparkSpec {
     // a multi-member cluster crosses the boundary and gets moved
     assert(repair.exists(_._4 === 1L), "fixture exercised no actual move")
   }
+
+  test("c21b deep-chain graph: whole chain co-locates, round-bounded path") {
+    import org.apache.spark.sql.functions.col
+    // a 1,000-doc dup chain (diameter 999) + 50 singletons through
+    // c21b's factored core — the star components keep this bounded
+    // where min-label propagation would need ~999 rounds
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("da", "db")
+    val ids = (0L until 1050L).toDF("doc_id")
+    val rep = DedupOps.splitRepair(ids, chain)
+      .select(col("doc_id"), col("cluster_id"), col("old_split"),
+        col("new_split"), col("moved"))
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    assert(rep.size === 1050)
+    val members = rep.filter(_._1 < 1000L)
+    // every chain member joins cluster 0 and adopts ONE split — the
+    // representative's own hash-split, so doc 0 itself never moves
+    assert(members.forall(_._2 === 0L), "chain fragmented into >1 cluster")
+    assert(members.map(_._4).distinct.size === 1, "chain split-fragmented")
+    val rep0 = members.find(_._1 === 0L).get
+    assert(rep0._3 === rep0._4 && rep0._5 === 0L)
+    // moved flags exactly the members whose own split differs
+    members.foreach(r => assert((r._5 === 1L) === (r._3 !== r._4)))
+    // singletons are their own representative: never moved
+    val singles = rep.filter(_._1 >= 1000L)
+    assert(singles.forall(r => r._2 === r._1 && r._3 === r._4 && r._5 === 0L))
+  }
 }

@@ -72,17 +72,41 @@ class SnapshotPruneSpec extends SparkSpec {
     assert(pruned.count() === 0L)
   }
 
-  test("vacuum removes expired sidecars with their manifests") {
+  test("stats ride the manifest: vacuum drops them with expired versions, keeps them live") {
     val root = freshRoot("vacstats")
     fs(root).delete(new Path(root), true)
     ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 50),
       statsCol = Some("id"))
     ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 100),
       statsCol = Some("id"))
-    assert(fs(root).exists(new Path(root, "_manifests/v1.stats")))
     ScaleOps.vacuumSnapshots(spark, root, keep = 1)
-    assert(!fs(root).exists(new Path(root, "_manifests/v1.stats")))
-    assert(fs(root).exists(new Path(root, "_manifests/v2.stats")))
+    assert(!fs(root).exists(new Path(root, "_manifests/v1.manifest")))
+    // the surviving version's stats are INSIDE its manifest — pruning
+    // still plans from metadata after the expired history is gone
+    val pruned = ScaleOps.readSnapshotPruned(spark, root, Some(2L), "id", 5L, 20L)
+    assert(pruned.inputFiles.length <
+      ScaleOps.readSnapshot(spark, root, Some(2L)).inputFiles.length)
+    assert(pruned.as[(Long, String)].collect().map(_._1).sorted.toSeq ===
+      (5L to 20L).toSeq)
+  }
+
+  test("an all-NULL stats column degrades to no bounds for that file, not a failed commit") {
+    val root = freshRoot("nullstats")
+    fs(root).delete(new Path(root), true)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true), StructField("s", StringType)))
+    def part(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    // one file holds only NULL ids: its min/max are NULL and it must
+    // simply get no zone-map entry (always kept), never an NPE
+    val df = part(Seq(Row(null, "n1"), Row(null, "n2")))
+      .union(part(Seq(Row(5L, "a"), Row(6L, "b"))))
+    val v = ScaleOps.publishSnapshot(spark, root, df, statsCol = Some("id"))
+    assert(v === 1L)
+    val pruned = ScaleOps.readSnapshotPruned(spark, root, Some(1L), "id", 0L, 10L)
+    assert(pruned.collect().map(_.getString(1)).sorted.toSeq === Seq("a", "b"))
   }
 
   test("s06 prunes the fixture store and matches the raw-corpus slice") {

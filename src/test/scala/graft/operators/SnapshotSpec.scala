@@ -80,7 +80,10 @@ class SnapshotSpec extends SparkSpec {
     // physical files (no rewrite): every v1 data file still exists
     // exactly once and v2 sees all three rows
     assert(ScaleOps.readSnapshot(spark, root, Some(2L)).count() === 3L)
-    val v1Files = fs(root).listStatus(new Path(root, "data-v1"))
+    val v1Dirs = fs(root).listStatus(new Path(root))
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("data-v1"))
+    assert(v1Dirs.nonEmpty)
+    val v1Files = v1Dirs.flatMap(d => fs(root).listStatus(d.getPath))
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
     assert(v1Files.nonEmpty)
     // compaction rewrite: same content, all-new files
@@ -104,10 +107,12 @@ class SnapshotSpec extends SparkSpec {
     assert(ScaleOps.snapshotVersions(spark, root) === Seq(3L))
     assert(pinned.count() === 3L)
     assert(ScaleOps.readSnapshot(spark, root).count() === 3L)
-    // the expired versions' data files are gone from disk
-    assert(!fs(root).exists(new Path(root, "data-v1")) ||
-      fs(root).listStatus(new Path(root, "data-v1"))
-        .forall(!_.getPath.getName.startsWith("part-")))
+    // the expired versions' data files are gone from disk — the
+    // orphan sweep also removes the now-empty attempt directories
+    assert(fs(root).listStatus(new Path(root))
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("data-v1"))
+      .flatMap(d => fs(root).listStatus(d.getPath))
+      .forall(!_.getPath.getName.startsWith("part-")))
     intercept[IllegalArgumentException] {
       ScaleOps.vacuumSnapshots(spark, root, keep = 0)
     }

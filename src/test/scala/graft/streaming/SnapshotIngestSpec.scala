@@ -21,7 +21,11 @@ class SnapshotIngestSpec extends SparkSpec {
 
   test("a drained stream commits one version per batch; content is the union") {
     val root = freshRoot("drain")
+    // the checkpoint lives OUTSIDE root, so it must be cleared with it
+    // — a stale checkpoint would replay offsets a fresh MemoryStream
+    // doesn't hold (the round-7 non-idempotent-suite bug)
     fs(root).delete(new Path(root), true)
+    fs(root).delete(new Path(root + "_ckpt"), true)
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[DocRow]
     val q = Jobs.snapshotIngest(spark, mem.toDS(), root)
@@ -54,25 +58,52 @@ class SnapshotIngestSpec extends SparkSpec {
     assert(ScaleOps.readSnapshot(spark, root).count() === 3L)
   }
 
-  test("crash debris (tag without manifest) is invisible and retried cleanly") {
+  test("the replay probe is O(1) manifest-header reads per batch, at any stream age") {
+    val root = freshRoot("probes")
+    fs(root).delete(new Path(root), true)
+    // a 12-batch drain: the probe count must grow linearly with the
+    // BATCH count (1 header read per batch), never with the number of
+    // already-committed versions — the round-7 O(versions)-per-batch
+    // finding would make this quadratic
+    val before = ScaleOps.tagProbes.get()
+    (0 until 12).foreach { b =>
+      ScaleOps.snapshotAppendOnce(spark, root,
+        Seq((b.toLong, s"doc$b")).toDF("doc_id", "text"), s"batch:$b")
+    }
+    val probes = ScaleOps.tagProbes.get() - before
+    assert(probes <= 12L, s"replay check read $probes manifest headers " +
+      "for 12 batches — tag probing is not O(1) per batch")
+    assert(ScaleOps.snapshotVersions(spark, root).size === 12)
+    assert(ScaleOps.readSnapshot(spark, root).count() === 12L)
+    // committedTags (the O(versions) audit face) still sees every tag
+    assert(ScaleOps.committedTags(spark, root) ===
+      (0 until 12).map(b => s"batch:$b"))
+  }
+
+  test("crash debris (data without manifest) is invisible, retried cleanly, swept by vacuum") {
     val root = freshRoot("crash")
     fs(root).delete(new Path(root), true)
     ScaleOps.snapshotAppendOnce(spark, root,
       Seq((1L, "a")).toDF("doc_id", "text"), "batch:0")
-    // simulate a crash between the v2 tag commit and the manifest
-    // rename: tag + data exist, manifest does not
-    Seq((2L, "b")).toDF("doc_id", "text")
-      .write.parquet(new Path(root, "data-v2").toString)
-    val tagP = new Path(root, "_manifests/v2.tag")
-    val out = fs(root).create(tagP, true)
-    try out.write("batch:1".getBytes("UTF-8")) finally out.close()
-    // the orphan tag does NOT count as committed
+    // simulate a crash between the data rename and the manifest
+    // rename: an attempt-private data dir exists, its manifest does
+    // not — the tag rides the manifest, so nothing is committed
+    val debris = new Path(root, "data-v2-deadbeef")
+    Seq((2L, "b")).toDF("doc_id", "text").write.parquet(debris.toString)
     assert(ScaleOps.committedTags(spark, root) === Seq("batch:0"))
-    // the replay claims v2 cleanly over the debris
+    assert(ScaleOps.readSnapshot(spark, root).count() === 1L)
+    // the replay claims v2 cleanly beside the debris (disjoint
+    // attempt dirs — it never needs to delete or overwrite it)
     assert(ScaleOps.snapshotAppendOnce(spark, root,
       Seq((2L, "b")).toDF("doc_id", "text"), "batch:1") === Some(2L))
     assert(ScaleOps.readSnapshot(spark, root)
       .orderBy(col("doc_id")).as[(Long, String)].collect().toSeq ===
       Seq((1L, "a"), (2L, "b")))
+    // once v2 is DECIDED, the orphan attempt is vacuum's to reclaim
+    assert(fs(root).exists(debris))
+    ScaleOps.vacuumSnapshots(spark, root, keep = 2)
+    assert(!fs(root).exists(debris),
+      "vacuum left the crashed attempt's data dir behind")
+    assert(ScaleOps.readSnapshot(spark, root).count() === 2L)
   }
 }
