@@ -368,7 +368,12 @@ object CorpusStats extends QueryModule {
     * end; null-text docs count toward n_docs but contribute no
     * token/quality mass (explicit coalesce, same on both sides). */
   def t23DatasetCard(s: SparkSession, d: String): DataFrame =
-    cardFeatures(Tables.documents(s, d))
+    datasetCardOf(Tables.documents(s, d))
+
+  /** [[t23DatasetCard]] over any documents-shaped frame (s07's
+    * release report computes the card from a snapshot read). */
+  private[graft] def datasetCardOf(docs: DataFrame): DataFrame =
+    cardFeatures(docs)
       .rollup(col("source"), col("lang"))
       .agg(
         (grouping(col("source")) * 2 + grouping(col("lang")))

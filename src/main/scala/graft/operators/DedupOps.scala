@@ -1373,8 +1373,19 @@ object DedupOps extends QueryModule {
     * flagged (doc, suite) rows only — output-proportional. Suites
     * are data, not code: adding a suite changes the eval-side rows,
     * never the plan. */
-  def c38MultiSuiteDecon(s: SparkSession, d: String): DataFrame = {
-    val feats = Tables.documents(s, d)
+  def c38MultiSuiteDecon(s: SparkSession, d: String): DataFrame =
+    multiSuiteFlags(Tables.documents(s, d))
+      .groupBy(col("doc_id"), col("suite"))
+      .agg(
+        countDistinct(col("method")).as("n_methods"),
+        array_join(array_sort(collect_set(col("method"))), ",").as("methods"))
+      .orderBy(col("doc_id"), col("suite"))
+
+  /** c38's distinct (doc_id, suite, method) contamination flags over
+    * any documents-shaped frame — the shared core of the doc-grain
+    * matrix above and s07's suite×method release summary. */
+  private[graft] def multiSuiteFlags(docs: DataFrame): DataFrame = {
+    val feats = docs
       .withColumn("__toks", split(col("text"), "\\s+"))
       .select(col("doc_id"),
         hashedShingles("__toks", DECON_N).as("shs"),
@@ -1402,11 +1413,6 @@ object DedupOps extends QueryModule {
       .select(col("doc_id"), col("suite")).distinct()
     tokFlag.withColumn("method", lit("ngram"))
       .unionByName(subFlag.withColumn("method", lit("substring")))
-      .groupBy(col("doc_id"), col("suite"))
-      .agg(
-        countDistinct(col("method")).as("n_methods"),
-        array_join(array_sort(collect_set(col("method"))), ",").as("methods"))
-      .orderBy(col("doc_id"), col("suite"))
   }
 
   // ---------------------------------------------------------------
@@ -1759,9 +1765,18 @@ object DedupOps extends QueryModule {
     * only window) plus ONE doc_id equi-join against the narrow token
     * projection and a source-grain aggregation — strictly cheaper
     * than the c32 it contains. */
-  def c43EffectiveTokens(s: SparkSession, d: String): DataFrame = {
-    val keep = c32ClusterKeep(s, d).select(col("doc_id"), col("status"))
-    Tables.documents(s, d)
+  def c43EffectiveTokens(s: SparkSession, d: String): DataFrame =
+    effectiveTokensOf(Tables.documents(s, d))
+
+  /** [[c43EffectiveTokens]] over any documents-shaped frame (s07's
+    * release report runs the accounting on a snapshot read). */
+  private[graft] def effectiveTokensOf(docs: DataFrame): DataFrame = {
+    val keep = clusterKeep(
+      TextOps.withQualityCols(docs).select(col("doc_id"), col("quality")),
+      c02MinhashLshOf(shingleDocsOf(docs, 3, hashed = true).localCheckpoint())
+        .select(col("da"), col("db")))
+      .select(col("doc_id"), col("status"))
+    docs
       .select(col("doc_id"), col("source"),
         coalesce(size(split(col("text"), "\\s+")), lit(0))
           .cast(LongType).as("nt"))

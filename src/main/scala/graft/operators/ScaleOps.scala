@@ -384,6 +384,16 @@ object ScaleOps extends QueryModule {
       if (fs.exists(p)) { bytes += fs.getFileStatus(p).getLen; fs.delete(p, false) }
     }
     expired.foreach { v =>
+      // an expired version's release report goes with it — report
+      // files are version-private (never shared), so no refcounting
+      val relP = new Path(root, s"_manifests/v$v.release")
+      if (fs.exists(relP)) {
+        releaseFiles(s, root, v).foreach { f =>
+          val p = new Path(f)
+          if (fs.exists(p)) { bytes += fs.getFileStatus(p).getLen; fs.delete(p, false) }
+        }
+        fs.delete(relP, false)
+      }
       fs.delete(new Path(root, s"_manifests/v$v.manifest"), false)
       fs.delete(new Path(root, s"_manifests/v$v.stats"), false) // legacy sidecars
       fs.delete(new Path(root, s"_manifests/v$v.tag"), false)
@@ -395,14 +405,19 @@ object ScaleOps extends QueryModule {
     // data rename and the manifest rename leaves one. An in-flight
     // attempt is always at version lastCommitted+1 (or will lose its
     // rename), so the N <= last guard never touches live work.
-    val dataDirRe = "data-v(\\d+)(-.*)?".r
+    val dataDirRe = "(?:data|release)-v(\\d+)(-.*)?".r
+    val retained = vs.takeRight(keep)
+    val referencedRel = retained
+      .filter(v => fs.exists(new Path(root, s"_manifests/v$v.release")))
+      .flatMap(v => releaseFiles(s, root, v)).toSet
     vs.lastOption.foreach { last =>
       fs.listStatus(new Path(root)).filter(_.isDirectory).foreach { d =>
         d.getPath.getName match {
           case dataDirRe(vStr, _) if vStr.toLong <= last =>
             val fls = fs.listStatus(d.getPath).filter(_.isFile)
               .filter(_.getPath.getName.startsWith("part-"))
-            if (fls.forall(f => !referenced(f.getPath.toString)))
+            if (fls.forall(f => !referenced(f.getPath.toString) &&
+                !referencedRel(f.getPath.toString)))
               fs.delete(d.getPath, true)
           case _ =>
         }
@@ -448,6 +463,152 @@ object ScaleOps extends QueryModule {
       else s.read.parquet(files: _*) // schema-only; predicate yields 0 rows
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
+
+  // ---------------------------------------------------------------
+  // s07 — release reports committed against snapshot versions
+  // ---------------------------------------------------------------
+
+  /** Commit a RELEASE REPORT against committed snapshot version `v`:
+    * the provenance bundle (dataset card + mix plan + decon matrix +
+    * dedup accounting — see [[releaseReportOf]]) a training run
+    * resolves WITH the data, so "train on v7" names bytes and their
+    * provenance in one atomic read.
+    *
+    * Same commit discipline as the data: report parquet lands under
+    * an attempt-private directory, then a pointer file naming
+    * exactly those files is renamed to `_manifests/v<N>.release` —
+    * the rename is the commit point. A release can only be published
+    * FOR a committed version (publishing against an uncommitted slot
+    * throws), and readers require both the manifest and the pointer,
+    * so a report is visible exactly when its version is: atomically
+    * with, and only with, its manifest. Racing/crashed publishers
+    * follow the data path's rules — disjoint attempt dirs, loser
+    * cleans its own debris, vacuum sweeps orphans. Re-publishing an
+    * already-released version is a no-op returning false
+    * (idempotent, like the batch-tag check). */
+  def publishRelease(s: SparkSession, root: String, v: Long,
+      report: DataFrame): Boolean = {
+    import org.apache.hadoop.fs.Path
+    require(snapshotVersions(s, root).contains(v),
+      s"cannot publish a release for uncommitted snapshot v$v")
+    if (hasRelease(s, root, v)) return false
+    val rootP = new Path(root)
+    val fs = fsOf(s, rootP)
+    val att = java.util.UUID.randomUUID().toString.take(8)
+    val dir = new Path(rootP, s"release-v$v-$att")
+    report.write.parquet(dir.toString)
+    val files = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    val tmp = new Path(rootP, s"_manifests/.tmp-v$v.release-$att")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val dst = new Path(rootP, s"_manifests/v$v.release")
+    if (!fs.rename(tmp, dst)) { // lost the race — another release won
+      fs.delete(tmp, false)
+      fs.delete(dir, true)
+      false
+    } else true
+  }
+
+  /** Whether committed version `v` carries a committed release. */
+  def hasRelease(s: SparkSession, root: String, v: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root, s"_manifests/v$v.release")
+    fsOf(s, p).exists(p) && snapshotVersions(s, root).contains(v)
+  }
+
+  /** A committed release's parquet file list. */
+  private def releaseFiles(s: SparkSession, root: String, v: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, s"_manifests/v$v.release")
+    val fs = fsOf(s, p)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Read the release report committed against version `v` — fails
+    * when the version or its release is not committed (debris from a
+    * crashed publish is invisible, exactly like data). */
+  def readRelease(s: SparkSession, root: String, v: Long): DataFrame = {
+    require(hasRelease(s, root, v),
+      s"no committed release for snapshot v$v under $root")
+    s.read.parquet(releaseFiles(s, root, v): _*)
+  }
+
+  /** The RELEASE REPORT content — the provenance bundle of a corpus
+    * release, in one long-format frame (section, grain, k1, k2,
+    * metric, lv, dv): the t23 dataset card (all three rollup grains),
+    * the t36 token-budget mix plan, the c38 multi-suite
+    * decontamination matrix summarized to suite×method flagged-doc
+    * counts, and the c43 dedup-adjusted token accounting. All four
+    * faces already carry their own oracles; the report is their
+    * composition over ONE input frame — computed from the pinned
+    * snapshot read, so the committed report describes exactly the
+    * bytes its version names. Integer metrics ride `lv` (exact
+    * BIGINT), ratio metrics ride `dv`. */
+  private[graft] def releaseReportOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val nullL = lit(null).cast(LongType)
+    val nullD = lit(null).cast(DoubleType)
+    val nullS = lit(null).cast(StringType)
+    def rows(df: DataFrame, section: String, grain: Column, k1: Column,
+        k2: Column, metric: String, lv: Column, dv: Column): DataFrame =
+      df.select(lit(section).as("section"), grain.cast(LongType).as("grain"),
+        k1.cast(StringType).as("k1"), k2.cast(StringType).as("k2"),
+        lit(metric).as("metric"), lv.cast(LongType).as("lv"),
+        dv.cast(DoubleType).as("dv"))
+    // each face materializes once and feeds its metric slices from
+    // the (tiny) checkpointed result — never a per-metric re-scan
+    val card = CorpusStats.datasetCardOf(docs).localCheckpoint()
+    val mix = TextOps.mixPlanOfDocs(s, docs) // already driver-built rows
+    val dec = DedupOps.multiSuiteFlags(docs)
+      .groupBy(col("suite"), col("method"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .localCheckpoint()
+    val tok = DedupOps.effectiveTokensOf(docs).localCheckpoint()
+    val parts =
+      Seq("n_docs", "n_tokens", "n_chars").map(m =>
+        rows(card, "card", col("lvl"), col("source"), col("lang"),
+          m, col(m), nullD)) ++
+      Seq(rows(card, "card", col("lvl"), col("source"), col("lang"),
+        "avg_quality", nullL, col("avg_quality"))) ++
+      Seq("weight", "n_tok", "cap_tok", "alloc_tok", "epochs_x1000",
+        "capped").map(m =>
+        rows(mix, "mix", lit(0L), col("lang"), nullS, m, col(m), nullD)) ++
+      Seq(rows(dec, "decon", lit(0L), col("suite"), col("method"),
+        "n_docs", col("n_docs"), nullD)) ++
+      Seq("raw_docs", "raw_tokens", "kept_docs", "kept_tokens",
+        "dup_tokens").map(m =>
+        rows(tok, "tokens", lit(0L), col("source"), nullS, m, col(m), nullD))
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Build-once committed release for the fixture store's v2 (the
+    * full-corpus version) — drift-guarded transitively: a corpus
+    * change rebuilds the store (wiping releases with it), and a
+    * report-logic change must bump [[ensureSnapshots]]' layout
+    * revision like any persisted-artifact change. */
+  private[graft] def ensureRelease(s: SparkSession, d: String): String = {
+    val root = ensureSnapshots(s, d)
+    if (!hasRelease(s, root, 2L))
+      publishRelease(s, root, 2L,
+        releaseReportOf(s, readSnapshot(s, root, Some(2L))))
+    root
+  }
+
+  /** s07 — the RELEASE REPORT read back THROUGH the committed store:
+    * resolve the fixture's v2 release pointer and return its rows.
+    * The oracle recomputes all four faces from the raw corpus (their
+    * own oracle SQLs composed verbatim), so value equality proves the
+    * whole lifecycle — snapshot publish, report computation over the
+    * pinned read, atomic release commit, pointer read-back — and a
+    * training run that names v2 gets data + provenance that agree.
+    * Commit-protocol properties (atomic-with-manifest, crash debris
+    * invisible, vacuum reclamation) are pinned in ReleaseSpec. */
+  def s07ReleaseReport(s: SparkSession, d: String): DataFrame =
+    readRelease(s, ensureRelease(s, d), 2L)
+      .orderBy(col("section"), col("grain"), col("k1"), col("k2"),
+        col("metric"))
 
   /** Files per snapshot publish in the fixture store — small enough
     * that sf0.001 still fills every range bucket, large enough that
@@ -743,10 +904,50 @@ object ScaleOps extends QueryModule {
     "s03_snapshot_read" -> s03SnapshotRead,
     "s04_snapshot_diff" -> s04SnapshotDiff,
     "s05_vacuum_plan" -> s05VacuumPlan,
-    "s06_pruned_read" -> s06PrunedRead)
+    "s06_pruned_read" -> s06PrunedRead,
+    "s07_release_report" -> s07ReleaseReport)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
+  /** s07's oracle: the four faces' own oracle SQLs composed verbatim
+    * (each as a MATERIALIZED CTE over its unchanged text), unpivoted
+    * into the report's long format — the report is trustworthy
+    * because every section replays an already-oracle-checked query. */
+  private def s07Sql: String = {
+    val t23 = CorpusStats.oracle("t23_dataset_card")
+    val t36 = TextOps.oracle("t36_mix_plan")
+    val c38 = DedupOps.oracle("c38_multisuite_decon")
+    val c43 = DedupOps.oracle("c43_effective_tokens")
+    s"""WITH relc AS MATERIALIZED (SELECT * FROM ($t23) q),
+       |relm AS MATERIALIZED (SELECT * FROM ($t36) q),
+       |reld AS MATERIALIZED (
+       |  SELECT suite, method, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM (SELECT doc_id, suite, unnest(string_split(methods, ',')) AS method
+       |        FROM ($c38) q)
+       |  GROUP BY suite, method),
+       |relt AS MATERIALIZED (SELECT * FROM ($c43) q)
+       |SELECT section, grain, k1, k2, metric, lv, dv FROM (
+       |  SELECT 'card' AS section, lvl AS grain, source AS k1, lang AS k2,
+       |         'n_docs' AS metric, n_docs AS lv, CAST(NULL AS DOUBLE) AS dv FROM relc
+       |  UNION ALL SELECT 'card', lvl, source, lang, 'n_tokens', n_tokens, NULL FROM relc
+       |  UNION ALL SELECT 'card', lvl, source, lang, 'n_chars', n_chars, NULL FROM relc
+       |  UNION ALL SELECT 'card', lvl, source, lang, 'avg_quality', NULL, avg_quality FROM relc
+       |  UNION ALL SELECT 'mix', 0, lang, NULL, 'weight', weight, NULL FROM relm
+       |  UNION ALL SELECT 'mix', 0, lang, NULL, 'n_tok', n_tok, NULL FROM relm
+       |  UNION ALL SELECT 'mix', 0, lang, NULL, 'cap_tok', cap_tok, NULL FROM relm
+       |  UNION ALL SELECT 'mix', 0, lang, NULL, 'alloc_tok', alloc_tok, NULL FROM relm
+       |  UNION ALL SELECT 'mix', 0, lang, NULL, 'epochs_x1000', epochs_x1000, NULL FROM relm
+       |  UNION ALL SELECT 'mix', 0, lang, NULL, 'capped', capped, NULL FROM relm
+       |  UNION ALL SELECT 'decon', 0, suite, method, 'n_docs', n_docs, NULL FROM reld
+       |  UNION ALL SELECT 'tokens', 0, source, NULL, 'raw_docs', raw_docs, NULL FROM relt
+       |  UNION ALL SELECT 'tokens', 0, source, NULL, 'raw_tokens', raw_tokens, NULL FROM relt
+       |  UNION ALL SELECT 'tokens', 0, source, NULL, 'kept_docs', kept_docs, NULL FROM relt
+       |  UNION ALL SELECT 'tokens', 0, source, NULL, 'kept_tokens', kept_tokens, NULL FROM relt
+       |  UNION ALL SELECT 'tokens', 0, source, NULL, 'dup_tokens', dup_tokens, NULL FROM relt
+       |) ORDER BY section, grain, k1 NULLS FIRST, k2 NULLS FIRST, metric""".stripMargin
+  }
+
   override val oracle: Map[String, String] = Map(
+    "s07_release_report" -> s07Sql,
     "a08_salted" ->
       """SELECT user_id, COUNT(*) AS event_ct,
         |       COUNT(DISTINCT event_type) AS type_ct,

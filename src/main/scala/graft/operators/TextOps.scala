@@ -937,9 +937,14 @@ object TextOps extends QueryModule {
     * pattern), a few dozen rows at web scale. The driver loop exits
     * on the fixed point and asserts it converged within the same
     * [[MIX_ROUNDS]] the oracle unrolls. */
-  def t36MixPlan(s: SparkSession, d: String): DataFrame = {
+  def t36MixPlan(s: SparkSession, d: String): DataFrame =
+    mixPlanOfDocs(s, Tables.documents(s, d))
+
+  /** [[t36MixPlan]] over any documents-shaped frame (s07's release
+    * report plans the mix from a snapshot read). */
+  private[graft] def mixPlanOfDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     // bounded collect: one row per language (documented bound above)
-    val counts = Tables.documents(s, d).filter(col("lang").isNotNull)
+    val counts = docs.filter(col("lang").isNotNull)
       .groupBy(col("lang"))
       .agg(sum(coalesce(size(toks), lit(0))).cast(LongType).as("nt"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
