@@ -1859,7 +1859,23 @@ object DedupOps extends QueryModule {
 
   /** [[c42CdcDedup]] over any `(doc_id, text, …)` frame (spec
     * surface for the boundary-resynchronization property). */
-  private[graft] def c42CdcDedupOf(docs: DataFrame): DataFrame = {
+  private[graft] def c42CdcDedupOf(docs: DataFrame): DataFrame =
+    chunkRowsOf(docs)
+      .groupBy(col("chunk_h"))
+      .agg(min(col("ln")).as("chunk_len"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") > 1)
+      .orderBy(col("chunk_h"))
+
+  /** The CDC pass at (doc, chunk) grain — one narrow codegen'd pass,
+    * no shuffle. Shared by batch [[c42CdcDedupOf]] (corpus-grain agg)
+    * and the streaming chunk-store ingest
+    * (graft.streaming.Jobs.chunkDedupIngest), whose per-batch
+    * partials aggregate to the identical corpus table because every
+    * agg here is decomposable (min/sum/sum with one-batch-per-doc
+    * arrival). */
+  private[graft] def chunkRowsOf(docs: DataFrame): DataFrame = {
     val n = length(col("text"))
     val wins = call_function("graft_winhash60",
       col("text"), lit(CDC_W), lit(1))
@@ -1905,12 +1921,6 @@ object DedupOps extends QueryModule {
         Portable.h60(col("text").substr(col("col.st"), col("col.ln")))
           .as("chunk_h"),
         col("col.ln").cast(LongType).as("ln"))
-      .groupBy(col("chunk_h"))
-      .agg(min(col("ln")).as("chunk_len"),
-        count(lit(1)).as("n_occ"),
-        countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_occ") > 1)
-      .orderBy(col("chunk_h"))
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -607,6 +607,51 @@ object Jobs {
         ()
       }
 
+  /** STANDING sub-document dedup — c42's CDC chunk table maintained
+    * over a live document stream with [[pagerankIngest]]'s
+    * idempotent-store shape: each micro-batch runs the CDC pass over
+    * ITS documents only (one narrow codegen'd pass, batch-
+    * proportional — never a corpus re-chunk) and writes its
+    * chunk-grain partials (chunk_h, min len, occ, docs) into a
+    * batchId-keyed hive partition of `dir/chunks` (overwrite → an
+    * at-least-once replay rewrites the same partition instead of
+    * double-counting). The standing dup report `dir/dups` then
+    * re-aggregates the chunk-grain store — every c42 aggregate is
+    * decomposable (min/sum, and n_docs sums exactly because a
+    * document arrives in exactly one batch), so after a drain the
+    * report is BIT-IDENTICAL to batch c42 over the same corpus
+    * (ChunkIngestSpec pins the parity). Per-batch cost: chunk the
+    * batch + re-agg the chunk store (dedup-proportional, corpus-scan-
+    * free) — the steady-state ingest shape of c13b/m07 at
+    * sub-document grain. Store partition growth is ScaleOps.compact's
+    * standing remedy, like the other ingest stores. */
+  def chunkDedupIngest(spark: SparkSession, docs: Dataset[DocRow],
+      dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        chunkIngestBatch(spark, batch, batchId, dir)
+      }
+
+  /** [[chunkDedupIngest]]'s per-batch body, factored so the replay
+    * spec can drive the exact production path with a pinned batchId. */
+  private[graft] def chunkIngestBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, dir: String): Unit = {
+    graft.operators.DedupOps.chunkRowsOf(batch)
+      .groupBy(col("chunk_h"))
+      .agg(min(col("ln")).as("chunk_len"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$dir/chunks/batch=$batchId")
+    spark.read.parquet(s"$dir/chunks")
+      .groupBy(col("chunk_h"))
+      .agg(min(col("chunk_len")).as("chunk_len"),
+        sum(col("n_occ")).as("n_occ"),
+        sum(col("n_docs")).as("n_docs"))
+      .filter(col("n_occ") > 1)
+      .write.mode("overwrite").parquet(s"$dir/dups")
+  }
+
   def cardIngest(spark: SparkSession, raw: DataFrame): DataFrame =
     graft.operators.CorpusStats.cardFeatures(raw)
       .groupBy(col("source"), col("lang"))
