@@ -77,7 +77,7 @@ object Bench {
     "t01_lang_id", "t02_quality", "t03_token_count",
     "t03b_subword_tokens", "t05_train_split", "t06_length_histogram",
     "t09b_pack_spans", "t09c_pack_subword", "t13x_ngram_topk_approx",
-    "t19_rule_filter", "s07_release_report")
+    "t19_rule_filter", "s07_release_report", "s08_incremental_read")
 
   /** Queries deliberately NOT timed, each for a stated reason — the
     * third leg of the coverage partition. The a-layer rows are

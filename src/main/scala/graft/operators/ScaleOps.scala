@@ -709,6 +709,57 @@ object ScaleOps extends QueryModule {
       .orderBy(col("lang"))
   }
 
+  /** Files ADDED between two committed versions — a pure manifest
+    * set-difference, no data read and no listing. */
+  private def snapshotAddedFiles(s: SparkSession, root: String,
+      vFrom: Long, vTo: Long): Seq[String] = {
+    val before = manifestFiles(s, root, vFrom).toSet
+    manifestFiles(s, root, vTo).filterNot(before)
+  }
+
+  /** INCREMENTAL (change-data-feed-shaped) read: the rows version
+    * `vTo` ADDED over `vFrom`, resolved at FILE grain from the two
+    * manifests alone — because [[appendSnapshot]] reuses the parent's
+    * files, the appended slice is exactly the manifest set
+    * difference, so the incremental consumer (c13b's batch-vs-store
+    * dedup, c22c's index refresh, a downstream sync) reads ONLY the
+    * new bytes: no join, no shuffle, no scan of the carried data.
+    * That is the 100 TB story — s04's content diff costs a
+    * corpus-wide anti-join to answer the same question when you
+    * cannot trust the file history; this read is free when you can.
+    * File grain is also its honest limit: a REWRITE version (s05's
+    * compaction) shares no files with its parent, so its "delta" is
+    * its whole content — the consumer falls back to s04's content
+    * diff when `addedFraction` says the version was not a pure
+    * append. Both reads stay correct; only cost differs. */
+  def readSnapshotChanges(s: SparkSession, root: String,
+      vFrom: Long, vTo: Long): DataFrame = {
+    val vs = snapshotVersions(s, root)
+    require(vs.contains(vFrom) && vs.contains(vTo),
+      s"versions v$vFrom, v$vTo must both be committed (have ${vs.mkString(",")})")
+    require(vFrom <= vTo, s"change read runs forward (v$vFrom > v$vTo)")
+    val added = snapshotAddedFiles(s, root, vFrom, vTo)
+    if (added.isEmpty) readSnapshot(s, root, Some(vTo)).limit(0)
+    else s.read.parquet(added: _*)
+  }
+
+  /** s08 — the incremental read as an oracle-gated query: per-language
+    * doc/char profile of what v2 ADDED over v1, answered from the
+    * manifest file delta (the appended half's files, nothing else —
+    * SnapshotSpec pins the file count via inputFiles). The oracle
+    * replays the publish split predicate over the raw corpus, so
+    * value equality proves the file-grain delta carries EXACTLY the
+    * appended rows — the guarantee an incremental pipeline leans on
+    * when it processes "just the new files" of each release. */
+  def s08IncrementalRead(s: SparkSession, d: String): DataFrame = {
+    val root = ensureSnapshots(s, d)
+    readSnapshotChanges(s, root, 1L, 2L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast(LongType).as("n_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** s05 retention policy: keep the newest KEEP_VERSIONS snapshots. */
   private val KEEP_VERSIONS = 2
 
@@ -905,7 +956,8 @@ object ScaleOps extends QueryModule {
     "s04_snapshot_diff" -> s04SnapshotDiff,
     "s05_vacuum_plan" -> s05VacuumPlan,
     "s06_pruned_read" -> s06PrunedRead,
-    "s07_release_report" -> s07ReleaseReport)
+    "s07_release_report" -> s07ReleaseReport,
+    "s08_incremental_read" -> s08IncrementalRead)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   /** s07's oracle: the four faces' own oracle SQLs composed verbatim
@@ -985,6 +1037,14 @@ object ScaleOps extends QueryModule {
          |         CAST(SUM(length(text)) AS BIGINT) AS n_chars
          |  FROM documents GROUP BY lang)
          |ORDER BY version, lang""".stripMargin,
+    // the v1→v2 file delta carries exactly the appended half: the
+    // publish split predicate's complement
+    "s08_incremental_read" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+         |FROM documents
+         |WHERE ${graft.functions.Portable.h60Sql("'snap:' || CAST(doc_id AS VARCHAR)")} % 100 >= 50
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // v1 membership = the publish split predicate; added = the rest
     "s04_snapshot_diff" ->
       s"""SELECT lang,

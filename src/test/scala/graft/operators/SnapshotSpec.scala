@@ -118,6 +118,30 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("incremental reads resolve at file grain: append delta, rewrite full, self empty") {
+    val sf = "/root/testdata/sf0.001"
+    val root = ScaleOps.ensureSnapshots(spark, sf)
+    val full = ScaleOps.readSnapshot(spark, root, Some(2L))
+    // v1→v2 was a pure append: the change read opens ONLY the
+    // appended half's files (4 of v2's 8), no join, no v1 scan
+    val delta = ScaleOps.readSnapshotChanges(spark, root, 1L, 2L)
+    assert(delta.inputFiles.length === full.inputFiles.length / 2,
+      s"delta read ${delta.inputFiles.length} files")
+    val v1Count = ScaleOps.readSnapshot(spark, root, Some(1L)).count()
+    assert(delta.count() === full.count() - v1Count)
+    // v2→v3 was a compaction REWRITE: no shared files, so the
+    // file-grain delta is v3's whole content (the documented limit —
+    // s04's content diff is the tool for that hop)
+    assert(ScaleOps.readSnapshotChanges(spark, root, 2L, 3L).count() ===
+      full.count())
+    // no-op hop: empty frame, schema intact
+    val none = ScaleOps.readSnapshotChanges(spark, root, 2L, 2L)
+    assert(none.count() === 0L && none.columns.contains("lang"))
+    intercept[IllegalArgumentException] {
+      ScaleOps.readSnapshotChanges(spark, root, 3L, 1L)
+    }
+  }
+
   test("s05's plan matches the fixture history: append adds, compaction adds zero") {
     val sf = "/root/testdata/sf0.001"
     val rows = ScaleOps.s05VacuumPlan(spark, sf)
