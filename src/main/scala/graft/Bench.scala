@@ -77,7 +77,10 @@ object Bench {
     "t01_lang_id", "t02_quality", "t03_token_count",
     "t03b_subword_tokens", "t05_train_split", "t06_length_histogram",
     "t09b_pack_spans", "t09c_pack_subword", "t13x_ngram_topk_approx",
-    "t19_rule_filter", "s07_release_report", "s08_incremental_read")
+    "t19_rule_filter", "s07_release_report", "s08_incremental_read",
+    "s09_cow_delete", "s10_compact_read",
+    "c44_lsh_recall", "t38_derepetition", "s11_schema_evolution",
+    "c45_lsh_tradeoff")
 
   /** Queries deliberately NOT timed, each for a stated reason — the
     * third leg of the coverage partition. The a-layer rows are
@@ -143,6 +146,9 @@ object Bench {
     operators.TextOps.buildClfModel(spark, sfDir)
     operators.ScaleOps.ensureSnapshots(spark, sfDir)
     operators.ScaleOps.ensureRelease(spark, sfDir)
+    operators.ScaleOps.ensureDeleteStore(spark, sfDir)
+    operators.ScaleOps.ensureCompactStore(spark, sfDir)
+    operators.ScaleOps.ensureEvolutionStore(spark, sfDir)
     operators.MediaOps.buildPhashStore(spark, sfDir)
 
     val results = (headline ++ extras).map(n => n -> materialize(n))

@@ -164,7 +164,15 @@ object ScaleProbe {
       "s06_pruned_read" -> operators.ScaleOps.s06PrunedRead _,
       "c42_cdc_dedup" -> operators.DedupOps.c42CdcDedup _,
       "t37_token_quota" -> operators.TextOps.t37TokenQuota _,
-      "c43_effective_tokens" -> operators.DedupOps.c43EffectiveTokens _)
+      "c43_effective_tokens" -> operators.DedupOps.c43EffectiveTokens _,
+      "s07_release_report" -> operators.ScaleOps.s07ReleaseReport _,
+      "s08_incremental_read" -> operators.ScaleOps.s08IncrementalRead _,
+      "s09_cow_delete" -> operators.ScaleOps.s09CowDelete _,
+      "s10_compact_read" -> operators.ScaleOps.s10CompactRead _,
+      "c44_lsh_recall" -> operators.DedupOps.c44LshRecall _,
+      "t38_derepetition" -> operators.TextOps.t38Derepetition _,
+      "s11_schema_evolution" -> operators.ScaleOps.s11SchemaEvolution _,
+      "c45_lsh_tradeoff" -> operators.DedupOps.c45LshTradeoff _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
@@ -186,8 +194,22 @@ object ScaleProbe {
       sfs.foreach(operators.DedupOps.buildSigStore(spark, _))
     if (qsRun.exists(_._1 == "m07_media_incremental"))
       sfs.foreach(operators.MediaOps.buildPhashStore(spark, _))
-    if (qsRun.exists(n => n._1 == "s05_vacuum_plan" || n._1 == "s06_pruned_read"))
+    if (qsRun.exists(n => n._1 == "s05_vacuum_plan" || n._1 == "s06_pruned_read" ||
+        n._1 == "s08_incremental_read"))
       sfs.foreach(operators.ScaleOps.ensureSnapshots(spark, _))
+    // the release publish is a lifecycle op (Bench's rule): build it
+    // outside the measured group so s07's probe reads the pointer
+    // read-back path, not the one-time report computation
+    if (qsRun.exists(_._1 == "s07_release_report"))
+      sfs.foreach(operators.ScaleOps.ensureRelease(spark, _))
+    // same rule for the delete/compaction lifecycle stores: the probe
+    // times the versioned READ path, not the one-time history build
+    if (qsRun.exists(_._1 == "s09_cow_delete"))
+      sfs.foreach(operators.ScaleOps.ensureDeleteStore(spark, _))
+    if (qsRun.exists(_._1 == "s10_compact_read"))
+      sfs.foreach(operators.ScaleOps.ensureCompactStore(spark, _))
+    if (qsRun.exists(_._1 == "s11_schema_evolution"))
+      sfs.foreach(operators.ScaleOps.ensureEvolutionStore(spark, _))
 
     for (sf <- sfs; (name, fn) <- qsRun) {
       val group = s"$name@$sf"

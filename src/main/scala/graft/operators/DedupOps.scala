@@ -175,15 +175,25 @@ object DedupOps extends QueryModule {
   /** MinHash signature → exploded (doc_id, band, key) LSH band keys
     * (the c02 blocking scheme, shared with c13's cross-corpus join
     * and the streaming ingest index). */
-  private[graft] def bandKeys(docs: DataFrame): DataFrame = {
+  private[graft] def bandKeys(docs: DataFrame): DataFrame =
+    bandKeysCfg(docs, BANDS, R)
+
+  /** [[bandKeys]] at an arbitrary (bands × rows) layout over the same
+    * K-minima signature — c45's audit dial. The signature itself is
+    * layout-independent (K minima, computed once); a layout is just a
+    * different GROUPING of the minima into concatenated keys, so
+    * comparing layouts costs band-table rebuilds, never a re-hash of
+    * the corpus. */
+  private[graft] def bandKeysCfg(docs: DataFrame, bands: Int, r: Int): DataFrame = {
+    require(bands * r <= K, s"band layout $bands×$r exceeds the $K-minima signature")
     val sig = docs.select(col("doc_id"),
       call_function("graft_minhash60", col("shs")).as("ms"))
     // posexplode_outer (≡ posexplode here: fixed non-null band array)
     // dodges InferFiltersFromGenerate re-evaluating the minhash per
     // row in an inferred size()>0 filter — see c02Cand.
     sig.select(col("doc_id"), posexplode_outer(array(
-      (0 until BANDS).map(b =>
-        concat_ws(",", (0 until R).map(r => col("ms").getItem(b * R + r)): _*)): _*)))
+      (0 until bands).map(b =>
+        concat_ws(",", (0 until r).map(i => col("ms").getItem(b * r + i)): _*)): _*)))
       .toDF("doc_id", "band", "key")
   }
 
@@ -380,7 +390,17 @@ object DedupOps extends QueryModule {
 
   /** The c04 candidate-pair stage over a built (doc_id, shs) 4-gram
     * frame (c14 passes the shared-pass checkpoint). */
-  private[graft] def c04CandOf(docs: DataFrame): DataFrame = {
+  private[graft] def c04CandOf(docs: DataFrame): DataFrame =
+    prefixCandOf(docs, NGRAM_T)
+
+  /** The prefix-filter candidate stage at an arbitrary Jaccard
+    * threshold `t` — c04's engine, reused by c44's ground-truth pass
+    * (which needs completeness at JACCARD_T, not NGRAM_T). The
+    * prefix bound is EXACT: every pair with jac ≥ t shares one of
+    * each side's first |A| − ⌈t·|A|⌉ + 1 shingles under the global
+    * (df, sh) order, so the candidate set provably contains all
+    * qualifying pairs — what makes c44's "truth" side truth. */
+  private[graft] def prefixCandOf(docs: DataFrame, t: Double): DataFrame = {
     // n = |distinct ngrams| rides along from size(shs), so the only
     // work before the prefix self-join is the global-df count and the
     // per-doc (df, sh) rank — round 2 additionally paid a per-doc
@@ -404,7 +424,7 @@ object DedupOps extends QueryModule {
     // first |A| - ceil(t*|A|) + 1 ngrams under the global (df, sh)
     // order (rarest first, so candidate buckets stay small).
     val prefix = sized
-      .filter(col("rn") <= col("n") - expr(s"CAST(ceil($NGRAM_T * n) AS BIGINT)") + lit(1))
+      .filter(col("rn") <= col("n") - expr(s"CAST(ceil($t * n) AS BIGINT)") + lit(1))
       .select(col("doc_id"), col("sh"), col("n"))
       // ~0.15·n rows per doc; materialize once so the self-join does
       // not replay the two window shuffles on both sides.
@@ -413,8 +433,8 @@ object DedupOps extends QueryModule {
     prefix.as("x")
       .join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
-          col("y.n").cast(DoubleType) >= lit(NGRAM_T) * col("x.n") &&
-          col("x.n").cast(DoubleType) >= lit(NGRAM_T) * col("y.n"))
+          col("y.n").cast(DoubleType) >= lit(t) * col("x.n") &&
+          col("x.n").cast(DoubleType) >= lit(t) * col("y.n"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
   }
@@ -1352,6 +1372,92 @@ object DedupOps extends QueryModule {
       .orderBy(col("bin"), col("rk"))
   }
 
+  /** c44 — LSH QUALITY AUDIT: the measured recall of c02's
+    * MinHash-LSH blocking against EXACT ground truth, by similarity
+    * band. Ground truth is the complete pair set with 3-shingle
+    * Jaccard ≥ JACCARD_T from the prefix filter (exact-complete at
+    * that threshold — see [[prefixCandOf]]); the audited detector is
+    * c02's band stage, whose recall is the probabilistic quantity
+    * (1 − (1 − s^R)^BANDS) the banding scheme trades against
+    * candidate volume. The report answers the question every dedup
+    * deployment owes its users — "what fraction of true near-dups
+    * does the cheap detector miss, and at which similarity levels?"
+    * — with integer-exact bins and ratios (c41's (20·inter) div
+    * union binning; recall as (1000·caught) div truth), so both
+    * engines agree bit-for-bit.
+    *
+    * Scale shape: the truth side is c04's class (two keyed window
+    * exchanges + the prefix self-join), the detector side is c02's
+    * (banded equi-join) — both linear-ish and already benchmarked;
+    * the audit adds ONE pair-grain left join and a bin aggregation,
+    * output-proportional. One shared shingle scan feeds both sides. */
+  def c44LshRecall(s: SparkSession, d: String): DataFrame = {
+    val sh3 = shingleDocs(s, d, 3, hashed = true).localCheckpoint()
+    val lsh = c02CandOf(sh3).withColumn("__c", lit(1L))
+    val tCand = prefixCandOf(sh3, JACCARD_T).localCheckpoint()
+    val shCand = sh3.join(candIds(tCand), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+      .localCheckpoint()
+    verifyJaccard(tCand, shCand, JACCARD_T)
+      .join(lsh, Seq("da", "db"), "left")
+      .withColumn("bin", expr("(20 * inter) div (na + nb - inter)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_caught"))
+      .select(col("bin"), col("n_true"), col("n_caught"),
+        expr("(1000 * n_caught) div n_true").as("recall_x1000"))
+      .orderBy(col("bin"))
+  }
+
+  /** The band layouts c45 compares — every grouping of the 16-minima
+    * signature into bands × rows with full coverage. */
+  private[graft] val LSH_CONFIGS = Seq((2, 8), (4, 4), (8, 2))
+
+  /** c45 — LSH BAND-LAYOUT TRADEOFF: c44's recall audit swept over
+    * the (bands × rows) groupings of the SAME 16-minima signature —
+    * the tuning table for the detector's one real dial. More bands
+    * of fewer rows raise the per-band match probability s^rows and
+    * with it recall (1 − (1 − s^rows)^bands) AND candidate volume;
+    * this measures the trade on the actual corpus instead of
+    * trusting the formula. Identical pairs (bin 20) share every
+    * minimum, so every layout must catch them — recall_x1000 = 1000
+    * on that row is a built-in sanity contract (spec-pinned, along
+    * with the (4,4) slice equalling c44's report exactly).
+    *
+    * Scale shape: ONE corpus scan + ONE signature computation feed
+    * all layouts (a layout only regroups the minima into keys); per
+    * layout, one banded self-join — the object under study — plus a
+    * pair-grain join against the SHARED checkpointed truth. Truth
+    * (the expensive exact side) is computed once. */
+  def c45LshTradeoff(s: SparkSession, d: String): DataFrame = {
+    val sh3 = shingleDocs(s, d, 3, hashed = true).localCheckpoint()
+    val tCand = prefixCandOf(sh3, JACCARD_T).localCheckpoint()
+    val shCand = sh3.join(candIds(tCand), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+      .localCheckpoint()
+    val truth = verifyJaccard(tCand, shCand, JACCARD_T)
+      .withColumn("bin", expr("(20 * inter) div (na + nb - inter)"))
+      .select(col("da"), col("db"), col("bin"))
+      .localCheckpoint()
+    LSH_CONFIGS.map { case (b, r) =>
+      val bk = bandKeysCfg(sh3, b, r).localCheckpoint()
+      val lsh = bk.as("x")
+        .join(bk.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+        .withColumn("__c", lit(1L))
+      truth.join(lsh, Seq("da", "db"), "left")
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_caught"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("r_rows"),
+          col("bin"), col("n_true"), col("n_caught"),
+          expr("(1000 * n_caught) div n_true").as("recall_x1000"))
+    }.reduce(_.unionByName(_)).orderBy(col("bands"), col("bin"))
+  }
+
   /** Number of fixture eval SUITES for c38 (eval docs partitioned by
     * (doc_id div 10) % N_SUITES — deterministic, oracle-replayable). */
   private val N_SUITES = 3L
@@ -1927,6 +2033,8 @@ object DedupOps extends QueryModule {
     "c01_dedup_exact" -> c01Exact,
     "c42_cdc_dedup" -> c42CdcDedup,
     "c43_effective_tokens" -> c43EffectiveTokens,
+    "c44_lsh_recall" -> c44LshRecall,
+    "c45_lsh_tradeoff" -> c45LshTradeoff,
     "c02_dedup_minhash" -> c02MinhashLsh,
     "c03_dedup_simhash" -> c03Simhash,
     "c04_dedup_ngram" -> c04NgramJaccard,
@@ -2103,6 +2211,54 @@ object DedupOps extends QueryModule {
   /** Recursive-CTE transitive closure — shared by c10 and c10b
     * (identical component contract through two different algorithms,
     * which makes the agreement a strong check for BOTH). */
+  /** c45's oracle: the shared sh/sig CTEs, the c44 truth chain, and
+    * per-layout band/cand CTEs unioned into one report. */
+  private lazy val c45Sql: String = {
+    val bandCtes = LSH_CONFIGS.map { case (b, r) =>
+      val rows = (0 until b).map(bi =>
+        s"SELECT doc_id, $bi AS band, concat_ws(',', " +
+          (0 until r).map(i => s"m${bi * r + i}").mkString(", ") +
+          ") AS key FROM sig")
+        .mkString("\n       UNION ALL ")
+      s"""bands_${b}_$r AS ($rows),
+         |cand_${b}_$r AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |        FROM bands_${b}_$r x JOIN bands_${b}_$r y
+         |          ON x.band = y.band AND x.key = y.key
+         |         AND x.doc_id < y.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val selects = LSH_CONFIGS.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS r_rows,
+         |       bin, CAST(count(*) AS BIGINT) AS n_true,
+         |       CAST(SUM(caught) AS BIGINT) AS n_caught,
+         |       CAST((1000 * SUM(caught)) // count(*) AS BIGINT) AS recall_x1000
+         |FROM (SELECT t.bin,
+         |             CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END AS caught
+         |      FROM truth t LEFT JOIN cand_${b}_$r c
+         |        ON t.da = c.da AND t.db = c.db)
+         |GROUP BY bin""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $c02Ctes,
+       |dft AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |sized AS (SELECT s.doc_id, s.sh, dft.df,
+       |            count(*) OVER (PARTITION BY s.doc_id) AS n,
+       |            row_number() OVER (PARTITION BY s.doc_id
+       |                               ORDER BY dft.df, s.sh) AS rn
+       |          FROM sh s JOIN dft ON s.sh = dft.sh),
+       |prefix AS (SELECT doc_id, sh, n FROM sized
+       |           WHERE rn <= n - CAST(ceil($JACCARD_T * n) AS BIGINT) + 1),
+       |tcand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |          FROM prefix x JOIN prefix y
+       |            ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |           AND CAST(y.n AS DOUBLE) >= $JACCARD_T * x.n
+       |           AND CAST(x.n AS DOUBLE) >= $JACCARD_T * y.n),
+       |truth0 AS (${verifySql(JACCARD_T, "tcand").replace("ORDER BY da, db", "")}),
+       |truth AS (SELECT da, db, (20 * inter) // (na + nb - inter) AS bin
+       |          FROM truth0),
+       |$bandCtes
+       |SELECT * FROM ($selects)
+       |ORDER BY bands, bin""".stripMargin
+  }
+
   private lazy val c10OracleSql: String =
     s"""WITH RECURSIVE $c02Ctes,
        |pairs AS (SELECT da, db FROM (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")})),
@@ -2190,6 +2346,34 @@ object DedupOps extends QueryModule {
     "c02_dedup_minhash" ->
       s"""WITH $c02Ctes
          |${verifySql(JACCARD_T)}""".stripMargin,
+    // one shared sig CTE; each layout regroups the minima into its
+    // own band/cand CTEs, all judged against one truth CTE
+    "c45_lsh_tradeoff" -> c45Sql,
+    // truth = the prefix filter at JACCARD_T (complete at that
+    // threshold); detector = the band CTE from the c02 chain
+    "c44_lsh_recall" ->
+      s"""WITH $c02Ctes,
+         |dft AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+         |sized AS (SELECT s.doc_id, s.sh, dft.df,
+         |            count(*) OVER (PARTITION BY s.doc_id) AS n,
+         |            row_number() OVER (PARTITION BY s.doc_id
+         |                               ORDER BY dft.df, s.sh) AS rn
+         |          FROM sh s JOIN dft ON s.sh = dft.sh),
+         |prefix AS (SELECT doc_id, sh, n FROM sized
+         |           WHERE rn <= n - CAST(ceil($JACCARD_T * n) AS BIGINT) + 1),
+         |tcand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |          FROM prefix x JOIN prefix y
+         |            ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |           AND CAST(y.n AS DOUBLE) >= $JACCARD_T * x.n
+         |           AND CAST(x.n AS DOUBLE) >= $JACCARD_T * y.n),
+         |truth AS (${verifySql(JACCARD_T, "tcand").replace("ORDER BY da, db", "")})
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_true,
+         |       CAST(SUM(caught) AS BIGINT) AS n_caught,
+         |       CAST((1000 * SUM(caught)) // count(*) AS BIGINT) AS recall_x1000
+         |FROM (SELECT (20 * t.inter) // (t.na + t.nb - t.inter) AS bin,
+         |             CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END AS caught
+         |      FROM truth t LEFT JOIN cand c ON t.da = c.da AND t.db = c.db)
+         |GROUP BY bin ORDER BY bin""".stripMargin,
     "c41_audit_sample" ->
       s"""WITH $c02Ctes,
          |v AS (${verifySql(JACCARD_T).replace("ORDER BY da, db", "")}),

@@ -743,6 +743,188 @@ object ScaleOps extends QueryModule {
     else s.read.parquet(added: _*)
   }
 
+  /** COPY-ON-WRITE row-level DELETE: commit a new version whose
+    * content is the latest version's minus rows with `colName` in
+    * `[lo, hi]`, rewriting ONLY the files whose zone-map interval
+    * intersects the range — every provably-untouched file's manifest
+    * line (path AND stats) carries forward verbatim, its data never
+    * read. This is the Delta/Iceberg copy-on-write DELETE shape, and
+    * at 100 TB it is the difference between "right to be forgotten"
+    * costing a full-corpus rewrite and costing a handful of files: a
+    * range-clustered store rewrites ~range-fraction of its bytes,
+    * metadata decides which (the same decision [[readSnapshotPruned]]
+    * makes for reads — one zone-map discipline serves both). Files
+    * WITHOUT stats are conservatively rewritten (absence can't be
+    * proven), so correctness never depends on the sidecar here
+    * either. A delete whose range intersects NO file is a no-op
+    * returning the current version — nothing changed, nothing to
+    * commit. Readers pinned to older versions are untouched
+    * (snapshot isolation); the deleted rows' bytes are actually
+    * reclaimed when [[vacuumSnapshots]] expires the pre-delete
+    * versions — commit removes rows from the LINEAGE, vacuum removes
+    * them from DISK, and both steps are audit-visible versions.
+    * General predicates delete the same way once the caller supplies
+    * a conservative enclosing range on the stats column (or rewrites
+    * everything when it can't). Returns the committed version. */
+  def deleteFromSnapshot(s: SparkSession, root: String, colName: String,
+      lo: Long, hi: Long): Long = {
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val v = vs.last
+    val bounds = manifestBounds(s, root, v)
+    val (touched, untouched) = manifestDataLines(s, root, v).partition { line =>
+      val f = line.split('\t')(0)
+      bounds.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    if (touched.isEmpty) return v
+    // NULLs are outside every range: keep them (a bare NOT BETWEEN
+    // would silently delete null-keyed rows through three-valued logic)
+    val kept = s.read.parquet(touched.map(_.split('\t')(0)): _*)
+      .filter(col(colName).isNull ||
+        !(col(colName) >= lo && col(colName) <= hi))
+    commitVersion(s, root, kept, parentLines = untouched,
+      statsCol = Some(colName), tag = None)
+  }
+
+  /** OPTIMIZE (small-file compaction) as a snapshot version: bin the
+    * latest version's UNDERSIZED files (< targetBytes/2) together and
+    * rewrite them as ~targetBytes files; right-sized files carry
+    * their manifest lines (path and stats) forward verbatim, never
+    * read. Planning is metadata-only — file lengths from the
+    * filesystem, never a data scan — and the rewrite reads exactly
+    * the undersized bytes, so compacting a 100 TB store that is
+    * mostly right-sized costs only the small-file tail that
+    * streaming ingest accumulates ([[snapshotAppendOnce]] writes one
+    * file set per micro-batch; this is the standing remedy, run on a
+    * cadence like vacuum). With `statsCol` set the rewrite is
+    * range-partitioned on it, so the compacted files keep selective
+    * zone-map intervals and [[readSnapshotPruned]] stays sharp;
+    * content is bit-identical to the parent by construction, which
+    * is what the oracle checks. Fewer than two undersized files is a
+    * no-op returning the current version. Parent versions still
+    * reference the old small files — vacuum reclaims them once the
+    * pre-compaction versions expire. Returns the committed version. */
+  def compactSnapshot(s: SparkSession, root: String, targetBytes: Long,
+      statsCol: Option[String] = None): Long = {
+    import org.apache.hadoop.fs.Path
+    require(targetBytes > 0, "targetBytes must be positive")
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val v = vs.last
+    val fs = fsOf(s, new Path(root))
+    val lines = manifestDataLines(s, root, v)
+    val (small, big) = lines.partition { line =>
+      fs.getFileStatus(new Path(line.split('\t')(0))).getLen < targetBytes / 2
+    }
+    if (small.size <= 1) return v
+    val smallFiles = small.map(_.split('\t')(0))
+    val totalSmall = smallFiles
+      .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    val nOut = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
+    val packed = statsCol match {
+      case Some(c) => s.read.parquet(smallFiles: _*)
+        .repartitionByRange(nOut, col(c))
+      case None => s.read.parquet(smallFiles: _*).coalesce(nOut)
+    }
+    commitVersion(s, root, packed, parentLines = big, statsCol, tag = None)
+  }
+
+  /** Full-recompute counter: test instrumentation pinning that
+    * [[changeFeedSync]] takes the incremental path on pure appends
+    * and falls back to recompute only on rewrite/delete hops. */
+  private[graft] val syncRecomputes = new java.util.concurrent.atomic.AtomicLong
+
+  /** INCREMENTAL DOWNSTREAM CONSUMER over the snapshot change feed:
+    * maintain a derived per-language (n_docs, n_chars) profile of
+    * the store at `outDir`, folding in only what each new version
+    * ADDED. Each call reads the committed state, walks the versions
+    * past it, and for every PURE-APPEND hop (parent's file set ⊆
+    * child's — one metadata containment check, the s08 cue) folds
+    * just the added files' profile; a rewrite/delete/compaction hop
+    * (or a cursor already vacuumed from the store) recomputes from
+    * the full version read — correct either way, only cost differs.
+    * This is the materialized-view maintenance loop every derived
+    * table at 100 TB runs: per sync, work proportional to the DELTA,
+    * not the corpus, as long as the store only appends.
+    *
+    * State commits use the store's own discipline: the new profile
+    * lands under a temp dir, then ONE rename to `state-v<N>` is the
+    * commit point — current state = highest committed state dir, so
+    * a crash between data and rename leaves invisible debris and a
+    * replayed sync simply redoes the same versions from the same
+    * committed cursor (idempotent: the fold re-reads the SAME deltas
+    * against the SAME state). Superseded state dirs are cleaned
+    * after commit. Returns the versions consumed this call. */
+  def changeFeedSync(s: SparkSession, root: String, outDir: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val outP = new Path(outDir)
+    val fs = fsOf(s, outP)
+    fs.mkdirs(outP)
+    def stateVersions(): Seq[Long] = fs.listStatus(outP)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("state-v") =>
+        n.stripPrefix("state-v").toLong }
+      .toSeq.sorted
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val cursor = stateVersions().lastOption
+    val todo = vs.filter(v => cursor.forall(_ < v))
+    if (todo.isEmpty) return Nil
+    def profile(df: DataFrame): DataFrame = df
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast(LongType).as("n_chars"))
+    // fold in memory across the pending hops; ONE state commit at
+    // the end — sync granularity is the call, not the version
+    var state: DataFrame = cursor match {
+      case Some(c) => s.read.parquet(new Path(outP, s"state-v$c").toString)
+      case None => profile(readSnapshot(s, root, Some(todo.head))).limit(0)
+    }
+    var prev: Option[Long] = cursor.filter(vs.contains)
+    todo.foreach { v =>
+      val pureAppend = prev.exists(p =>
+        manifestFiles(s, root, p).toSet
+          .subsetOf(manifestFiles(s, root, v).toSet))
+      state =
+        if (pureAppend)
+          state.unionByName(profile(readSnapshotChanges(s, root, prev.get, v)))
+            .groupBy(col("lang"))
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("n_chars")).as("n_chars"))
+        else { // bootstrap (no cursor) is a full read by nature, not a fallback
+          if (prev.isDefined) syncRecomputes.incrementAndGet()
+          profile(readSnapshot(s, root, Some(v)))
+        }
+      prev = Some(v)
+    }
+    // crash debris from an earlier sync (state written, rename never
+    // reached) is invisible to readers; reclaim it here
+    fs.listStatus(outP).map(_.getPath)
+      .filter(_.getName.startsWith(".tmp-state-"))
+      .foreach(fs.delete(_, true))
+    val target = todo.last
+    val att = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(outP, s".tmp-state-v$target-$att")
+    state.write.mode("overwrite").parquet(tmp.toString)
+    val dst = new Path(outP, s"state-v$target")
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost to a racing sync
+    stateVersions().dropRight(1)
+      .foreach(v => fs.delete(new Path(outP, s"state-v$v"), true))
+    todo
+  }
+
+  /** The committed derived state [[changeFeedSync]] maintains. */
+  def readSyncedState(s: SparkSession, outDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val outP = new Path(outDir)
+    val fs = fsOf(s, outP)
+    val vs = fs.listStatus(outP).map(_.getPath.getName)
+      .collect { case n if n.startsWith("state-v") =>
+        n.stripPrefix("state-v").toLong }.sorted
+    require(vs.nonEmpty, s"no committed sync state under $outDir")
+    s.read.parquet(new Path(outP, s"state-v${vs.last}").toString)
+  }
+
   /** s08 — the incremental read as an oracle-gated query: per-language
     * doc/char profile of what v2 ADDED over v1, answered from the
     * manifest file delta (the appended half's files, nothing else —
@@ -759,6 +941,204 @@ object ScaleOps extends QueryModule {
         sum(length(col("text"))).cast(LongType).as("n_chars"))
       .orderBy(col("lang"))
   }
+
+  /** Delete-range bounds shared by the s09 fixture and its oracle:
+    * [25%, 35%] of the id space by integer arithmetic (one bounded
+    * 1-row collect), so every scale factor deletes a genuinely
+    * selective slice that leaves most files untouched. */
+  private def deleteBounds(s: SparkSession, d: String): (Long, Long) = {
+    val mx = Tables.documents(s, d).agg(max(col("doc_id")))
+      .collect()(0).getLong(0) // bounded: one row
+    (mx * 25 / 100, mx * 35 / 100)
+  }
+
+  /** Build-once fixture for s09 (own store — the main fixture's
+    * versions are pinned by s03–s08 and must not gain a delete):
+    * v1 = the full corpus range-clustered on doc_id, v2 = the
+    * copy-on-write delete of the [25%, 35%] id slice. Drift-token
+    * guarded like every persisted artifact. */
+  private[graft] def ensureDeleteStore(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = snapRoot(s, d) + "_del"
+    val tokP = new Path(root, "_token")
+    val fs = fsOf(s, tokP)
+    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(root), true)
+      publishSnapshot(s, root,
+        Tables.documents(s, d).repartitionByRange(SNAP_FILES, col("doc_id")),
+        statsCol = Some("doc_id"))
+      val (lo, hi) = deleteBounds(s, d)
+      deleteFromSnapshot(s, root, "doc_id", lo, hi)
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    root
+  }
+
+  /** s09 — COPY-ON-WRITE DELETE read back through the store: the
+    * per-language profile of the post-delete version. The oracle
+    * replays the delete predicate's complement over the raw corpus,
+    * so value equality proves the rewrite dropped EXACTLY the target
+    * rows and the carried files EXACTLY the rest — the "right to be
+    * forgotten" contract. The file-grain claims (untouched files
+    * reused verbatim, only intersecting files rewritten, older
+    * versions isolated, vacuum reclaims the pre-delete bytes) are
+    * pinned in SnapshotDeleteSpec on a scratch store. */
+  def s09CowDelete(s: SparkSession, d: String): DataFrame =
+    readSnapshot(s, ensureDeleteStore(s, d), None)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast(LongType).as("n_chars"))
+      .orderBy(col("lang"))
+
+  /** Build-once fixture for s10 (own store): the small-file history
+    * streaming ingest produces — v1/v2/v3 = three range-clustered
+    * appends of corpus thirds (3 × SNAP_FILES files), then v4 =
+    * [[compactSnapshot]] at a target of ~¼ of the total bytes, so
+    * every ingest file is undersized and the rewrite bin-packs them
+    * into a handful of range-partitioned files. */
+  private[graft] def ensureCompactStore(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = snapRoot(s, d) + "_opt"
+    val tokP = new Path(root, "_token")
+    val fs = fsOf(s, tokP)
+    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(root), true)
+      val docs = Tables.documents(s, d)
+      val bucket = graft.functions.Portable.h60(concat(lit("snap:"),
+        col("doc_id").cast(StringType))) % 100
+      def ranged(df: DataFrame): DataFrame =
+        df.repartitionByRange(SNAP_FILES, col("doc_id"))
+      publishSnapshot(s, root, ranged(docs.filter(bucket < 34)),
+        statsCol = Some("doc_id"))
+      appendSnapshot(s, root, ranged(docs.filter(bucket >= 34 && bucket < 67)),
+        statsCol = Some("doc_id"))
+      appendSnapshot(s, root, ranged(docs.filter(bucket >= 67)),
+        statsCol = Some("doc_id"))
+      val total = manifestFiles(s, root, 3L)
+        .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+      compactSnapshot(s, root, math.max(1L, total / 4), Some("doc_id"))
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    root
+  }
+
+  /** s10 — OPTIMIZE (small-file compaction) read back through a
+    * ZONE-MAP-PRUNED scan of the compacted version: the per-language
+    * profile of the [50%, 70%] id slice. Answering through
+    * [[readSnapshotPruned]] makes the oracle prove BOTH compaction
+    * claims at once — content is bit-identical to the pre-compaction
+    * corpus, and the REWRITTEN files' freshly-collected zone-map
+    * stats still plan a correct pruned read (a compaction that
+    * scrambled clustering or stats would answer wrong or read
+    * everything). File-grain claims (right-sized files reused,
+    * undersized files bin-packed, file count drops, parent versions
+    * isolated) are pinned in SnapshotCompactSpec on a scratch
+    * store. */
+  def s10CompactRead(s: SparkSession, d: String): DataFrame = {
+    val root = ensureCompactStore(s, d)
+    val mx = Tables.documents(s, d).agg(max(col("doc_id")))
+      .collect()(0).getLong(0) // bounded: one row
+    val (lo, hi) = (mx * 5 / 10, mx * 7 / 10)
+    readSnapshotPruned(s, root, None, "doc_id", lo, hi)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast(LongType).as("n_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** SCHEMA-EVOLVED snapshot read: the manifest's file list under a
+    * UNION schema (`mergeSchema`), so versions published before a
+    * column existed read with that column null-filled — ADD COLUMN
+    * on a 100 TB corpus costs ZERO rewrite: old files stay exactly
+    * as committed (and keep backing pinned old-version readers),
+    * only new publishes carry the new column, and the merged read
+    * reconciles at scan time from file footers alone. The standing
+    * Iceberg/Delta evolution contract, at the store's file grain.
+    * Rename/retype need a column-id layer on top (out of scope —
+    * name-based matching is the documented limit here, as in plain
+    * parquet); ADD is the evolution a training corpus actually does
+    * (new quality scores, new provenance fields, new labels). */
+  def readSnapshotMerged(s: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
+    s.read.option("mergeSchema", "true").parquet(manifestFiles(s, root, v): _*)
+  }
+
+  /** Build-once fixture for s11 (own store): v1 = the corpus's
+    * h60-bucket<50 half WITHOUT a quality column, v2 = the other
+    * half appended WITH `quality` = h60("q:"||doc_id) % 100 — a
+    * deterministic, oracle-replayable score. v1's files never carry
+    * the column; the merged read must null-fill them. */
+  private[graft] def ensureEvolutionStore(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = snapRoot(s, d) + "_evo"
+    val tokP = new Path(root, "_token")
+    val fs = fsOf(s, tokP)
+    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(root), true)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      val bucket = graft.functions.Portable.h60(concat(lit("snap:"),
+        col("doc_id").cast(StringType))) % 100
+      def ranged(df: DataFrame): DataFrame =
+        df.repartitionByRange(SNAP_FILES, col("doc_id"))
+      publishSnapshot(s, root, ranged(docs.filter(bucket < 50)),
+        statsCol = Some("doc_id"))
+      appendSnapshot(s, root, ranged(docs.filter(bucket >= 50)
+        .withColumn("quality", graft.functions.Portable.h60(concat(lit("q:"),
+          col("doc_id").cast(StringType))) % 100)),
+        statsCol = Some("doc_id"))
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    root
+  }
+
+  /** s11 — SCHEMA EVOLUTION read back through the store: per-language
+    * doc counts with quality coverage and totals over the merged-
+    * schema read of v2, where v1's files were published BEFORE the
+    * quality column existed. The oracle replays the evolution from
+    * the raw corpus (quality present exactly for the appended half,
+    * with the same deterministic score), so value equality proves the
+    * merged read null-fills old files and carries new files' values —
+    * ADD COLUMN without rewriting a byte of committed data. The
+    * file-grain claim (v1 files physically lack the column yet still
+    * back the merged read) is pinned in SchemaEvolutionSpec. */
+  def s11SchemaEvolution(s: SparkSession, d: String): DataFrame =
+    readSnapshotMerged(s, ensureEvolutionStore(s, d), Some(2L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("quality")).as("n_with_quality"),
+        sum(col("quality")).cast(LongType).as("sum_quality"))
+      .orderBy(col("lang"))
 
   /** s05 retention policy: keep the newest KEEP_VERSIONS snapshots. */
   private val KEEP_VERSIONS = 2
@@ -957,7 +1337,10 @@ object ScaleOps extends QueryModule {
     "s05_vacuum_plan" -> s05VacuumPlan,
     "s06_pruned_read" -> s06PrunedRead,
     "s07_release_report" -> s07ReleaseReport,
-    "s08_incremental_read" -> s08IncrementalRead)
+    "s08_incremental_read" -> s08IncrementalRead,
+    "s09_cow_delete" -> s09CowDelete,
+    "s10_compact_read" -> s10CompactRead,
+    "s11_schema_evolution" -> s11SchemaEvolution)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   /** s07's oracle: the four faces' own oracle SQLs composed verbatim
@@ -1074,6 +1457,37 @@ object ScaleOps extends QueryModule {
          |         CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
          |  FROM documents)
          |ORDER BY version""".stripMargin,
+    // the post-delete version must carry exactly the complement of
+    // the [25%, 35%] id slice
+    "s09_cow_delete" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE NOT (doc_id >= (SELECT max(doc_id) * 25 // 100 FROM documents)
+        |       AND doc_id <= (SELECT max(doc_id) * 35 // 100 FROM documents))
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // quality exists exactly for the appended (bucket >= 50) half,
+    // with the same deterministic h60 score; v1 files null-fill
+    "s11_schema_evolution" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN b >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_with_quality,
+         |       CAST(SUM(CASE WHEN b >= 50 THEN q % 100 END) AS BIGINT)
+         |         AS sum_quality
+         |FROM (SELECT lang,
+         |        ${graft.functions.Portable.h60Sql("'snap:' || CAST(doc_id AS VARCHAR)")} % 100 AS b,
+         |        ${graft.functions.Portable.h60Sql("'q:' || CAST(doc_id AS VARCHAR)")} AS q
+         |      FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the compacted version's pruned range read must still return
+    // exactly the raw table's slice (content AND fresh stats correct)
+    "s10_compact_read" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id >= (SELECT max(doc_id) * 5 // 10 FROM documents)
+        |  AND doc_id <= (SELECT max(doc_id) * 7 // 10 FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // v3's content is the full corpus; the pruned read must still
     // return exactly the raw table's slice
     "s06_pruned_read" ->

@@ -1439,6 +1439,40 @@ object TextOps extends QueryModule {
           lit(CHUNK_N)), " ").as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** t38 — intra-document DE-REPETITION (the rewrite face of t08's
+    * repetition detector): collapse every run of consecutive
+    * identical tokens to a single occurrence and report the cleaned
+    * text, with before/after token counts, for every document the
+    * pass changed. Generation artifacts and boilerplate stutter
+    * ("buy now buy now buy now") survive doc-level dedup because the
+    * ENCLOSING documents differ; this removes the redundancy within
+    * the document before anything downstream counts or packs tokens.
+    *
+    * Scale shape: ONE narrow codegen'd pass — the run-collapse is a
+    * single indexed-lambda `filter` over the split array (an element
+    * survives iff it differs from its predecessor), no explode, no
+    * shuffle, no UDF; the only exchange is the output sort. The
+    * DuckDB oracle replays the identical indexed-lambda rule
+    * (1-based `t[i-1]` there ≡ 1-based `try_element_at(t, i)` here,
+    * which keeps the first element's predecessor probe ANSI-safe:
+    * null, never an out-of-bounds error), so the engines agree
+    * token-for-token. */
+  def t38Derepetition(s: SparkSession, d: String): DataFrame =
+    derepetitionOf(Tables.documents(s, d))
+
+  /** Core of t38 over any `(doc_id, text, …)` frame. */
+  private[graft] def derepetitionOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(col("t")).cast(LongType).as("n_tok"),
+        expr("filter(t, (x, i) -> i = 0 OR NOT (x <=> try_element_at(t, i)))")
+          .as("kept"))
+      .select(col("doc_id"), col("n_tok"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        array_join(col("kept"), " ").as("text_clean"))
+      .where(col("n_kept") < col("n_tok"))
+      .orderBy(col("doc_id"))
+
   /** c31 — CHUNK-granularity exact dedup: t29's windows hashed and
     * grouped, keeping hashes that recur (in other documents or
     * elsewhere in the same one). This is boilerplate detection at
@@ -1701,6 +1735,7 @@ object TextOps extends QueryModule {
     "t33_classifier_train" -> t33ClassifierTrain,
     "t33b_classifier_apply" -> t33bClassifierApply,
     "t29_chunk" -> t29Chunk,
+    "t38_derepetition" -> t38Derepetition,
     "c31_chunk_dedup" -> c31ChunkDedup)
 
   /** The t29 oracle body (no ORDER BY) — shared with c31. */
@@ -1909,6 +1944,16 @@ object TextOps extends QueryModule {
   }
 
   override val oracle: Map[String, String] = Map(
+    // the identical indexed-lambda run-collapse rule, 1-based there
+    "t38_derepetition" ->
+      s"""SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+         |       CAST(len(kept) AS BIGINT) AS n_kept,
+         |       array_to_string(kept, ' ') AS text_clean
+         |FROM (SELECT doc_id, t,
+         |        list_filter(t, (x, i) -> i = 1 OR x != t[i-1]) AS kept
+         |      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+         |            FROM documents))
+         |WHERE len(kept) < len(t) ORDER BY doc_id""".stripMargin,
     "t01_lang_id" ->
       s"""$predLangSql
          |ORDER BY doc_id""".stripMargin,
