@@ -172,7 +172,8 @@ object ScaleProbe {
       "c44_lsh_recall" -> operators.DedupOps.c44LshRecall _,
       "t38_derepetition" -> operators.TextOps.t38Derepetition _,
       "s11_schema_evolution" -> operators.ScaleOps.s11SchemaEvolution _,
-      "c45_lsh_tradeoff" -> operators.DedupOps.c45LshTradeoff _)
+      "c45_lsh_tradeoff" -> operators.DedupOps.c45LshTradeoff _,
+      "t39_mix_execute" -> operators.TextOps.t39MixExecute _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

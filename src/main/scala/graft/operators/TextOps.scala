@@ -1595,6 +1595,57 @@ object TextOps extends QueryModule {
       .orderBy(col("source"), col("spent_before"), col("doc_id"))
   }
 
+  /** t39 — MIX-PLAN EXECUTION: turn t36's per-language token
+    * allocations into the actual draw. A language allocated
+    * `alloc_tok` against its `n_tok` corpus emits
+    * full_epochs = alloc div n_tok COMPLETE passes plus one seeded
+    * PARTIAL pass spending the remainder alloc mod n_tok — docs kept
+    * in hash order while the tokens before them are unspent, whole
+    * docs, crossing doc included (t37's convention). The report per
+    * language: full_epochs, the partial pass's doc/token counts, and
+    * emitted_tok = full_epochs·n_tok + partial_tok — the number the
+    * training loader actually materializes, closing the loop from
+    * plan (t36) to sample (this). Upweighted-but-capped languages
+    * surface as full_epochs ≥ 1 with a half-corpus partial; plain
+    * languages as full_epochs 0 with a subset partial.
+    *
+    * Scale shape: the plan is language-cardinality-bounded driver
+    * rows (broadcast); the corpus pays ONE per-language Window
+    * exchange shared by the running sum — t37's shape with the quota
+    * joined in instead of constant. All decisions are int64 (div and
+    * mod guarded for the zero-token language, where the plan
+    * allocates zero anyway). The oracle composes t36's full
+    * fixed-point unroll as a CTE with the identical window. */
+  def t39MixExecute(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val plan = mixPlanOfDocs(s, docs)
+      .select(col("lang"), col("n_tok").as("lang_tok"), col("alloc_tok"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fullEp =
+      when(col("lang_tok") > 0, expr("alloc_tok div lang_tok")).otherwise(0L)
+    val rem =
+      when(col("lang_tok") > 0, col("alloc_tok") % col("lang_tok")).otherwise(0L)
+    docs.filter(col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        coalesce(size(toks), lit(0)).cast(LongType).as("nt"),
+        Portable.h60(concat(lit("mx:"), col("doc_id").cast(StringType)))
+          .as("hk"))
+      .join(broadcast(plan), Seq("lang"))
+      .withColumn("spent_before", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .withColumn("in_partial", col("spent_before") < rem)
+      .groupBy(col("lang"))
+      .agg(
+        max(fullEp).as("full_epochs"),
+        sum(when(col("in_partial"), 1L).otherwise(0L)).as("n_partial_docs"),
+        sum(when(col("in_partial"), col("nt")).otherwise(0L)).as("partial_tok"),
+        (max(fullEp) * max(col("lang_tok")) +
+          sum(when(col("in_partial"), col("nt")).otherwise(0L)))
+          .as("emitted_tok"))
+      .orderBy(col("lang"))
+  }
+
   /** t34 held-out share: 1/HELD_DEN of every stratum, exactly. */
   private val HELD_DEN = 10
 
@@ -1728,6 +1779,7 @@ object TextOps extends QueryModule {
     "t24_temperature_mix" -> t24TemperatureMix,
     "t35_weighted_sample" -> t35WeightedSample,
     "t36_mix_plan" -> t36MixPlan,
+    "t39_mix_execute" -> t39MixExecute,
     "t25_annotate" -> t25Annotate,
     "t26_bpe_learn" -> t26BpeLearn,
     "t27_bpe_apply" -> t27BpeApply,
@@ -2356,6 +2408,39 @@ object TextOps extends QueryModule {
          |      FROM documents)
          |ORDER BY priority, doc_id LIMIT $WSAMP_K""".stripMargin,
     "t36_mix_plan" -> t36Sql,
+    // t36's full fixed-point unroll as a CTE, composed with t37's
+    // window convention — the plan and its execution share one truth
+    "t39_mix_execute" ->
+      s"""WITH plan AS MATERIALIZED (SELECT * FROM ($t36Sql) q),
+         |d AS (SELECT doc_id, lang,
+         |        CAST(COALESCE(len(string_split_regex(text, '\\s+')), 0)
+         |          AS BIGINT) AS nt,
+         |        ${graft.functions.Portable.h60Sql("'mx:' || CAST(doc_id AS VARCHAR)")} AS hk
+         |      FROM documents WHERE lang IS NOT NULL),
+         |sp AS (SELECT d.lang, d.nt,
+         |         p.n_tok AS lang_tok, p.alloc_tok,
+         |         COALESCE(SUM(d.nt) OVER (PARTITION BY d.lang
+         |           ORDER BY d.hk, d.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS spent_before
+         |       FROM d JOIN plan p ON d.lang = p.lang),
+         |x AS (SELECT lang, nt, lang_tok,
+         |        CASE WHEN lang_tok > 0 THEN alloc_tok // lang_tok ELSE 0 END
+         |          AS fe,
+         |        spent_before <
+         |          (CASE WHEN lang_tok > 0 THEN alloc_tok % lang_tok ELSE 0 END)
+         |          AS inp
+         |      FROM sp)
+         |SELECT lang,
+         |  CAST(MAX(fe) AS BIGINT) AS full_epochs,
+         |  CAST(SUM(CASE WHEN inp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_partial_docs,
+         |  CAST(SUM(CASE WHEN inp THEN nt ELSE 0 END) AS BIGINT)
+         |    AS partial_tok,
+         |  CAST(MAX(fe) * MAX(lang_tok)
+         |       + SUM(CASE WHEN inp THEN nt ELSE 0 END) AS BIGINT)
+         |    AS emitted_tok
+         |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
     "t07_pii_scrub" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_emails,

@@ -607,6 +607,31 @@ object Jobs {
         ()
       }
 
+  /** [[snapshotIngest]] WITH the derived view maintained in the same
+    * pipeline: each micro-batch commits its tagged snapshot version,
+    * then ScaleOps.changeFeedSync folds exactly the committed delta
+    * into the standing per-language profile at `viewDir`. The two
+    * steps compose idempotently — a replayed batch's append is
+    * absorbed by the tag check, after which the sync sees no new
+    * version and does nothing; a crash between append and sync just
+    * leaves the view one version behind, and the next batch's sync
+    * walks BOTH pending versions (each a pure append, so each folds
+    * its file delta only — never a corpus re-scan). This is the
+    * 100 TB steady state: ingest, versioned history, and a
+    * maintained downstream table in one exactly-once-shaped loop,
+    * with per-batch work proportional to the batch. Drain parity
+    * with the batch profile is pinned in SnapshotIngestSpec. */
+  def snapshotIngestSynced(spark: SparkSession, docs: Dataset[LangDoc],
+      root: String, viewDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.ScaleOps.snapshotAppendOnce(
+          spark, root, batch, s"batch:$batchId", statsCol = Some("doc_id"))
+        graft.operators.ScaleOps.changeFeedSync(spark, root, viewDir)
+        ()
+      }
+
   /** STANDING sub-document dedup — c42's CDC chunk table maintained
     * over a live document stream with [[pagerankIngest]]'s
     * idempotent-store shape: each micro-batch runs the CDC pass over

@@ -80,6 +80,37 @@ class SnapshotIngestSpec extends SparkSpec {
       (0 until 12).map(b => s"batch:$b"))
   }
 
+  test("ingest with a maintained view: drained state equals the batch profile, all hops incremental") {
+    val root = freshRoot("synced")
+    val view = root + "_view"
+    fs(root).delete(new Path(root), true)
+    fs(root).delete(new Path(root + "_ckpt"), true)
+    fs(root).delete(new Path(view), true)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[LangDoc]
+    val before = ScaleOps.syncRecomputes.get()
+    val q = Jobs.snapshotIngestSynced(spark, mem.toDS(), root, view)
+      .option("checkpointLocation", root + "_ckpt").start()
+    try {
+      mem.addData(Seq(LangDoc(1L, "en", "hello"), LangDoc(2L, "de", "hallo")))
+      q.processAllAvailable()
+      mem.addData(Seq(LangDoc(3L, "en", "more"), LangDoc(4L, "fr", "oui")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ScaleOps.snapshotVersions(spark, root) === Seq(1L, 2L))
+    // every post-bootstrap hop was a pure append — no recompute fallback
+    assert(ScaleOps.syncRecomputes.get() === before)
+    import org.apache.spark.sql.functions._
+    val expected = ScaleOps.readSnapshot(spark, root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val got = ScaleOps.readSyncedState(spark, view)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(got === expected)
+  }
+
   test("crash debris (data without manifest) is invisible, retried cleanly, swept by vacuum") {
     val root = freshRoot("crash")
     fs(root).delete(new Path(root), true)
