@@ -235,7 +235,7 @@ object VectorOps extends QueryModule {
       .orderBy(col("ia"), col("ib"))
   }
 
-  private val KM_Q = 1L << 24  // fixed-point scale for c12
+  private[operators] val KM_Q = 1L << 24  // fixed-point scale for c12
   private val KM_ITERS = 2
 
   /** Quantize a float-array column to 64 fixed-point longs:
@@ -431,6 +431,41 @@ object VectorOps extends QueryModule {
     s.createDataFrame(cents.map { case (cid, qc) => (cid, qc, token) })
       .toDF("cid", "qc", "token")
       .write.mode("overwrite").format("parquet").saveAsTable(centT)
+  }
+
+  /** INCREMENTAL IVF maintenance: assign ONLY `batch`
+    * (vec_id, embedding) rows against the persisted index's FROZEN
+    * centroids and append them to the bucketed cell table — the
+    * ingest path that keeps a 100 TB vector index current without
+    * retraining or re-assigning the base corpus. Per batch the cost
+    * is one narrow quantize+argmax pass over the batch (centroids
+    * are CELLS driver-held literals) plus a bucketed append; the
+    * read path (c07c) is unchanged and immediately sees the new
+    * vectors — an appended cell just has one more file per bucket.
+    * Frozen centroids are the honest contract: cell QUALITY degrades
+    * as the distribution drifts, and the remedy is a periodic
+    * retrain — [[buildIvfIndex]], the compaction analogue — which
+    * rebuilds from the BASE corpus and therefore drops appended
+    * batches (re-append after retrain, exactly like re-chunking
+    * after a CDC store rebuild). IvfAppendSpec pins assignment
+    * parity with an independent argmax, read-path visibility, and
+    * the base corpus never being re-scanned. Returns the number of
+    * vectors appended. */
+  def appendIvfIndex(s: SparkSession, d: String, batch: DataFrame): Long = {
+    val (idxT, centT) = ivfTables(d)
+    require(s.catalog.tableExists(idxT) && s.catalog.tableExists(centT),
+      s"no persisted IVF index for $d — buildIvfIndex first")
+    val rows = s.table(centT).collect().toSeq // bounded: CELLS rows
+    require(rows.nonEmpty && rows.head.getString(2) == corpusToken(s, d),
+      s"IVF index for $d is stale (corpus drift) — retrain before appending")
+    val cents = rows.map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1)
+    val assigned = qAssign(
+      batch.select(col("vec_id"), quantize(col("embedding")).as("qv")), cents)
+      .localCheckpoint() // one batch pass feeds the count and the append
+    assigned.write.mode("append").format("parquet")
+      .bucketBy(CELLS, "cid").sortBy("cid")
+      .saveAsTable(idxT)
+    assigned.count()
   }
 
   /** Identity token of the corpus the index was built from: the full
