@@ -80,7 +80,8 @@ object Bench {
     "t19_rule_filter", "s07_release_report", "s08_incremental_read",
     "s09_cow_delete", "s10_compact_read",
     "c44_lsh_recall", "t38_derepetition", "s11_schema_evolution",
-    "c45_lsh_tradeoff", "t39_mix_execute")
+    "c45_lsh_tradeoff", "t39_mix_execute", "s12_ref_read",
+    "t40_classifier_eval")
 
   /** Queries deliberately NOT timed, each for a stated reason — the
     * third leg of the coverage partition. The a-layer rows are

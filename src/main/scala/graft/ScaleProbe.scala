@@ -173,7 +173,9 @@ object ScaleProbe {
       "t38_derepetition" -> operators.TextOps.t38Derepetition _,
       "s11_schema_evolution" -> operators.ScaleOps.s11SchemaEvolution _,
       "c45_lsh_tradeoff" -> operators.DedupOps.c45LshTradeoff _,
-      "t39_mix_execute" -> operators.TextOps.t39MixExecute _)
+      "t39_mix_execute" -> operators.TextOps.t39MixExecute _,
+      "s12_ref_read" -> operators.ScaleOps.s12RefRead _,
+      "t40_classifier_eval" -> operators.TextOps.t40ClassifierEval _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
@@ -205,7 +207,7 @@ object ScaleProbe {
       sfs.foreach(operators.ScaleOps.ensureRelease(spark, _))
     // same rule for the delete/compaction lifecycle stores: the probe
     // times the versioned READ path, not the one-time history build
-    if (qsRun.exists(_._1 == "s09_cow_delete"))
+    if (qsRun.exists(n => n._1 == "s09_cow_delete" || n._1 == "s12_ref_read"))
       sfs.foreach(operators.ScaleOps.ensureDeleteStore(spark, _))
     if (qsRun.exists(_._1 == "s10_compact_read"))
       sfs.foreach(operators.ScaleOps.ensureCompactStore(spark, _))

@@ -360,6 +360,86 @@ object ScaleOps extends QueryModule {
       }
     }.toMap
 
+  // ---------------------------------------------------------------
+  // Named refs — movable pointers into the version history
+  // ---------------------------------------------------------------
+
+  /** Point named ref `name` at committed version `v` — the
+    * Iceberg-branch/git-tag shape over the snapshot store: "prod"
+    * advances only when validation passes, rollback is re-pointing
+    * at the old version (no data moves), and every consumer that
+    * resolves by ref switches ATOMICALLY. A ref is a sequence of
+    * one-line files `_refs/<name>/r<seq>`; retarget commits the next
+    * seq by rename (the store's one commit discipline), resolve
+    * reads the highest committed seq, so a crashed retarget is
+    * invisible debris swept by the next one. Superseded seqs are
+    * cleaned after commit. A ref PINS its target against
+    * [[vacuumSnapshots]] — retention never expires a version a ref
+    * still names. */
+  def setRef(s: SparkSession, root: String, name: String, v: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid ref name '$name'")
+    require(snapshotVersions(s, root).contains(v),
+      s"cannot point ref '$name' at uncommitted version v$v")
+    val dir = new Path(root, s"_refs/$name")
+    val fs = fsOf(s, dir)
+    fs.mkdirs(dir)
+    // sweep crashed-retarget debris, then commit the next seq
+    fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith(".tmp-"))
+      .foreach(fs.delete(_, false))
+    val next = refSeqs(s, dir).lastOption.getOrElse(0L) + 1L
+    val att = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(dir, s".tmp-r$next-$att")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(dir, s"r$next"))) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"ref '$name': lost the retarget race for seq $next")
+    }
+    refSeqs(s, dir).dropRight(1)
+      .foreach(q => fs.delete(new Path(dir, s"r$q"), false))
+  }
+
+  private def refSeqs(s: SparkSession,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val fs = fsOf(s, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("r") && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toLong }
+      .toSeq.sorted
+  }
+
+  /** The version ref `name` currently points at. */
+  def resolveRef(s: SparkSession, root: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(root, s"_refs/$name")
+    val fs = fsOf(s, dir)
+    val seqs = refSeqs(s, dir)
+    require(seqs.nonEmpty, s"no committed ref '$name' under $root")
+    val in = fs.open(new Path(dir, s"r${seqs.last}"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
+  }
+
+  /** Every committed ref and its target — vacuum's pin set. */
+  def refTargets(s: SparkSession, root: String): Map[String, Long] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(root, "_refs")
+    val fs = fsOf(s, dir)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n -> resolveRef(s, root, n)).toOption)
+      .toMap
+  }
+
+  /** Read the snapshot a named ref points at. */
+  def readSnapshotAt(s: SparkSession, root: String, ref: String): DataFrame =
+    readSnapshot(s, root, Some(resolveRef(s, root, ref)))
+
   /** Expire every snapshot but the newest `keep`, deleting only data
     * files REFERENCED BY NO retained manifest — with [[appendSnapshot]]
     * in play a file can back many versions, so expiry is reference
@@ -373,8 +453,13 @@ object ScaleOps extends QueryModule {
     require(keep >= 1, "vacuum must retain at least one version")
     val fs = fsOf(s, new Path(root))
     val vs = snapshotVersions(s, root)
-    val expired = vs.dropRight(keep)
-    val referenced = vs.takeRight(keep)
+    // a NAMED REF pins its target: "keep the newest K" never expires
+    // a version a ref still points at (a dangling prod ref would be
+    // a protocol hole, not an operator error)
+    val pinned = refTargets(s, root).values.toSet
+    val retainedVs = vs.filter(v => pinned(v) || vs.takeRight(keep).contains(v))
+    val expired = vs.filterNot(retainedVs.contains)
+    val referenced = retainedVs
       .flatMap(v => manifestFiles(s, root, v)).toSet
     val reclaim = expired.flatMap(v => manifestFiles(s, root, v))
       .distinct.filterNot(referenced)
@@ -406,7 +491,7 @@ object ScaleOps extends QueryModule {
     // attempt is always at version lastCommitted+1 (or will lose its
     // rename), so the N <= last guard never touches live work.
     val dataDirRe = "(?:data|release)-v(\\d+)(-.*)?".r
-    val retained = vs.takeRight(keep)
+    val retained = retainedVs
     val referencedRel = retained
       .filter(v => fs.exists(new Path(root, s"_manifests/v$v.release")))
       .flatMap(v => releaseFiles(s, root, v)).toSet
@@ -962,7 +1047,7 @@ object ScaleOps extends QueryModule {
     val root = snapRoot(s, d) + "_del"
     val tokP = new Path(root, "_token")
     val fs = fsOf(s, tokP)
-    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
     val have =
       if (!fs.exists(tokP)) None
       else {
@@ -977,6 +1062,10 @@ object ScaleOps extends QueryModule {
         statsCol = Some("doc_id"))
       val (lo, hi) = deleteBounds(s, d)
       deleteFromSnapshot(s, root, "doc_id", lo, hi)
+      // the release-train refs s12 reads through: "prod" rides the
+      // delete, "pre_delete" pins the history (and survives vacuum)
+      setRef(s, root, "pre_delete", 1L)
+      setRef(s, root, "prod", 2L)
       val out = fs.create(tokP, true)
       try out.write(want.getBytes("UTF-8")) finally out.close()
     }
@@ -998,6 +1087,28 @@ object ScaleOps extends QueryModule {
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text"))).cast(LongType).as("n_chars"))
       .orderBy(col("lang"))
+
+  /** s12 — NAMED-REF reads: the per-language profile through BOTH of
+    * the delete store's refs — "pre_delete" (pinned at v1, the full
+    * corpus) and "prod" (riding the delete at v2). The oracle
+    * replays both targets' contents from the raw corpus, so value
+    * equality proves ref resolution lands on exactly the right
+    * version — the release-train contract where "train on prod"
+    * names bytes atomically and rollback is a re-point, not a data
+    * move. Retarget atomicity, crash-debris invisibility, and the
+    * vacuum pin (a ref'd old version survives keep-newest retention
+    * with its files) are pinned in RefSpec on a scratch store. */
+  def s12RefRead(s: SparkSession, d: String): DataFrame = {
+    val root = ensureDeleteStore(s, d)
+    def prof(ref: String): DataFrame =
+      readSnapshotAt(s, root, ref)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast(LongType).as("n_chars"))
+        .select(lit(ref).as("ref"), col("lang"), col("n_docs"), col("n_chars"))
+    prof("pre_delete").unionByName(prof("prod"))
+      .orderBy(col("ref"), col("lang"))
+  }
 
   /** Build-once fixture for s10 (own store): the small-file history
     * streaming ingest produces — v1/v2/v3 = three range-clustered
@@ -1340,7 +1451,8 @@ object ScaleOps extends QueryModule {
     "s08_incremental_read" -> s08IncrementalRead,
     "s09_cow_delete" -> s09CowDelete,
     "s10_compact_read" -> s10CompactRead,
-    "s11_schema_evolution" -> s11SchemaEvolution)
+    "s11_schema_evolution" -> s11SchemaEvolution,
+    "s12_ref_read" -> s12RefRead)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   /** s07's oracle: the four faces' own oracle SQLs composed verbatim
@@ -1457,6 +1569,23 @@ object ScaleOps extends QueryModule {
          |         CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
          |  FROM documents)
          |ORDER BY version""".stripMargin,
+    // "pre_delete" resolves to the full corpus, "prod" to the
+    // post-delete complement — ref resolution proven by content
+    "s12_ref_read" ->
+      """SELECT * FROM (
+        |  SELECT 'pre_delete' AS ref, lang,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'prod' AS ref, lang,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents
+        |  WHERE NOT (doc_id >= (SELECT max(doc_id) * 25 // 100 FROM documents)
+        |         AND doc_id <= (SELECT max(doc_id) * 35 // 100 FROM documents))
+        |  GROUP BY lang)
+        |ORDER BY ref, lang""".stripMargin,
     // the post-delete version must carry exactly the complement of
     // the [25%, 35%] id slice
     "s09_cow_delete" ->

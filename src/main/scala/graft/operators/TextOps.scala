@@ -1646,6 +1646,41 @@ object TextOps extends QueryModule {
       .orderBy(col("lang"))
   }
 
+  /** t40 — CLASSIFIER EVALUATION on the held-out split: per-language
+    * confusion counts and integer accuracy of t33's distilled
+    * quality classifier against its t19 rule-teacher labels,
+    * restricted to t34's held-out stratum — the report a model-based
+    * quality gate owes before it replaces the rules it distilled:
+    * WHERE does the cheap model disagree with the teacher, and is
+    * the disagreement concentrated in a language? Evaluating on the
+    * held-out stratum (not training data) is the point — train
+    * accuracy is already reported by t33's pocket selection.
+    *
+    * Scale shape: three already-benchmarked passes (t34's one-Window
+    * split, t33b's frozen-weights scoring, t19's narrow rule pass)
+    * joined at doc_id grain, then a language rollup — no new
+    * exchange class. All decisions stay integer; accuracy is
+    * (1000·matches) div n. The oracle composes the three faces'
+    * own SQL (including t33's bit-exact training replay). */
+  def t40ClassifierEval(s: SparkSession, d: String): DataFrame = {
+    val held = t34StratifiedSplit(s, d)
+      .filter(col("split") === "heldout")
+      .select(col("doc_id"), col("lang"))
+    val pred = t33bClassifierApply(s, d).select(col("doc_id"), col("kept"))
+    val lab = t19RuleFilterOf(Tables.documents(s, d))
+      .select(col("doc_id"), col("keep").cast(LongType).as("keep"))
+    held.join(pred, Seq("doc_id")).join(lab, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("keep") === 1L && col("kept") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("keep") === 0L && col("kept") === 1L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("keep") === 1L && col("kept") === 0L, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("keep") === 0L && col("kept") === 0L, 1L).otherwise(0L)).as("tn"))
+      .select(col("lang"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(1000 * (tp + tn)) div (tp + fp + fn + tn)").as("acc_x1000"))
+      .orderBy(col("lang"))
+  }
+
   /** t34 held-out share: 1/HELD_DEN of every stratum, exactly. */
   private val HELD_DEN = 10
 
@@ -1786,6 +1821,7 @@ object TextOps extends QueryModule {
     "t28_classifier_filter" -> t28ClassifierFilter,
     "t33_classifier_train" -> t33ClassifierTrain,
     "t33b_classifier_apply" -> t33bClassifierApply,
+    "t40_classifier_eval" -> t40ClassifierEval,
     "t29_chunk" -> t29Chunk,
     "t38_derepetition" -> t38Derepetition,
     "c31_chunk_dedup" -> c31ChunkDedup)
@@ -2110,6 +2146,35 @@ object TextOps extends QueryModule {
     "t33_classifier_train" ->
       s"""WITH $clfTrainCtes
          |SELECT b AS bucket, wt AS w FROM clfbest ORDER BY bucket""".stripMargin,
+    // the three faces' own SQL composed: t33's bit-exact training
+    // replay scores, t19 labels, t34's held-out stratum filters
+    "t40_classifier_eval" ->
+      s"""WITH $clfTrainCtes,
+         |appagg AS (
+         |  SELECT doc_id, CAST(SUM(w.wt * f.x) AS BIGINT) AS margin_fp
+         |  FROM clffeats f JOIN clfbest w ON w.b = f.b
+         |  GROUP BY doc_id),
+         |prd AS (SELECT d.doc_id,
+         |          CAST(COALESCE(g.margin_fp, 0) >= 0 AS BIGINT) AS kept
+         |        FROM documents d LEFT JOIN appagg g USING (doc_id)),
+         |lab AS (SELECT doc_id, CAST(keep AS BIGINT) AS keep FROM ($t19Sql)),
+         |hld AS (SELECT doc_id, lang FROM (
+         |          SELECT doc_id, lang,
+         |            row_number() OVER (PARTITION BY source, lang ORDER BY
+         |              ${Portable.h60Sql("'strat:' || CAST(doc_id AS VARCHAR)")},
+         |              doc_id) AS rk,
+         |            count(*) OVER (PARTITION BY source, lang) AS n
+         |          FROM documents)
+         |        WHERE rk <= (n + ${HELD_DEN - 1}) // $HELD_DEN)
+         |SELECT lang,
+         |  CAST(SUM(CASE WHEN keep = 1 AND kept = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN keep = 0 AND kept = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN keep = 1 AND kept = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(SUM(CASE WHEN keep = 0 AND kept = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST((1000 * SUM(CASE WHEN keep = kept THEN 1 ELSE 0 END)) // count(*)
+         |    AS BIGINT) AS acc_x1000
+         |FROM hld JOIN prd USING (doc_id) JOIN lab USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "t33b_classifier_apply" ->
       s"""WITH $clfTrainCtes,
          |appagg AS (
