@@ -81,7 +81,7 @@ object Bench {
     "s09_cow_delete", "s10_compact_read",
     "c44_lsh_recall", "t38_derepetition", "s11_schema_evolution",
     "c45_lsh_tradeoff", "t39_mix_execute", "s12_ref_read",
-    "t40_classifier_eval")
+    "t40_classifier_eval", "s13_bloom_lookup", "s14_merge_upsert")
 
   /** Queries deliberately NOT timed, each for a stated reason — the
     * third leg of the coverage partition. The a-layer rows are
@@ -150,6 +150,8 @@ object Bench {
     operators.ScaleOps.ensureDeleteStore(spark, sfDir)
     operators.ScaleOps.ensureCompactStore(spark, sfDir)
     operators.ScaleOps.ensureEvolutionStore(spark, sfDir)
+    operators.ScaleOps.ensureBloomStore(spark, sfDir)
+    operators.ScaleOps.ensureMergeStore(spark, sfDir)
     operators.MediaOps.buildPhashStore(spark, sfDir)
 
     val results = (headline ++ extras).map(n => n -> materialize(n))

@@ -175,7 +175,9 @@ object ScaleProbe {
       "c45_lsh_tradeoff" -> operators.DedupOps.c45LshTradeoff _,
       "t39_mix_execute" -> operators.TextOps.t39MixExecute _,
       "s12_ref_read" -> operators.ScaleOps.s12RefRead _,
-      "t40_classifier_eval" -> operators.TextOps.t40ClassifierEval _)
+      "t40_classifier_eval" -> operators.TextOps.t40ClassifierEval _,
+      "s13_bloom_lookup" -> operators.ScaleOps.s13BloomLookup _,
+      "s14_merge_upsert" -> operators.ScaleOps.s14MergeUpsert _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
@@ -213,6 +215,10 @@ object ScaleProbe {
       sfs.foreach(operators.ScaleOps.ensureCompactStore(spark, _))
     if (qsRun.exists(_._1 == "s11_schema_evolution"))
       sfs.foreach(operators.ScaleOps.ensureEvolutionStore(spark, _))
+    if (qsRun.exists(_._1 == "s13_bloom_lookup"))
+      sfs.foreach(operators.ScaleOps.ensureBloomStore(spark, _))
+    if (qsRun.exists(_._1 == "s14_merge_upsert"))
+      sfs.foreach(operators.ScaleOps.ensureMergeStore(spark, _))
 
     for (sf <- sfs; (name, fn) <- qsRun) {
       val group = s"$name@$sf"

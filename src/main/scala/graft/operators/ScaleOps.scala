@@ -180,8 +180,9 @@ object ScaleOps extends QueryModule {
     * object stores without atomic rename this needs the usual swap to
     * a CAS/log-append commit; the reader contract is unchanged. */
   def publishSnapshot(s: SparkSession, root: String, df: DataFrame,
-      statsCol: Option[String] = None): Long =
-    commitVersion(s, root, df, parentLines = Nil, statsCol, tag = None)
+      statsCol: Option[String] = None, statsBloom: Boolean = false): Long =
+    commitVersion(s, root, df, parentLines = Nil, statsCol, tag = None,
+      statsBloom = statsBloom)
 
   /** Publish `df` as the next snapshot version WITHOUT rewriting the
     * existing data: the new manifest lists the PARENT version's
@@ -192,7 +193,8 @@ object ScaleOps extends QueryModule {
     * an old version must not blindly delete its file list; that is
     * [[vacuumSnapshots]]' reference counting. */
   def appendSnapshot(s: SparkSession, root: String, df: DataFrame,
-      statsCol: Option[String] = None, tag: Option[String] = None): Long = {
+      statsCol: Option[String] = None, tag: Option[String] = None,
+      statsBloom: Boolean = false): Long = {
     val vs = snapshotVersions(s, root)
     // parent data lines carry their inline stats forward verbatim —
     // an append never re-reads (or re-profiles) the parent's data.
@@ -204,7 +206,8 @@ object ScaleOps extends QueryModule {
     // resets the file count itself. With vacuum every V batches the
     // steady-state metadata is O(V x files) — flat over stream life.
     val parent = vs.lastOption.map(v => manifestDataLines(s, root, v)).getOrElse(Nil)
-    commitVersion(s, root, df, parentLines = parent, statsCol, tag)
+    commitVersion(s, root, df, parentLines = parent, statsCol, tag,
+      statsBloom = statsBloom)
   }
 
   /** Batch-tagged IDEMPOTENT append — the streaming-sink commit
@@ -284,7 +287,7 @@ object ScaleOps extends QueryModule {
     * slot is decided. */
   private def commitVersion(s: SparkSession, root: String, df: DataFrame,
       parentLines: Seq[String], statsCol: Option[String],
-      tag: Option[String]): Long = {
+      tag: Option[String], statsBloom: Boolean = false): Long = {
     import org.apache.hadoop.fs.Path
     val rootP = new Path(root)
     val fs = fsOf(s, rootP)
@@ -310,10 +313,27 @@ object ScaleOps extends QueryModule {
           .map(r => (new Path(r.getString(0)).getName,
             (r.getLong(1), r.getLong(2)))).toMap
     }
+    val blooms: Map[String, String] =
+      if (!statsBloom || statsCol.isEmpty) Map.empty
+      else {
+        // one more projection-pruned pass over just-written data:
+        // per file, the ≤BLOOM_BITS distinct set-bit positions of the
+        // stats column's keys (map-side partial agg collapses each
+        // partition to ≤BLOOM_BITS rows per file before the
+        // exchange). Collect is bounded by newFiles · BLOOM_BITS.
+        s.read.parquet(dataDir.toString)
+          .select(input_file_name().as("f"),
+            explode(bloomPosArray(col(statsCol.get))).as("pos"))
+          .groupBy(col("f")).agg(collect_set(col("pos")).as("ps"))
+          .collect()
+          .map(r => (new Path(r.getString(0)).getName,
+            bloomHex(r.getSeq[Long](1)))).toMap
+      }
     val newLines = newFiles.map { f =>
-      bounds.get(new Path(f).getName) match {
-        case Some((lo, hi)) => s"$f\t$lo\t$hi"
-        case None => f
+      (bounds.get(new Path(f).getName), blooms.get(new Path(f).getName)) match {
+        case (Some((lo, hi)), Some(bm)) => s"$f\t$lo\t$hi\t$bm"
+        case (Some((lo, hi)), None) => s"$f\t$lo\t$hi"
+        case _ => f
       }
     }
     val text = (tag.toSeq.map(TAG_HEADER + _) ++ parentLines ++ newLines)
@@ -355,10 +375,112 @@ object ScaleOps extends QueryModule {
       v: Long): Map[String, (Long, Long)] =
     manifestDataLines(s, root, v).flatMap { line =>
       line.split('\t') match {
-        case Array(f, mn, mx) => Some(f -> (mn.toLong, mx.toLong))
+        case arr if arr.length >= 3 => Some(arr(0) -> (arr(1).toLong, arr(2).toLong))
         case _ => None
       }
     }.toMap
+
+  // ---------------------------------------------------------------
+  // Per-file Bloom fingerprints — point-lookup file skipping
+  // ---------------------------------------------------------------
+
+  /** Bloom sizing: BLOOM_BITS bits, BLOOM_K probes per key. At the
+    * fixture's ~600 keys/file the false-keep rate is ≈(1-e^(-K·n/m))^K
+    * ≈ 4%; production sizes m to the store's rows-per-file target the
+    * same way Parquet's own column-index blooms are sized. */
+  private val BLOOM_BITS = 4096
+  private val BLOOM_K = 4
+
+  /** The key's BLOOM_K set-bit positions as a Column: disjoint 13-bit
+    * windows of one xxhash64 — ONE hash evaluation per row, positions
+    * sliced from it (the standard double-hash-free scheme for small
+    * K). A NULL key yields a NULL array (explode drops it): null keys
+    * set no bits, and an equality lookup can never match null anyway.
+    * Lookup-side positions are computed by evaluating THIS SAME
+    * expression (see [[bloomKeyPositions]]), so publish and probe
+    * cannot diverge on hash semantics by construction. */
+  private def bloomPosArray(key: Column): Column =
+    array((0 until BLOOM_K).map { i =>
+      shiftrightunsigned(xxhash64(key), i * 13).bitwiseAND(lit(BLOOM_BITS - 1L))
+    }: _*)
+
+  /** Set-bit positions → fixed-width hex (64 longs, big-endian per
+    * long), the manifest's 4th tab field. */
+  private def bloomHex(positions: Seq[Long]): String = {
+    val words = new Array[Long](BLOOM_BITS / 64)
+    positions.foreach { p =>
+      words((p >> 6).toInt) |= (1L << (p & 63))
+    }
+    words.map(w => f"$w%016x").mkString
+  }
+
+  private def bloomTest(hex: String, positions: Seq[Long]): Boolean =
+    positions.forall { p =>
+      val w = java.lang.Long.parseUnsignedLong(
+        hex.substring((p >> 6).toInt * 16, (p >> 6).toInt * 16 + 16), 16)
+      ((w >>> (p & 63).toInt) & 1L) == 1L
+    }
+
+  /** Probe positions for each lookup key, computed by evaluating the
+    * SAME Catalyst expression the publish side aggregated — a 1-row
+    * LocalTableScan job per call (driver-local, no shuffle), bounded
+    * by the key count. */
+  private def bloomKeyPositions(s: SparkSession,
+      keys: Seq[Long]): Map[Long, Seq[Long]] = {
+    import s.implicits._
+    keys.toDF("k")
+      .select(col("k"), bloomPosArray(col("k")).as("ps"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+  }
+
+  /** A committed version's Bloom fingerprints: file -> hex bitmap for
+    * every manifest line carrying a 4th field. Files without one are
+    * always kept by lookup reads (same degrade contract as the
+    * zone-map bounds — skipping needs PROOF of absence). */
+  private def manifestBlooms(s: SparkSession, root: String,
+      v: Long): Map[String, String] =
+    manifestDataLines(s, root, v).flatMap { line =>
+      line.split('\t') match {
+        case Array(f, _, _, bm) => Some(f -> bm)
+        case _ => None
+      }
+    }.toMap
+
+  /** BLOOM-SKIPPED POINT LOOKUP: plan only the manifest files whose
+    * zone-map interval contains ≥1 key AND whose Bloom fingerprint
+    * passes ≥1 key, then filter the survivors to the key set. Zone
+    * maps answer RANGE queries on the clustering column but are
+    * useless when every file's [min,max] spans the id space (data
+    * clustered by something else — here, by source); the Bloom field
+    * prunes by MEMBERSHIP regardless of layout. At 100 TB this is
+    * the difference between opening K files for a K-key lookup and
+    * scanning the corpus: the Iceberg/Delta point-read shape
+    * (Parquet bloom column indexes play the same role one level
+    * down). Files without a fingerprint are kept — pruning only ever
+    * skips files PROVEN key-free, so correctness never depends on
+    * the sidecar. */
+  def readSnapshotKeyLookup(s: SparkSession, root: String,
+      version: Option[Long], colName: String, keys: Seq[Long]): DataFrame = {
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
+    val bounds = manifestBounds(s, root, v)
+    val blooms = manifestBlooms(s, root, v)
+    val posOf = bloomKeyPositions(s, keys.distinct)
+    val files = manifestFiles(s, root, v)
+    val kept = files.filter { f =>
+      keys.exists { k =>
+        bounds.get(f).forall { case (mn, mx) => k >= mn && k <= mx } &&
+          blooms.get(f).forall(bloomTest(_, posOf(k)))
+      }
+    }
+    val base = if (kept.nonEmpty) s.read.parquet(kept: _*)
+      // every file proven key-free: one footer for the schema, 0 rows
+      else s.read.parquet(files.head).limit(0)
+    base.filter(col(colName).isin(keys.distinct: _*))
+  }
 
   // ---------------------------------------------------------------
   // Named refs — movable pointers into the version history
@@ -871,6 +993,76 @@ object ScaleOps extends QueryModule {
       statsCol = Some(colName), tag = None)
   }
 
+  /** COPY-ON-WRITE MERGE (upsert) as a snapshot version — the
+    * Delta/Iceberg `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT
+    * MATCHED INSERT` write path, keyed on `keyCol`: rows of the
+    * latest version whose key appears in `updates` are REPLACED by
+    * the update row, keys absent from the store are INSERTED, and
+    * every other row rides along untouched.
+    *
+    * Scale shape, in order:
+    * 1. PLANNING is a metadata join: the version's per-file zone-map
+    *    intervals (a few hundred bytes per file, driver-held) are
+    *    broadcast against the update batch, and a file is TOUCHED
+    *    only if some update key lands inside its interval (files
+    *    without stats are always touched — the degrade contract).
+    *    The collect is file-grain (paths only), bounded by the files
+    *    the batch actually hits — never by corpus or batch size. At
+    *    100 TB this is the whole game: a batch updating one day's
+    *    docs rewrites that day's files, not the corpus.
+    * 2. REWRITE reads exactly the touched files, drops their rows
+    *    whose key matches an update (one shuffled LEFT ANTI join at
+    *    key grain — null-keyed base rows never match and always
+    *    survive), unions ALL updates (an update key in no touched
+    *    file can be in NO file, so it is exactly the insert set),
+    *    and commits with untouched manifest lines carried forward
+    *    verbatim — stats, Bloom fields and all.
+    *
+    * `updates` must have the store's schema and UNIQUE keys (checked
+    * with one bounded 2-column agg; duplicate keys would make the
+    * merge order-dependent — the caller picks last-wins upstream,
+    * e.g. c42's per-batch dedup). Readers pinned to the parent
+    * version are isolated; vacuum reclaims replaced files once the
+    * parent expires. Returns the committed version. */
+  def mergeIntoSnapshot(s: SparkSession, root: String, keyCol: String,
+      updates: DataFrame): Long = {
+    import s.implicits._
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val v = vs.last
+    val dup = updates.agg(count(lit(1)).as("n"),
+      count_distinct(col(keyCol)).as("k")).collect()(0) // bounded: one row
+    require(dup.getLong(0) == dup.getLong(1),
+      s"merge updates must have unique non-null '$keyCol' keys " +
+        s"(${dup.getLong(0)} rows, ${dup.getLong(1)} distinct keys)")
+    val lines = manifestDataLines(s, root, v)
+    val bounds = manifestBounds(s, root, v)
+    val statted = lines.map(_.split('\t')(0)).filter(bounds.contains)
+    val hit: Set[String] =
+      if (statted.isEmpty) Set.empty
+      else {
+        val bdf = broadcast(statted.map { f =>
+          val (mn, mx) = bounds(f); (f, mn, mx)
+        }.toDF("__f", "__mn", "__mx"))
+        updates.select(col(keyCol).as("__k"))
+          .join(bdf, col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+          .select(col("__f")).distinct()
+          .collect().map(_.getString(0)).toSet // bounded: touched paths
+      }
+    val (touched, untouched) = lines.partition { line =>
+      val f = line.split('\t')(0)
+      !bounds.contains(f) || hit(f)
+    }
+    if (touched.isEmpty)
+      return commitVersion(s, root, updates, parentLines = untouched,
+        statsCol = bounds.headOption.map(_ => keyCol), tag = None)
+    val base = s.read.parquet(touched.map(_.split('\t')(0)): _*)
+    val survivors = base.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+    commitVersion(s, root, survivors.unionByName(updates),
+      parentLines = untouched,
+      statsCol = bounds.headOption.map(_ => keyCol), tag = None)
+  }
+
   /** OPTIMIZE (small-file compaction) as a snapshot version: bin the
     * latest version's UNDERSIZED files (< targetBytes/2) together and
     * rewrite them as ~targetBytes files; right-sized files carry
@@ -1109,6 +1301,123 @@ object ScaleOps extends QueryModule {
     prof("pre_delete").unionByName(prof("prod"))
       .orderBy(col("ref"), col("lang"))
   }
+
+  /** Build-once fixture for s13 (own store): the full corpus
+    * clustered BY SOURCE (hash repartition), so every file's doc_id
+    * zone-map interval spans essentially the whole id space and
+    * range pruning is useless — the layout where only the Bloom
+    * field can skip files for a point lookup. Published with
+    * statsBloom, one version. */
+  private[graft] def ensureBloomStore(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = snapRoot(s, d) + "_blm"
+    val tokP = new Path(root, "_token")
+    val fs = fsOf(s, tokP)
+    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(root), true)
+      publishSnapshot(s, root,
+        Tables.documents(s, d).repartition(SNAP_FILES, col("source")),
+        statsCol = Some("doc_id"), statsBloom = true)
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    root
+  }
+
+  /** s13 — BLOOM-SKIPPED POINT LOOKUPS through the source-clustered
+    * store: fetch five spread doc_ids (0, ¼, ½, ¾, max of the id
+    * space — integer arithmetic from one bounded 1-row collect) via
+    * [[readSnapshotKeyLookup]]. The oracle selects the same keys from
+    * the raw corpus, so value equality proves Bloom planning never
+    * skips a file that holds a requested key — while the skipping
+    * itself (lookups open a fraction of the files range pruning
+    * would have to keep) is pinned at file grain in BloomSkipSpec
+    * via inputFiles on a scratch store. */
+  def s13BloomLookup(s: SparkSession, d: String): DataFrame = {
+    val root = ensureBloomStore(s, d)
+    val mx = Tables.documents(s, d).agg(max(col("doc_id")))
+      .collect()(0).getLong(0) // bounded: one row
+    val keys = Seq(0L, mx / 4, mx / 2, mx * 3 / 4, mx).distinct
+    readSnapshotKeyLookup(s, root, None, "doc_id", keys)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The s14 upsert batch, deterministic from the corpus: every doc
+    * in the [45%, 55%] id slice updated (text 'U:'-prefixed, source
+    * re-tagged 'merged', n_chars bumped by the 2 added chars) plus
+    * max(doc_id)/50 + 1 brand-new inserted docs above the id space —
+    * the daily-refresh shape: a batch of re-crawled pages and a tail
+    * of never-seen ones. Mirrored verbatim in the s14 oracle. */
+  private def mergeBatch(s: SparkSession, d: String, mx: Long): DataFrame = {
+    val upd = Tables.documents(s, d)
+      .filter(col("doc_id") >= mx * 45 / 100 && col("doc_id") <= mx * 55 / 100)
+      .select(col("doc_id"), concat(lit("U:"), col("text")).as("text"),
+        col("lang"), lit("merged").as("source"),
+        (col("n_chars") + 2L).as("n_chars"))
+    val ins = s.range(mx + 1, mx + 2 + mx / 50)
+      .select(col("id").as("doc_id"),
+        concat(lit("new doc "), col("id").cast(StringType)).as("text"),
+        lit("xx").as("lang"), lit("merged").as("source"))
+      .withColumn("n_chars", length(col("text")).cast(LongType))
+    upd.unionByName(ins)
+  }
+
+  /** Build-once fixture for s14 (own store): v1 = the full corpus
+    * range-clustered on doc_id, v2 = [[mergeIntoSnapshot]] of the
+    * deterministic [[mergeBatch]]. Drift-token guarded. */
+  private[graft] def ensureMergeStore(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = snapRoot(s, d) + "_mrg"
+    val tokP = new Path(root, "_token")
+    val fs = fsOf(s, tokP)
+    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(root), true)
+      publishSnapshot(s, root,
+        Tables.documents(s, d).repartitionByRange(SNAP_FILES, col("doc_id")),
+        statsCol = Some("doc_id"))
+      val mx = Tables.documents(s, d).agg(max(col("doc_id")))
+        .collect()(0).getLong(0) // bounded: one row
+      mergeIntoSnapshot(s, root, "doc_id", mergeBatch(s, d, mx))
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    root
+  }
+
+  /** s14 — COPY-ON-WRITE MERGE read back through the store: the
+    * per-(lang, source) profile of the post-merge version. The
+    * oracle replays the merge relationally over the raw corpus
+    * (originals minus updated keys, plus updates, plus inserts), so
+    * value equality proves the file-pruned rewrite replaced EXACTLY
+    * the matched rows, inserted exactly the new keys, and carried
+    * every other row — the daily-upsert contract. File-grain claims
+    * (untouched files reused verbatim, only interval-hit files
+    * rewritten, parent isolation, unique-key refusal) are pinned in
+    * MergeSpec on a scratch store. */
+  def s14MergeUpsert(s: SparkSession, d: String): DataFrame =
+    readSnapshot(s, ensureMergeStore(s, d), None)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("sum_chars"),
+        sum(length(col("text"))).cast(LongType).as("text_chars"))
+      .orderBy(col("lang"), col("source"))
 
   /** Build-once fixture for s10 (own store): the small-file history
     * streaming ingest produces — v1/v2/v3 = three range-clustered
@@ -1452,7 +1761,9 @@ object ScaleOps extends QueryModule {
     "s09_cow_delete" -> s09CowDelete,
     "s10_compact_read" -> s10CompactRead,
     "s11_schema_evolution" -> s11SchemaEvolution,
-    "s12_ref_read" -> s12RefRead)
+    "s12_ref_read" -> s12RefRead,
+    "s13_bloom_lookup" -> s13BloomLookup,
+    "s14_merge_upsert" -> s14MergeUpsert)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   /** s07's oracle: the four faces' own oracle SQLs composed verbatim
@@ -1625,5 +1936,38 @@ object ScaleOps extends QueryModule {
         |FROM documents
         |WHERE doc_id >= (SELECT max(doc_id) * 2 // 10 FROM documents)
         |  AND doc_id <= (SELECT max(doc_id) * 4 // 10 FROM documents)
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Bloom planning may only SKIP files proven key-free, so the
+    // lookup must return exactly the raw table's rows for the keys
+    "s13_bloom_lookup" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d, mx
+        |WHERE d.doc_id IN (0, mx.m // 4, mx.m // 2, mx.m * 3 // 4, mx.m)
+        |ORDER BY d.doc_id""".stripMargin,
+    // the merge replayed relationally: originals minus updated keys,
+    // plus the update slice, plus the inserted tail
+    "s14_merge_upsert" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |upd AS (
+        |  SELECT doc_id, 'U:' || text AS text, lang,
+        |         'merged' AS source, n_chars + 2 AS n_chars
+        |  FROM documents, mx
+        |  WHERE doc_id >= mx.m * 45 // 100 AND doc_id <= mx.m * 55 // 100),
+        |ins AS (
+        |  SELECT CAST(x AS BIGINT) AS doc_id,
+        |         'new doc ' || CAST(x AS VARCHAR) AS text,
+        |         'xx' AS lang, 'merged' AS source,
+        |         CAST(length('new doc ' || CAST(x AS VARCHAR)) AS BIGINT) AS n_chars
+        |  FROM (SELECT unnest(range(m + 1, m + 2 + m // 50)) AS x FROM mx)),
+        |merged AS (
+        |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |  FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(SUM(length(text)) AS BIGINT) AS text_chars
+        |FROM merged GROUP BY lang, source ORDER BY lang, source""".stripMargin)
 }

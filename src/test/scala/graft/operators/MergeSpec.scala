@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+
+/** Copy-on-write MERGE on the snapshot store: interval-planned file
+  * rewrites, untouched files carried verbatim, unmatched update keys
+  * become inserts, parent versions stay isolated, and duplicate-key
+  * update batches are refused. */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_mergetest_$tag").toString
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rangedDf(ids: Range) =
+    ids.map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+    df.as[(Long, String)].collect().sortBy(_._1).toSeq
+
+  test("merge rewrites only interval-hit files and carries the rest verbatim") {
+    val root = freshRoot("plan")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 400),
+      statsCol = Some("id"))
+    val v1Files = ScaleOps.readSnapshot(spark, root, Some(1L)).inputFiles.toSet
+    // updates confined to the low quarter + one insert above the range
+    val batch = (Seq((5L, "UPD5"), (17L, "UPD17"), (1000L, "INS1000")))
+      .toDF("id", "s")
+    val v2 = ScaleOps.mergeIntoSnapshot(spark, root, "id", batch)
+    assert(v2 === 2L)
+    val v2Files = ScaleOps.readSnapshot(spark, root, Some(2L)).inputFiles.toSet
+    val carried = v1Files.intersect(v2Files)
+    assert(carried.size === 3, // 4 range files, only the low one hit
+      s"expected 3 carried files, got ${carried.size}")
+    val expected = (0 until 400).map(i => (i.toLong,
+      if (i == 5) "UPD5" else if (i == 17) "UPD17" else s"row$i")) :+
+      (1000L, "INS1000")
+    assert(rows(ScaleOps.readSnapshot(spark, root, Some(2L))) ===
+      expected.sortBy(_._1))
+    // parent isolation: v1 still answers the original content
+    assert(rows(ScaleOps.readSnapshot(spark, root, Some(1L))) ===
+      (0 until 400).map(i => (i.toLong, s"row$i")))
+  }
+
+  test("a batch of only-new keys inserts without reading any base file") {
+    val root = freshRoot("insert")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 100),
+      statsCol = Some("id"))
+    val v1Files = ScaleOps.readSnapshot(spark, root, Some(1L)).inputFiles.toSet
+    ScaleOps.mergeIntoSnapshot(spark, root, "id",
+      Seq((500L, "a"), (501L, "b")).toDF("id", "s"))
+    val v2 = ScaleOps.readSnapshot(spark, root, Some(2L))
+    assert(v1Files.subsetOf(v2.inputFiles.toSet)) // every base file carried
+    assert(v2.count() === 102L)
+  }
+
+  test("zone-map-pruned merge still replaces every matched key (scattered layout = all files touched)") {
+    val root = freshRoot("scatter")
+    fs(root).delete(new Path(root), true)
+    // hash-scattered: every file's interval spans the range, so the
+    // planner must touch all files — correctness over pruning
+    ScaleOps.publishSnapshot(spark, root,
+      (0 until 200).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+        .repartition(4, col("id")),
+      statsCol = Some("id"))
+    ScaleOps.mergeIntoSnapshot(spark, root, "id",
+      Seq((3L, "U3"), (150L, "U150")).toDF("id", "s"))
+    val got = rows(ScaleOps.readSnapshot(spark, root, Some(2L)))
+    assert(got.length === 200)
+    assert(got.find(_._1 == 3L).get._2 === "U3")
+    assert(got.find(_._1 == 150L).get._2 === "U150")
+  }
+
+  test("duplicate keys in the update batch are refused") {
+    val root = freshRoot("dup")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 50),
+      statsCol = Some("id"))
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.mergeIntoSnapshot(spark, root, "id",
+        Seq((1L, "a"), (1L, "b")).toDF("id", "s"))
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
+  test("a stats-less store degrades to rewriting everything, never to wrong answers") {
+    val root = freshRoot("nostats")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 60)) // no stats
+    ScaleOps.mergeIntoSnapshot(spark, root, "id",
+      Seq((10L, "U10"), (99L, "I99")).toDF("id", "s"))
+    val got = rows(ScaleOps.readSnapshot(spark, root, Some(2L)))
+    assert(got.length === 61)
+    assert(got.find(_._1 == 10L).get._2 === "U10")
+    assert(got.find(_._1 == 99L).get._2 === "I99")
+  }
+}
