@@ -1025,16 +1025,20 @@ object ScaleOps extends QueryModule {
     * version are isolated; vacuum reclaims replaced files once the
     * parent expires. Returns the committed version. */
   def mergeIntoSnapshot(s: SparkSession, root: String, keyCol: String,
-      updates: DataFrame): Long = {
+      updates: DataFrame, tag: Option[String] = None): Long = {
     import s.implicits._
-    val vs = snapshotVersions(s, root)
-    require(vs.nonEmpty, s"no committed snapshots under $root")
-    val v = vs.last
     val dup = updates.agg(count(lit(1)).as("n"),
       count_distinct(col(keyCol)).as("k")).collect()(0) // bounded: one row
     require(dup.getLong(0) == dup.getLong(1),
       s"merge updates must have unique non-null '$keyCol' keys " +
         s"(${dup.getLong(0)} rows, ${dup.getLong(1)} distinct keys)")
+    val vs = snapshotVersions(s, root)
+    // merging into an empty store bootstraps it: everything is an
+    // insert, so v1 = the batch (the CREATE TABLE AS face of MERGE)
+    if (vs.isEmpty)
+      return commitVersion(s, root, updates, parentLines = Nil,
+        statsCol = Some(keyCol), tag)
+    val v = vs.last
     val lines = manifestDataLines(s, root, v)
     val bounds = manifestBounds(s, root, v)
     val statted = lines.map(_.split('\t')(0)).filter(bounds.contains)
@@ -1055,13 +1059,30 @@ object ScaleOps extends QueryModule {
     }
     if (touched.isEmpty)
       return commitVersion(s, root, updates, parentLines = untouched,
-        statsCol = bounds.headOption.map(_ => keyCol), tag = None)
+        statsCol = bounds.headOption.map(_ => keyCol), tag)
     val base = s.read.parquet(touched.map(_.split('\t')(0)): _*)
     val survivors = base.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
     commitVersion(s, root, survivors.unionByName(updates),
       parentLines = untouched,
-      statsCol = bounds.headOption.map(_ => keyCol), tag = None)
+      statsCol = bounds.headOption.map(_ => keyCol), tag)
   }
+
+  /** Batch-tagged IDEMPOTENT merge — [[snapshotAppendOnce]]'s
+    * streaming-sink commit contract for the UPSERT path: merge
+    * `updates` as the next version tagged `tag` unless the last
+    * committed version already carries that tag (an at-least-once
+    * replay → None, nothing written). Same O(1) tail probe, same
+    * argument: foreachBatch replays are strictly sequential, so a
+    * replayed tag can only be the latest committed version's. The
+    * stream's contract is ≤1 row per key per micro-batch (the
+    * compacted-CDC-topic shape); a violating batch fails loudly in
+    * the merge's unique-key check rather than committing an
+    * order-dependent answer. */
+  def snapshotMergeOnce(s: SparkSession, root: String, keyCol: String,
+      updates: DataFrame, tag: String): Option[Long] =
+    if (snapshotVersions(s, root).lastOption
+        .exists(v => manifestTag(s, root, v).contains(tag))) None
+    else Some(mergeIntoSnapshot(s, root, keyCol, updates, Some(tag)))
 
   /** OPTIMIZE (small-file compaction) as a snapshot version: bin the
     * latest version's UNDERSIZED files (< targetBytes/2) together and

@@ -607,6 +607,30 @@ object Jobs {
         ()
       }
 
+  /** STREAMING CDC UPSERT APPLY — [[snapshotIngest]]'s twin for a
+    * stream of row-images keyed by doc_id (the compacted-CDC-topic /
+    * Debezium-after-image shape, the reference's dim-upsert sink
+    * semantics at lakehouse grain: gmall-realtime's
+    * DimSink/phoenix upsert, re-expressed as versioned MERGE): each
+    * micro-batch is merged copy-on-write into the snapshot store —
+    * matched keys replaced, new keys inserted, untouched files
+    * carried — as one tagged version. Idempotent under foreachBatch's
+    * at-least-once replay (the tag probe absorbs a re-delivered
+    * batch), bootstraps an empty store, and every planning/rewrite
+    * cost is batch-proportional: the metadata join prunes the rewrite
+    * set to the files the batch's keys can touch, never the corpus.
+    * Drain parity with sequential batch merges, last-wins across
+    * batches, and replay absorption are pinned in UpsertIngestSpec. */
+  def upsertIngest(spark: SparkSession, docs: Dataset[DocRow],
+      root: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.ScaleOps.snapshotMergeOnce(
+          spark, root, "doc_id", batch, s"batch:$batchId")
+        ()
+      }
+
   /** [[snapshotIngest]] WITH the derived view maintained in the same
     * pipeline: each micro-batch commits its tagged snapshot version,
     * then ScaleOps.changeFeedSync folds exactly the committed delta
