@@ -81,7 +81,8 @@ object Bench {
     "s09_cow_delete", "s10_compact_read",
     "c44_lsh_recall", "t38_derepetition", "s11_schema_evolution",
     "c45_lsh_tradeoff", "t39_mix_execute", "s12_ref_read",
-    "t40_classifier_eval", "s13_bloom_lookup", "s14_merge_upsert")
+    "t40_classifier_eval", "s13_bloom_lookup", "s14_merge_upsert",
+    "c46_span_scrub")
 
   /** Queries deliberately NOT timed, each for a stated reason — the
     * third leg of the coverage partition. The a-layer rows are

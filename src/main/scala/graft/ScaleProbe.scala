@@ -177,7 +177,8 @@ object ScaleProbe {
       "s12_ref_read" -> operators.ScaleOps.s12RefRead _,
       "t40_classifier_eval" -> operators.TextOps.t40ClassifierEval _,
       "s13_bloom_lookup" -> operators.ScaleOps.s13BloomLookup _,
-      "s14_merge_upsert" -> operators.ScaleOps.s14MergeUpsert _)
+      "s14_merge_upsert" -> operators.ScaleOps.s14MergeUpsert _,
+      "c46_span_scrub" -> operators.DedupOps.c46SpanScrub _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

@@ -1305,6 +1305,70 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** c46's span width (8 tokens, the decon grain) and the df
+    * threshold above which a span counts as cross-document
+    * repetition (any second document suffices). */
+  private val SCRUB_DF = 2
+
+  /** c46 — DUPLICATED-SPAN SCRUB: remove from every document each
+    * token covered by an 8-gram that occurs in ≥ SCRUB_DF distinct
+    * documents — the substring-grain removal of "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al. 2021)
+    * at n-gram resolution: c01/c02 drop whole near-dup documents and
+    * c31/c42 dedup storage chunks, but a mostly-novel document
+    * carrying a recycled boilerplate paragraph keeps the paragraph
+    * under all of those; this rewrites the document with the
+    * repeated spans excised (overlapping hot grams merge naturally —
+    * a position is kept unless SOME hot gram covers it).
+    *
+    * Scale shape: positional 8-gram hashes (one narrow codegen'd
+    * pass — longs, not strings, shuffle ~8 bytes/token), ONE
+    * ngram-grain exchange for the df table, a semi-join of the
+    * positional grams against the hot slice (both sides already
+    * partitioned by gram from the agg — exchange reuse), then one
+    * doc-grain aggregation of hot-gram start positions. The
+    * cover/rebuild step is per-row HOF arithmetic over (starts,
+    * tokens) — O(T · hot-starts) per doc, bounded by document
+    * length, no explode of covered positions. The md5 of the
+    * rebuilt text verifies the full output byte-for-byte without
+    * hauling long strings through the compare. */
+  def c46SpanScrub(s: SparkSession, d: String): DataFrame =
+    spanScrubOf(Tables.documents(s, d))
+
+  /** c46's core over any `(doc_id, text, …)` frame. */
+  private[graft] def spanScrubOf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
+      .withColumn("__toks", split(col("text"), "\\s+"))
+    val grams = docs
+      .where(size(col("__toks")) >= DECON_N)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(__toks) - $DECON_N), " +
+          s"i -> graft_h60(concat_ws(' ', slice(__toks, i + 1, $DECON_N))))")))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("g"))
+      .localCheckpoint() // feeds the df table AND the join-back
+    val hot = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") >= SCRUB_DF)
+      .select(col("g"))
+    val starts = grams.join(hot, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("i")).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("__starts",
+        coalesce(col("starts"), array().cast(ArrayType(IntegerType))))
+      .withColumn("__keep", expr(
+        s"filter(sequence(0, size(__toks) - 1), " +
+          s"p -> NOT exists(__starts, st -> st <= p AND p < st + $DECON_N))"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast(LongType).as("n_toks"),
+        (size(col("__toks")) - size(col("__keep"))).cast(LongType)
+          .as("n_removed"),
+        md5(expr(
+          "concat_ws(' ', transform(__keep, p -> element_at(__toks, p + 1)))"))
+          .as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** c39 — per-document n-gram NOVELTY (duplication density): for
     * every document, what fraction of its distinct 8-gram hashes
     * occurs in at least one OTHER document — the memorization-risk /
@@ -2058,6 +2122,7 @@ object DedupOps extends QueryModule {
     "c20_decon_consensus" -> c20DeconConsensus,
     "c38_multisuite_decon" -> c38MultiSuiteDecon,
     "c39_ngram_novelty" -> c39NgramNovelty,
+    "c46_span_scrub" -> c46SpanScrub,
     "c41_audit_sample" -> c41AuditSample,
     "c21_split_leakage" -> c21SplitLeakage,
     "c21b_split_repair" -> c21bSplitRepair,
@@ -2637,6 +2702,40 @@ object DedupOps extends QueryModule {
          |       string_agg(DISTINCT method, ',' ORDER BY method) AS methods
          |FROM m GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
+    },
+    // positional grams (NOT distinct — coverage needs every start),
+    // df over distinct docs, covered positions expanded, tokens
+    // rebuilt in position order; md5(coalesce(…, '')) matches
+    // concat_ws over an empty keep-list on the Spark side
+    "c46_span_scrub" -> {
+      val h = Portable.h60Sql(s"array_to_string(toks[i + 1:i + $DECON_N], ' ')")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, i, $h AS g
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(0, len(toks) - ${DECON_N - 1})) AS i
+         |        FROM t WHERE len(toks) >= $DECON_N)),
+         |hot AS (SELECT g FROM (
+         |  SELECT g, count(DISTINCT doc_id) AS df FROM gr GROUP BY g)
+         |  WHERE df >= $SCRUB_DF),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, unnest(range(i, i + $DECON_N)) AS p
+         |  FROM gr WHERE g IN (SELECT g FROM hot)),
+         |pos AS (
+         |  SELECT doc_id, unnest(range(0, len(toks))) AS p, toks FROM t),
+         |kept AS (
+         |  SELECT pos.doc_id, pos.p, pos.toks[CAST(pos.p + 1 AS INT)] AS tok
+         |  FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+         |  WHERE cov.p IS NULL)
+         |SELECT t.doc_id,
+         |  CAST(len(t.toks) AS BIGINT) AS n_toks,
+         |  CAST(len(t.toks) - count(k.p) AS BIGINT) AS n_removed,
+         |  md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '')) AS kept_md5
+         |FROM t LEFT JOIN kept k USING (doc_id)
+         |GROUP BY t.doc_id, len(t.toks)
+         |ORDER BY t.doc_id""".stripMargin
     },
     "c39_ngram_novelty" ->
       s"""WITH ng AS (${hashedNgramsSql(DECON_N)}),
