@@ -192,22 +192,38 @@ object ScaleOps extends QueryModule {
     * was produced — and because versions now SHARE files, expiring
     * an old version must not blindly delete its file list; that is
     * [[vacuumSnapshots]]' reference counting. */
+  /** Chain length bound: every CHECKPOINT_EVERY-th append (and every
+    * rewrite op — delete/merge/compact commit full listings anyway)
+    * materializes the resolved file list, so a read walks at most
+    * this many delta manifests — the Delta-log checkpoint cadence. */
+  private val CHECKPOINT_EVERY = 16L
+
   def appendSnapshot(s: SparkSession, root: String, df: DataFrame,
       statsCol: Option[String] = None, tag: Option[String] = None,
       statsBloom: Boolean = false): Long = {
     val vs = snapshotVersions(s, root)
-    // parent data lines carry their inline stats forward verbatim —
-    // an append never re-reads (or re-profiles) the parent's data.
-    // Growth bound: manifest N lists O(total live files) lines, so N
-    // un-vacuumed appends write O(N^2) total manifest lines. The
-    // standing remedy is the same as for file count: a vacuum cadence
-    // (keep the newest K) bounds live manifests to K x files, and a
-    // periodic compaction rewrite (publishSnapshot of readSnapshot)
-    // resets the file count itself. With vacuum every V batches the
-    // steady-state metadata is O(V x files) — flat over stream life.
-    val parent = vs.lastOption.map(v => manifestDataLines(s, root, v)).getOrElse(Nil)
-    commitVersion(s, root, df, parentLines = parent, statsCol, tag,
-      statsBloom = statsBloom)
+    // The append hot path writes a DELTA manifest: `#parent:<v>` plus
+    // only this batch's lines — O(batch) metadata per append instead
+    // of O(live files), and NO read of the parent manifest at all.
+    // Every CHECKPOINT_EVERY-th version writes the resolved full
+    // listing instead (parent lines carry their inline stats/Bloom
+    // fields forward verbatim — still never a re-read of parent
+    // DATA). Growth bound over N appends: O(N · batch-files) delta
+    // lines + O(N/C · live-files) checkpoint lines — linear in data
+    // appended, vs the O(N · live-files) = O(N²) of full listings
+    // every time. Vacuum bounds live manifests as before.
+    vs.lastOption match {
+      case Some(p) if (p + 1) % CHECKPOINT_EVERY != 0 =>
+        commitVersion(s, root, df, parentLines = Nil, statsCol, tag,
+          statsBloom = statsBloom, parentRef = Some(p))
+      case Some(p) =>
+        commitVersion(s, root, df,
+          parentLines = manifestDataLines(s, root, p), statsCol, tag,
+          statsBloom = statsBloom)
+      case None =>
+        commitVersion(s, root, df, parentLines = Nil, statsCol, tag,
+          statsBloom = statsBloom)
+    }
   }
 
   /** Batch-tagged IDEMPOTENT append — the streaming-sink commit
@@ -287,7 +303,10 @@ object ScaleOps extends QueryModule {
     * slot is decided. */
   private def commitVersion(s: SparkSession, root: String, df: DataFrame,
       parentLines: Seq[String], statsCol: Option[String],
-      tag: Option[String], statsBloom: Boolean = false): Long = {
+      tag: Option[String], statsBloom: Boolean = false,
+      parentRef: Option[Long] = None): Long = {
+    require(parentRef.isEmpty || parentLines.isEmpty,
+      "a delta manifest names its parent instead of carrying its lines")
     import org.apache.hadoop.fs.Path
     val rootP = new Path(root)
     val fs = fsOf(s, rootP)
@@ -336,7 +355,8 @@ object ScaleOps extends QueryModule {
         case _ => f
       }
     }
-    val text = (tag.toSeq.map(TAG_HEADER + _) ++ parentLines ++ newLines)
+    val text = (tag.toSeq.map(TAG_HEADER + _) ++
+      parentRef.toSeq.map(PARENT_HEADER + _) ++ parentLines ++ newLines)
       .mkString("\n")
     val tmp = new Path(rootP, s"_manifests/.tmp-v$next-$att")
     val out = fs.create(tmp, true)
@@ -350,17 +370,42 @@ object ScaleOps extends QueryModule {
     next
   }
 
+  private val PARENT_HEADER = "#parent:"
+
+  private def readManifestLines(s: SparkSession,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fsOf(s, p).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
   /** A committed version's manifest data lines (headers stripped),
-    * each `path` or `path\tmin\tmax` — the carry-forward unit for
-    * [[appendSnapshot]]. */
+    * each `path`, `path\tmin\tmax`, or `path\tmin\tmax\tbloom` — the
+    * carry-forward unit for rewrite commits.
+    *
+    * A DELTA manifest (`#parent:<v>` header, written by the
+    * streaming-append hot path) carries only its own batch's lines;
+    * resolution walks the parent chain, parent lines first — the
+    * Delta-log/Iceberg-manifest-list shape. The chain is bounded by
+    * [[CHECKPOINT_EVERY]] (every C-th append, and every rewrite op,
+    * commits a full listing), so a read opens ≤ C small files. A
+    * retained version whose chain crosses a vacuumed-away parent
+    * reads from the `v<N>.full` listing vacuum materialized before
+    * deleting the parent (pure cache: rename-committed, content ==
+    * the resolved chain). */
   private def manifestDataLines(s: SparkSession, root: String,
       v: Long): Seq[String] = {
-    val man = new org.apache.hadoop.fs.Path(root, s"_manifests/v$v.manifest")
-    val fs = fsOf(s, man)
-    val in = fs.open(man)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filterNot(_.startsWith("#")).toList
-    finally in.close()
+    import org.apache.hadoop.fs.Path
+    val fullP = new Path(root, s"_manifests/v$v.full")
+    if (fsOf(s, fullP).exists(fullP))
+      return readManifestLines(s, fullP).filterNot(_.startsWith("#"))
+    val lines = readManifestLines(s, new Path(root, s"_manifests/v$v.manifest"))
+    val own = lines.filterNot(_.startsWith("#"))
+    lines.find(_.startsWith(PARENT_HEADER))
+      .map(_.stripPrefix(PARENT_HEADER).toLong) match {
+      case Some(p) => manifestDataLines(s, root, p) ++ own
+      case None => own
+    }
   }
 
   /** A committed version's file list. */
@@ -585,6 +630,22 @@ object ScaleOps extends QueryModule {
       .flatMap(v => manifestFiles(s, root, v)).toSet
     val reclaim = expired.flatMap(v => manifestFiles(s, root, v))
       .distinct.filterNot(referenced)
+    // a retained DELTA manifest may chain through an expired parent:
+    // materialize its resolved `v<N>.full` listing FIRST (pure cache,
+    // rename-committed, idempotent — a crash here just re-runs), so
+    // deleting expired manifests can never orphan a retained read
+    if (expired.nonEmpty) retainedVs.foreach { v =>
+      val fullP = new Path(root, s"_manifests/v$v.full")
+      val manP = new Path(root, s"_manifests/v$v.manifest")
+      val isDelta = readManifestLines(s, manP).exists(_.startsWith(PARENT_HEADER))
+      if (isDelta && !fs.exists(fullP)) {
+        val tmp = new Path(root, s"_manifests/.tmp-v$v.full")
+        val out = fs.create(tmp, true)
+        try out.write(manifestDataLines(s, root, v).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        if (!fs.rename(tmp, fullP)) fs.delete(tmp, false)
+      }
+    }
     var bytes = 0L
     reclaim.foreach { f =>
       val p = new Path(f)
@@ -602,6 +663,7 @@ object ScaleOps extends QueryModule {
         fs.delete(relP, false)
       }
       fs.delete(new Path(root, s"_manifests/v$v.manifest"), false)
+      fs.delete(new Path(root, s"_manifests/v$v.full"), false)
       fs.delete(new Path(root, s"_manifests/v$v.stats"), false) // legacy sidecars
       fs.delete(new Path(root, s"_manifests/v$v.tag"), false)
     }
