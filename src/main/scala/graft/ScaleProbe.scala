@@ -178,7 +178,8 @@ object ScaleProbe {
       "t40_classifier_eval" -> operators.TextOps.t40ClassifierEval _,
       "s13_bloom_lookup" -> operators.ScaleOps.s13BloomLookup _,
       "s14_merge_upsert" -> operators.ScaleOps.s14MergeUpsert _,
-      "c46_span_scrub" -> operators.DedupOps.c46SpanScrub _)
+      "c46_span_scrub" -> operators.DedupOps.c46SpanScrub _,
+      "c47_scrub_accounting" -> operators.DedupOps.c47ScrubAccounting _)
 
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")

@@ -1369,6 +1369,33 @@ object DedupOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** c47 — SCRUB ACCOUNTING: the corpus-level ledger of what c46's
+    * span scrub would remove, per language — documents touched,
+    * tokens removed, and the integer per-mille share of the token
+    * budget lost — the before/after report a destructive rewrite
+    * owes (c43's dedup-adjusted accounting, at span grain): if one
+    * language loses 30% of its tokens to boilerplate, the t36 mix
+    * plan must re-weigh BEFORE training, not after. Cost: c46's
+    * pipeline plus one doc-grain join and a ≤|langs|-row rollup. */
+  def c47ScrubAccounting(s: SparkSession, d: String): DataFrame = {
+    val removed = spanScrubOf(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_removed"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("n_removed"), lit(0L)) > 0L, 1L).otherwise(0L))
+          .as("n_docs_touched"),
+        sum(col("n_tok")).as("tok_total"),
+        sum(coalesce(col("n_removed"), lit(0L))).as("tok_removed"))
+      .select(col("lang"), col("n_docs"), col("n_docs_touched"),
+        col("tok_total"), col("tok_removed"),
+        expr("(1000 * tok_removed) div tok_total").as("removed_x1000"))
+      .orderBy(col("lang"))
+  }
+
   /** c39 — per-document n-gram NOVELTY (duplication density): for
     * every document, what fraction of its distinct 8-gram hashes
     * occurs in at least one OTHER document — the memorization-risk /
@@ -2123,6 +2150,7 @@ object DedupOps extends QueryModule {
     "c38_multisuite_decon" -> c38MultiSuiteDecon,
     "c39_ngram_novelty" -> c39NgramNovelty,
     "c46_span_scrub" -> c46SpanScrub,
+    "c47_scrub_accounting" -> c47ScrubAccounting,
     "c41_audit_sample" -> c41AuditSample,
     "c21_split_leakage" -> c21SplitLeakage,
     "c21b_split_repair" -> c21bSplitRepair,
@@ -2736,6 +2764,37 @@ object DedupOps extends QueryModule {
          |FROM t LEFT JOIN kept k USING (doc_id)
          |GROUP BY t.doc_id, len(t.toks)
          |ORDER BY t.doc_id""".stripMargin
+    },
+    // c46's coverage replay without the rebuild: n_removed = covered
+    // positions per doc, rolled up per language with integer shares
+    "c47_scrub_accounting" -> {
+      val h = Portable.h60Sql(s"array_to_string(toks[i + 1:i + $DECON_N], ' ')")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id, i, $h AS g
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(0, len(toks) - ${DECON_N - 1})) AS i
+         |        FROM t WHERE len(toks) >= $DECON_N)),
+         |hot AS (SELECT g FROM (
+         |  SELECT g, count(DISTINCT doc_id) AS df FROM gr GROUP BY g)
+         |  WHERE df >= $SCRUB_DF),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, unnest(range(i, i + $DECON_N)) AS p
+         |  FROM gr WHERE g IN (SELECT g FROM hot)),
+         |rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+         |        FROM cov GROUP BY doc_id)
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN COALESCE(r.n_removed, 0) > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_docs_touched,
+         |  CAST(SUM(len(t.toks)) AS BIGINT) AS tok_total,
+         |  CAST(SUM(COALESCE(r.n_removed, 0)) AS BIGINT) AS tok_removed,
+         |  CAST((1000 * SUM(COALESCE(r.n_removed, 0))) // SUM(len(t.toks))
+         |    AS BIGINT) AS removed_x1000
+         |FROM t LEFT JOIN rem r USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin
     },
     "c39_ngram_novelty" ->
       s"""WITH ng AS (${hashedNgramsSql(DECON_N)}),
