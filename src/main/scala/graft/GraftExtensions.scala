@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.IntDot].getName, "graft_intdot"),
       (children: Seq[Expression]) => functions.IntDot(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_collapse_runs"),
+      new ExpressionInfo(classOf[functions.CollapseRuns].getName, "graft_collapse_runs"),
+      (children: Seq[Expression]) => functions.CollapseRuns(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_pqcodes"),
       new ExpressionInfo(classOf[functions.PqCodes].getName, "graft_pqcodes"),
       (children: Seq[Expression]) =>
