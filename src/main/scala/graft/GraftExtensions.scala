@@ -37,6 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.CollapseRuns].getName, "graft_collapse_runs"),
       (children: Seq[Expression]) => functions.CollapseRuns(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_scrub_spans"),
+      new ExpressionInfo(classOf[functions.ScrubSpans].getName, "graft_scrub_spans"),
+      (children: Seq[Expression]) =>
+        functions.ScrubSpans(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_h60"),
+      new ExpressionInfo(classOf[functions.GramH60].getName, "graft_gram_h60"),
+      (children: Seq[Expression]) =>
+        functions.GramH60(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_pqcodes"),
       new ExpressionInfo(classOf[functions.PqCodes].getName, "graft_pqcodes"),
       (children: Seq[Expression]) =>

@@ -119,23 +119,27 @@ object DedupOps extends QueryModule {
   /** [[shingleDocs]] over an arbitrary `(doc_id, text, …)` frame. */
   private[graft] def shingleDocsOf(docs: DataFrame, n: Int,
       hashed: Boolean): DataFrame = {
-    val shingle = s"concat_ws(' ', slice(toks, i + 1, $n))"
-    val elem = if (hashed) s"graft_h60($shingle)" else shingle
+    // Hashed grams go through the fused native kernel
+    // ([[graft.functions.GramH60]]) — bit-identical to the HOF form
+    // but without the per-gram interpreted lambda/slice/concat_ws
+    // tax on the corpus-wide scan; string shingles (hashed = false)
+    // keep the HOF (they exist only for small oracle-display faces).
+    val grams =
+      if (hashed) s"graft_gram_h60(toks, $n)"
+      else s"transform(sequence(0, size(toks) - $n), " +
+        s"i -> concat_ws(' ', slice(toks, i + 1, $n)))"
     docs
       .withColumn("toks", split(col("text"), "\\s+"))
       .where(size(col("toks")) >= n)
-      .select(col("doc_id"), array_distinct(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> $elem)"))
-        .as("shs"))
+      .select(col("doc_id"), array_distinct(expr(grams)).as("shs"))
   }
 
   /** Distinct hashed `n`-word shingles of a pre-split token column;
     * EMPTY array when the doc has < n tokens (the guarded twin of the
     * [[shingleDocsOf]] construction — same transform, one place). */
   private def hashedShingles(toksCol: String, n: Int): Column =
-    when(size(col(toksCol)) >= n, array_distinct(expr(
-      s"transform(sequence(0, size($toksCol) - $n), " +
-        s"i -> graft_h60(concat_ws(' ', slice($toksCol, i + 1, $n))))")))
+    when(size(col(toksCol)) >= n,
+      array_distinct(expr(s"graft_gram_h60($toksCol, $n)")))
       .otherwise(array().cast(ArrayType(LongType)))
 
   /** Adds a `shs` column (distinct hashed `n`-word shingles; EMPTY
@@ -1327,9 +1331,12 @@ object DedupOps extends QueryModule {
     * positional grams against the hot slice (both sides already
     * partitioned by gram from the agg — exchange reuse), then one
     * doc-grain aggregation of hot-gram start positions. The
-    * cover/rebuild step is per-row HOF arithmetic over (starts,
-    * tokens) — O(T · hot-starts) per doc, bounded by document
-    * length, no explode of covered positions. The md5 of the
+    * cover/rebuild step is the native `graft_scrub_spans` kernel
+    * ([[graft.functions.ScrubSpans]]): sorted starts + a two-pointer
+    * cover walk, O(n_toks + n_starts) per doc in one fused codegen'd
+    * loop (the interpreted `filter(sequence…, p -> NOT exists(…))`
+    * HOF it replaces re-scanned the starts per token — the same
+    * interpreter tax t38 escaped via CollapseRuns). The md5 of the
     * rebuilt text verifies the full output byte-for-byte without
     * hauling long strings through the compare. */
   def c46SpanScrub(s: SparkSession, d: String): DataFrame =
@@ -1342,8 +1349,7 @@ object DedupOps extends QueryModule {
     val grams = docs
       .where(size(col("__toks")) >= DECON_N)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(__toks) - $DECON_N), " +
-          s"i -> graft_h60(concat_ws(' ', slice(__toks, i + 1, $DECON_N))))")))
+        s"graft_gram_h60(__toks, $DECON_N)")))
       .select(col("doc_id"), col("pos").as("i"), col("col").as("g"))
       .localCheckpoint() // feeds the df table AND the join-back
     val hot = grams.groupBy(col("g"))
@@ -1356,16 +1362,13 @@ object DedupOps extends QueryModule {
     docs.join(starts, Seq("doc_id"), "left")
       .withColumn("__starts",
         coalesce(col("starts"), array().cast(ArrayType(IntegerType))))
-      .withColumn("__keep", expr(
-        s"filter(sequence(0, size(__toks) - 1), " +
-          s"p -> NOT exists(__starts, st -> st <= p AND p < st + $DECON_N))"))
+      .withColumn("__kept", expr(
+        s"graft_scrub_spans(__toks, __starts, $DECON_N)"))
       .select(col("doc_id"),
         size(col("__toks")).cast(LongType).as("n_toks"),
-        (size(col("__toks")) - size(col("__keep"))).cast(LongType)
+        (size(col("__toks")) - size(col("__kept"))).cast(LongType)
           .as("n_removed"),
-        md5(expr(
-          "concat_ws(' ', transform(__keep, p -> element_at(__toks, p + 1)))"))
-          .as("kept_md5"))
+        md5(concat_ws(" ", col("__kept"))).as("kept_md5"))
       .orderBy(col("doc_id"))
   }
 
