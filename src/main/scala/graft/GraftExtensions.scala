@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         functions.GramH60(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_rep_stats"),
+      new ExpressionInfo(classOf[functions.RepStats].getName, "graft_rep_stats"),
+      (children: Seq[Expression]) => functions.RepStats(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_pqcodes"),
       new ExpressionInfo(classOf[functions.PqCodes].getName, "graft_pqcodes"),
       (children: Seq[Expression]) =>

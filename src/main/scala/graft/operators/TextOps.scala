@@ -272,45 +272,30 @@ object TextOps extends QueryModule {
     * adds — shared by t08's select and the t25 annotator. */
   private def dupBigramFracExpr: Column =
     when(col("n_bigram") > 0,
-      (col("n_bigram") - size(array_distinct(col("bigrams"))).cast(LongType))
-        .cast(DoubleType) / col("n_bigram").cast(DoubleType))
+      col("n_dup_bigram").cast(DoubleType) / col("n_bigram").cast(DoubleType))
       .otherwise(lit(0.0))
 
   /** Adds the t08 repetition feature columns (toks, n_tok,
-    * n_distinct, top_tok_ct, bigrams, n_bigram) WITHOUT projecting —
-    * composable into wider one-pass scans (t25). */
+    * n_distinct, top_tok_ct, n_bigram, n_dup_bigram) WITHOUT
+    * projecting — composable into wider one-pass scans (t25). All
+    * five signals come from ONE fused native pass
+    * ([[graft.functions.RepStats]]); the HOF formulation it replaces
+    * (`aggregate(array_sort(toks), …)` for the top-token run plus a
+    * `transform(sequence(…))` bigram build and `array_distinct` over
+    * the built strings) was the top cold line of the whole bench and
+    * the per-row tax of the t25 one-pass annotator. Null text → null
+    * struct → null n_tok/n_bigram, exactly as before (the oracle's
+    * list_transform(range(1, NULL)) face). */
   private def withRepetitionFeatures(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", toks)
-      .withColumn("n_tok", size(col("toks")).cast(LongType))
-      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast(LongType))
-      // top token count = longest equal-run in the SORTED array: one
-      // O(n log n) pass instead of the O(distinct·n) nested
-      // filter-per-distinct-token (measured 2× faster at sf0.1; HOFs
-      // are interpreted, so the constant matters). Any total order
-      // groups equal tokens adjacently, so run length ≡ frequency.
-      .withColumn("top_tok_ct",
-        aggregate(array_sort(col("toks")),
-          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-          (acc, x) => {
-            val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
-              .otherwise(lit(1L))
-            struct(x.as("prev"), run.as("run"),
-              greatest(acc.getField("best"), run).as("best"))
-          },
-          acc => acc.getField("best")))
-      // sequence(1, n-1) would DESCEND for n_tok = 1 (Spark's sequence
-      // auto-reverses) — guard to an empty array; DuckDB's range(1, n)
-      // is already empty there. Null text stays NULL (not empty) so
-      // n_bigram matches the oracle's list_transform(range(1, NULL)).
-      .withColumn("bigrams",
-        when(col("text").isNull, lit(null).cast(ArrayType(StringType)))
-          .when(col("n_tok") >= 2,
-            transform(sequence(lit(1), (col("n_tok") - 1).cast(IntegerType)),
-              i => concat(element_at(col("toks"), i), lit(" "),
-                element_at(col("toks"), i + 1))))
-          .otherwise(array().cast(ArrayType(StringType))))
-      .withColumn("n_bigram", size(col("bigrams")).cast(LongType))
+      .withColumn("__rep", call_function("graft_rep_stats", col("toks")))
+      .withColumn("n_tok", col("__rep.n_tok"))
+      .withColumn("n_distinct", col("__rep.n_distinct"))
+      .withColumn("top_tok_ct", col("__rep.top_tok_ct"))
+      .withColumn("n_bigram", col("__rep.n_bigram"))
+      .withColumn("n_dup_bigram", col("__rep.n_dup_bigram"))
+      .drop("__rep")
 
   /** t25 — the ONE-PASS annotator: language ID (t01), quality score
     * (t02), winnowed fingerprint (t04), PII counts (t07's detectors
