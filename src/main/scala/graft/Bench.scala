@@ -82,7 +82,7 @@ object Bench {
     "c44_lsh_recall", "t38_derepetition", "s11_schema_evolution",
     "c45_lsh_tradeoff", "t39_mix_execute", "s12_ref_read",
     "t40_classifier_eval", "s13_bloom_lookup", "s14_merge_upsert",
-    "c46_span_scrub", "c47_scrub_accounting")
+    "c46_span_scrub", "c47_scrub_accounting", "s15_change_feed")
 
   /** Queries deliberately NOT timed, each for a stated reason — the
     * third leg of the coverage partition. The a-layer rows are
@@ -153,6 +153,7 @@ object Bench {
     operators.ScaleOps.ensureEvolutionStore(spark, sfDir)
     operators.ScaleOps.ensureBloomStore(spark, sfDir)
     operators.ScaleOps.ensureMergeStore(spark, sfDir)
+    operators.ScaleOps.ensureCdfStore(spark, sfDir)
     operators.MediaOps.buildPhashStore(spark, sfDir)
 
     val results = (headline ++ extras).map(n => n -> materialize(n))

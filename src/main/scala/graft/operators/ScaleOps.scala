@@ -300,11 +300,25 @@ object ScaleOps extends QueryModule {
     * and a loser removes only its OWN debris. Crash debris (an
     * attempt dir with no manifest) is invisible to readers and
     * reclaimed by [[vacuumSnapshots]]' orphan sweep once its version
-    * slot is decided. */
+    * slot is decided.
+    *
+    * `cdf` — the commit's CHANGE-DATA-FEED row sets `(inserted,
+    * deleted)`, the Delta CDF shape for rewrite commits whose file
+    * delta does NOT equal their row delta (delete/merge/compact;
+    * appends need none — their added files ARE their inserts). The
+    * change parquet lands attempt-private BEFORE the manifest
+    * rename; the winner renames it to `changes-v<N>` right after
+    * winning, so the only way a committed rewrite lacks its feed is
+    * a crash inside that one-rename window — and consumers
+    * ([[changeFeedSync]], [[readSnapshotChangeFeed]]) treat a
+    * missing feed as "fall back to the full read", never as "no
+    * changes" (an EMPTY committed feed, e.g. compaction's, means
+    * exactly no logical changes). */
   private def commitVersion(s: SparkSession, root: String, df: DataFrame,
       parentLines: Seq[String], statsCol: Option[String],
       tag: Option[String], statsBloom: Boolean = false,
-      parentRef: Option[Long] = None): Long = {
+      parentRef: Option[Long] = None,
+      cdf: Option[(DataFrame, DataFrame)] = None): Long = {
     require(parentRef.isEmpty || parentLines.isEmpty,
       "a delta manifest names its parent instead of carrying its lines")
     import org.apache.hadoop.fs.Path
@@ -355,6 +369,17 @@ object ScaleOps extends QueryModule {
         case _ => f
       }
     }
+    // change feed lands attempt-private BEFORE the commit point;
+    // repartition(1) forces a schema-carrying part file even for
+    // empty row sets (a bare empty write can emit no part files,
+    // which an empty-feed read could not re-infer a schema from)
+    val tmpCh = new Path(rootP, s".tmp-changes-v$next-$att")
+    cdf.foreach { case (ins, del) =>
+      ins.repartition(1).write.mode("overwrite")
+        .parquet(new Path(tmpCh, "ins").toString)
+      del.repartition(1).write.mode("overwrite")
+        .parquet(new Path(tmpCh, "del").toString)
+    }
     val text = (tag.toSeq.map(TAG_HEADER + _) ++
       parentRef.toSeq.map(PARENT_HEADER + _) ++ parentLines ++ newLines)
       .mkString("\n")
@@ -365,8 +390,15 @@ object ScaleOps extends QueryModule {
     if (!fs.rename(tmp, dst)) { // lost the commit race — clean own debris
       fs.delete(tmp, false)
       fs.delete(dataDir, true)
+      if (cdf.isDefined) fs.delete(tmpCh, true)
       throw new IllegalStateException(s"publish: lost the commit race for v$next")
     }
+    // committed: publish the feed under its version name (a crash in
+    // this window leaves a committed version without its feed —
+    // consumers fall back to the full read, documented above)
+    if (cdf.isDefined &&
+        !fs.rename(tmpCh, new Path(rootP, s"changes-v$next")))
+      fs.delete(tmpCh, true)
     next
   }
 
@@ -666,6 +698,9 @@ object ScaleOps extends QueryModule {
       fs.delete(new Path(root, s"_manifests/v$v.full"), false)
       fs.delete(new Path(root, s"_manifests/v$v.stats"), false) // legacy sidecars
       fs.delete(new Path(root, s"_manifests/v$v.tag"), false)
+      // an expired version's change feed goes with it — feed files
+      // are version-private (never shared), like release reports
+      fs.delete(new Path(root, s"changes-v$v"), true)
     }
     // Orphan sweep: attempt directories (`data-v<N>[-attempt]`) whose
     // version slot is already DECIDED (N <= last committed) and none
@@ -1012,6 +1047,68 @@ object ScaleOps extends QueryModule {
     else s.read.parquet(added: _*)
   }
 
+  /** The committed change feed of version `v`, if the commit wrote
+    * one: `(inserted, deleted)` row frames. None ⇒ the commit wrote
+    * no feed (appends don't need one; or the one-rename publish
+    * window crashed) — callers must fall back to a full read, never
+    * assume "no changes". An EMPTY pair (compaction) means exactly
+    * no logical changes. */
+  def snapshotChangeFiles(s: SparkSession, root: String,
+      v: Long): Option[(DataFrame, DataFrame)] = {
+    import org.apache.hadoop.fs.Path
+    val chP = new Path(root, s"changes-v$v")
+    if (!fsOf(s, chP).exists(chP)) None
+    else Some((s.read.parquet(new Path(chP, "ins").toString),
+      s.read.parquet(new Path(chP, "del").toString)))
+  }
+
+  /** CHANGE-DATA-FEED READ (the Delta `table_changes` shape): every
+    * row the store inserted or deleted over `(vFrom, vTo]`, tagged
+    * `_change_type` ('insert' | 'delete') and `_commit_version`. Per
+    * hop, in preference order: a PURE APPEND (parent files ⊆ child
+    * files) reads only the added files as inserts — free at file
+    * grain, no feed needed; a rewrite hop with a committed feed
+    * ([[snapshotChangeFiles]]) reads exactly the feed — work
+    * proportional to the hop's ROW delta even when its file delta is
+    * the whole store (the s08 fallback this closes); a rewrite hop
+    * with no feed (pre-feed history, or the publish-window crash)
+    * throws — the caller decides between [[s04SnapshotDiff]]'s
+    * content diff and a full re-read, because both cost a corpus
+    * scan this API exists to avoid. An update is decomposed as
+    * delete(preimage) + insert(postimage) in the SAME commit
+    * version. */
+  def readSnapshotChangeFeed(s: SparkSession, root: String,
+      vFrom: Long, vTo: Long): DataFrame = {
+    val vs = snapshotVersions(s, root)
+    require(vs.contains(vFrom) && vs.contains(vTo),
+      s"versions v$vFrom, v$vTo must both be committed (have ${vs.mkString(",")})")
+    require(vFrom <= vTo, s"change-feed read runs forward (v$vFrom > v$vTo)")
+    val hops = vs.filter(v => v > vFrom && v <= vTo)
+    val empty = readSnapshot(s, root, Some(vTo)).limit(0)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(0L))
+    hops.foldLeft(empty) { (acc, v) =>
+      val parent = vs.filter(_ < v).last
+      val pureAppend = manifestFiles(s, root, parent).toSet
+        .subsetOf(manifestFiles(s, root, v).toSet)
+      val hopRows =
+        if (pureAppend)
+          readSnapshotChanges(s, root, parent, v)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+        else snapshotChangeFiles(s, root, v) match {
+          case Some((ins, del)) =>
+            ins.withColumn("_change_type", lit("insert"))
+              .unionByName(del.withColumn("_change_type", lit("delete")))
+              .withColumn("_commit_version", lit(v))
+          case None => throw new IllegalStateException(
+            s"v$v is a rewrite with no committed change feed; " +
+              "read the versions directly (s04 content diff) instead")
+        }
+      acc.unionByName(hopRows)
+    }
+  }
+
   /** COPY-ON-WRITE row-level DELETE: commit a new version whose
     * content is the latest version's minus rows with `colName` in
     * `[lo, hi]`, rewriting ONLY the files whose zone-map interval
@@ -1048,11 +1145,13 @@ object ScaleOps extends QueryModule {
     if (touched.isEmpty) return v
     // NULLs are outside every range: keep them (a bare NOT BETWEEN
     // would silently delete null-keyed rows through three-valued logic)
-    val kept = s.read.parquet(touched.map(_.split('\t')(0)): _*)
-      .filter(col(colName).isNull ||
-        !(col(colName) >= lo && col(colName) <= hi))
+    val base = s.read.parquet(touched.map(_.split('\t')(0)): _*)
+    val kept = base.filter(col(colName).isNull ||
+      !(col(colName) >= lo && col(colName) <= hi))
+    val dropped = base.filter(col(colName) >= lo && col(colName) <= hi)
     commitVersion(s, root, kept, parentLines = untouched,
-      statsCol = Some(colName), tag = None)
+      statsCol = Some(colName), tag = None,
+      cdf = Some((kept.limit(0), dropped)))
   }
 
   /** COPY-ON-WRITE MERGE (upsert) as a snapshot version — the
@@ -1121,12 +1220,17 @@ object ScaleOps extends QueryModule {
     }
     if (touched.isEmpty)
       return commitVersion(s, root, updates, parentLines = untouched,
-        statsCol = bounds.headOption.map(_ => keyCol), tag)
+        statsCol = bounds.headOption.map(_ => keyCol), tag,
+        cdf = Some((updates, updates.limit(0))))
     val base = s.read.parquet(touched.map(_.split('\t')(0)): _*)
     val survivors = base.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+    // CDF decomposes an update into delete(preimage) + insert(row):
+    // replaced = touched-file rows whose key a batch row matches
+    val replaced = base.join(updates.select(col(keyCol)), Seq(keyCol), "left_semi")
     commitVersion(s, root, survivors.unionByName(updates),
       parentLines = untouched,
-      statsCol = bounds.headOption.map(_ => keyCol), tag)
+      statsCol = bounds.headOption.map(_ => keyCol), tag,
+      cdf = Some((updates, replaced)))
   }
 
   /** Batch-tagged IDEMPOTENT merge — [[snapshotAppendOnce]]'s
@@ -1186,7 +1290,10 @@ object ScaleOps extends QueryModule {
         .repartitionByRange(nOut, col(c))
       case None => s.read.parquet(smallFiles: _*).coalesce(nOut)
     }
-    commitVersion(s, root, packed, parentLines = big, statsCol, tag = None)
+    // compaction changes no rows: an EMPTY committed feed, so
+    // incremental consumers fold nothing instead of recomputing
+    commitVersion(s, root, packed, parentLines = big, statsCol, tag = None,
+      cdf = Some((packed.limit(0), packed.limit(0))))
   }
 
   /** Full-recompute counter: test instrumentation pinning that
@@ -1198,14 +1305,20 @@ object ScaleOps extends QueryModule {
     * maintain a derived per-language (n_docs, n_chars) profile of
     * the store at `outDir`, folding in only what each new version
     * ADDED. Each call reads the committed state, walks the versions
-    * past it, and for every PURE-APPEND hop (parent's file set ⊆
+    * past it, and per hop: a PURE APPEND (parent's file set ⊆
     * child's — one metadata containment check, the s08 cue) folds
-    * just the added files' profile; a rewrite/delete/compaction hop
-    * (or a cursor already vacuumed from the store) recomputes from
-    * the full version read — correct either way, only cost differs.
-    * This is the materialized-view maintenance loop every derived
-    * table at 100 TB runs: per sync, work proportional to the DELTA,
-    * not the corpus, as long as the store only appends.
+    * just the added files' profile; a rewrite hop with a COMMITTED
+    * CHANGE FEED ([[snapshotChangeFiles]] — every delete/merge/
+    * compact commit writes one) folds the feed's inserted rows in
+    * and deleted rows out (a signed fold; compaction's empty feed
+    * folds nothing); only a feed-less rewrite (pre-feed history, the
+    * publish-window crash, or a cursor already vacuumed from the
+    * store) recomputes from the full version read — correct either
+    * way, only cost differs, and the recompute counter pins that the
+    * fallback stays rare. This is the materialized-view maintenance
+    * loop every derived table at 100 TB runs: per sync, work
+    * proportional to the DELTA, not the corpus — now across EVERY
+    * hop kind, not just appends.
     *
     * State commits use the store's own discipline: the new profile
     * lands under a temp dir, then ONE rename to `state-v<N>` is the
@@ -1245,13 +1358,25 @@ object ScaleOps extends QueryModule {
       val pureAppend = prev.exists(p =>
         manifestFiles(s, root, p).toSet
           .subsetOf(manifestFiles(s, root, v).toSet))
+      // signed fold: additive profiles subtract cleanly, and a lang
+      // whose docs all vanish drops out (matching a recompute)
+      def fold(deltas: DataFrame): DataFrame =
+        state.withColumn("__sign", lit(1L)).unionByName(deltas)
+          .groupBy(col("lang"))
+          .agg(sum(col("n_docs") * col("__sign")).as("n_docs"),
+            sum(col("n_chars") * col("__sign")).as("n_chars"))
+          .where(col("n_docs") > 0)
       state =
         if (pureAppend)
-          state.unionByName(profile(readSnapshotChanges(s, root, prev.get, v)))
-            .groupBy(col("lang"))
-            .agg(sum(col("n_docs")).as("n_docs"),
-              sum(col("n_chars")).as("n_chars"))
-        else { // bootstrap (no cursor) is a full read by nature, not a fallback
+          fold(profile(readSnapshotChanges(s, root, prev.get, v))
+            .withColumn("__sign", lit(1L)))
+        else if (prev.isDefined && snapshotChangeFiles(s, root, v).isDefined) {
+          // rewrite hop WITH a committed feed: work ∝ the hop's row
+          // delta (delete/merge/compact never recompute the corpus)
+          val (ins, del) = snapshotChangeFiles(s, root, v).get
+          fold(profile(ins).withColumn("__sign", lit(1L))
+            .unionByName(profile(del).withColumn("__sign", lit(-1L))))
+        } else { // bootstrap (no cursor) is a full read by nature, not a fallback
           if (prev.isDefined) syncRecomputes.incrementAndGet()
           profile(readSnapshot(s, root, Some(v)))
         }
@@ -1501,6 +1626,69 @@ object ScaleOps extends QueryModule {
         sum(col("n_chars")).cast(LongType).as("sum_chars"),
         sum(length(col("text"))).cast(LongType).as("text_chars"))
       .orderBy(col("lang"), col("source"))
+
+  /** Build-once fixture for s15 (own store): the mixed history every
+    * long-lived table accumulates — v1 = publish of the lower id
+    * half, v2 = append of the rest, v3 = copy-on-write delete of the
+    * [25%, 35%] slice, v4 = merge of [[mergeBatch]] (updates +
+    * inserts), v5 = compaction — so the change feed crosses one hop
+    * of every commit kind. Drift-token guarded. */
+  private[graft] def ensureCdfStore(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = snapRoot(s, d) + "_cdf"
+    val tokP = new Path(root, "_token")
+    val fs = fsOf(s, tokP)
+    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(root), true)
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max(col("doc_id")))
+        .collect()(0).getLong(0) // bounded: one row
+      def ranged(df: DataFrame): DataFrame =
+        df.repartitionByRange(SNAP_FILES, col("doc_id"))
+      publishSnapshot(s, root, ranged(docs.filter(col("doc_id") <= mx / 2)),
+        statsCol = Some("doc_id"))
+      appendSnapshot(s, root, ranged(docs.filter(col("doc_id") > mx / 2)),
+        statsCol = Some("doc_id"))
+      deleteFromSnapshot(s, root, "doc_id", mx * 25 / 100, mx * 35 / 100)
+      mergeIntoSnapshot(s, root, "doc_id", mergeBatch(s, d, mx))
+      val total = manifestFiles(s, root, 4L)
+        .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+      compactSnapshot(s, root, math.max(1L, total / 4), Some("doc_id"))
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    root
+  }
+
+  /** s15 — CHANGE-DATA-FEED READ over the mixed history: every row
+    * the store inserted or deleted across the delete (v3), merge
+    * (v4) and compaction (v5) hops, rolled up per (version,
+    * change_type). The oracle replays each hop's row delta
+    * relationally over the raw corpus — the delete slice, the
+    * merge's replaced preimages, the merge batch itself, and NO v5
+    * rows (compaction's committed feed is empty) — so value equality
+    * proves the per-commit feeds carry EXACTLY each rewrite's row
+    * delta: the guarantee that lets an incremental consumer fold
+    * every hop kind without ever re-scanning the corpus (the s08
+    * fallback this closes). */
+  def s15ChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val root = ensureCdfStore(s, d)
+    readSnapshotChangeFeed(s, root, 2L, 5L)
+      .groupBy(col("_commit_version").as("version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("text"))).cast(LongType).as("n_chars"),
+        sum(col("doc_id")).cast(LongType).as("sum_id"))
+      .orderBy(col("version"), col("change_type"))
+  }
 
   /** Build-once fixture for s10 (own store): the small-file history
     * streaming ingest produces — v1/v2/v3 = three range-clustered
@@ -1846,7 +2034,8 @@ object ScaleOps extends QueryModule {
     "s11_schema_evolution" -> s11SchemaEvolution,
     "s12_ref_read" -> s12RefRead,
     "s13_bloom_lookup" -> s13BloomLookup,
-    "s14_merge_upsert" -> s14MergeUpsert)
+    "s14_merge_upsert" -> s14MergeUpsert,
+    "s15_change_feed" -> s15ChangeFeed)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   /** s07's oracle: the four faces' own oracle SQLs composed verbatim
@@ -2052,5 +2241,35 @@ object ScaleOps extends QueryModule {
         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |       CAST(SUM(length(text)) AS BIGINT) AS text_chars
-        |FROM merged GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+        |FROM merged GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // each rewrite hop's row delta replayed relationally: v3 deletes
+    // the [25%, 35%] slice, v4 deletes the merge's replaced
+    // preimages ([45%, 55%], disjoint from the deleted slice) and
+    // inserts the whole batch, v5 (compaction) contributes no rows
+    "s15_change_feed" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |del3 AS (
+        |  SELECT doc_id, text FROM documents, mx
+        |  WHERE doc_id >= mx.m * 25 // 100 AND doc_id <= mx.m * 35 // 100),
+        |del4 AS (
+        |  SELECT doc_id, text FROM documents, mx
+        |  WHERE doc_id >= mx.m * 45 // 100 AND doc_id <= mx.m * 55 // 100),
+        |ins4 AS (
+        |  SELECT doc_id, 'U:' || text AS text FROM del4
+        |  UNION ALL
+        |  SELECT CAST(x AS BIGINT) AS doc_id,
+        |         'new doc ' || CAST(x AS VARCHAR) AS text
+        |  FROM (SELECT unnest(range(m + 1, m + 2 + m // 50)) AS x FROM mx))
+        |SELECT CAST(version AS BIGINT) AS version, change_type,
+        |       CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(sum_id AS BIGINT) AS sum_id
+        |FROM (
+        |  SELECT 3 AS version, 'delete' AS change_type, count(*) AS n_rows,
+        |         SUM(length(text)) AS n_chars, SUM(doc_id) AS sum_id FROM del3
+        |  UNION ALL
+        |  SELECT 4, 'delete', count(*), SUM(length(text)), SUM(doc_id) FROM del4
+        |  UNION ALL
+        |  SELECT 4, 'insert', count(*), SUM(length(text)), SUM(doc_id) FROM ins4)
+        |ORDER BY version, change_type""".stripMargin)
 }

@@ -4,10 +4,11 @@ import graft.SparkSpec
 import org.apache.hadoop.fs.Path
 
 /** Incremental downstream consumer over the snapshot change feed:
-  * pure appends fold only the file delta (counter-pinned), rewrite
-  * and delete hops fall back to a full recompute, state commits are
-  * crash-safe, and the derived profile always equals the batch
-  * profile of the synced version. */
+  * pure appends fold only the file delta, delete/merge/compact hops
+  * fold their committed change feeds (both counter-pinned — zero
+  * recomputes), only a feed-less rewrite falls back to a full
+  * recompute, state commits are crash-safe, and the derived profile
+  * always equals the batch profile of the synced version. */
 class ChangeFeedSyncSpec extends SparkSpec {
   import spark.implicits._
 
@@ -58,14 +59,15 @@ class ChangeFeedSyncSpec extends SparkSpec {
     assert(state(out) === batchProfile(root))
   }
 
-  test("a rewrite hop falls back to full recompute and stays correct") {
+  test("a feed-less rewrite hop falls back to full recompute and stays correct") {
     val root = freshDir("rw")
     val out = freshDir("rw_out")
     fs(root).delete(new Path(root), true)
     fs(out).delete(new Path(out), true)
     ScaleOps.publishSnapshot(spark, root, docs((1L, "en", "hello")))
     ScaleOps.changeFeedSync(spark, root, out)
-    // a compaction-style rewrite: parent's files are NOT a subset
+    // a full re-publish writes no change feed: parent's files are NOT
+    // a subset and there is nothing to fold — the documented fallback
     ScaleOps.publishSnapshot(spark, root,
       docs((1L, "en", "hello"), (2L, "zh", "ni hao")))
     val c0 = ScaleOps.syncRecomputes.get()
@@ -74,7 +76,7 @@ class ChangeFeedSyncSpec extends SparkSpec {
     assert(state(out) === batchProfile(root))
   }
 
-  test("a copy-on-write delete hop recomputes and drops the deleted rows") {
+  test("a copy-on-write delete hop folds its change feed — no recompute") {
     val root = freshDir("del")
     val out = freshDir("del_out")
     fs(root).delete(new Path(root), true)
@@ -87,8 +89,73 @@ class ChangeFeedSyncSpec extends SparkSpec {
     ScaleOps.deleteFromSnapshot(spark, root, "doc_id", 2L, 2L)
     val c0 = ScaleOps.syncRecomputes.get()
     assert(ScaleOps.changeFeedSync(spark, root, out) === Seq(2L))
-    assert(ScaleOps.syncRecomputes.get() === c0 + 1)
+    assert(ScaleOps.syncRecomputes.get() === c0)
     assert(state(out) === batchProfile(root))
+  }
+
+  test("a mixed append/delete/merge/compact history syncs with ZERO recomputes") {
+    val root = freshDir("mix")
+    val out = freshDir("mix_out")
+    fs(root).delete(new Path(root), true)
+    fs(out).delete(new Path(out), true)
+    def ranged(df: org.apache.spark.sql.DataFrame) =
+      df.repartitionByRange(2, org.apache.spark.sql.functions.col("doc_id"))
+    ScaleOps.publishSnapshot(spark, root,
+      ranged(docs((1L, "en", "one"), (2L, "de", "zwei"), (3L, "en", "three"))),
+      statsCol = Some("doc_id"))
+    ScaleOps.changeFeedSync(spark, root, out) // bootstrap (not a fallback)
+    val c0 = ScaleOps.syncRecomputes.get()
+    // v2 append, v3 delete, v4 merge (update id 3 + insert id 9),
+    // v5 compact — then ONE sync folds every hop kind
+    ScaleOps.appendSnapshot(spark, root,
+      ranged(docs((4L, "fr", "quatre"), (5L, "de", "fuenf"))),
+      statsCol = Some("doc_id"))
+    ScaleOps.deleteFromSnapshot(spark, root, "doc_id", 2L, 2L)
+    ScaleOps.mergeIntoSnapshot(spark, root, "doc_id",
+      docs((3L, "en", "three updated"), (9L, "zh", "jiu")))
+    val v5 = ScaleOps.compactSnapshot(spark, root, targetBytes = 1L << 30,
+      statsCol = Some("doc_id"))
+    assert(v5 === 5L) // tiny files: the compaction genuinely rewrote
+    assert(ScaleOps.changeFeedSync(spark, root, out) === Seq(2L, 3L, 4L, 5L))
+    assert(ScaleOps.syncRecomputes.get() === c0)
+    assert(state(out) === batchProfile(root))
+    // a lang whose only doc was deleted must drop out of the profile
+    ScaleOps.deleteFromSnapshot(spark, root, "doc_id", 9L, 9L)
+    assert(ScaleOps.changeFeedSync(spark, root, out) === Seq(6L))
+    assert(ScaleOps.syncRecomputes.get() === c0)
+    assert(state(out) === batchProfile(root))
+    assert(!state(out).exists(_._1 == "zh"))
+  }
+
+  test("the change-feed read returns each rewrite's exact row delta") {
+    import org.apache.spark.sql.functions.col
+    val root = freshDir("cfr")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root,
+      docs((1L, "en", "one"), (2L, "de", "zwei"))
+        .repartitionByRange(2, col("doc_id")),
+      statsCol = Some("doc_id"))
+    ScaleOps.appendSnapshot(spark, root, docs((3L, "fr", "trois")),
+      statsCol = Some("doc_id"))
+    ScaleOps.deleteFromSnapshot(spark, root, "doc_id", 2L, 2L)
+    ScaleOps.mergeIntoSnapshot(spark, root, "doc_id",
+      docs((3L, "fr", "trois bis"), (7L, "zh", "qi")))
+    val feed = ScaleOps.readSnapshotChangeFeed(spark, root, 1L, 4L)
+      .select("_commit_version", "_change_type", "doc_id", "text")
+      .as[(Long, String, Long, String)].collect().sorted.toSeq
+    assert(feed === Seq(
+      (2L, "insert", 3L, "trois"),        // the appended file's rows
+      (3L, "delete", 2L, "zwei"),         // the deleted slice
+      (4L, "delete", 3L, "trois"),        // merge preimage
+      (4L, "insert", 3L, "trois bis"),    // merge postimage
+      (4L, "insert", 7L, "qi")))          // merge insert
+    // pre-feed rewrites refuse instead of answering wrong: fake one
+    // by removing the committed feed
+    fs(root).delete(new Path(root, "changes-v3"), true)
+    val e = intercept[IllegalStateException] {
+      ScaleOps.readSnapshotChangeFeed(spark, root, 1L, 4L).count()
+    }
+    assert(e.getMessage.contains("no committed change feed"))
   }
 
   test("crash debris (state written, rename never reached) is invisible and reclaimed") {
