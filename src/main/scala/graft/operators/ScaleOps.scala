@@ -215,14 +215,15 @@ object ScaleOps extends QueryModule {
     vs.lastOption match {
       case Some(p) if (p + 1) % CHECKPOINT_EVERY != 0 =>
         commitVersion(s, root, df, parentLines = Nil, statsCol, tag,
-          statsBloom = statsBloom, parentRef = Some(p))
+          statsBloom = statsBloom, parentRef = Some(p),
+          expectParent = Some(p))
       case Some(p) =>
         commitVersion(s, root, df,
           parentLines = manifestDataLines(s, root, p), statsCol, tag,
-          statsBloom = statsBloom)
+          statsBloom = statsBloom, expectParent = Some(p))
       case None =>
         commitVersion(s, root, df, parentLines = Nil, statsCol, tag,
-          statsBloom = statsBloom)
+          statsBloom = statsBloom, expectParent = Some(0L))
     }
   }
 
@@ -236,21 +237,37 @@ object ScaleOps extends QueryModule {
     * simply ignores — its attempt directory is unique, so the retry
     * never collides with debris or with a racing winner.
     *
-    * The replay probe reads ONE manifest header line — O(1)
-    * filesystem round-trips per micro-batch regardless of stream age
-    * (the round-7 O(versions)-per-batch finding). Checking only the
-    * tail is sufficient because foreachBatch replays are strictly
-    * sequential: batch N is retried only until its commit is
-    * checkpointed, and batch N+1 cannot start before that, so a
-    * replayed tag can only ever be the latest committed version's.
+    * The replay probe is [[lastCommittedTag]]: one header line per
+    * manifest, walking back only past UNTAGGED maintenance commits —
+    * O(1) per micro-batch in steady state (the round-7
+    * O(versions)-per-batch finding), and immune to a compact/delete/
+    * merge landing between a batch's commit and its at-least-once
+    * replay (the round-8 tail-only-probe finding). Sequential
+    * foreachBatch replays make the newest TAGGED version the only
+    * one a replayed tag can match.
     * One version per micro-batch; version-count and manifest-line
     * growth are [[vacuumSnapshots]]' standing remedy, exactly like
     * compact() for small files. */
   def snapshotAppendOnce(s: SparkSession, root: String, df: DataFrame,
       tag: String, statsCol: Option[String] = None): Option[Long] =
-    if (snapshotVersions(s, root).lastOption
-        .exists(v => manifestTag(s, root, v).contains(tag))) None
+    if (lastCommittedTag(s, root).contains(tag)) None
     else Some(appendSnapshot(s, root, df, statsCol, Some(tag)))
+
+  /** The LAST TAGGED version's tag: the replay probe for the
+    * idempotent sinks. Scans backwards past UNTAGGED versions —
+    * maintenance commits (delete/merge/compact/vacuum cadence ops)
+    * are untagged, so one landing between a batch's commit and its
+    * at-least-once replay must not hide the batch's tag (a bare
+    * tail-only probe would re-append the batch, silently duplicating
+    * data). Still O(1 + maintenance-since-last-batch) header reads —
+    * streams tag every batch, so the walk is one or two manifests in
+    * steady state, and each probe reads ONE header line. Sequential
+    * foreachBatch replays make the first tagged hit sufficient: a
+    * replayed tag can only be the newest tagged version's. */
+  private def lastCommittedTag(s: SparkSession, root: String): Option[String] =
+    snapshotVersions(s, root).reverseIterator
+      .map(v => manifestTag(s, root, v))
+      .collectFirst { case Some(t) => t }
 
   /** Tags of all COMMITTED versions, in version order — an O(versions)
     * inspection helper (audits, tests); the per-batch replay check in
@@ -318,7 +335,8 @@ object ScaleOps extends QueryModule {
       parentLines: Seq[String], statsCol: Option[String],
       tag: Option[String], statsBloom: Boolean = false,
       parentRef: Option[Long] = None,
-      cdf: Option[(DataFrame, DataFrame)] = None): Long = {
+      cdf: Option[(DataFrame, DataFrame)] = None,
+      expectParent: Option[Long] = None): Long = {
     require(parentRef.isEmpty || parentLines.isEmpty,
       "a delta manifest names its parent instead of carrying its lines")
     import org.apache.hadoop.fs.Path
@@ -387,7 +405,34 @@ object ScaleOps extends QueryModule {
     val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
     val dst = new Path(rootP, s"_manifests/v$next.manifest")
-    if (!fs.rename(tmp, dst)) { // lost the commit race — clean own debris
+    // The commit point, with OPTIMISTIC CONFLICT DETECTION (the
+    // Delta-log commit shape). Two hazards, both closed here:
+    //  1. slot clobber — on HDFS-like stores rename-to-existing
+    //     returns false, so the slot naturally takes one winner, but
+    //     local filesystems inherit POSIX rename's silent OVERWRITE;
+    //     the per-root JVM lock plus exists-check restores
+    //     exactly-one-winner for same-process racers (streaming
+    //     sinks + maintenance ops share a JVM here). Cross-JVM
+    //     writers need the store's atomic no-overwrite rename (HDFS)
+    //     or a CAS log (object stores).
+    //  2. lost update — a commit planned against parent P whose
+    //     manifest carries P's lines (or a #parent:P ref) silently
+    //     DROPS any version that landed after P, even when its own
+    //     slot is free (merge plans vs v1, append commits v2, merge
+    //     wins v3 → v2's files vanish from the lineage). `expectParent`
+    //     re-checks, inside the lock, that the version the caller
+    //     planned against is still the latest; a moved head loses.
+    // A loser cleans only its OWN debris and throws — callers retry
+    // the operation, which replans against the new head and re-lands
+    // the batch's data under a fresh attempt id (no loss, no orphan).
+    val won = ScaleOps.commitLocks
+      .computeIfAbsent(rootP.toUri.toString, _ => new Object)
+      .synchronized {
+        expectParent.forall(
+          _ == snapshotVersions(s, root).lastOption.getOrElse(0L)) &&
+          !fs.exists(dst) && fs.rename(tmp, dst)
+      }
+    if (!won) { // lost the commit race — clean own debris
       fs.delete(tmp, false)
       fs.delete(dataDir, true)
       if (cdf.isDefined) fs.delete(tmpCh, true)
@@ -401,6 +446,15 @@ object ScaleOps extends QueryModule {
       fs.delete(tmpCh, true)
     next
   }
+
+  /** Per-store commit-point locks (same-JVM exactly-one-winner; see
+    * the commit-point note in [[commitVersion]]). */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Orphan-sweep grace for release attempt dirs (Delta's vacuum
+    * retention idea at a publish-window scale). */
+  private val RELEASE_SWEEP_GRACE_MS = 15L * 60 * 1000
 
   private val PARENT_HEADER = "#parent:"
 
@@ -471,15 +525,19 @@ object ScaleOps extends QueryModule {
   /** The key's BLOOM_K set-bit positions as a Column: disjoint 13-bit
     * windows of one xxhash64 — ONE hash evaluation per row, positions
     * sliced from it (the standard double-hash-free scheme for small
-    * K). A NULL key yields a NULL array (explode drops it): null keys
-    * set no bits, and an equality lookup can never match null anyway.
-    * Lookup-side positions are computed by evaluating THIS SAME
-    * expression (see [[bloomKeyPositions]]), so publish and probe
-    * cannot diverge on hash semantics by construction. */
+    * K). NULL keys genuinely set no bits — the explicit isNull guard
+    * matters because xxhash64(NULL) is NOT null (it returns the
+    * seed), which would silently pin one fixed bit pattern into
+    * every null-holding file; a NULL array explode-drops instead,
+    * and an equality lookup can never match null anyway. Lookup-side
+    * positions are computed by evaluating THIS SAME expression (see
+    * [[bloomKeyPositions]]), so publish and probe cannot diverge on
+    * hash semantics by construction. */
   private def bloomPosArray(key: Column): Column =
-    array((0 until BLOOM_K).map { i =>
-      shiftrightunsigned(xxhash64(key), i * 13).bitwiseAND(lit(BLOOM_BITS - 1L))
-    }: _*)
+    when(key.isNull, lit(null).cast(ArrayType(LongType)))
+      .otherwise(array((0 until BLOOM_K).map { i =>
+        shiftrightunsigned(xxhash64(key), i * 13).bitwiseAND(lit(BLOOM_BITS - 1L))
+      }: _*))
 
   /** Set-bit positions → fixed-width hex (64 longs, big-endian per
     * long), the manifest's 4th tab field. */
@@ -553,6 +611,10 @@ object ScaleOps extends QueryModule {
           blooms.get(f).forall(bloomTest(_, posOf(k)))
       }
     }
+    // an empty store (a delete can rewrite the last file away) has
+    // no footer to borrow a schema from — surface that, don't NPE
+    require(files.nonEmpty,
+      s"snapshot v$v lists no data files; key lookup has no schema source")
     val base = if (kept.nonEmpty) s.read.parquet(kept: _*)
       // every file proven key-free: one footer for the schema, 0 rows
       else s.read.parquet(files.head).limit(0)
@@ -647,7 +709,8 @@ object ScaleOps extends QueryModule {
     * whose re-vacuum is a no-op for already-deleted files). Returns
     * (files deleted, bytes reclaimed). Destructive — the dry-run
     * accounting that should run first is [[s05VacuumPlan]]. */
-  def vacuumSnapshots(s: SparkSession, root: String, keep: Int): (Long, Long) = {
+  def vacuumSnapshots(s: SparkSession, root: String, keep: Int,
+      releaseGraceMs: Long = RELEASE_SWEEP_GRACE_MS): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     require(keep >= 1, "vacuum must retain at least one version")
     val fs = fsOf(s, new Path(root))
@@ -718,9 +781,18 @@ object ScaleOps extends QueryModule {
       fs.listStatus(new Path(root)).filter(_.isDirectory).foreach { d =>
         d.getPath.getName match {
           case dataDirRe(vStr, _) if vStr.toLong <= last =>
+            // a RELEASE attempt legitimately targets an already-
+            // committed version, so "N <= last" cannot prove it dead
+            // the way it does for data attempts (always at last+1).
+            // An mtime grace period keeps the sweep off in-flight
+            // release publishes; publishRelease ALSO re-verifies its
+            // files after the pointer rename — belt and braces.
+            val young = d.getPath.getName.startsWith("release-") &&
+              System.currentTimeMillis() - d.getModificationTime <
+                releaseGraceMs
             val fls = fs.listStatus(d.getPath).filter(_.isFile)
               .filter(_.getPath.getName.startsWith("part-"))
-            if (fls.forall(f => !referenced(f.getPath.toString) &&
+            if (!young && fls.forall(f => !referenced(f.getPath.toString) &&
                 !referencedRel(f.getPath.toString)))
               fs.delete(d.getPath, true)
           case _ =>
@@ -808,11 +880,26 @@ object ScaleOps extends QueryModule {
     val out = fs.create(tmp, true)
     try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
     val dst = new Path(rootP, s"_manifests/v$v.release")
-    if (!fs.rename(tmp, dst)) { // lost the race — another release won
+    val won = commitLocks.computeIfAbsent(rootP.toUri.toString, _ => new Object)
+      .synchronized { !fs.exists(dst) && fs.rename(tmp, dst) }
+    if (!won) { // lost the race — another release won
       fs.delete(tmp, false)
       fs.delete(dir, true)
+      return false
+    }
+    // A release attempt targets an ALREADY-committed version, so a
+    // concurrent vacuum's orphan sweep may have reaped the attempt
+    // dir before the pointer rename (the in-flight-data protection —
+    // "attempts live at lastCommitted+1" — doesn't apply here).
+    // Re-verify after publishing; on loss, roll the pointer back and
+    // report failure so the caller republishes (the report is a pure
+    // function of the pinned version — a retry rebuilds it exactly).
+    if (files.forall(f => fs.exists(new Path(f)))) true
+    else {
+      fs.delete(dst, false)
+      fs.delete(dir, true)
       false
-    } else true
+    }
   }
 
   /** Whether committed version `v` carries a committed release. */
@@ -1151,7 +1238,7 @@ object ScaleOps extends QueryModule {
     val dropped = base.filter(col(colName) >= lo && col(colName) <= hi)
     commitVersion(s, root, kept, parentLines = untouched,
       statsCol = Some(colName), tag = None,
-      cdf = Some((kept.limit(0), dropped)))
+      cdf = Some((kept.limit(0), dropped)), expectParent = Some(v))
   }
 
   /** COPY-ON-WRITE MERGE (upsert) as a snapshot version — the
@@ -1198,7 +1285,7 @@ object ScaleOps extends QueryModule {
     // insert, so v1 = the batch (the CREATE TABLE AS face of MERGE)
     if (vs.isEmpty)
       return commitVersion(s, root, updates, parentLines = Nil,
-        statsCol = Some(keyCol), tag)
+        statsCol = Some(keyCol), tag, expectParent = Some(0L))
     val v = vs.last
     val lines = manifestDataLines(s, root, v)
     val bounds = manifestBounds(s, root, v)
@@ -1221,7 +1308,7 @@ object ScaleOps extends QueryModule {
     if (touched.isEmpty)
       return commitVersion(s, root, updates, parentLines = untouched,
         statsCol = bounds.headOption.map(_ => keyCol), tag,
-        cdf = Some((updates, updates.limit(0))))
+        cdf = Some((updates, updates.limit(0))), expectParent = Some(v))
     val base = s.read.parquet(touched.map(_.split('\t')(0)): _*)
     val survivors = base.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
     // CDF decomposes an update into delete(preimage) + insert(row):
@@ -1230,7 +1317,7 @@ object ScaleOps extends QueryModule {
     commitVersion(s, root, survivors.unionByName(updates),
       parentLines = untouched,
       statsCol = bounds.headOption.map(_ => keyCol), tag,
-      cdf = Some((updates, replaced)))
+      cdf = Some((updates, replaced)), expectParent = Some(v))
   }
 
   /** Batch-tagged IDEMPOTENT merge — [[snapshotAppendOnce]]'s
@@ -1246,8 +1333,7 @@ object ScaleOps extends QueryModule {
     * order-dependent answer. */
   def snapshotMergeOnce(s: SparkSession, root: String, keyCol: String,
       updates: DataFrame, tag: String): Option[Long] =
-    if (snapshotVersions(s, root).lastOption
-        .exists(v => manifestTag(s, root, v).contains(tag))) None
+    if (lastCommittedTag(s, root).contains(tag)) None
     else Some(mergeIntoSnapshot(s, root, keyCol, updates, Some(tag)))
 
   /** OPTIMIZE (small-file compaction) as a snapshot version: bin the
@@ -1293,7 +1379,7 @@ object ScaleOps extends QueryModule {
     // compaction changes no rows: an EMPTY committed feed, so
     // incremental consumers fold nothing instead of recomputing
     commitVersion(s, root, packed, parentLines = big, statsCol, tag = None,
-      cdf = Some((packed.limit(0), packed.limit(0))))
+      cdf = Some((packed.limit(0), packed.limit(0))), expectParent = Some(v))
   }
 
   /** Full-recompute counter: test instrumentation pinning that

@@ -58,8 +58,13 @@ class ReleaseSpec extends SparkSpec {
     assert(ScaleOps.publishRelease(spark, root, 1L, report(3L)))
     assert(ScaleOps.readRelease(spark, root, 1L)
       .select(col("lv")).as[Long].collect().toSeq === Seq(3L))
-    // the orphan attempt is vacuum's to reclaim
+    // the orphan attempt is vacuum's to reclaim — but only past the
+    // grace period (an attempt this young could be an IN-FLIGHT
+    // publish; the grace keeps the sweep off the publish window)
     ScaleOps.vacuumSnapshots(spark, root, keep = 1)
+    assert(fs(root).exists(debris),
+      "vacuum swept a release attempt inside the grace period")
+    ScaleOps.vacuumSnapshots(spark, root, keep = 1, releaseGraceMs = 0L)
     assert(!fs(root).exists(debris),
       "vacuum left the crashed release attempt behind")
     assert(ScaleOps.readRelease(spark, root, 1L).count() === 1L)
@@ -72,7 +77,8 @@ class ReleaseSpec extends SparkSpec {
     ScaleOps.publishSnapshot(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
     ScaleOps.publishRelease(spark, root, 1L, report(1L))
     ScaleOps.publishRelease(spark, root, 2L, report(2L))
-    val (_, bytes) = ScaleOps.vacuumSnapshots(spark, root, keep = 1)
+    val (_, bytes) =
+      ScaleOps.vacuumSnapshots(spark, root, keep = 1, releaseGraceMs = 0L)
     assert(bytes > 0L)
     assert(!ScaleOps.hasRelease(spark, root, 1L))
     assert(!fs(root).exists(new Path(root, "_manifests/v1.release")))

@@ -58,6 +58,29 @@ class SnapshotIngestSpec extends SparkSpec {
     assert(ScaleOps.readSnapshot(spark, root).count() === 3L)
   }
 
+  test("a maintenance commit between a batch and its replay does not unhide the tag") {
+    val root = freshRoot("maint")
+    fs(root).delete(new Path(root), true)
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(ScaleOps.snapshotAppendOnce(spark, root, b0, "batch:0",
+      statsCol = Some("doc_id")) === Some(1L))
+    // an UNTAGGED maintenance commit lands before the at-least-once
+    // replay (the vacuum-cadence delete/compact the docs recommend):
+    // a tail-only probe would miss batch:0's tag and duplicate it
+    ScaleOps.deleteFromSnapshot(spark, root, "doc_id", 2L, 2L)
+    assert(ScaleOps.snapshotVersions(spark, root) === Seq(1L, 2L))
+    assert(ScaleOps.snapshotAppendOnce(spark, root, b0, "batch:0",
+      statsCol = Some("doc_id")) === None)
+    assert(ScaleOps.snapshotVersions(spark, root) === Seq(1L, 2L))
+    assert(ScaleOps.readSnapshot(spark, root).count() === 1L) // no dup rows
+    // the merge twin honors the same walk
+    assert(ScaleOps.snapshotMergeOnce(spark, root, "doc_id",
+      Seq((1L, "a2")).toDF("doc_id", "text"), "m:0") === Some(3L))
+    ScaleOps.compactSnapshot(spark, root, targetBytes = 4L)
+    assert(ScaleOps.snapshotMergeOnce(spark, root, "doc_id",
+      Seq((1L, "a2")).toDF("doc_id", "text"), "m:0") === None)
+  }
+
   test("the replay probe is O(1) manifest-header reads per batch, at any stream age") {
     val root = freshRoot("probes")
     fs(root).delete(new Path(root), true)
