@@ -1185,14 +1185,17 @@ object ScaleOps extends QueryModule {
             .withColumn("_commit_version", lit(v))
         else snapshotChangeFiles(s, root, v) match {
           case Some((ins, del)) =>
+            // allowMissingColumns: after an evolve-on-merge the
+            // postimages carry columns the preimages never had
             ins.withColumn("_change_type", lit("insert"))
-              .unionByName(del.withColumn("_change_type", lit("delete")))
+              .unionByName(del.withColumn("_change_type", lit("delete")),
+                allowMissingColumns = true)
               .withColumn("_commit_version", lit(v))
           case None => throw new IllegalStateException(
             s"v$v is a rewrite with no committed change feed; " +
               "read the versions directly (s04 content diff) instead")
         }
-      acc.unionByName(hopRows)
+      acc.unionByName(hopRows, allowMissingColumns = true)
     }
   }
 
@@ -1266,14 +1269,20 @@ object ScaleOps extends QueryModule {
     *    and commits with untouched manifest lines carried forward
     *    verbatim — stats, Bloom fields and all.
     *
-    * `updates` must have the store's schema and UNIQUE keys (checked
-    * with one bounded 2-column agg; duplicate keys would make the
-    * merge order-dependent — the caller picks last-wins upstream,
-    * e.g. c42's per-batch dedup). Readers pinned to the parent
-    * version are isolated; vacuum reclaims replaced files once the
-    * parent expires. Returns the committed version. */
+    * `updates` must have UNIQUE keys (checked with one bounded
+    * 2-column agg; duplicate keys would make the merge
+    * order-dependent — the caller picks last-wins upstream, e.g.
+    * c42's per-batch dedup) and, unless `evolveSchema` is set, no
+    * columns the store lacks — with the flag, new columns EVOLVE the
+    * schema (Delta's mergeSchema-on-MERGE): rewritten rows null-fill
+    * them, untouched files stay physically column-free, and
+    * [[readSnapshotMerged]] null-fills those at read time. Readers
+    * pinned to the parent version are isolated; vacuum reclaims
+    * replaced files once the parent expires. Returns the committed
+    * version. */
   def mergeIntoSnapshot(s: SparkSession, root: String, keyCol: String,
-      updates: DataFrame, tag: Option[String] = None): Long = {
+      updates: DataFrame, tag: Option[String] = None,
+      evolveSchema: Boolean = false): Long = {
     import s.implicits._
     val dup = updates.agg(count(lit(1)).as("n"),
       count_distinct(col(keyCol)).as("k")).collect()(0) // bounded: one row
@@ -1289,6 +1298,20 @@ object ScaleOps extends QueryModule {
     val v = vs.last
     val lines = manifestDataLines(s, root, v)
     val bounds = manifestBounds(s, root, v)
+    // EVOLVE-ON-MERGE (the Delta mergeSchema composition of s14 and
+    // s11): with evolveSchema the batch may CARRY columns the store
+    // lacks — rewritten survivors null-fill them, untouched files
+    // stay physically column-free and [[readSnapshotMerged]]
+    // null-fills at read time. Without the flag a new column is a
+    // loud refusal (schema drift should be an explicit migration
+    // decision, not a typo's side effect). The reference schema is
+    // the VERSION's merged one — footer-only reads, and post-
+    // evolution files legitimately disagree column-wise.
+    val newCols = updates.columns.toSet --
+      readSnapshotMerged(s, root, Some(v)).columns.toSet
+    require(evolveSchema || newCols.isEmpty,
+      s"merge batch carries columns the store lacks (${newCols.mkString(",")}); " +
+        "pass evolveSchema=true to evolve, or project them away")
     val statted = lines.map(_.split('\t')(0)).filter(bounds.contains)
     val hit: Set[String] =
       if (statted.isEmpty) Set.empty
@@ -1309,12 +1332,18 @@ object ScaleOps extends QueryModule {
       return commitVersion(s, root, updates, parentLines = untouched,
         statsCol = bounds.headOption.map(_ => keyCol), tag,
         cdf = Some((updates, updates.limit(0))), expectParent = Some(v))
-    val base = s.read.parquet(touched.map(_.split('\t')(0)): _*)
+    // mergeSchema: post-evolution, touched files may disagree on
+    // columns among themselves — the union below null-fills whatever
+    // any side physically lacks (the require above already decided
+    // whether NEW columns are allowed in)
+    val base = s.read.option("mergeSchema", "true")
+      .parquet(touched.map(_.split('\t')(0)): _*)
     val survivors = base.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
     // CDF decomposes an update into delete(preimage) + insert(row):
     // replaced = touched-file rows whose key a batch row matches
     val replaced = base.join(updates.select(col(keyCol)), Seq(keyCol), "left_semi")
-    commitVersion(s, root, survivors.unionByName(updates),
+    commitVersion(s, root,
+      survivors.unionByName(updates, allowMissingColumns = true),
       parentLines = untouched,
       statsCol = bounds.headOption.map(_ => keyCol), tag,
       cdf = Some((updates, replaced)), expectParent = Some(v))
@@ -1712,6 +1741,64 @@ object ScaleOps extends QueryModule {
         sum(col("n_chars")).cast(LongType).as("sum_chars"),
         sum(length(col("text"))).cast(LongType).as("text_chars"))
       .orderBy(col("lang"), col("source"))
+
+  /** Build-once fixture for s16 (own store): v1 = the full corpus
+    * range-clustered on doc_id (no quality column exists), v2 =
+    * [[mergeIntoSnapshot]] with `evolveSchema = true` of
+    * [[mergeBatch]] CARRYING a new deterministic `quality` column —
+    * the upsert batch itself evolves the schema, composing s14's
+    * merge with s11's evolution. Drift-token guarded. */
+  private[graft] def ensureEvoMergeStore(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = snapRoot(s, d) + "_evomrg"
+    val tokP = new Path(root, "_token")
+    val fs = fsOf(s, tokP)
+    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(root), true)
+      publishSnapshot(s, root,
+        Tables.documents(s, d).repartitionByRange(SNAP_FILES, col("doc_id")),
+        statsCol = Some("doc_id"))
+      val mx = Tables.documents(s, d).agg(max(col("doc_id")))
+        .collect()(0).getLong(0) // bounded: one row
+      mergeIntoSnapshot(s, root, "doc_id",
+        mergeBatch(s, d, mx).withColumn("quality",
+          graft.functions.Portable.h60(concat(lit("q:"),
+            col("doc_id").cast(StringType))) % 100),
+        evolveSchema = true)
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    root
+  }
+
+  /** s16 — EVOLVE-ON-MERGE read back through the store: the upsert
+    * batch added a `quality` column the base never had; the merged-
+    * schema read of the post-merge version must carry quality for
+    * EXACTLY the batch's rows (updates + inserts) and null-fill every
+    * carried row — including rows in files the merge rewrote, whose
+    * survivors were null-filled at WRITE time, and rows in untouched
+    * files that stay physically column-free. The oracle replays the
+    * merge relationally with the same deterministic score, so value
+    * equality proves both fill paths and the merge semantics at once
+    * — the composition of s14 (MERGE) and s11 (ADD COLUMN) a daily
+    * upsert pipeline hits the day its schema grows. */
+  def s16EvolveMerge(s: SparkSession, d: String): DataFrame =
+    readSnapshotMerged(s, ensureEvoMergeStore(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality").isNotNull, 1L).otherwise(0L))
+          .as("n_with_quality"),
+        sum(col("quality")).cast(LongType).as("sum_quality"),
+        sum(length(col("text"))).cast(LongType).as("text_chars"))
+      .orderBy(col("lang"))
 
   /** Build-once fixture for s15 (own store): the mixed history every
     * long-lived table accumulates — v1 = publish of the lower id
@@ -2121,7 +2208,8 @@ object ScaleOps extends QueryModule {
     "s12_ref_read" -> s12RefRead,
     "s13_bloom_lookup" -> s13BloomLookup,
     "s14_merge_upsert" -> s14MergeUpsert,
-    "s15_change_feed" -> s15ChangeFeed)
+    "s15_change_feed" -> s15ChangeFeed,
+    "s16_evolve_merge" -> s16EvolveMerge)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   /** s07's oracle: the four faces' own oracle SQLs composed verbatim
@@ -2357,5 +2445,33 @@ object ScaleOps extends QueryModule {
         |  SELECT 4, 'delete', count(*), SUM(length(text)), SUM(doc_id) FROM del4
         |  UNION ALL
         |  SELECT 4, 'insert', count(*), SUM(length(text)), SUM(doc_id) FROM ins4)
-        |ORDER BY version, change_type""".stripMargin)
+        |ORDER BY version, change_type""".stripMargin,
+    // the evolve-on-merge replayed relationally: quality exists for
+    // exactly the batch's rows (updates + inserts), with the same
+    // deterministic score; every carried row null-fills
+    "s16_evolve_merge" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+         |upd AS (
+         |  SELECT doc_id, 'U:' || text AS text, lang,
+         |         ${graft.functions.Portable.h60Sql("'q:' || CAST(doc_id AS VARCHAR)")} % 100 AS quality
+         |  FROM documents, mx
+         |  WHERE doc_id >= mx.m * 45 // 100 AND doc_id <= mx.m * 55 // 100),
+         |ins AS (
+         |  SELECT CAST(x AS BIGINT) AS doc_id,
+         |         'new doc ' || CAST(x AS VARCHAR) AS text,
+         |         'xx' AS lang,
+         |         ${graft.functions.Portable.h60Sql("'q:' || CAST(x AS VARCHAR)")} % 100 AS quality
+         |  FROM (SELECT unnest(range(m + 1, m + 2 + m // 50)) AS x FROM mx)),
+         |merged AS (
+         |  SELECT d.doc_id, d.text, d.lang, CAST(NULL AS BIGINT) AS quality
+         |  FROM documents d
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
+         |  UNION ALL SELECT doc_id, text, lang, quality FROM upd
+         |  UNION ALL SELECT doc_id, text, lang, quality FROM ins)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN quality IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_with_quality,
+         |       CAST(SUM(quality) AS BIGINT) AS sum_quality,
+         |       CAST(SUM(length(text)) AS BIGINT) AS text_chars
+         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)
 }

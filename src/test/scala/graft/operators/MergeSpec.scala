@@ -103,4 +103,64 @@ class MergeSpec extends SparkSpec {
     assert(got.find(_._1 == 10L).get._2 === "U10")
     assert(got.find(_._1 == 99L).get._2 === "I99")
   }
+
+  test("a batch with a new column is refused unless evolveSchema is set") {
+    val root = freshRoot("evorefuse")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 40),
+      statsCol = Some("id"))
+    val batch = Seq((10L, "U10", 7L)).toDF("id", "s", "q")
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.mergeIntoSnapshot(spark, root, "id", batch)
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    assert(ScaleOps.snapshotVersions(spark, root) === Seq(1L)) // nothing committed
+  }
+
+  test("evolve-on-merge: new column lands for the batch, null-fills everywhere else") {
+    val root = freshRoot("evo")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 40),
+      statsCol = Some("id"))
+    // update id 3 (rewrites its file), insert id 99 — both carry q
+    val v2 = ScaleOps.mergeIntoSnapshot(spark, root, "id",
+      Seq((3L, "U3", 30L), (99L, "I99", 990L)).toDF("id", "s", "q"),
+      evolveSchema = true)
+    assert(v2 === 2L)
+    val got = ScaleOps.readSnapshotMerged(spark, root)
+      .select("id", "s", "q")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got.length === 41)
+    assert(got.find(_._1 == 3L).get === ((3L, "U3", Some(30L))))
+    assert(got.find(_._1 == 99L).get === ((99L, "I99", Some(990L))))
+    // every carried row (rewritten-file survivors AND untouched
+    // files' rows) null-fills
+    assert(got.filterNot(r => r._1 == 3L || r._1 == 99L).forall(_._3.isEmpty))
+    // untouched files stay physically column-free (carried verbatim)
+    val v1Files = ScaleOps.readSnapshot(spark, root, Some(1L)).inputFiles.toSet
+    val carried = ScaleOps.readSnapshot(spark, root, Some(2L))
+      .inputFiles.toSet.intersect(v1Files)
+    assert(carried.nonEmpty)
+    assert(!spark.read.parquet(carried.toSeq: _*).columns.contains("q"))
+    // a FOLLOW-UP strict merge whose batch uses the evolved column
+    // is legal now — the column is part of the store's merged schema
+    val v3 = ScaleOps.mergeIntoSnapshot(spark, root, "id",
+      Seq((5L, "U5", 50L)).toDF("id", "s", "q"))
+    assert(v3 === 3L)
+    val after = ScaleOps.readSnapshotMerged(spark, root)
+      .select("id", "q").as[(Long, Option[Long])].collect().toMap
+    assert(after(5L) === Some(50L))
+    assert(after(3L) === Some(30L)) // earlier evolved value carried
+    // and the change feed crosses the evolution hop: preimages
+    // null-fill the column their files never had
+    val feed = ScaleOps.readSnapshotChangeFeed(spark, root, 1L, 3L)
+      .select("_commit_version", "_change_type", "id", "q")
+      .as[(Long, String, Long, Option[Long])].collect().sorted.toSeq
+    assert(feed === Seq(
+      (2L, "delete", 3L, None),
+      (2L, "insert", 3L, Some(30L)),
+      (2L, "insert", 99L, Some(990L)),
+      (3L, "delete", 5L, None),
+      (3L, "insert", 5L, Some(50L))))
+  }
 }
