@@ -83,7 +83,7 @@ object Bench {
     "c45_lsh_tradeoff", "t39_mix_execute", "s12_ref_read",
     "t40_classifier_eval", "s13_bloom_lookup", "s14_merge_upsert",
     "c46_span_scrub", "c47_scrub_accounting", "s15_change_feed",
-    "s16_evolve_merge")
+    "s16_evolve_merge", "s17_dsv2_read")
 
   /** Queries deliberately NOT timed, each for a stated reason — the
     * third leg of the coverage partition. The a-layer rows are

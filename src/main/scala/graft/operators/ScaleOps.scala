@@ -621,6 +621,42 @@ object ScaleOps extends QueryModule {
     base.filter(col(colName).isin(keys.distinct: _*))
   }
 
+  /** File planning for the DataSource V2 table
+    * ([[graft.sources.SnapshotDataSource]]): the resolved version's
+    * files minus everything the zone maps prove outside `[lo, hi]`
+    * and the Bloom fields prove key-free for every member of `keys`
+    * — the one pruning discipline readSnapshotPruned /
+    * readSnapshotKeyLookup apply, composed and exposed so ARBITRARY
+    * Catalyst plans (joins, aggregates, SQL text) prune the same way
+    * through `spark.read.format("graft-snapshot")`. Files without
+    * stats/Bloom fields are kept — pruning only ever skips files
+    * PROVEN irrelevant. Returns (resolved version, kept files). */
+  private[graft] def planSnapshotFiles(s: SparkSession, root: String,
+      version: Option[Long], lo: Option[Long], hi: Option[Long],
+      keys: Option[Seq[Long]]): (Long, Seq[String]) = {
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
+    val files = manifestFiles(s, root, v)
+    if (lo.isEmpty && hi.isEmpty && keys.isEmpty) return (v, files)
+    val bounds = manifestBounds(s, root, v)
+    val blooms = if (keys.isDefined) manifestBlooms(s, root, v) else Map.empty[String, String]
+    val posOf = keys.map(ks => bloomKeyPositions(s, ks.distinct))
+      .getOrElse(Map.empty)
+    val kept = files.filter { f =>
+      val inRange = bounds.get(f).forall { case (mn, mx) =>
+        lo.forall(_ <= mx) && hi.forall(_ >= mn)
+      }
+      val hasKey = keys.forall(_.exists { k =>
+        bounds.get(f).forall { case (mn, mx) => k >= mn && k <= mx } &&
+          blooms.get(f).forall(bloomTest(_, posOf(k)))
+      })
+      inRange && hasKey
+    }
+    (v, kept)
+  }
+
   // ---------------------------------------------------------------
   // Named refs — movable pointers into the version history
   // ---------------------------------------------------------------
@@ -1742,6 +1778,30 @@ object ScaleOps extends QueryModule {
         sum(length(col("text"))).cast(LongType).as("text_chars"))
       .orderBy(col("lang"), col("source"))
 
+  /** s17 — the DSv2 TABLE read ([[graft.sources.SnapshotDataSource]],
+    * `spark.read.format("graft-snapshot")`): s06's pruned range
+    * profile re-asked through ORDINARY Catalyst — the predicate is a
+    * plain `.filter`, and the connector turns it into manifest-level
+    * zone-map pruning during pushdown (SnapshotDataSourceSpec pins
+    * the file counts; the same mechanism serves SQL text and joins).
+    * Sharing s06's oracle proves the composed path answers exactly
+    * what the bespoke reader answered — the point of making pruning
+    * a table property instead of a function. */
+  def s17Dsv2Read(s: SparkSession, d: String): DataFrame = {
+    val root = ensureSnapshots(s, d)
+    val mx = Tables.documents(s, d).agg(max(col("doc_id")))
+      .collect()(0).getLong(0) // bounded: one row
+    val (lo, hi) = (mx * 2 / 10, mx * 4 / 10)
+    s.read.format("graft-snapshot")
+      .option("statsCol", "doc_id").option("version", "3")
+      .load(root)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast(LongType).as("n_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Build-once fixture for s16 (own store): v1 = the full corpus
     * range-clustered on doc_id (no quality column exists), v2 =
     * [[mergeIntoSnapshot]] with `evolveSchema = true` of
@@ -2209,7 +2269,8 @@ object ScaleOps extends QueryModule {
     "s13_bloom_lookup" -> s13BloomLookup,
     "s14_merge_upsert" -> s14MergeUpsert,
     "s15_change_feed" -> s15ChangeFeed,
-    "s16_evolve_merge" -> s16EvolveMerge)
+    "s16_evolve_merge" -> s16EvolveMerge,
+    "s17_dsv2_read" -> s17Dsv2Read)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   /** s07's oracle: the four faces' own oracle SQLs composed verbatim
@@ -2377,6 +2438,15 @@ object ScaleOps extends QueryModule {
     // v3's content is the full corpus; the pruned read must still
     // return exactly the raw table's slice
     "s06_pruned_read" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id >= (SELECT max(doc_id) * 2 // 10 FROM documents)
+        |  AND doc_id <= (SELECT max(doc_id) * 4 // 10 FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the same slice asked through the DSv2 table: pruning moved
+    // into Catalyst pushdown, answer must not move at all
+    "s17_dsv2_read" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
         |FROM documents

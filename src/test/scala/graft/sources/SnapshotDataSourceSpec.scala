@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.ScaleOps
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, sum}
+
+/** The snapshot store as a DataSource V2 table: format("graft-
+  * snapshot") reads resolve versions/refs, Catalyst filters prune
+  * files through the manifest's zone maps and Bloom fields (pinned
+  * via inputFiles), answers equal the bespoke readers', and the
+  * pruning composes with joins and SQL text. */
+class SnapshotDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_dsv2_$tag").toString
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rangedDf(ids: Range) =
+    ids.map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+
+  /** Files the executed plan's parquet scan actually lists —
+    * Dataset.inputFiles only supports FileTable-backed V2 relations,
+    * so the pruning pin reads the scan's own file index. */
+  private def scannedFiles(df: DataFrame): Seq[String] = {
+    df.collect() // force planning with pushdown complete
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.toSeq
+          case _ => Seq.empty
+        }
+    }.flatten
+  }
+
+  private def readStore(root: String, extra: (String, String)*): DataFrame =
+    extra.foldLeft(
+      spark.read.format("graft-snapshot").option("statsCol", "id"))(
+      (r, kv) => r.option(kv._1, kv._2)).load(root)
+
+  test("latest/versioned/ref reads return exactly the version's content") {
+    val root = freshRoot("basic")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 100),
+      statsCol = Some("id"))
+    ScaleOps.appendSnapshot(spark, root, rangedDf(100 until 200),
+      statsCol = Some("id"))
+    ScaleOps.setRef(spark, root, "prod", 1L)
+    assert(readStore(root).count() === 200L)
+    assert(readStore(root, "version" -> "1").count() === 100L)
+    assert(readStore(root, "ref" -> "prod").count() === 100L)
+    assert(readStore(root).select(sum(col("id"))).as[Long].head() ===
+      (0L until 200L).sum)
+  }
+
+  test("a range predicate prunes files through the zone maps, answer unchanged") {
+    val root = freshRoot("zm")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 400),
+      statsCol = Some("id"))
+    val all = scannedFiles(readStore(root))
+    val pruned = readStore(root).filter(col("id") >= 10L && col("id") <= 60L)
+    assert(all.length === 4)
+    assert(scannedFiles(pruned).length < all.length,
+      s"no pruning: ${scannedFiles(pruned).length} of ${all.length}")
+    assert(pruned.as[(Long, String)].collect().sorted.toSeq ===
+      (10L to 60L).map(i => (i, s"row$i")).toSeq)
+    // equality predicates prune too
+    val point = readStore(root).filter(col("id") === 42L)
+    assert(scannedFiles(point).length === 1)
+    assert(point.as[(Long, String)].collect().toSeq === Seq((42L, "row42")))
+  }
+
+  test("Bloom fields prune point lookups even when zone maps are useless") {
+    val root = freshRoot("bloom")
+    fs(root).delete(new Path(root), true)
+    // interleaved ids: every file's [min,max] spans the whole space,
+    // so only the Bloom fields can skip
+    val df = (0 until 400).map(i => (i.toLong, s"row$i"))
+      .toDF("id", "s").repartition(4, col("s"))
+    ScaleOps.publishSnapshot(spark, root, df,
+      statsCol = Some("id"), statsBloom = true)
+    val all = scannedFiles(readStore(root))
+    val point = readStore(root).filter(col("id") === 123L)
+    assert(scannedFiles(point).length < all.length,
+      s"bloom did not prune: ${scannedFiles(point).length} of ${all.length}")
+    assert(point.as[(Long, String)].collect().toSeq === Seq((123L, "row123")))
+    // IN-lists prune to the union of the members' files
+    val inl = readStore(root).filter(col("id").isin(5L, 123L))
+    assert(scannedFiles(inl).length < all.length)
+    assert(inl.as[(Long, String)].collect().sorted.toSeq ===
+      Seq((5L, "row5"), (123L, "row123")))
+  }
+
+  test("the pruning composes with SQL text and joins over the table") {
+    val root = freshRoot("sql")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 400),
+      statsCol = Some("id"))
+    readStore(root).createOrReplaceTempView("snap_t")
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n, CAST(sum(id) AS BIGINT) AS s " +
+        "FROM snap_t WHERE id BETWEEN 20 AND 30")
+    assert(viaSql.as[(Long, Long)].head() === ((11L, (20L to 30L).sum)))
+    // the filter reaches the scan: fewer files than the full read
+    val prunedPlan = spark.sql("SELECT * FROM snap_t WHERE id BETWEEN 20 AND 30")
+    assert(scannedFiles(prunedPlan).length <
+      scannedFiles(readStore(root)).length)
+    // join with a small frame; answers equal the raw join
+    val dims = Seq((25L, "dim25"), (350L, "dim350")).toDF("id", "d")
+    val joined = readStore(root).join(dims, Seq("id"))
+      .select("id", "s", "d").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(joined === Seq((25L, "row25", "dim25"), (350L, "row350", "dim350")))
+  }
+
+  test("schema-evolved stores read with null-fill through the table") {
+    val root = freshRoot("evo")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 40),
+      statsCol = Some("id"))
+    ScaleOps.mergeIntoSnapshot(spark, root, "id",
+      Seq((3L, "U3", 30L), (99L, "I99", 990L)).toDF("id", "s", "q"),
+      evolveSchema = true)
+    val got = readStore(root).select("id", "q")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(3L) === Some(30L))
+    assert(got(99L) === Some(990L))
+    assert(got(7L) === None)
+    assert(got.size === 41)
+  }
+}
