@@ -854,6 +854,16 @@ object DedupOps extends QueryModule {
       s"graft_sig_sh_$tag", s"graft_sig_meta_$tag")
   }
 
+  /** Full-corpus 3-shingle table name (the audits' feed; the split
+    * tables above serve the incremental-dedup faces). */
+  private def sigShAllTable(d: String): String =
+    s"graft_sig_shall_${Integer.toHexString(d.hashCode)}"
+
+  /** Store layout version: bumping it drift-invalidates persisted
+    * signature stores built by older code (round 9 added the
+    * full-corpus shingle table). */
+  private val SIG_STORE_VER = "sig2§"
+
   private[operators] def newSplitFlag: Column =
     Portable.h60(concat(lit("split:"), col("doc_id").cast(StringType))) % 100 >= 80
 
@@ -869,16 +879,40 @@ object DedupOps extends QueryModule {
     * corpus is never re-read, re-normalized, or re-shingled. */
   def buildSigStore(s: SparkSession, d: String): Unit = {
     val (exactT, bandT, shT, metaT) = sigTables(d)
-    Seq(exactT, bandT, shT, metaT).foreach(ScaleOps.dropStale(s, _))
+    val shAllT = sigShAllTable(d)
+    Seq(exactT, bandT, shT, metaT, shAllT).foreach(ScaleOps.dropStale(s, _))
+    // ONE full-corpus shingle pass feeds everything: the audits read
+    // the whole table; the incremental-dedup faces' old-split tables
+    // are derived by a bucketed-table filter, not a re-shingle.
+    val shAll = shingleDocsOf(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), 3,
+      hashed = true)
+    ScaleOps.writeBucketed(shAll, shAllT, "doc_id", buckets = 16)
     val oldDocs = Tables.documents(s, d).filter(!newSplitFlag)
     ScaleOps.writeBucketed(
       oldDocs.select(md5(norm(col("text"))).as("h")).distinct(),
       exactT, "h", buckets = 16)
-    val shOld = shingleDocsOf(oldDocs, 3, hashed = true).localCheckpoint()
+    val shOld = s.table(shAllT).filter(!newSplitFlag)
     ScaleOps.writeBucketed(bandKeys(shOld), bandT, "key", buckets = 16)
     ScaleOps.writeBucketed(shOld, shT, "doc_id", buckets = 16)
-    s.createDataFrame(Seq(Tuple1(ScaleOps.corpusToken(s, d, "documents.parquet"))))
+    s.createDataFrame(Seq(Tuple1(
+      SIG_STORE_VER + ScaleOps.corpusToken(s, d, "documents.parquet"))))
       .toDF("token").write.mode("overwrite").format("parquet").saveAsTable(metaT)
+  }
+
+  /** The persisted full-corpus 3-shingle table ([[buildSigStore]]'s
+    * `shall` face), rebuilt if absent or corpus-drifted — the shared
+    * feed of the audit family (c44/c45): an audit re-run costs a
+    * bucketed-parquet signature read, never a corpus re-scan +
+    * re-shingle. */
+  private def persistedShingles3(s: SparkSession, d: String): DataFrame = {
+    val (_, _, _, metaT) = sigTables(d)
+    val want = SIG_STORE_VER + ScaleOps.corpusToken(s, d, "documents.parquet")
+    def token(): Option[String] =
+      if (!s.catalog.tableExists(metaT)) None
+      else s.table(metaT).collect().headOption.map(_.getString(0))
+    if (!token().contains(want)) buildSigStore(s, d)
+    s.table(sigShAllTable(d))
   }
 
   /** c13b — c13's ANSWERS from the persisted signature store (oracle
@@ -893,7 +927,8 @@ object DedupOps extends QueryModule {
     def token(): Option[String] =
       if (!s.catalog.tableExists(metaT)) None
       else s.table(metaT).collect().headOption.map(_.getString(0))
-    if (!token().contains(ScaleOps.corpusToken(s, d, "documents.parquet")))
+    if (!token().contains(
+        SIG_STORE_VER + ScaleOps.corpusToken(s, d, "documents.parquet")))
       buildSigStore(s, d)
     val newDocs = Tables.documents(s, d).filter(newSplitFlag).localCheckpoint()
     val exactIds = newDocs
@@ -1484,9 +1519,12 @@ object DedupOps extends QueryModule {
     * exchanges + the prefix self-join), the detector side is c02's
     * (banded equi-join) — both linear-ish and already benchmarked;
     * the audit adds ONE pair-grain left join and a bin aggregation,
-    * output-proportional. One shared shingle scan feeds both sides. */
+    * output-proportional. Both sides feed from the PERSISTED
+    * signature store ([[persistedShingles3]]) — a re-run of the
+    * audit reads bucketed parquet signatures instead of re-scanning
+    * and re-shingling the corpus. */
   def c44LshRecall(s: SparkSession, d: String): DataFrame = {
-    val sh3 = shingleDocs(s, d, 3, hashed = true).localCheckpoint()
+    val sh3 = persistedShingles3(s, d).localCheckpoint()
     val lsh = c02CandOf(sh3).withColumn("__c", lit(1L))
     val tCand = prefixCandOf(sh3, JACCARD_T).localCheckpoint()
     val shCand = sh3.join(candIds(tCand), Seq("doc_id"), "left_semi")
@@ -1522,9 +1560,11 @@ object DedupOps extends QueryModule {
     * all layouts (a layout only regroups the minima into keys); per
     * layout, one banded self-join — the object under study — plus a
     * pair-grain join against the SHARED checkpointed truth. Truth
-    * (the expensive exact side) is computed once. */
+    * (the expensive exact side) is computed once, and the signature
+    * feed comes from the persisted store ([[persistedShingles3]]),
+    * not a fresh corpus scan. */
   def c45LshTradeoff(s: SparkSession, d: String): DataFrame = {
-    val sh3 = shingleDocs(s, d, 3, hashed = true).localCheckpoint()
+    val sh3 = persistedShingles3(s, d).localCheckpoint()
     val tCand = prefixCandOf(sh3, JACCARD_T).localCheckpoint()
     val shCand = sh3.join(candIds(tCand), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
