@@ -134,7 +134,19 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // Queries are independent: free this query's localCheckpoint
+      // blocks after timing. Without this, ~160 queries' blocks
+      // accumulate in the block manager, and the headline queries'
+      // warm reps — which run at the very END of the sweep — pay the
+      // memory pressure: round 8/9 measured headline warm 2× COLD
+      // while every late-cold extra sped up normally (the
+      // "warm_total > cold total" anomaly, now reproducible and
+      // load-stamp-exonerated). Each materialize rebuilds its plan
+      // from scratch, so no lineage ever spans two calls.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      t
     }
 
     // Warmup with queries that are NOT timed below (neither headline
