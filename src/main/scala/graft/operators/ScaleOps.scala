@@ -838,6 +838,30 @@ object ScaleOps extends QueryModule {
     (reclaim.size.toLong, bytes)
   }
 
+  /** TIMESTAMP AS OF resolution (the Delta/Iceberg time-travel
+    * twin of version pinning): the newest version whose manifest was
+    * COMMITTED at or before `tsMillis`, from manifest mtimes — the
+    * rename that commits a version is also what stamps its mtime, so
+    * commit time needs no extra metadata. Errors when the store is
+    * empty or every version is newer than the asked instant (asking
+    * for "the table before it existed" deserves a loud answer, not
+    * v1). O(versions) listStatus metadata, no data read. */
+  def resolveAsOfTimestamp(s: SparkSession, root: String,
+      tsMillis: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(s, new Path(root))
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val committed = vs.filter { v =>
+      fs.getFileStatus(new Path(root, s"_manifests/v$v.manifest"))
+        .getModificationTime <= tsMillis
+    }
+    require(committed.nonEmpty,
+      s"no snapshot of $root existed at $tsMillis " +
+        s"(earliest commit is v${vs.head})")
+    committed.last
+  }
+
   /** Read a published snapshot — `version` pins time travel, None
     * reads the latest COMMITTED version. The returned frame scans
     * only the manifest's file list; later publishes cannot change

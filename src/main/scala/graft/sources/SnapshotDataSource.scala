@@ -28,6 +28,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `path`    (required) store root
   *  - `version` (optional) pin a committed version; default latest
   *  - `ref`     (optional) resolve a named ref instead (s12's refs)
+  *  - `timestampAsOf` (optional) resolve the newest version
+  *    committed at or before this instant (epoch millis or ISO-8601)
+  *    — Delta's TIMESTAMP AS OF; at most one of version/ref/
+  *    timestampAsOf
   *  - `statsCol` (optional) the column the manifest's zone-map/Bloom
   *    fields index (the store does not record it; the caller
   *    declares it exactly as the bespoke readers did). Without it
@@ -66,12 +70,18 @@ object SnapshotDataSource {
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-snapshot requires a path option (the store root)"))
-    val v = (Option(options.get("version")), Option(options.get("ref"))) match {
-      case (Some(_), Some(_)) => throw new IllegalArgumentException(
-        "graft-snapshot takes version OR ref, not both")
-      case (Some(ver), None) => ver.toLong
-      case (None, Some(ref)) => ScaleOps.resolveRef(s, root, ref)
-      case (None, None) =>
+    val pins = Seq("version", "ref", "timestampasof")
+      .flatMap(k => Option(options.get(k)).map(k -> _))
+    require(pins.size <= 1, "graft-snapshot takes at most one of " +
+      s"version/ref/timestampAsOf, got ${pins.map(_._1).mkString(", ")}")
+    val v = pins.headOption match {
+      case Some(("version", ver)) => ver.toLong
+      case Some(("ref", ref)) => ScaleOps.resolveRef(s, root, ref)
+      case Some((_, ts)) =>
+        val millis = scala.util.Try(ts.toLong).getOrElse(
+          java.time.Instant.parse(ts).toEpochMilli)
+        ScaleOps.resolveAsOfTimestamp(s, root, millis)
+      case None =>
         val vs = ScaleOps.snapshotVersions(s, root)
         require(vs.nonEmpty, s"no committed snapshots under $root")
         vs.last

@@ -127,6 +127,26 @@ class ChangeFeedSyncSpec extends SparkSpec {
     assert(!state(out).exists(_._1 == "zh"))
   }
 
+  test("vacuum reclaims expired versions' change feeds with their manifests") {
+    import org.apache.spark.sql.functions.col
+    val root = freshDir("vacfeed")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root,
+      docs((1L, "en", "one"), (2L, "de", "zwei"))
+        .repartitionByRange(2, col("doc_id")),
+      statsCol = Some("doc_id"))
+    ScaleOps.deleteFromSnapshot(spark, root, "doc_id", 2L, 2L)   // v2 + feed
+    ScaleOps.mergeIntoSnapshot(spark, root, "doc_id",
+      docs((1L, "en", "one neu")))                               // v3 + feed
+    assert(fs(root).exists(new Path(root, "changes-v2")))
+    assert(fs(root).exists(new Path(root, "changes-v3")))
+    ScaleOps.vacuumSnapshots(spark, root, keep = 1)
+    // v2 expired → its feed went with it; the retained v3's stays
+    assert(!fs(root).exists(new Path(root, "changes-v2")))
+    assert(fs(root).exists(new Path(root, "changes-v3")))
+    assert(ScaleOps.snapshotChangeFiles(spark, root, 3L).isDefined)
+  }
+
   test("the change-feed read returns each rewrite's exact row delta") {
     import org.apache.spark.sql.functions.col
     val root = freshDir("cfr")

@@ -121,6 +121,36 @@ class SnapshotDataSourceSpec extends SparkSpec {
     assert(joined === Seq((25L, "row25", "dim25"), (350L, "row350", "dim350")))
   }
 
+  test("timestampAsOf resolves the newest version committed at or before the instant") {
+    val root = freshRoot("ts")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 10),
+      statsCol = Some("id"))
+    Thread.sleep(1100) // mtime granularity on local fs
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    ScaleOps.appendSnapshot(spark, root, rangedDf(10 until 20),
+      statsCol = Some("id"))
+    assert(ScaleOps.resolveAsOfTimestamp(spark, root, between) === 1L)
+    assert(ScaleOps.resolveAsOfTimestamp(spark, root,
+      System.currentTimeMillis()) === 2L)
+    // through the table, both millis and ISO forms
+    assert(readStore(root, "timestampAsOf" -> between.toString).count() === 10L)
+    assert(readStore(root, "timestampAsOf" ->
+      java.time.Instant.ofEpochMilli(between).toString).count() === 10L)
+    // before the store existed: loud, not v1
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.resolveAsOfTimestamp(spark, root, 1000L)
+    }
+    assert(e.getMessage.contains("no snapshot"))
+    // pins are mutually exclusive
+    val e2 = intercept[IllegalArgumentException] {
+      readStore(root, "version" -> "1",
+        "timestampAsOf" -> between.toString).count()
+    }
+    assert(e2.getMessage.contains("at most one"))
+  }
+
   test("schema-evolved stores read with null-fill through the table") {
     val root = freshRoot("evo")
     fs(root).delete(new Path(root), true)
