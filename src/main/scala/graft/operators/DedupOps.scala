@@ -584,7 +584,7 @@ object DedupOps extends QueryModule {
   }
 
   def c10DedupCluster(s: SparkSession, d: String): DataFrame =
-    connectedComponents(c02MinhashLsh(s, d).select(col("da"), col("db")))
+    connectedComponents(persistedNearDupPairs(s, d))
 
   /** c37 — duplicate-CLUSTER SIZE HISTOGRAM with dup-mass
     * accounting: for each near-dup family size, how many families,
@@ -604,7 +604,7 @@ object DedupOps extends QueryModule {
     * corpus total − labeled count, two scalar aggregates. */
   def c37ClusterHistogram(s: SparkSession, d: String): DataFrame =
     clusterHistogram(
-      starLabels(c02MinhashLsh(s, d).select(col("da"), col("db"))),
+      starLabels(persistedNearDupPairs(s, d)),
       Tables.documents(s, d).select(col("doc_id")))
 
   /** c37's core over arbitrary (doc_id, cluster_id, …) labels + a
@@ -743,7 +743,7 @@ object DedupOps extends QueryModule {
     * (identical results, identical oracle): the implementation that
     * stays round-bounded when the near-dup graph is deep. */
   def c10bClusterStar(s: SparkSession, d: String): DataFrame =
-    connectedComponentsStar(c02MinhashLsh(s, d).select(col("da"), col("db")))
+    connectedComponentsStar(persistedNearDupPairs(s, d))
 
   /** c32 — cluster-representative selection: the step that turns
     * c10's near-dup clusters into an actual training corpus decision.
@@ -767,7 +767,7 @@ object DedupOps extends QueryModule {
         .select(col("doc_id"), col("quality")),
       // round-bounded star components (identical contract/labels to the
       // propagation twin; O(log²) rounds even on deep dup chains)
-      c02MinhashLsh(s, d).select(col("da"), col("db")))
+      persistedNearDupPairs(s, d))
 
   /** c32's core over arbitrary (doc_id, quality) + dup-pair frames —
     * factored out so the deep-chain spec can drive the exact
@@ -864,10 +864,17 @@ object DedupOps extends QueryModule {
   private def sigTruthTable(d: String): String =
     s"graft_sig_truth_${Integer.toHexString(d.hashCode)}"
 
+  /** Detector near-dup pair table name (c02's verified MinHash-LSH
+    * pairs — what the cluster consumers fold; a SUBSET of truth by
+    * the banding recall c44 measures). */
+  private def sigNdTable(d: String): String =
+    s"graft_sig_nd_${Integer.toHexString(d.hashCode)}"
+
   /** Store layout version: bumping it drift-invalidates persisted
     * signature stores built by older code (round 9 added the
-    * full-corpus shingle table and the exact-truth pair table). */
-  private val SIG_STORE_VER = "sig3§"
+    * full-corpus shingle table, the exact-truth pair table, and the
+    * detector pair table). */
+  private val SIG_STORE_VER = "sig4§"
 
   private[operators] def newSplitFlag: Column =
     Portable.h60(concat(lit("split:"), col("doc_id").cast(StringType))) % 100 >= 80
@@ -885,7 +892,7 @@ object DedupOps extends QueryModule {
   def buildSigStore(s: SparkSession, d: String): Unit = {
     val (exactT, bandT, shT, metaT) = sigTables(d)
     val shAllT = sigShAllTable(d)
-    Seq(exactT, bandT, shT, metaT, shAllT, sigTruthTable(d))
+    Seq(exactT, bandT, shT, metaT, shAllT, sigTruthTable(d), sigNdTable(d))
       .foreach(ScaleOps.dropStale(s, _))
     // ONE full-corpus shingle pass feeds everything: the audits read
     // the whole table; the incremental-dedup faces' old-split tables
@@ -914,6 +921,14 @@ object DedupOps extends QueryModule {
     verifyJaccard(tCand, shCand, JACCARD_T)
       .select(col("da"), col("db"), col("na"), col("nb"), col("inter"))
       .write.mode("overwrite").format("parquet").saveAsTable(truthT)
+    // The DETECTOR's verified pair set (c02's output, a recall-bound
+    // subset of truth): what the cluster consumers (c10/c10b/c32/
+    // c37/c21b) actually fold — also once per corpus, so cluster
+    // re-runs start from a pair table (output-proportional) instead
+    // of re-running the banded self-join + verify.
+    c02MinhashLshOf(shAll2)
+      .select(col("da"), col("db"))
+      .write.mode("overwrite").format("parquet").saveAsTable(sigNdTable(d))
     s.createDataFrame(Seq(Tuple1(
       SIG_STORE_VER + ScaleOps.corpusToken(s, d, "documents.parquet"))))
       .toDF("token").write.mode("overwrite").format("parquet").saveAsTable(metaT)
@@ -945,6 +960,20 @@ object DedupOps extends QueryModule {
       else s.table(metaT).collect().headOption.map(_.getString(0))
     if (!token().contains(want)) buildSigStore(s, d)
     s.table(sigTruthTable(d))
+  }
+
+  /** The persisted detector near-dup pair set ([[buildSigStore]]),
+    * same rebuild guard — identical rows to `c02MinhashLsh(s, d)
+    * .select(da, db)`, read back at pair grain for the cluster
+    * consumers. */
+  private def persistedNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val (_, _, _, metaT) = sigTables(d)
+    val want = SIG_STORE_VER + ScaleOps.corpusToken(s, d, "documents.parquet")
+    def token(): Option[String] =
+      if (!s.catalog.tableExists(metaT)) None
+      else s.table(metaT).collect().headOption.map(_.getString(0))
+    if (!token().contains(want)) buildSigStore(s, d)
+    s.table(sigNdTable(d))
   }
 
   /** c13b — c13's ANSWERS from the persisted signature store (oracle
@@ -1903,7 +1932,7 @@ object DedupOps extends QueryModule {
     * seeded cross-split near-dup pair). */
   def c21bSplitRepair(s: SparkSession, d: String): DataFrame =
     splitRepair(Tables.documents(s, d).select(col("doc_id")),
-      c02MinhashLsh(s, d).select(col("da"), col("db")))
+      persistedNearDupPairs(s, d))
 
   /** c21b's core over arbitrary id + dup-pair frames — factored out so
     * the deep-chain spec can drive the exact production path with a
