@@ -2059,15 +2059,24 @@ object DedupOps extends QueryModule {
     * projection and a source-grain aggregation — strictly cheaper
     * than the c32 it contains. */
   def c43EffectiveTokens(s: SparkSession, d: String): DataFrame =
-    effectiveTokensOf(Tables.documents(s, d))
+    // the corpus face folds the persisted detector pairs (same rows
+    // c02 computes live); the generic form below stays self-contained
+    // for arbitrary frames (s07's snapshot read)
+    effectiveTokensOf(Tables.documents(s, d),
+      Some(persistedNearDupPairs(s, d)))
 
   /** [[c43EffectiveTokens]] over any documents-shaped frame (s07's
-    * release report runs the accounting on a snapshot read). */
-  private[graft] def effectiveTokensOf(docs: DataFrame): DataFrame = {
-    val keep = clusterKeep(
-      TextOps.withQualityCols(docs).select(col("doc_id"), col("quality")),
+    * release report runs the accounting on a snapshot read);
+    * `pairsOpt` supplies a precomputed near-dup pair set, else the
+    * detector runs on `docs` directly. */
+  private[graft] def effectiveTokensOf(docs: DataFrame,
+      pairsOpt: Option[DataFrame] = None): DataFrame = {
+    val pairs = pairsOpt.getOrElse(
       c02MinhashLshOf(shingleDocsOf(docs, 3, hashed = true).localCheckpoint())
         .select(col("da"), col("db")))
+    val keep = clusterKeep(
+      TextOps.withQualityCols(docs).select(col("doc_id"), col("quality")),
+      pairs)
       .select(col("doc_id"), col("status"))
     docs
       .select(col("doc_id"), col("source"),

