@@ -398,8 +398,30 @@ object ScaleOps extends QueryModule {
       del.repartition(1).write.mode("overwrite")
         .parquet(new Path(tmpCh, "del").toString)
     }
+    // The version's MERGED SCHEMA rides the manifest as a `#schema:`
+    // header (with a `#ts:` commit stamp) so readers resolve both
+    // from ONE header read — never a footer sweep over the file list.
+    // Parent schema comes from the parent's own header (one small
+    // read, keeps the delta-append hot path O(batch)); a pre-header
+    // parent pays a single migration footer sweep here, at COMMIT
+    // time (already a data-writing operation), after which the chain
+    // is header-resolved forever.
+    val schema: StructType = expectParent.filter(_ >= 1L) match {
+      case Some(p) =>
+        val parentSchema = snapshotSchema(s, root, p).orElse {
+          val pf = manifestFiles(s, root, p)
+          if (pf.isEmpty) None
+          else Some(s.read.option("mergeSchema", "true").parquet(pf: _*).schema)
+        }
+        parentSchema.fold(allNullable(df.schema))(
+          mergeSchemas(_, allNullable(df.schema)))
+      case None => allNullable(df.schema)
+    }
     val text = (tag.toSeq.map(TAG_HEADER + _) ++
-      parentRef.toSeq.map(PARENT_HEADER + _) ++ parentLines ++ newLines)
+      parentRef.toSeq.map(PARENT_HEADER + _) ++
+      Seq(SCHEMA_HEADER + schema.json,
+        TS_HEADER + System.currentTimeMillis()) ++
+      parentLines ++ newLines)
       .mkString("\n")
     val tmp = new Path(rootP, s"_manifests/.tmp-v$next-$att")
     val out = fs.create(tmp, true)
@@ -457,6 +479,84 @@ object ScaleOps extends QueryModule {
   private val RELEASE_SWEEP_GRACE_MS = 15L * 60 * 1000
 
   private val PARENT_HEADER = "#parent:"
+  private val SCHEMA_HEADER = "#schema:"
+  private val TS_HEADER = "#ts:"
+
+  /** A committed version's manifest HEADER lines as key -> value
+    * (`#tag:`, `#parent:`, `#schema:`, `#ts:`), reading only the
+    * leading `#` lines — O(headers), never the file list. Planning
+    * against a 10⁵-file version must stay metadata-bounded: one open,
+    * a handful of line reads. */
+  private def manifestHeaders(s: SparkSession, root: String,
+      v: Long): Map[String, String] = {
+    val man = new org.apache.hadoop.fs.Path(root, s"_manifests/v$v.manifest")
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fsOf(s, man).open(man), "UTF-8"))
+    try {
+      val b = Map.newBuilder[String, String]
+      var line = in.readLine()
+      while (line != null && line.startsWith("#")) {
+        val cut = line.indexOf(':')
+        if (cut > 1) b += (line.substring(1, cut) -> line.substring(cut + 1))
+        line = in.readLine()
+      }
+      b.result()
+    } finally in.close()
+  }
+
+  /** The MERGED SCHEMA of a committed version, from its manifest's
+    * `#schema:` header — written at commit time (evolving on
+    * append/merge/evolve commits), so resolving a table's schema is
+    * ONE manifest header read instead of a mergeSchema footer sweep
+    * over every data file in the version (the Delta/Iceberg
+    * schema-in-the-log rationale: at 10⁴-10⁵ files a planning-time
+    * footer sweep dwarfs the pruned read it plans). None for
+    * manifests committed before the header existed — callers fall
+    * back to the footer sweep, once. */
+  private[graft] def snapshotSchema(s: SparkSession, root: String,
+      v: Long): Option[StructType] =
+    manifestHeaders(s, root, v).get("schema")
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+  /** A committed version's commit instant from its `#ts:` header
+    * (written at commit), falling back to the manifest's mtime for
+    * pre-header manifests. The header makes TIMESTAMP AS OF survive
+    * backup/restore/rsync of the store — mtimes don't. */
+  private[graft] def snapshotCommitTs(s: SparkSession, root: String,
+      v: Long): Long =
+    manifestHeaders(s, root, v).get("ts").map(_.toLong).getOrElse {
+      val man = new org.apache.hadoop.fs.Path(root, s"_manifests/v$v.manifest")
+      fsOf(s, man).getFileStatus(man).getModificationTime
+    }
+
+  /** Field-union schema merge (the parquet-mergeSchema result, computed
+    * from metadata): left's fields in order, right's new fields
+    * appended; a field absent from either side is nullable (some files
+    * lack it — read-time null-fill), and a name held by both must
+    * agree on type — the store evolves by ADDING columns, never by
+    * retyping them. */
+  /** All fields nullable — what a parquet footer sweep infers (row
+    * groups can't prove non-nullability), so header-resolved and
+    * legacy-swept schemas agree byte-for-byte. */
+  private[graft] def allNullable(st: StructType): StructType =
+    StructType(st.fields.map(_.copy(nullable = true)))
+
+  private[graft] def mergeSchemas(a: StructType, b: StructType): StructType = {
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val aNames = a.fieldNames.toSet
+    val merged = a.fields.map { fa =>
+      bByName.get(fa.name) match {
+        case Some(fb) =>
+          require(fa.dataType == fb.dataType,
+            s"incompatible schema evolution for column '${fa.name}': " +
+              s"${fa.dataType.simpleString} vs ${fb.dataType.simpleString}")
+          fa.copy(nullable = fa.nullable || fb.nullable)
+        case None => fa.copy(nullable = true)
+      }
+    }
+    StructType(merged ++
+      b.fields.filterNot(f => aNames(f.name)).map(_.copy(nullable = true)))
+  }
 
   private def readManifestLines(s: SparkSession,
       p: org.apache.hadoop.fs.Path): Seq[String] = {
@@ -839,23 +939,19 @@ object ScaleOps extends QueryModule {
   }
 
   /** TIMESTAMP AS OF resolution (the Delta/Iceberg time-travel
-    * twin of version pinning): the newest version whose manifest was
-    * COMMITTED at or before `tsMillis`, from manifest mtimes — the
-    * rename that commits a version is also what stamps its mtime, so
-    * commit time needs no extra metadata. Errors when the store is
-    * empty or every version is newer than the asked instant (asking
-    * for "the table before it existed" deserves a loud answer, not
-    * v1). O(versions) listStatus metadata, no data read. */
+    * twin of version pinning): the newest version COMMITTED at or
+    * before `tsMillis`, from each manifest's `#ts:` commit stamp
+    * ([[snapshotCommitTs]]; pre-header manifests fall back to mtime).
+    * The stamp rides the commit rename, so history order survives
+    * backup/restore/rsync of the store — mtimes alone don't. Errors
+    * when the store is empty or every version is newer than the asked
+    * instant (asking for "the table before it existed" deserves a
+    * loud answer, not v1). O(versions) header reads, no data read. */
   def resolveAsOfTimestamp(s: SparkSession, root: String,
       tsMillis: Long): Long = {
-    import org.apache.hadoop.fs.Path
-    val fs = fsOf(s, new Path(root))
     val vs = snapshotVersions(s, root)
     require(vs.nonEmpty, s"no committed snapshots under $root")
-    val committed = vs.filter { v =>
-      fs.getFileStatus(new Path(root, s"_manifests/v$v.manifest"))
-        .getModificationTime <= tsMillis
-    }
+    val committed = vs.filter(snapshotCommitTs(s, root, _) <= tsMillis)
     require(committed.nonEmpty,
       s"no snapshot of $root existed at $tsMillis " +
         s"(earliest commit is v${vs.head})")
@@ -1083,7 +1179,7 @@ object ScaleOps extends QueryModule {
     val root = snapRoot(s, d)
     val tokP = new Path(root, "_token")
     val fs = fsOf(s, tokP)
-    val want = "layout4§" + corpusToken(s, d, "documents.parquet")
+    val want = "layout5§" + corpusToken(s, d, "documents.parquet")
     val have =
       if (!fs.exists(tokP)) None
       else {
@@ -1097,7 +1193,7 @@ object ScaleOps extends QueryModule {
       val bucket = graft.functions.Portable.h60(concat(lit("snap:"),
         col("doc_id").cast(StringType))) % 100
       // each publish is range-clustered on doc_id so the zone-map
-      // stats are selective (layout4): per file, [min,max] doc_id
+      // stats are selective (layout4+): per file, [min,max] doc_id
       // spans ~1/SNAP_FILES of the id space instead of all of it
       def ranged(df: DataFrame): DataFrame =
         df.repartitionByRange(SNAP_FILES, col("doc_id"))
@@ -1622,7 +1718,7 @@ object ScaleOps extends QueryModule {
     val root = snapRoot(s, d) + "_del"
     val tokP = new Path(root, "_token")
     val fs = fsOf(s, tokP)
-    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
+    val want = "layout3§" + corpusToken(s, d, "documents.parquet")
     val have =
       if (!fs.exists(tokP)) None
       else {
@@ -1696,7 +1792,7 @@ object ScaleOps extends QueryModule {
     val root = snapRoot(s, d) + "_blm"
     val tokP = new Path(root, "_token")
     val fs = fsOf(s, tokP)
-    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
     val have =
       if (!fs.exists(tokP)) None
       else {
@@ -1762,7 +1858,7 @@ object ScaleOps extends QueryModule {
     val root = snapRoot(s, d) + "_mrg"
     val tokP = new Path(root, "_token")
     val fs = fsOf(s, tokP)
-    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
     val have =
       if (!fs.exists(tokP)) None
       else {
@@ -1837,7 +1933,7 @@ object ScaleOps extends QueryModule {
     val root = snapRoot(s, d) + "_evomrg"
     val tokP = new Path(root, "_token")
     val fs = fsOf(s, tokP)
-    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
     val have =
       if (!fs.exists(tokP)) None
       else {
@@ -1895,7 +1991,7 @@ object ScaleOps extends QueryModule {
     val root = snapRoot(s, d) + "_cdf"
     val tokP = new Path(root, "_token")
     val fs = fsOf(s, tokP)
-    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
     val have =
       if (!fs.exists(tokP)) None
       else {
@@ -1958,7 +2054,7 @@ object ScaleOps extends QueryModule {
     val root = snapRoot(s, d) + "_opt"
     val tokP = new Path(root, "_token")
     val fs = fsOf(s, tokP)
-    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
     val have =
       if (!fs.exists(tokP)) None
       else {
@@ -2043,7 +2139,7 @@ object ScaleOps extends QueryModule {
     val root = snapRoot(s, d) + "_evo"
     val tokP = new Path(root, "_token")
     val fs = fsOf(s, tokP)
-    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
     val have =
       if (!fs.exists(tokP)) None
       else {

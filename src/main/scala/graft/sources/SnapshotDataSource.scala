@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownF
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `spark.read.format("graft-snapshot")` — the versioned snapshot
@@ -43,19 +43,46 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pruning, not a bespoke reader. Filters are handed back to Spark
   * for re-evaluation (file-grain pruning is a superset guarantee,
   * like partition pruning), so answers never depend on the sidecar
-  * fields. Schema is the version's merged-parquet schema, so
-  * evolved stores (s11/s16) null-fill old files. */
+  * fields.
+  *
+  * PLANNING IS METADATA-ONLY: the schema comes from the manifest's
+  * `#schema:` header (written at commit, evolving with the store —
+  * the Delta/Iceberg schema-in-the-log shape), so resolving a table
+  * opens O(1) manifest files and ZERO parquet footers. Pre-header
+  * stores fall back to one mergeSchema footer sweep — counted in
+  * [[SnapshotDataSource.footerSweeps]] so the spec can pin the zero.
+  * Version + schema are resolved ONCE per load and pinned on the
+  * provider instance (Spark instantiates a fresh provider per load):
+  * a commit landing between `inferSchema` and `getTable` can no
+  * longer bind the scan to a newer version than the schema, and the
+  * resolution cost is paid once, not twice. */
 class SnapshotDataSource extends TableProvider with DataSourceRegister {
+
+  // per-load pinned resolution — inferSchema resolves, getTable reuses
+  private var pinned: Option[(String, (String, Long, StructType))] = None
+
+  private def resolveOnce(
+      options: CaseInsensitiveStringMap): (String, Long, StructType) =
+    synchronized {
+      val key = options.asCaseSensitiveMap().asScala.toSeq.sorted.toString
+      pinned match {
+        case Some((k, r)) if k == key => r
+        case _ =>
+          val r = SnapshotDataSource.resolve(options)
+          pinned = Some((key, r))
+          r
+      }
+    }
 
   override def shortName(): String = "graft-snapshot"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotDataSource.resolve(options)._3
+    resolveOnce(options)._3
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val (root, v, _) = SnapshotDataSource.resolve(opts)
+    val (root, v, _) = resolveOnce(opts)
     new SnapshotTable(root, v, schema,
       Option(opts.get("statscol")))
   }
@@ -63,9 +90,20 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
 
 object SnapshotDataSource {
 
+  /** Count of mergeSchema footer sweeps taken because a manifest had
+    * no `#schema:` header (pre-header stores only) — test
+    * instrumentation pinning that planning against a header-carrying
+    * store reads zero parquet footers. */
+  private[graft] val footerSweeps = new java.util.concurrent.atomic.AtomicLong
+
+  /** Count of full option resolutions — pins that one load resolves
+    * once (inferSchema + getTable share the pinned result). */
+  private[graft] val resolves = new java.util.concurrent.atomic.AtomicLong
+
   /** (root, resolved version, merged schema) for the options. */
   private[sources] def resolve(
       options: CaseInsensitiveStringMap): (String, Long, StructType) = {
+    resolves.incrementAndGet()
     val s = SparkSession.active
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
@@ -86,11 +124,17 @@ object SnapshotDataSource {
         require(vs.nonEmpty, s"no committed snapshots under $root")
         vs.last
     }
-    val (_, files) = ScaleOps.planSnapshotFiles(s, root, Some(v),
-      None, None, None)
-    require(files.nonEmpty,
-      s"snapshot v$v of $root lists no data files; no schema source")
-    val schema = s.read.option("mergeSchema", "true").parquet(files: _*).schema
+    // schema from the manifest header: one small read, zero footers.
+    // Only a pre-header manifest pays the legacy mergeSchema sweep.
+    val schema = ScaleOps.snapshotSchema(s, root, v).getOrElse {
+      footerSweeps.incrementAndGet()
+      val (_, files) = ScaleOps.planSnapshotFiles(s, root, Some(v),
+        None, None, None)
+      require(files.nonEmpty,
+        s"snapshot v$v of $root lists no data files and carries no " +
+          "#schema: header; no schema source")
+      s.read.option("mergeSchema", "true").parquet(files: _*).schema
+    }
     (root, v, schema)
   }
 }
@@ -130,15 +174,59 @@ class SnapshotScanBuilder(root: String, version: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** (lo, hi, keys) constraints the pushed filters put on the stats
-    * column — conjunctive top level, Long-valued comparisons only
-    * (anything else simply doesn't prune). */
+  /** The declared stats column's type in the table schema — the gate
+    * for what may prune. The manifest's zone maps hold the column's
+    * min/max CAST TO LONG, so the ±1 integral arithmetic below is
+    * sound only for integral columns: a fractional stats column
+    * (where GreaterThan(c, 2.2) would need lo=2.3, not 3) simply
+    * doesn't range-prune through this connector. The Bloom bits hash
+    * the column IN ITS NATIVE TYPE at publish while lookup keys probe
+    * as longs, and xxhash64 hashes Int and Long differently — so
+    * key-based pruning is additionally gated on LongType, or files
+    * holding the key would be falsely proven key-free. */
+  private val statsColType: Option[DataType] =
+    statsCol.flatMap(c =>
+      tableSchema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+
+  private val statsColIntegral: Boolean = statsColType.exists {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** (lo, hi, keys) constraints the pushed filters put on the
+    * INTEGRAL stats column — conjunctive top level. Fractional
+    * comparison values over the integral column tighten via
+    * floor/ceil (int > 2.2 ⇔ int ≥ 3); an equality against a
+    * non-whole value can match nothing, so it prunes everything
+    * (Spark still re-evaluates the filter on any rows read). Values
+    * beyond ±2⁶² skip (Double→Long saturation would corrupt the ±1
+    * arithmetic); anything non-numeric contributes no constraint. */
   private def statsConstraints(
       c: String): (Option[Long], Option[Long], Option[Seq[Long]]) = {
-    def num(v: Any): Option[Long] = v match {
-      case n: java.lang.Number => Some(n.longValue())
+    val SAFE = 1L << 62
+    // exact integral value, if the filter value is one
+    def whole(v: Any): Option[Long] = v match {
+      case b: java.lang.Byte => Some(b.longValue)
+      case sh: java.lang.Short => Some(sh.longValue)
+      case i: java.lang.Integer => Some(i.longValue)
+      case l: java.lang.Long => Some(l)
+      case d: java.lang.Double if d.doubleValue.isWhole &&
+        math.abs(d.doubleValue) < SAFE.toDouble => Some(d.longValue)
+      case f: java.lang.Float if f.floatValue.isWhole &&
+        math.abs(f.floatValue) < SAFE.toFloat => Some(f.longValue)
+      case bd: java.math.BigDecimal if bd.stripTrailingZeros.scale <= 0 &&
+        bd.abs.compareTo(java.math.BigDecimal.valueOf(SAFE)) < 0 =>
+        Some(bd.longValue)
+      case bd: scala.math.BigDecimal => whole(bd.underlying)
       case _ => None
     }
+    // any numeric value as a Double for floor/ceil bounds (None when
+    // out of the safe range or not numeric)
+    def dbl(v: Any): Option[Double] = (v match {
+      case n: java.lang.Number => Some(n.doubleValue)
+      case bd: scala.math.BigDecimal => Some(bd.toDouble)
+      case _ => None
+    }).filter(d => !d.isNaN && math.abs(d) < SAFE.toDouble)
     var lo = Option.empty[Long]
     var hi = Option.empty[Long]
     var keys = Option.empty[Seq[Long]]
@@ -147,16 +235,25 @@ class SnapshotScanBuilder(root: String, version: Long,
     def addKeys(ks: Seq[Long]): Unit =
       keys = Some(keys.fold(ks)(_.intersect(ks)))
     def walk(f: Filter): Unit = f match {
-      case EqualTo(`c`, v) => num(v).foreach { k =>
-        tightenLo(k); tightenHi(k); addKeys(Seq(k))
+      case EqualTo(`c`, v) => dbl(v).foreach { _ =>
+        whole(v) match {
+          case Some(k) => tightenLo(k); tightenHi(k); addKeys(Seq(k))
+          case None => addKeys(Seq.empty) // int = 2.2 matches nothing
+        }
       }
       case In(`c`, vs) =>
-        val ks = vs.toSeq.flatMap(num)
-        if (ks.length == vs.length) addKeys(ks)
-      case GreaterThan(`c`, v) => num(v).foreach(k => tightenLo(k + 1))
-      case GreaterThanOrEqual(`c`, v) => num(v).foreach(tightenLo)
-      case LessThan(`c`, v) => num(v).foreach(k => tightenHi(k - 1))
-      case LessThanOrEqual(`c`, v) => num(v).foreach(tightenHi)
+        val ds = vs.toSeq.map(dbl)
+        // only constrain when every member is understood numerically;
+        // non-whole members can't equal an integral column — dropped
+        if (ds.forall(_.isDefined)) addKeys(vs.toSeq.flatMap(whole))
+      case GreaterThan(`c`, v) =>
+        dbl(v).foreach(d => tightenLo(math.floor(d).toLong + 1))
+      case GreaterThanOrEqual(`c`, v) =>
+        dbl(v).foreach(d => tightenLo(math.ceil(d).toLong))
+      case LessThan(`c`, v) =>
+        dbl(v).foreach(d => tightenHi(math.ceil(d).toLong - 1))
+      case LessThanOrEqual(`c`, v) =>
+        dbl(v).foreach(d => tightenHi(math.floor(d).toLong))
       case And(l, r) => walk(l); walk(r)
       case _ => // non-prunable shape: contributes no constraint
     }
@@ -166,10 +263,13 @@ class SnapshotScanBuilder(root: String, version: Long,
 
   override def build(): Scan = {
     val s = SparkSession.active
-    val (lo, hi, keys) = statsCol match {
-      case Some(c) => statsConstraints(c)
-      case None => (None, None, None)
+    val (lo, hi, keys0) = statsCol match {
+      case Some(c) if statsColIntegral => statsConstraints(c)
+      case _ => (None, None, None)
     }
+    // Bloom probes hash as LongType; publish hashed the native type —
+    // only a LongType stats column may key-prune (see statsColType)
+    val keys = if (statsColType.contains(LongType)) keys0 else None
     val (_, files) = ScaleOps.planSnapshotFiles(s, root, Some(version),
       lo, hi, keys)
     val index = new InMemoryFileIndex(s, files.map(new Path(_)),

@@ -151,6 +151,98 @@ class SnapshotDataSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("at most one"))
   }
 
+  test("planning is metadata-only: version + schema resolve with zero parquet footer reads") {
+    val root = freshRoot("hdr")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 100),
+      statsCol = Some("id"))
+    ScaleOps.appendSnapshot(spark, root, rangedDf(100 until 200),
+      statsCol = Some("id"))
+    // hide EVERY data file; resolution must not miss them — the
+    // strongest possible zero-footer proof on a real filesystem
+    val f = fs(root)
+    val stash = new Path(root, ".stash")
+    f.mkdirs(stash)
+    val hidden = f.listStatus(new Path(root)).map(_.getPath)
+      .filter(_.getName.startsWith("data-v")).toSeq
+    hidden.foreach(p => assert(f.rename(p, new Path(stash, p.getName))))
+    try {
+      val sweepsBefore = SnapshotDataSource.footerSweeps.get()
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", root))
+      val (_, v, schema) = SnapshotDataSource.resolve(opts)
+      assert(v === 2L)
+      assert(schema.fieldNames.toSeq === Seq("id", "s"))
+      assert(SnapshotDataSource.footerSweeps.get() === sweepsBefore,
+        "header-carrying store fell back to a footer sweep")
+    } finally hidden.foreach(p =>
+      assert(f.rename(new Path(stash, p.getName), p)))
+    // with the data back, the planned read answers normally
+    assert(readStore(root).count() === 200L)
+  }
+
+  test("one load resolves version+schema ONCE; inferSchema and getTable share the pin") {
+    val root = freshRoot("pin")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 50),
+      statsCol = Some("id"))
+    val before = SnapshotDataSource.resolves.get()
+    assert(readStore(root).count() === 50L)
+    assert(SnapshotDataSource.resolves.get() === before + 1,
+      "inferSchema and getTable resolved independently")
+  }
+
+  test("timestampAsOf resolves from the #ts: commit stamp, not filesystem mtimes") {
+    val root = freshRoot("tshdr")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 10),
+      statsCol = Some("id"))
+    val between = System.currentTimeMillis() + 50
+    Thread.sleep(120)
+    ScaleOps.appendSnapshot(spark, root, rangedDf(10 until 20),
+      statsCol = Some("id"))
+    // scramble mtimes the way a backup/restore would: v1 "newer" than v2
+    val f = fs(root)
+    val now = System.currentTimeMillis()
+    f.setTimes(new Path(root, "_manifests/v1.manifest"), now + 60000, -1)
+    f.setTimes(new Path(root, "_manifests/v2.manifest"), now - 60000, -1)
+    assert(ScaleOps.resolveAsOfTimestamp(spark, root, between) === 1L)
+    assert(readStore(root, "timestampAsOf" -> between.toString).count() === 10L)
+  }
+
+  test("a fractional-typed stats column never range-prunes (rows would vanish)") {
+    val root = freshRoot("frac")
+    fs(root).delete(new Path(root), true)
+    // scores land in files whose [min,max] TRUNCATE to longs: a
+    // GreaterThan(score, 2.2) naively tightened to lo=3 would prune
+    // the file holding 2.3 — the connector must not range-prune here
+    val df = Seq((1L, 2.3), (2L, 2.7), (3L, 7.5))
+      .toDF("id", "score").coalesce(1)
+    ScaleOps.publishSnapshot(spark, root, df, statsCol = Some("score"))
+    val got = spark.read.format("graft-snapshot")
+      .option("statsCol", "score").load(root)
+      .filter(col("score") > 2.2)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2.3), (2L, 2.7), (3L, 7.5)))
+  }
+
+  test("a non-Long stats column never Bloom-prunes (hash types differ publish vs probe)") {
+    val root = freshRoot("ibloom")
+    fs(root).delete(new Path(root), true)
+    // IntegerType keys: the published bits hash ints, a probe would
+    // hash longs — xxhash64 disagrees, so every lookup would be a
+    // false negative. The connector must fall back to zone maps only.
+    val df = (0 until 100).map(i => (i, s"row$i")).toDF("id", "s")
+      .repartition(2, col("s"))
+    ScaleOps.publishSnapshot(spark, root, df,
+      statsCol = Some("id"), statsBloom = true)
+    val got = spark.read.format("graft-snapshot")
+      .option("statsCol", "id").load(root)
+      .filter(col("id") === 42)
+      .as[(Int, String)].collect().toSeq
+    assert(got === Seq((42, "row42")))
+  }
+
   test("schema-evolved stores read with null-fill through the table") {
     val root = freshRoot("evo")
     fs(root).delete(new Path(root), true)
