@@ -263,7 +263,17 @@ object ScaleOps extends QueryModule {
     * streams tag every batch, so the walk is one or two manifests in
     * steady state, and each probe reads ONE header line. Sequential
     * foreachBatch replays make the first tagged hit sufficient: a
-    * replayed tag can only be the newest tagged version's. */
+    * replayed tag can only be the newest tagged version's.
+    *
+    * CONTRACT — ONE tagged writer per store: the first-tagged-hit
+    * probe assumes all tagged commits come from a single sequential
+    * stream (untagged maintenance ops may interleave freely). Two
+    * tagged writers sharing a root can hide each other's newest tag
+    * (writer B's tag lands between writer A's commit and A's
+    * at-least-once replay → A re-appends, silently duplicating).
+    * Fan-in topologies must tag with per-writer prefixes AND probe
+    * per-writer ([[committedTags]]), or give each stream its own
+    * store — exactly Delta's one-`txnAppId`-per-writer rule. */
   private def lastCommittedTag(s: SparkSession, root: String): Option[String] =
     snapshotVersions(s, root).reverseIterator
       .map(v => manifestTag(s, root, v))
@@ -427,17 +437,25 @@ object ScaleOps extends QueryModule {
     val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
     val dst = new Path(rootP, s"_manifests/v$next.manifest")
+    // Before contending, repair the slot if a previous claimant
+    // crashed between its claim and its rename — otherwise a dead
+    // claim bricks the slot (and the store) forever.
+    repairSlot(s, root, next)
     // The commit point, with OPTIMISTIC CONFLICT DETECTION (the
-    // Delta-log commit shape). Two hazards, both closed here:
-    //  1. slot clobber — on HDFS-like stores rename-to-existing
-    //     returns false, so the slot naturally takes one winner, but
-    //     local filesystems inherit POSIX rename's silent OVERWRITE;
-    //     the per-root JVM lock plus exists-check restores
-    //     exactly-one-winner for same-process racers (streaming
-    //     sinks + maintenance ops share a JVM here). Cross-JVM
-    //     writers need the store's atomic no-overwrite rename (HDFS)
-    //     or a CAS log (object stores).
-    //  2. lost update — a commit planned against parent P whose
+    // Delta-log commit shape). Three hazards, all closed here:
+    //  1. slot clobber, same JVM — the per-root lock plus
+    //     exists-check restores exactly-one-winner for same-process
+    //     racers (streaming sinks + maintenance ops share a JVM).
+    //  2. slot clobber, CROSS-PROCESS — POSIX rename silently
+    //     OVERWRITES, and Hadoop's local create(overwrite=false) is
+    //     an exists-check + create, not atomic. The slot is therefore
+    //     CLAIMED first via a genuinely atomic create-exclusive
+    //     ([[claimSlot]]: O_EXCL on local filesystems, atomic create
+    //     on HDFS); only the claim's single winner renames onto the
+    //     slot, so two JVMs can never both commit the same version.
+    //     Object stores without atomic create-exclusive still need a
+    //     CAS log; the reader contract is unchanged.
+    //  3. lost update — a commit planned against parent P whose
     //     manifest carries P's lines (or a #parent:P ref) silently
     //     DROPS any version that landed after P, even when its own
     //     slot is free (merge plans vs v1, append commits v2, merge
@@ -447,12 +465,19 @@ object ScaleOps extends QueryModule {
     // A loser cleans only its OWN debris and throws — callers retry
     // the operation, which replans against the new head and re-lands
     // the batch's data under a fresh attempt id (no loss, no orphan).
+    // A winner that crashes between claim and rename is finished by
+    // the next writer's [[repairSlot]] — its manifest was fully
+    // written before the claim, so the repair is a pure rename.
+    val claimP = new Path(rootP, s"_manifests/.claim-v$next")
     val won = ScaleOps.commitLocks
       .computeIfAbsent(rootP.toUri.toString, _ => new Object)
       .synchronized {
-        expectParent.forall(
-          _ == snapshotVersions(s, root).lastOption.getOrElse(0L)) &&
-          !fs.exists(dst) && fs.rename(tmp, dst)
+        if (!expectParent.forall(
+            _ == snapshotVersions(s, root).lastOption.getOrElse(0L)) ||
+          fs.exists(dst)) false
+        else if (!claimSlot(fs, claimP, att)) false
+        else if (fs.rename(tmp, dst)) true
+        else { fs.delete(claimP, false); false } // undo: slot stays free
       }
     if (!won) { // lost the commit race — clean own debris
       fs.delete(tmp, false)
@@ -473,6 +498,69 @@ object ScaleOps extends QueryModule {
     * the commit-point note in [[commitVersion]]). */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Atomically claim a version slot by CREATE-EXCLUSIVE on the claim
+    * marker — the cross-process arbitration [[commitVersion]]'s JVM
+    * lock cannot provide. On `file:` paths Hadoop's
+    * create(overwrite=false) is exists-check + create (a race
+    * window), so the claim uses the kernel's O_EXCL via
+    * File.createNewFile; on HDFS-like stores create(overwrite=false)
+    * is itself atomic (namenode-arbitrated). The marker's content is
+    * the claimant's attempt id, which is what lets [[repairSlot]]
+    * finish a crashed winner's rename. Returns true iff THIS call
+    * created the marker. */
+  private[graft] def claimSlot(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, att: String): Boolean =
+    try {
+      val uri = p.toUri
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        val f = new java.io.File(uri.getPath)
+        f.getParentFile.mkdirs()
+        if (!f.createNewFile()) false // O_CREAT|O_EXCL: atomic
+        else {
+          java.nio.file.Files.write(f.toPath, att.getBytes("UTF-8"))
+          true
+        }
+      } else {
+        val out = fs.create(p, false)
+        try out.write(att.getBytes("UTF-8")) finally out.close()
+        true
+      }
+    } catch {
+      case _: java.io.IOException => false // claim exists (or raced)
+    }
+
+  /** A claimant alive mid-rename holds its claim for microseconds;
+    * anything this much older with no manifest is a crash. */
+  private val CLAIM_GRACE_MS = 30000L
+
+  /** Finish (or sweep) a CRASHED claimant's commit for slot `n`: the
+    * protocol writes the full manifest to its attempt-private tmp
+    * BEFORE claiming, so a claim with no committed manifest and an
+    * existing tmp is a fully-written commit that only lacks its
+    * rename — complete it (the crashed writer WINS its slot; its data
+    * renamed in even earlier). A claim with neither manifest nor tmp
+    * is unreachable by the protocol (tampering/partial restore):
+    * swept so it cannot brick the slot. Both actions wait out
+    * [[CLAIM_GRACE_MS]] so a LIVE claimant between claim and rename
+    * is never raced on its own slot. */
+  private def repairSlot(s: SparkSession, root: String, n: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val claimP = new Path(root, s"_manifests/.claim-v$n")
+    val dst = new Path(root, s"_manifests/v$n.manifest")
+    val fs = fsOf(s, claimP)
+    if (!fs.exists(claimP) || fs.exists(dst)) return
+    val age = System.currentTimeMillis() -
+      fs.getFileStatus(claimP).getModificationTime
+    if (age < CLAIM_GRACE_MS) return
+    val in = fs.open(claimP)
+    val att =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val tmp = new Path(root, s"_manifests/.tmp-v$n-$att")
+    if (att.nonEmpty && fs.exists(tmp)) fs.rename(tmp, dst)
+    else fs.delete(claimP, false)
+  }
 
   /** Orphan-sweep grace for release attempt dirs (Delta's vacuum
     * retention idea at a publish-window scale). */
@@ -897,6 +985,7 @@ object ScaleOps extends QueryModule {
       fs.delete(new Path(root, s"_manifests/v$v.full"), false)
       fs.delete(new Path(root, s"_manifests/v$v.stats"), false) // legacy sidecars
       fs.delete(new Path(root, s"_manifests/v$v.tag"), false)
+      fs.delete(new Path(root, s"_manifests/.claim-v$v"), false)
       // an expired version's change feed goes with it — feed files
       // are version-private (never shared), like release reports
       fs.delete(new Path(root, s"changes-v$v"), true)
@@ -909,6 +998,14 @@ object ScaleOps extends QueryModule {
     // attempt is always at version lastCommitted+1 (or will lose its
     // rename), so the N <= last guard never touches live work.
     val dataDirRe = "(?:data|release)-v(\\d+)(-.*)?".r
+    // attempt-private tmp debris a hard crash can leave BEFORE its
+    // rename: `.tmp-data-v<N>-<att>` (crash inside the parquet
+    // write) and `.tmp-changes-v<N>-<att>` (crash between the data
+    // rename and the commit point, or inside the one-rename feed
+    // publish window). Swept only when the slot is decided AND the
+    // dir has aged past the grace — a claimed-but-mid-rename commit
+    // at N == last must not have its feed swept from under it.
+    val tmpDirRe = "\\.tmp-(?:data|changes)-v(\\d+)-.*".r
     val retained = retainedVs
     val referencedRel = retained
       .filter(v => fs.exists(new Path(root, s"_manifests/v$v.release")))
@@ -931,9 +1028,29 @@ object ScaleOps extends QueryModule {
             if (!young && fls.forall(f => !referenced(f.getPath.toString) &&
                 !referencedRel(f.getPath.toString)))
               fs.delete(d.getPath, true)
+          case tmpDirRe(vStr) if vStr.toLong <= last &&
+              System.currentTimeMillis() - d.getModificationTime >
+                releaseGraceMs =>
+            fs.delete(d.getPath, true)
           case _ =>
         }
       }
+    }
+    // orphan tmp manifests (`.tmp-v<N>-<att>` whose claimant crashed
+    // pre-claim, or `.tmp-v<N>.full` from a crashed materialization)
+    // of decided slots — same grace discipline as the data debris
+    val tmpManRe = "\\.tmp-v(\\d+)(-.*|\\.full)".r
+    vs.lastOption.foreach { last =>
+      fs.listStatus(new Path(root, "_manifests")).filter(_.isFile)
+        .foreach { st =>
+          st.getPath.getName match {
+            case tmpManRe(vStr, _) if vStr.toLong <= last &&
+                System.currentTimeMillis() - st.getModificationTime >
+                  releaseGraceMs =>
+              fs.delete(st.getPath, false)
+            case _ =>
+          }
+        }
     }
     (reclaim.size.toLong, bytes)
   }

@@ -70,6 +70,86 @@ class SnapshotRaceSpec extends SparkSpec {
     listed.foreach(f => assert(fs(root).exists(new Path(f)), s"missing $f"))
   }
 
+  test("the slot claim is genuinely atomic: N contenders, exactly one winner") {
+    val root = freshDir("claim")
+    val f = fs(root)
+    f.delete(new Path(root), true)
+    f.mkdirs(new Path(root, "_manifests"))
+    val claimP = new Path(root, "_manifests/.claim-v1")
+    val pool = Executors.newFixedThreadPool(8)
+    val gate = new CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val fs8 = (1 to 8).map { i =>
+      pool.submit { () =>
+        gate.await()
+        if (ScaleOps.claimSlot(f, claimP, s"att$i")) wins.incrementAndGet()
+      }
+    }
+    gate.countDown()
+    fs8.foreach(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(wins.get() === 1, "create-exclusive admitted more than one claimant")
+    // re-claiming a taken slot always fails
+    assert(!ScaleOps.claimSlot(f, claimP, "late"))
+  }
+
+  test("a claimant that crashed between claim and rename is finished by the next writer") {
+    val root = freshDir("repair")
+    val f = fs(root)
+    f.delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, docs((1L, "en", "base")))
+    val v2 = ScaleOps.appendSnapshot(spark, root, docs((2L, "de", "zwei")))
+    assert(v2 === 2L)
+    // simulate the crash window: v2's manifest back to its tmp name,
+    // an aged claim marker carrying the attempt id — exactly the
+    // state a writer killed between claimSlot and rename leaves
+    val att = "deadbeef"
+    val man = new Path(root, "_manifests/v2.manifest")
+    val tmp = new Path(root, s"_manifests/.tmp-v2-$att")
+    assert(f.rename(man, tmp))
+    val claimP = new Path(root, "_manifests/.claim-v2")
+    f.delete(claimP, false) // replace the real commit's marker with
+    assert(ScaleOps.claimSlot(f, claimP, att)) // the crashed attempt's
+    f.setTimes(claimP, System.currentTimeMillis() - 120000L, -1)
+    assert(ScaleOps.snapshotVersions(spark, root) === Seq(1L))
+    // the next writer repairs the slot (crashed winner commits), then
+    // loses it and retries onto the next — the documented contract
+    val v3 =
+      try ScaleOps.appendSnapshot(spark, root, docs((3L, "fr", "trois")))
+      catch {
+        case e: IllegalStateException
+          if e.getMessage.contains("lost the commit race") =>
+          ScaleOps.appendSnapshot(spark, root, docs((3L, "fr", "trois")))
+      }
+    assert(v3 === 3L)
+    assert(ScaleOps.snapshotVersions(spark, root) === Seq(1L, 2L, 3L))
+    assert(ScaleOps.readSnapshot(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // a stale claim with NO tmp (unreachable by protocol) is swept,
+    // not a permanent brick
+    val claim4 = new Path(root, "_manifests/.claim-v4")
+    assert(ScaleOps.claimSlot(f, claim4, "ghost-att"))
+    f.setTimes(claim4, System.currentTimeMillis() - 120000L, -1)
+    assert(ScaleOps.appendSnapshot(spark, root, docs((4L, "zh", "si"))) === 4L)
+  }
+
+  test("a FRESH claim (live claimant mid-rename) is never raced on its slot") {
+    val root = freshDir("fresh")
+    val f = fs(root)
+    f.delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, docs((1L, "en", "base")))
+    // a fresh claim without a manifest: the claimant may be alive
+    // microseconds before its rename — a contender must neither
+    // steal nor sweep the slot, so its own commit loses
+    val claimP = new Path(root, "_manifests/.claim-v2")
+    assert(ScaleOps.claimSlot(f, claimP, "live-att"))
+    val e = intercept[IllegalStateException] {
+      ScaleOps.appendSnapshot(spark, root, docs((2L, "de", "zwei")))
+    }
+    assert(e.getMessage.contains("lost the commit race"))
+    assert(f.exists(claimP), "a fresh claim was swept")
+  }
+
   test("append × merge: both land under contention with merge semantics intact") {
     // a handful of iterations: the lost-update hazard (merge plans vs
     // v1, append commits v2, merge wins v3 carrying only v1's lines)
