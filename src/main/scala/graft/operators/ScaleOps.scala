@@ -1443,30 +1443,58 @@ object ScaleOps extends QueryModule {
     require(vs.contains(vFrom) && vs.contains(vTo),
       s"versions v$vFrom, v$vTo must both be committed (have ${vs.mkString(",")})")
     require(vFrom <= vTo, s"change-feed read runs forward (v$vFrom > v$vTo)")
-    val hops = vs.filter(v => v > vFrom && v <= vTo)
-    val empty = readSnapshot(s, root, Some(vTo)).limit(0)
+    changeFeedHops(s, root, vFrom, vTo)
+  }
+
+  /** The change-feed hop loop behind [[readSnapshotChangeFeed]] and
+    * the streaming source ([[graft.streaming.SnapshotStream]]): every
+    * hop in `(afterV, toV]`, tagged. `afterV` need not be committed —
+    * afterV=0 means "from the beginning", where the earliest retained
+    * version's hop is its FULL content as inserts (the bootstrap hop:
+    * for v1 that IS its delta; for a vacuum-trimmed head it is the
+    * cumulative state a fresh consumer needs). A hop whose parent
+    * version was vacuumed away mid-history, or reached by a resume
+    * (afterV > 0), throws — the delta cannot be proven, and emitting
+    * a full read as if it were one would silently duplicate
+    * everything downstream. */
+  private[graft] def changeFeedHops(s: SparkSession, root: String,
+      afterV: Long, toV: Long): DataFrame = {
+    val vs = snapshotVersions(s, root)
+    val hops = vs.filter(v => v > afterV && v <= toV)
+    val empty = readSnapshot(s, root, Some(toV)).limit(0)
       .withColumn("_change_type", lit("insert"))
       .withColumn("_commit_version", lit(0L))
     hops.foldLeft(empty) { (acc, v) =>
-      val parent = vs.filter(_ < v).last
-      val pureAppend = manifestFiles(s, root, parent).toSet
-        .subsetOf(manifestFiles(s, root, v).toSet)
       val hopRows =
-        if (pureAppend)
-          readSnapshotChanges(s, root, parent, v)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v))
-        else snapshotChangeFiles(s, root, v) match {
-          case Some((ins, del)) =>
-            // allowMissingColumns: after an evolve-on-merge the
-            // postimages carry columns the preimages never had
-            ins.withColumn("_change_type", lit("insert"))
-              .unionByName(del.withColumn("_change_type", lit("delete")),
-                allowMissingColumns = true)
+        if (!vs.contains(v - 1)) {
+          if (afterV == 0L && v == vs.head)
+            readSnapshot(s, root, Some(v))
+              .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v))
-          case None => throw new IllegalStateException(
-            s"v$v is a rewrite with no committed change feed; " +
-              "read the versions directly (s04 content diff) instead")
+          else throw new IllegalStateException(
+            s"change-feed hop v$v has no committed parent v${v - 1} " +
+              "(vacuumed?); the delta cannot be proven — re-read the " +
+              "versions directly (s04 content diff) instead")
+        } else {
+          val parent = v - 1
+          val pureAppend = manifestFiles(s, root, parent).toSet
+            .subsetOf(manifestFiles(s, root, v).toSet)
+          if (pureAppend)
+            readSnapshotChanges(s, root, parent, v)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v))
+          else snapshotChangeFiles(s, root, v) match {
+            case Some((ins, del)) =>
+              // allowMissingColumns: after an evolve-on-merge the
+              // postimages carry columns the preimages never had
+              ins.withColumn("_change_type", lit("insert"))
+                .unionByName(del.withColumn("_change_type", lit("delete")),
+                  allowMissingColumns = true)
+                .withColumn("_commit_version", lit(v))
+            case None => throw new IllegalStateException(
+              s"v$v is a rewrite with no committed change feed; " +
+                "read the versions directly (s04 content diff) instead")
+          }
         }
       acc.unionByName(hopRows, allowMissingColumns = true)
     }

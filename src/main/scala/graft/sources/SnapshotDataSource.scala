@@ -5,8 +5,10 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import graft.operators.ScaleOps
+import graft.streaming.SnapshotStream
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.Source
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
@@ -56,7 +58,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a commit landing between `inferSchema` and `getTable` can no
   * longer bind the scan to a newer version than the schema, and the
   * resolution cost is paid once, not twice. */
-class SnapshotDataSource extends TableProvider with DataSourceRegister {
+class SnapshotDataSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider {
+
+  // ---- streaming face: readStream.format("graft-snapshot") ----
+  // (the v1 Source contract — see graft.streaming.SnapshotStream;
+  // SnapshotTable stays BATCH_READ, so DataStreamReader falls back
+  // here for streams while batch reads keep the DSv2 pruning path)
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (_, _, dataSchema) = SnapshotStream.resolveStream(parameters)
+    (shortName(), SnapshotStream.withMeta(dataSchema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (root, sv, dataSchema) = SnapshotStream.resolveStream(parameters)
+    new SnapshotStream(sqlContext.sparkSession, root, sv, dataSchema)
+  }
 
   // per-load pinned resolution — inferSchema resolves, getTable reuses
   private var pinned: Option[(String, (String, Long, StructType))] = None

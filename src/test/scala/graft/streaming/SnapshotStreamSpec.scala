@@ -1,0 +1,187 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.ScaleOps
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+/** The snapshot store as a STREAMING SOURCE: readStream.format(
+  * "graft-snapshot") tails committed versions, emits append deltas
+  * and rewrite change feeds with drain parity against the batch
+  * change-feed read, resumes exactly from a checkpointed version
+  * offset, and refuses to fake a delta it cannot prove. */
+class SnapshotStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_snapstream_$tag").toString
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def docs(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, s"$tag$i")).toDF("doc_id", "text")
+      .repartitionByRange(2, col("doc_id"))
+
+  /** publish → append → COW delete → merge → compact: one hop of
+    * every commit kind (the s15 history, miniature). */
+  private def mixedHistory(root: String): Unit = {
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, docs(0 until 20, "base"),
+      statsCol = Some("doc_id"))
+    ScaleOps.appendSnapshot(spark, root, docs(20 until 40, "more"),
+      statsCol = Some("doc_id"))
+    ScaleOps.deleteFromSnapshot(spark, root, "doc_id", 5L, 9L)
+    ScaleOps.mergeIntoSnapshot(spark, root, "doc_id",
+      Seq((3L, "upd3"), (99L, "ins99")).toDF("doc_id", "text"))
+    ScaleOps.compactSnapshot(spark, root, targetBytes = 1L << 30,
+      statsCol = Some("doc_id"))
+  }
+
+  private def asTriples(df: DataFrame): Seq[(Long, String, Long)] =
+    df.select(col("doc_id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+
+  /** Drain the stream to a memory sink until no data remains. */
+  private def drain(reader: DataFrame): Seq[(Long, String, Long)] = {
+    val name = "snapstream_" + System.nanoTime()
+    val q = reader.writeStream.format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    asTriples(spark.table(name))
+  }
+
+  /** Checkpointed drain via foreachBatch (the memory sink cannot
+    * recover from a checkpoint; foreachBatch can — the production
+    * resume path). */
+  private def drainCkpt(reader: DataFrame, ckpt: String)
+      : Seq[(Long, String, Long)] = {
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val q = reader.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val got = asTriples(df)
+        rows.synchronized { rows ++= got }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    rows.sorted.toSeq
+  }
+
+  private def readStream(root: String, extra: (String, String)*): DataFrame =
+    extra.foldLeft(spark.readStream.format("graft-snapshot"))(
+      (r, kv) => r.option(kv._1, kv._2)).load(root)
+
+  test("startingVersion=1 drains the WHOLE history with batch change-feed parity") {
+    val root = freshDir("parity")
+    mixedHistory(root)
+    val got = drain(readStream(root, "startingVersion" -> "1"))
+    val want = asTriples(ScaleOps.changeFeedHops(spark, root, 0L, 5L))
+    assert(want.nonEmpty)
+    assert(got === want)
+    // and the feed's NET state equals the store's current content
+    val net = got.groupBy(_._1).map { case (id, evs) =>
+      id -> evs.maxBy(_._3) // last event per key decides
+    }.collect { case (id, (_, "insert", _)) => id }.toSeq.sorted
+    val current = ScaleOps.readSnapshot(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // keys never rewritten keep their v1/v2 insert; deleted keys end
+    // on a delete event — net inserts must equal the live content
+    // for keys whose LAST event is an insert. Deleted-and-gone keys:
+    val deleted = got.filter(_._2 == "delete").map(_._1).toSet
+    val lastIns = net.filterNot(id =>
+      deleted.contains(id) &&
+        got.filter(e => e._1 == id).maxBy(_._3)._2 == "delete")
+    assert(lastIns.toSet.subsetOf(current.toSet))
+  }
+
+  test("default start = initial snapshot: current content as inserts at the head version") {
+    val root = freshDir("initsnap")
+    mixedHistory(root)
+    val got = drain(readStream(root))
+    val current = ScaleOps.readSnapshot(spark, root)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got.map(_._1).sorted === current)
+    assert(got.forall(_._2 == "insert"))
+    assert(got.forall(_._3 == 5L))
+  }
+
+  test("a checkpointed stream resumes exactly after its offset — no replay, no gap") {
+    val root = freshDir("resume")
+    val ckpt = freshDir("resume_ckpt")
+    fs(ckpt).delete(new Path(ckpt), true)
+    mixedHistory(root)
+    val run1 = drainCkpt(readStream(root, "startingVersion" -> "1"), ckpt)
+    // v5 (compaction) commits an EMPTY feed, so the newest row-bearing
+    // hop is v4 — the offset still advanced to 5, which run 2 proves
+    assert(run1 === asTriples(ScaleOps.changeFeedHops(spark, root, 0L, 5L)))
+    assert(run1.map(_._3).max === 4L)
+    // new commits while the stream is DOWN: an append and a delete
+    ScaleOps.appendSnapshot(spark, root, docs(100 until 110, "late"),
+      statsCol = Some("doc_id"))
+    ScaleOps.deleteFromSnapshot(spark, root, "doc_id", 100L, 102L)
+    val run2 = drainCkpt(readStream(root, "startingVersion" -> "1"), ckpt)
+    // run 2 emits ONLY the new hops (v6 append, v7 delete)
+    assert(run2.nonEmpty)
+    assert(run2.map(_._3).toSet === Set(6L, 7L))
+    assert(run2 === asTriples(ScaleOps.changeFeedHops(spark, root, 5L, 7L)))
+    // and a third run with nothing new emits nothing
+    val run3 = drainCkpt(readStream(root, "startingVersion" -> "1"), ckpt)
+    assert(run3.isEmpty)
+  }
+
+  test("a rewrite hop with no committed feed fails the stream loudly") {
+    val root = freshDir("nofeed")
+    mixedHistory(root)
+    // destroy v3's (the delete's) feed: pre-feed history simulation
+    assert(fs(root).delete(new Path(root, "changes-v3"), true))
+    val e = intercept[StreamingQueryException] {
+      drain(readStream(root, "startingVersion" -> "1"))
+    }
+    assert(e.getMessage.contains("no committed change feed") ||
+      Option(e.getCause).exists(_.getMessage.contains("no committed change feed")))
+  }
+
+  test("batch pins are rejected for streams; bad options are loud") {
+    val root = freshDir("opts")
+    mixedHistory(root)
+    val e = intercept[IllegalArgumentException] {
+      drain(readStream(root, "version" -> "2"))
+    }
+    assert(e.getMessage.contains("cannot pin"))
+    val e2 = intercept[IllegalArgumentException] {
+      drain(readStream(root, "startingVersion" -> "0"))
+    }
+    assert(e2.getMessage.contains("startingVersion"))
+  }
+
+  test("schema evolution mid-stream: old pinned schema projects, restart sees the new column") {
+    val root = freshDir("evo")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, docs(0 until 10, "base"),
+      statsCol = Some("doc_id"))
+    val ckpt = freshDir("evo_ckpt")
+    fs(ckpt).delete(new Path(ckpt), true)
+    val run1 = drainCkpt(readStream(root, "startingVersion" -> "1"), ckpt)
+    assert(run1.size === 10)
+    // evolve while the stream is down
+    ScaleOps.mergeIntoSnapshot(spark, root, "doc_id",
+      Seq((3L, "upd3", 77L), (50L, "ins50", 88L))
+        .toDF("doc_id", "text", "quality"),
+      evolveSchema = true)
+    // restart: the NEW schema is pinned; the evolved column arrives
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Option[Long], String)]()
+    val q = readStream(root, "startingVersion" -> "1")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val got = df.select(col("doc_id"), col("quality"), col("_change_type"))
+          .as[(Long, Option[Long], String)].collect().toSeq
+        rows.synchronized { rows ++= got }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows.filter(_._3 == "insert").map(r => r._1 -> r._2).toMap ===
+      Map(3L -> Some(77L), 50L -> Some(88L)))
+  }
+}
