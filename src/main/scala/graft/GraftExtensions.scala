@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         functions.GramH60(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_para_runs"),
+      new ExpressionInfo(classOf[functions.ParaRuns].getName, "graft_para_runs"),
+      (children: Seq[Expression]) =>
+        functions.ParaRuns(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_rep_stats"),
       new ExpressionInfo(classOf[functions.RepStats].getName, "graft_rep_stats"),
       (children: Seq[Expression]) => functions.RepStats(children.head)))

@@ -1119,16 +1119,16 @@ object DedupOps extends QueryModule {
     * pre-split token column (trailing partial run included); EMPTY
     * array for a null token column, so per-row streaming use is
     * null-safe. Shared by c15 and Jobs.boilerplateIngest. */
-  private[graft] def paragraphRuns(toksCol: String): Column = {
-    val P = PARA_TOKENS
-    // size > 0 matters, not just isNotNull: sequence(0, ceil(0/P)-1)
-    // = sequence(0, -1) = [0, -1] (Spark infers a descending step),
-    // which would fabricate two phantom '' runs for an empty array.
-    when(col(toksCol).isNotNull && size(col(toksCol)) > 0, expr(
-      s"transform(sequence(0, CAST(ceil(size($toksCol) / ${P}.0) AS INT) - 1), " +
-        s"i -> concat_ws(' ', slice($toksCol, i * $P + 1, $P)))"))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  private[graft] def paragraphRuns(toksCol: String): Column =
+    // the native non-overlapping-run kernel (functions.ParaRuns):
+    // same output as the HOF formulation transform(sequence(0,
+    // ceil(size/P)-1), i -> concat_ws(' ', slice(toks, i*P+1, P)))
+    // without its per-run lambda dispatch + slice allocation; it
+    // also yields [] for an empty token array natively (the phantom
+    //-run hazard the old `size > 0` guard existed for). Null tokens
+    // → null, coalesced to [] for per-row streaming null-safety.
+    coalesce(expr(s"graft_para_runs($toksCol, $PARA_TOKENS)"),
+      array().cast(ArrayType(StringType)))
 
   /** 60-bit hashes of the paragraphs occurring in more than
     * [[PARA_DF_K]] DISTINCT documents of `docs` — c15's boilerplate
