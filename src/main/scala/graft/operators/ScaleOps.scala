@@ -476,21 +476,53 @@ object ScaleOps extends QueryModule {
             _ == snapshotVersions(s, root).lastOption.getOrElse(0L)) ||
           fs.exists(dst)) false
         else if (!claimSlot(fs, claimP, att)) false
+        // Re-verify OWNERSHIP immediately before the rename: a
+        // claimant stalled past CLAIM_GRACE_MS (GC pause / VM freeze)
+        // can have its claim swept-and-reclaimed by another writer —
+        // renaming anyway would overwrite that writer's committed
+        // manifest (two winners, one version). A claim that is no
+        // longer ours is NOT deleted; it belongs to the new owner.
+        else if (!claimContent(fs, claimP).contains(att)) false
+        // The slot may have been DECIDED while we claimed (the winner
+        // deletes its marker after renaming, re-opening the claim for
+        // a decided slot): renaming here would clobber the committed
+        // manifest, so re-check before the rename, not just before
+        // the claim. Our own now-meaningless marker goes with us.
+        else if (fs.exists(dst)) { fs.delete(claimP, false); false }
         else if (fs.rename(tmp, dst)) true
         else { fs.delete(claimP, false); false } // undo: slot stays free
       }
-    if (!won) { // lost the commit race — clean own debris
-      fs.delete(tmp, false)
-      fs.delete(dataDir, true)
-      if (cdf.isDefined) fs.delete(tmpCh, true)
-      throw new IllegalStateException(s"publish: lost the commit race for v$next")
+    if (!won) {
+      // A stalled claimant can also have been taken for DEAD and had
+      // its own fully-written commit FINISHED by a repairer
+      // ([[repairSlot]]): the committed manifest then references OUR
+      // attempt's data directory. Deleting that "debris" would erase
+      // committed data — detect the case (our attempt id rides every
+      // data line we wrote) and return as the winner instead.
+      val committedOurs = fs.exists(dst) && (newLines.nonEmpty &&
+        scala.util.Try(readManifestLines(s, dst)
+          .exists(_.contains(s"-$att"))).getOrElse(false))
+      if (!committedOurs) { // lost the commit race — clean own debris
+        fs.delete(tmp, false)
+        fs.delete(dataDir, true)
+        if (cdf.isDefined) fs.delete(tmpCh, true)
+        throw new IllegalStateException(
+          s"publish: lost the commit race for v$next")
+      }
     }
     // committed: publish the feed under its version name (a crash in
     // this window leaves a committed version without its feed —
-    // consumers fall back to the full read, documented above)
-    if (cdf.isDefined &&
+    // consumers fall back to the full read, documented above; a
+    // repairer that finished this commit also renamed the feed, in
+    // which case the tmp is already gone)
+    if (cdf.isDefined && fs.exists(tmpCh) &&
         !fs.rename(tmpCh, new Path(rootP, s"changes-v$next")))
       fs.delete(tmpCh, true)
+    // the claim has served its purpose once the manifest exists —
+    // contenders re-check the slot AFTER claiming, so re-opening the
+    // marker for a decided slot is safe, and markers no longer
+    // accumulate one-per-version in _manifests/ forever
+    fs.delete(claimP, false)
     next
   }
 
@@ -516,19 +548,32 @@ object ScaleOps extends QueryModule {
       if (uri.getScheme == null || uri.getScheme == "file") {
         val f = new java.io.File(uri.getPath)
         f.getParentFile.mkdirs()
-        if (!f.createNewFile()) false // O_CREAT|O_EXCL: atomic
-        else {
-          java.nio.file.Files.write(f.toPath, att.getBytes("UTF-8"))
-          true
-        }
+        // CREATE_NEW: one open(O_CREAT|O_EXCL) carrying the content
+        // write — the marker is never observable as an empty file the
+        // way a separate createNewFile-then-write left it, so
+        // [[repairSlot]] can always read WHOSE claim it is judging
+        java.nio.file.Files.write(f.toPath, att.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
       } else {
         val out = fs.create(p, false)
         try out.write(att.getBytes("UTF-8")) finally out.close()
         true
       }
     } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
       case _: java.io.IOException => false // claim exists (or raced)
     }
+
+  /** The claim marker's content (the claimant's attempt id), None if
+    * the marker is missing or unreadable. */
+  private def claimContent(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** A claimant alive mid-rename holds its claim for microseconds;
     * anything this much older with no manifest is a crash. */
@@ -553,13 +598,30 @@ object ScaleOps extends QueryModule {
     val age = System.currentTimeMillis() -
       fs.getFileStatus(claimP).getModificationTime
     if (age < CLAIM_GRACE_MS) return
-    val in = fs.open(claimP)
-    val att =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
+    val att = claimContent(fs, claimP).getOrElse("")
     val tmp = new Path(root, s"_manifests/.tmp-v$n-$att")
-    if (att.nonEmpty && fs.exists(tmp)) fs.rename(tmp, dst)
-    else fs.delete(claimP, false)
+    if (att.nonEmpty && fs.exists(tmp)) {
+      // finish the crashed winner's WHOLE publish, not just the
+      // manifest: its change feed (if the commit wrote one) also sits
+      // attempt-private — leaving it there makes a repaired rewrite
+      // permanently feed-less (changeFeedHops/SnapshotStream over the
+      // hop would throw forever, and vacuum would sweep the orphan)
+      if (fs.rename(tmp, dst)) {
+        val tmpCh = new Path(root, s".tmp-changes-v$n-$att")
+        if (fs.exists(tmpCh))
+          fs.rename(tmpCh, new Path(root, s"changes-v$n"))
+        fs.delete(claimP, false) // served its purpose: dst exists
+      }
+    } else {
+      // sweep only a claim PROVEN abandoned: re-check the age AFTER
+      // the read — empty content can also be a claim caught between
+      // a non-local store's create and its content write, and the
+      // first mtime may predate a clock-skewed re-read
+      val age2 = System.currentTimeMillis() -
+        (try fs.getFileStatus(claimP).getModificationTime
+         catch { case _: java.io.IOException => return })
+      if (age2 >= CLAIM_GRACE_MS) fs.delete(claimP, false)
+    }
   }
 
   /** Orphan-sweep grace for release attempt dirs (Delta's vacuum
@@ -623,11 +685,22 @@ object ScaleOps extends QueryModule {
     * lack it — read-time null-fill), and a name held by both must
     * agree on type — the store evolves by ADDING columns, never by
     * retyping them. */
-  /** All fields nullable — what a parquet footer sweep infers (row
-    * groups can't prove non-nullability), so header-resolved and
-    * legacy-swept schemas agree byte-for-byte. */
+  /** All fields nullable, RECURSIVELY — what a parquet footer sweep
+    * infers (row groups can't prove non-nullability, and Spark's file
+    * relations apply the recursive asNullable), so header-resolved
+    * and legacy-swept schemas agree byte-for-byte even for nested
+    * struct/array/map columns. */
   private[graft] def allNullable(st: StructType): StructType =
-    StructType(st.fields.map(_.copy(nullable = true)))
+    nullableType(st).asInstanceOf[StructType]
+
+  private def nullableType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = nullableType(f.dataType), nullable = true)))
+    case ArrayType(et, _) => ArrayType(nullableType(et), containsNull = true)
+    case MapType(kt, vt, _) =>
+      MapType(nullableType(kt), nullableType(vt), valueContainsNull = true)
+    case other => other
+  }
 
   private[graft] def mergeSchemas(a: StructType, b: StructType): StructType = {
     val bByName = b.fields.map(f => f.name -> f).toMap
@@ -635,16 +708,34 @@ object ScaleOps extends QueryModule {
     val merged = a.fields.map { fa =>
       bByName.get(fa.name) match {
         case Some(fb) =>
-          require(fa.dataType == fb.dataType,
-            s"incompatible schema evolution for column '${fa.name}': " +
-              s"${fa.dataType.simpleString} vs ${fb.dataType.simpleString}")
-          fa.copy(nullable = fa.nullable || fb.nullable)
+          fa.copy(dataType = mergeTypes(fa.name, fa.dataType, fb.dataType),
+            nullable = fa.nullable || fb.nullable)
         case None => fa.copy(nullable = true)
       }
     }
     StructType(merged ++
       b.fields.filterNot(f => aNames(f.name)).map(_.copy(nullable = true)))
   }
+
+  /** Type merge for a column both sides hold: equality up to
+    * NULLABILITY at every nesting level (nested struct fields may
+    * also be ADDED, the parquet-mergeSchema rule) — a struct column
+    * differing from the parent's only in nested-field nullability is
+    * the same column, not "incompatible schema evolution". Genuinely
+    * different leaf types still throw: the store evolves by adding
+    * columns, never by retyping them. */
+  private def mergeTypes(name: String, a: DataType, b: DataType): DataType =
+    (a, b) match {
+      case (x, y) if x == y => x
+      case (sa: StructType, sb: StructType) => mergeSchemas(sa, sb)
+      case (ArrayType(ea, n1), ArrayType(eb, n2)) =>
+        ArrayType(mergeTypes(name, ea, eb), n1 || n2)
+      case (MapType(ka, va, n1), MapType(kb, vb, n2)) =>
+        MapType(mergeTypes(name, ka, kb), mergeTypes(name, va, vb), n1 || n2)
+      case _ => throw new IllegalArgumentException(
+        s"incompatible schema evolution for column '$name': " +
+          s"${a.simpleString} vs ${b.simpleString}")
+    }
 
   private def readManifestLines(s: SparkSession,
       p: org.apache.hadoop.fs.Path): Seq[String] = {
@@ -1038,13 +1129,23 @@ object ScaleOps extends QueryModule {
     }
     // orphan tmp manifests (`.tmp-v<N>-<att>` whose claimant crashed
     // pre-claim, or `.tmp-v<N>.full` from a crashed materialization)
-    // of decided slots — same grace discipline as the data debris
+    // of decided slots — same grace discipline as the data debris.
+    // `.claim-v<N>` markers of DECIDED slots (N <= last committed)
+    // are swept the same way: winners delete their own marker after
+    // renaming, so a surviving one is an aborted contender's (every
+    // live contender of a decided slot re-checks the manifest after
+    // claiming and aborts) — claims only arbitrate UNdecided slots.
     val tmpManRe = "\\.tmp-v(\\d+)(-.*|\\.full)".r
+    val claimRe = "\\.claim-v(\\d+)".r
     vs.lastOption.foreach { last =>
       fs.listStatus(new Path(root, "_manifests")).filter(_.isFile)
         .foreach { st =>
           st.getPath.getName match {
             case tmpManRe(vStr, _) if vStr.toLong <= last &&
+                System.currentTimeMillis() - st.getModificationTime >
+                  releaseGraceMs =>
+              fs.delete(st.getPath, false)
+            case claimRe(vStr) if vStr.toLong <= last &&
                 System.currentTimeMillis() - st.getModificationTime >
                   releaseGraceMs =>
               fs.delete(st.getPath, false)

@@ -38,6 +38,54 @@ class SchemaEvolutionSpec extends SparkSpec {
       .schema.fieldNames.toSeq === Seq("id", "s"))
   }
 
+  test("nested struct columns evolve on nullability alone — header matches a footer sweep") {
+    val root = freshRoot("nested")
+    fs(root).delete(new Path(root), true)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // v1: struct column with a NON-nullable nested field (and a
+    // non-nullable array element) — footer sweeps infer everything
+    // nullable, so the header must store the recursive asNullable
+    // form or the two resolutions diverge
+    val strict = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("w", IntegerType, nullable = false),
+        StructField("tags", ArrayType(StringType, containsNull = false),
+          nullable = false))), nullable = false)))
+    val rows1 = java.util.Arrays.asList(
+      Row(1L, Row(10, Seq("a"))), Row(2L, Row(20, Seq("b", "c"))))
+    ScaleOps.publishSnapshot(spark, root,
+      spark.createDataFrame(rows1, strict))
+    // v2: the SAME struct column, nested parts now nullable — must
+    // append cleanly (not "incompatible schema evolution"), with a
+    // new nested field added inside the struct (parquet mergeSchema
+    // merges nested structs too)
+    val loose = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("meta", StructType(Seq(
+        StructField("w", IntegerType, nullable = true),
+        StructField("tags", ArrayType(StringType, containsNull = true),
+          nullable = true),
+        StructField("lang", StringType, nullable = true))),
+        nullable = true)))
+    val rows2 = java.util.Arrays.asList(
+      Row(3L, Row(30, Seq("d"), "en")))
+    ScaleOps.appendSnapshot(spark, root,
+      spark.createDataFrame(rows2, loose))
+    // the header-resolved schema equals the mergeSchema footer sweep
+    val files = ScaleOps.readSnapshot(spark, root, Some(2L)).inputFiles.toSeq
+    val swept = spark.read.option("mergeSchema", "true")
+      .parquet(files: _*).schema
+    val header = ScaleOps.snapshotSchema(spark, root, 2L).get
+    assert(header === swept)
+    // and rows read whole: v1's structs null-fill the added nested field
+    val got = spark.read.format("graft-snapshot").load(root)
+      .selectExpr("id", "meta.w", "meta.lang")
+      .as[(Long, Int, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 10, None), (2L, 20, None), (3L, 30, Some("en"))))
+  }
+
   test("the fixture store evolves without rewriting v1's files") {
     val sf = "/root/testdata/sf0.001"
     val root = ScaleOps.ensureEvolutionStore(spark, sf)

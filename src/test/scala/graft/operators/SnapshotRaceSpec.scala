@@ -68,6 +68,12 @@ class SnapshotRaceSpec extends SparkSpec {
     val listed = (1L to 3L)
       .flatMap(v => ScaleOps.readSnapshot(spark, root, Some(v)).inputFiles)
     listed.foreach(f => assert(fs(root).exists(new Path(f)), s"missing $f"))
+    // claim markers do not accumulate: each winner deletes its own
+    // after the rename (one marker per committed version forever was
+    // the round-10 leak)
+    val claims = fs(root).listStatus(new Path(root, "_manifests"))
+      .map(_.getPath.getName).filter(_.startsWith(".claim-"))
+    assert(claims.isEmpty, s"leaked claim markers: ${claims.mkString(",")}")
   }
 
   test("the slot claim is genuinely atomic: N contenders, exactly one winner") {
@@ -131,6 +137,48 @@ class SnapshotRaceSpec extends SparkSpec {
     assert(ScaleOps.claimSlot(f, claim4, "ghost-att"))
     f.setTimes(claim4, System.currentTimeMillis() - 120000L, -1)
     assert(ScaleOps.appendSnapshot(spark, root, docs((4L, "zh", "si"))) === 4L)
+  }
+
+  test("repair finishes a crashed REWRITE's change feed, not just its manifest") {
+    val root = freshDir("repairfeed")
+    val f = fs(root)
+    f.delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root,
+      docs((1L, "en", "one"), (2L, "de", "zwei")), statsCol = Some("doc_id"))
+    // a committed rewrite (merge writes a change feed) …
+    val v2 = ScaleOps.mergeIntoSnapshot(spark, root, "doc_id",
+      docs((2L, "de", "zwei neu"), (3L, "fr", "trois")))
+    assert(v2 === 2L)
+    assert(f.exists(new Path(root, "changes-v2")))
+    // … wound back to the exact crash state: manifest at its tmp
+    // name, feed attempt-private, an aged claim carrying the attempt
+    val att = "deadfeed"
+    assert(f.rename(new Path(root, "_manifests/v2.manifest"),
+      new Path(root, s"_manifests/.tmp-v2-$att")))
+    assert(f.rename(new Path(root, "changes-v2"),
+      new Path(root, s".tmp-changes-v2-$att")))
+    f.delete(new Path(root, "_manifests/.claim-v2"), false)
+    assert(ScaleOps.claimSlot(f, new Path(root, "_manifests/.claim-v2"), att))
+    f.setTimes(new Path(root, "_manifests/.claim-v2"),
+      System.currentTimeMillis() - 120000L, -1)
+    assert(ScaleOps.snapshotVersions(spark, root) === Seq(1L))
+    // the next writer repairs the slot — manifest AND feed — then
+    // retries onto v3 (the documented lost-race contract)
+    val v3 =
+      try ScaleOps.appendSnapshot(spark, root, docs((9L, "zh", "jiu")))
+      catch {
+        case e: IllegalStateException
+          if e.getMessage.contains("lost the commit race") =>
+          ScaleOps.appendSnapshot(spark, root, docs((9L, "zh", "jiu")))
+      }
+    assert(v3 === 3L)
+    assert(f.exists(new Path(root, "changes-v2")),
+      "repair left the rewrite feed-less")
+    assert(!f.exists(new Path(root, s".tmp-changes-v2-$att")))
+    // the repaired hop serves its change feed — no permanent throw
+    val feed = ScaleOps.readSnapshotChangeFeed(spark, root, 1L, 2L)
+    assert(feed.filter(col("_change_type") === "insert").count() === 2L)
+    assert(feed.filter(col("_change_type") === "delete").count() === 1L)
   }
 
   test("a FRESH claim (live claimant mid-rename) is never raced on its slot") {
