@@ -52,6 +52,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         functions.ParaRuns(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_cdc_cuts"),
+      new ExpressionInfo(classOf[functions.CdcCuts].getName, "graft_cdc_cuts"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          s"graft_cdc_cuts expects (text, w, div, cmin, cmax), got ${children.size} args")
+        functions.CdcCuts(children(0),
+          functions.CdcCuts.lit(children(1), "w"),
+          functions.CdcCuts.litLong(children(2), "div"),
+          functions.CdcCuts.lit(children(3), "cmin"),
+          functions.CdcCuts.lit(children(4), "cmax"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_rep_stats"),
       new ExpressionInfo(classOf[functions.RepStats].getName, "graft_rep_stats"),
       (children: Seq[Expression]) => functions.RepStats(children.head)))

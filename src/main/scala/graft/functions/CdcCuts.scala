@@ -11,7 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * chunking CUT POINTS of `text` (c42's `cl` column), one fused pass:
   * candidate cuts where the `w`-code-point rolling window's [[H60]]
   * hash is divisible by `div` (cut position = window index + w + 1,
-  * 1-based, capped at len), thinned by the `cmin` minimum spacing
+  * 1-based; a cut past the last char is NO cut — the final chunk
+  * always ends at len), thinned by the `cmin` minimum spacing
   * (each candidate measured against its PREDECESSOR CANDIDATE — the
   * exact HOF semantics), then `cmax`-spaced forced cuts inserted
   * into any longer gap between accepted posts. Bit-identical to the
@@ -63,6 +64,17 @@ object CdcCuts {
     require(e.foldable && e.dataType == IntegerType,
       s"graft_cdc_cuts: $name must be an int literal")
     e.eval().asInstanceOf[Int]
+  }
+
+  /** Fold a foldable int- or long-literal expression (div's face). */
+  private[graft] def litLong(e: Expression, name: String): Long = {
+    require(e.foldable &&
+      (e.dataType == IntegerType || e.dataType == LongType),
+      s"graft_cdc_cuts: $name must be an integral literal")
+    e.eval() match {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l
+    }
   }
 
   def cuts(text: UTF8String, w: Int, div: Long, cmin: Int, cmax: Int): ArrayData = {

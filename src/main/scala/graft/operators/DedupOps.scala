@@ -2179,38 +2179,20 @@ object DedupOps extends QueryModule {
     * arrival). */
   private[graft] def chunkRowsOf(docs: DataFrame): DataFrame = {
     val n = length(col("text"))
-    val wins = call_function("graft_winhash60",
-      col("text"), lit(CDC_W), lit(1))
-    // cut = first char of the NEXT chunk: window start p (1-based,
-    // = 0-based index + 1) plus the window width; a cut past the
-    // last char is no cut (the final chunk always ends at n)
-    val cuts = filter(
-      transform(wins, (h, i) =>
-        when(h % CDC_DIV === 0L, i + lit(CDC_W + 1))),
-      c => c.isNotNull && c <= n)
     docs
       .filter(col("text").isNotNull && length(col("text")) >= 1)
-      .withColumn("cl0", cuts)
-      // min bound: drop a candidate closer than CDC_MIN to its
-      // predecessor candidate (doc start for the first) — on
-      // low-entropy text where EVERY window cuts, this collapses the
-      // ~1-char chunk storm to (almost) nothing and the max pass
-      // below re-cuts it uniformly
-      .withColumn("cmin", filter(col("cl0"), (c, i) =>
-        c - when(i === 0, lit(1)).otherwise(element_at(col("cl0"), i))
-          >= CDC_MIN))
-      // max bound: force cuts every CDC_MAX chars inside any gap
-      // longer than CDC_MAX between accepted cuts / doc ends —
-      // per-gap arithmetic on adjacent fence posts, no sequential
-      // state
-      .withColumn("posts", concat(array(lit(1)), col("cmin"), array(n + 1)))
-      .withColumn("cl", array_sort(concat(col("cmin"), flatten(transform(
-        slice(col("posts"), lit(1), size(col("posts")) - 1), (p, j) => {
-          val q = element_at(col("posts"), j + 2)
-          when(q - p > CDC_MAX,
-            sequence(p + lit(CDC_MAX), q - 1, lit(CDC_MAX)))
-            .otherwise(array().cast("array<int>"))
-        })))))
+      // cut selection (candidates where the CDC_W-code-point rolling
+      // hash ≡ 0 mod CDC_DIV, a cut past the last char is no cut),
+      // the CDC_MIN predecessor-candidate thin, and the CDC_MAX
+      // per-gap forced-cut fill — all ONE fused native byte-walk
+      // ([[graft.functions.CdcCuts]]), bit-identical to the four-HOF
+      // chain it replaced (transform→filter→filter→gap-fill over
+      // graft_winhash60 output; CdcCutsSpec pins the parity). The
+      // HOF chain paid an interpreted lambda dispatch per WINDOW
+      // (~len elements) plus three intermediate ArrayData
+      // materializations per document, on a corpus-rewrite path.
+      .withColumn("cl", call_function("graft_cdc_cuts",
+        col("text"), lit(CDC_W), lit(CDC_DIV), lit(CDC_MIN), lit(CDC_MAX)))
       .withColumn("starts", concat(array(lit(1)), col("cl")))
       // nexts[j] pairs with starts[j] (both length |cl|+1), so every
       // element_at below is in-bounds regardless of ANSI mode

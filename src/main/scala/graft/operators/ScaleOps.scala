@@ -774,7 +774,7 @@ object ScaleOps extends QueryModule {
   }
 
   /** A committed version's file list. */
-  private def manifestFiles(s: SparkSession, root: String, v: Long): Seq[String] =
+  private[graft] def manifestFiles(s: SparkSession, root: String, v: Long): Seq[String] =
     manifestDataLines(s, root, v).map(_.split('\t')(0))
 
   /** A committed version's zone-map bounds: file path -> (min, max)
@@ -1476,7 +1476,7 @@ object ScaleOps extends QueryModule {
 
   /** Files ADDED between two committed versions — a pure manifest
     * set-difference, no data read and no listing. */
-  private def snapshotAddedFiles(s: SparkSession, root: String,
+  private[graft] def snapshotAddedFiles(s: SparkSession, root: String,
       vFrom: Long, vTo: Long): Seq[String] = {
     val before = manifestFiles(s, root, vFrom).toSet
     manifestFiles(s, root, vTo).filterNot(before)

@@ -66,18 +66,47 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
   // SnapshotTable stays BATCH_READ, so DataStreamReader falls back
   // here for streams while batch reads keep the DSv2 pruning path)
 
+  // stream resolution is pinned ONCE per load, exactly like the batch
+  // path's resolveOnce: a schema-evolving commit landing between
+  // sourceSchema and createSource can no longer pin the running
+  // Source to a schema the streaming plan was not analyzed with
+  private var streamPinned:
+    Option[(Map[String, String], SnapshotStream.StreamConfig)] = None
+
+  private def resolveStreamOnce(
+      parameters: Map[String, String]): SnapshotStream.StreamConfig =
+    synchronized {
+      streamPinned match {
+        case Some((p, cfg)) if p == parameters => cfg
+        case _ =>
+          val cfg = SnapshotStream.resolveStream(parameters)
+          streamPinned = Some((parameters, cfg))
+          cfg
+      }
+    }
+
+  private def rejectUserSchema(schema: Option[StructType]): Unit =
+    require(schema.isEmpty,
+      "graft-snapshot streams resolve their schema from the store's " +
+        "manifest header; a user-supplied readStream.schema(...) is " +
+        "not honored — drop it")
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val (_, _, dataSchema) = SnapshotStream.resolveStream(parameters)
-    (shortName(), SnapshotStream.withMeta(dataSchema))
+    rejectUserSchema(schema)
+    val cfg = resolveStreamOnce(parameters)
+    (shortName(), SnapshotStream.withMeta(cfg.dataSchema))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val (root, sv, dataSchema) = SnapshotStream.resolveStream(parameters)
-    new SnapshotStream(sqlContext.sparkSession, root, sv, dataSchema)
+    rejectUserSchema(schema)
+    val cfg = resolveStreamOnce(parameters)
+    new SnapshotStream(sqlContext.sparkSession, cfg.root,
+      cfg.startingVersion, cfg.dataSchema, metadataPath,
+      cfg.maxFilesPerTrigger, cfg.maxVersionsPerTrigger)
   }
 
   // per-load pinned resolution — inferSchema resolves, getTable reuses

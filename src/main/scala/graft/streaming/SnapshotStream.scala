@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.operators.ScaleOps
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.SqlShims
 import org.apache.spark.sql.types._
@@ -13,11 +13,12 @@ import org.apache.spark.sql.types._
   * stream TAILS committed versions, emitting each append's file
   * delta and each rewrite's committed change feed as
   * `_change_type`/`_commit_version`-tagged rows, resuming exactly
-  * from a checkpointed VERSION offset (versions are immutable, so
-  * replayed batches are bit-identical — at-least-once upstream
-  * becomes exactly-once with any idempotent sink). This closes the
-  * loop with [[Jobs]]' snapshot ingest: streams have written the
-  * store since s14; now streams can READ it.
+  * from a checkpointed offset (versions are immutable and file lists
+  * ride the manifest in a stable order, so replayed batches are
+  * bit-identical — at-least-once upstream becomes exactly-once with
+  * any idempotent sink). This closes the loop with [[Jobs]]' snapshot
+  * ingest: streams have written the store since s14; now streams can
+  * READ it.
   *
   * Built on the v1 `Source` contract deliberately (the same choice
   * Delta's DeltaSource makes): `getBatch` returns a PLANNED
@@ -27,51 +28,259 @@ import org.apache.spark.sql.types._
   * partition reader. The only internal surface that requires is the
   * streaming flag ([[SqlShims.asStreamingFrame]]).
   *
-  * Offsets are version numbers. Batch (after, end]:
+  * ADMISSION CONTROL (the Delta `maxFilesPerTrigger` /
+  * `maxBytesPerTrigger` discipline): offsets are composite
+  * `(version, fileIndex, initial)` ([[SnapshotOffset]]), so a
+  * micro-batch is bounded — never "the whole corpus because the
+  * stream just started" or "the whole backlog because it was down a
+  * week". `getOffset` advances the previous offset by at most
+  * `maxFilesPerTrigger` manifest files (default 1000, Delta's
+  * default) across at most `maxVersionsPerTrigger` versions
+  * (default unbounded), splitting WITHIN a version by file index
+  * when a single commit is larger than the bound. At 100× scale the
+  * initial snapshot therefore arrives as ~fileCount/1000 restartable
+  * micro-batches with per-batch checkpoints instead of one
+  * all-or-nothing planning event over 10⁴-10⁵ files. A rewrite hop's
+  * change feed is admitted atomically (one budget unit): feeds are
+  * row-delta-sized by construction, and splitting one would tear an
+  * update's delete/insert pair across batches.
+  *
+  * Batch semantics over positions (after, end]:
   *  - fresh start, no `startingVersion`: the latest version's FULL
-  *    content as inserts (Delta's initial-snapshot default), then
-  *    deltas forever after;
+  *    content as inserts (Delta's initial-snapshot default) — split
+  *    by file index, never mixed with later deltas in one batch —
+  *    then deltas forever after;
   *  - `startingVersion` = v: change-feed hops from v onward (v's own
   *    commit included; v=1 replays the whole history);
-  *  - per hop: pure append → added files; rewrite → its committed
-  *    feed; a feed-less rewrite or a vacuumed-away parent THROWS —
-  *    a stream that silently replayed a full corpus as "changes"
-  *    would duplicate everything downstream.
+  *  - per hop: pure append → added files (file-index split); rewrite
+  *    → its committed feed; a feed-less rewrite or a vacuumed-away
+  *    parent THROWS — a stream that silently replayed a full corpus
+  *    as "changes" would duplicate everything downstream.
+  *
+  * The source keeps its own monotonic offset floor in
+  * `metadataPath/graft-offsets/` (written at `getOffset`, BEFORE the
+  * engine logs the offset — so the restored floor is always >= the
+  * engine's committed offset): a restarted source never re-derives a
+  * smaller-than-committed offset from scratch, which would re-emit
+  * rows. Recovery `getBatch(start, end)` stays a pure function of
+  * the offsets, so replaying the engine's offset log reproduces
+  * batches exactly.
   *
   * The stream's schema is pinned at start (latest version's manifest
   * header + the two metadata columns); rows from later evolved
   * versions project onto it — new columns appear on restart, the
   * Delta rule. */
 class SnapshotStream(spark: SparkSession, root: String,
-    startingVersion: Option[Long], dataSchema: StructType) extends Source {
+    startingVersion: Option[Long], dataSchema: StructType,
+    metadataPath: String, maxFilesPerTrigger: Int,
+    maxVersionsPerTrigger: Int) extends Source {
+
+  import SnapshotStream._
 
   override val schema: StructType = SnapshotStream.withMeta(dataSchema)
 
-  override def getOffset: Option[OffsetV1] =
-    ScaleOps.snapshotVersions(spark, root).lastOption.map(LongOffset(_))
+  // ---- self-persisted offset floor (survives restarts) ----
 
-  private def ver(o: OffsetV1): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.replaceAll("\"", "").toLong
+  private val offsetsDir = new Path(metadataPath, "graft-offsets")
+  private def offsetsFs =
+    offsetsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def persistedSeqs(): Seq[Long] = {
+    val fs = offsetsFs
+    if (!fs.exists(offsetsDir)) Seq.empty
+    else fs.listStatus(offsetsDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("o") && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toLong }
+      .toSeq.sorted
+  }
+
+  private def restoreFloor(): (Long, Option[SnapshotOffset]) = {
+    val fs = offsetsFs
+    val seqs = persistedSeqs()
+    // newest PARSEABLE file wins — a crash mid-write leaves at most
+    // one truncated newest file, with its predecessor intact
+    seqs.reverse.foreach { q =>
+      try {
+        val in = fs.open(new Path(offsetsDir, s"o$q"))
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        return (seqs.lastOption.getOrElse(0L), Some(SnapshotOffset.fromJson(txt)))
+      } catch { case _: Exception => }
+    }
+    (seqs.lastOption.getOrElse(0L), None)
+  }
+
+  private var (persistSeq, known): (Long, Option[SnapshotOffset]) = restoreFloor()
+
+  private def persist(o: SnapshotOffset): Unit = {
+    val fs = offsetsFs
+    fs.mkdirs(offsetsDir)
+    persistSeq += 1
+    val tmp = new Path(offsetsDir, s".tmp-o$persistSeq")
+    val out = fs.create(tmp, true)
+    try out.write(o.json.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(offsetsDir, s"o$persistSeq")))
+      fs.delete(tmp, false)
+    // keep the last two (the newest may be the truncated one next
+    // time); older floors are dead weight
+    if (persistSeq > 2)
+      fs.delete(new Path(offsetsDir, s"o${persistSeq - 2}"), false)
+  }
+
+  // ---- hop planning ----
+
+  /** One consumable unit of history. */
+  private sealed trait Seg
+  /** A file-sliceable hop: `files` not yet consumed (absolute indices
+    * start at `baseIdx` of the version's full emittable list);
+    * `initial` selects WHICH list — the bootstrap's full manifest
+    * listing vs an append's added-file delta. */
+  private case class FileSeg(version: Long, baseIdx: Long,
+      files: Seq[String], initial: Boolean) extends Seg
+  /** A rewrite hop: its committed change feed, admitted atomically. */
+  private case class FeedSeg(version: Long) extends Seg
+
+  /** Lazy hop segments strictly after `pos` (None = stream start),
+    * in version order. `bootstrapV` names the initial-snapshot
+    * version for the default (no startingVersion) mode — the head at
+    * first advance, or the version already baked into the offsets. */
+  private def segmentsAfter(pos: Option[SnapshotOffset],
+      bootstrapV: => Long): Iterator[Seg] = {
+    val vs = ScaleOps.snapshotVersions(spark, root)
+    def hopSeg(v: Long): Seg = {
+      if (!vs.contains(v - 1))
+        throw new IllegalStateException(
+          s"change-feed hop v$v has no committed parent v${v - 1} " +
+            "(vacuumed?); the delta cannot be proven — re-read the " +
+            "versions directly (s04 content diff) instead")
+      val parent = ScaleOps.manifestFiles(spark, root, v - 1).toSet
+      val files = ScaleOps.manifestFiles(spark, root, v)
+      if (parent.subsetOf(files.toSet))
+        FileSeg(v, 0L, files.filterNot(parent), initial = false)
+      else FeedSeg(v)
+    }
+    def hops(afterV: Long): Iterator[Seg] =
+      vs.iterator.filter(_ > afterV).map { v =>
+        // the whole-history bootstrap (startingVersion=1, and the
+        // vacuum-trimmed-head variant): the earliest retained
+        // version's hop is its FULL content as inserts
+        if (!vs.contains(v - 1) && v == vs.head &&
+            startingVersion.contains(1L))
+          FileSeg(v, 0L, ScaleOps.manifestFiles(spark, root, v),
+            initial = true)
+        else hopSeg(v)
+      }
+    pos match {
+      case None => startingVersion match {
+        case Some(sv) => hops(sv - 1)
+        case None =>
+          val b = bootstrapV
+          Iterator(FileSeg(b, 0L,
+            ScaleOps.manifestFiles(spark, root, b), initial = true)) ++
+            hops(b)
+      }
+      case Some(o) if o.index >= 0 && o.initial =>
+        // mid-bootstrap: the rest of the version's full listing
+        Iterator(FileSeg(o.version, o.index,
+          ScaleOps.manifestFiles(spark, root, o.version)
+            .drop(o.index.toInt), initial = true)) ++ hops(o.version)
+      case Some(o) if o.index >= 0 =>
+        // mid-append: the rest of the hop's added files
+        val vsNow = vs
+        require(vsNow.contains(o.version - 1),
+          s"resume hop v${o.version} has no committed parent " +
+            s"v${o.version - 1} (vacuumed?); the delta cannot be proven")
+        Iterator(FileSeg(o.version, o.index,
+          ScaleOps.snapshotAddedFiles(spark, root, o.version - 1, o.version)
+            .drop(o.index.toInt), initial = false)) ++ hops(o.version)
+      case Some(o) => hops(o.version)
+    }
+  }
+
+  /** Advance `pos` by at most the per-trigger budgets. A bootstrap
+    * segment never shares a batch with delta hops (its completion
+    * ends the batch), so `getBatch(None, end)` can always recover
+    * the bootstrap version from `end` alone. */
+  private def advanceFrom(pos: Option[SnapshotOffset]): Option[SnapshotOffset] = {
+    var cur = pos
+    var files = maxFilesPerTrigger.toLong
+    var vers = maxVersionsPerTrigger.toLong
+    val segs = segmentsAfter(pos, ScaleOps.snapshotVersions(spark, root).last)
+    var stop = false
+    while (!stop && segs.hasNext) {
+      if (files <= 0 || vers <= 0) stop = true
+      else segs.next() match {
+        case FileSeg(v, base, fls, init) =>
+          vers -= 1
+          val take = math.min(files, fls.size.toLong).toInt
+          files -= take
+          if (take < fls.size) {
+            cur = Some(SnapshotOffset(v, base + take, init))
+            stop = true
+          } else {
+            cur = Some(SnapshotOffset(v, -1L, initial = false))
+            if (init) stop = true // bootstrap/delta batch boundary
+          }
+        case FeedSeg(v) =>
+          vers -= 1
+          files -= 1
+          cur = Some(SnapshotOffset(v, -1L, initial = false))
+      }
+    }
+    cur
+  }
+
+  override def getOffset: Option[OffsetV1] = {
+    val next = advanceFrom(known)
+    if (next != known) {
+      next.foreach(persist)
+      known = next
+    }
+    known
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val endV = ver(end)
-    val batch = start.map(ver) match {
-      case Some(afterV) if afterV >= endV =>
-        // replanned empty range (no new commits): zero rows, schema kept
-        ScaleOps.readSnapshot(spark, root, Some(endV)).limit(0)
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(0L))
-      case Some(afterV) => ScaleOps.changeFeedHops(spark, root, afterV, endV)
-      case None => startingVersion match {
-        case Some(sv) => ScaleOps.changeFeedHops(spark, root, sv - 1, endV)
-        case None => // initial snapshot: current content, then deltas
-          ScaleOps.readSnapshot(spark, root, Some(endV))
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(endV))
+    val endO = SnapshotOffset.parse(end)
+    val startO = start.map(SnapshotOffset.parse)
+    // track the engine's high-water mark (recovery may call getBatch
+    // before any getOffset of this incarnation)
+    if (known.forall(k => SnapshotOffset.cmp(endO, k) > 0)) {
+      persist(endO)
+      known = Some(endO)
+    }
+    val frames = Seq.newBuilder[DataFrame]
+    if (startO.forall(so => SnapshotOffset.cmp(so, endO) < 0)) {
+      val segs = segmentsAfter(startO, endO.version)
+      var stop = false
+      while (!stop && segs.hasNext) segs.next() match {
+        case FileSeg(v, base, fls, _) if v <= endO.version =>
+          val upto =
+            if (v == endO.version && endO.index >= 0)
+              (endO.index - base).toInt
+            else fls.size
+          val slice = fls.take(upto)
+          if (slice.nonEmpty)
+            frames += spark.read.parquet(slice: _*)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v))
+          if (v == endO.version) stop = true
+        case FeedSeg(v) if v <= endO.version =>
+          val (ins, del) = ScaleOps.snapshotChangeFiles(spark, root, v)
+            .getOrElse(throw new IllegalStateException(
+              s"v$v is a rewrite with no committed change feed; " +
+                "read the versions directly (s04 content diff) instead"))
+          frames += ins.withColumn("_change_type", lit("insert"))
+            .unionByName(del.withColumn("_change_type", lit("delete")),
+              allowMissingColumns = true)
+            .withColumn("_commit_version", lit(v))
+          if (v == endO.version) stop = true
+        case _ => stop = true
       }
     }
+    val batch = frames.result()
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[Row](), schema))
     // project onto the pinned stream schema: columns a hop's files
     // physically lack are null-filled, columns the stream predates
     // are dropped (they appear on restart — the Delta rule)
@@ -85,22 +294,72 @@ class SnapshotStream(spark: SparkSession, root: String,
   override def stop(): Unit = ()
 
   override def toString: String =
-    s"SnapshotStream[$root${startingVersion.fold("")(v => s", from v$v")}]"
+    s"SnapshotStream[$root${startingVersion.fold("")(v => s", from v$v")}, " +
+      s"maxFiles=$maxFilesPerTrigger, maxVersions=$maxVersionsPerTrigger]"
 }
 
 object SnapshotStream {
+
+  /** Composite stream offset: every hop with version < `version`
+    * fully consumed; within `version`, the first `index` files of its
+    * emittable list consumed (`index` = -1: the version is fully
+    * consumed). `initial` marks mid-BOOTSTRAP positions, whose list
+    * is the version's full manifest listing rather than its
+    * added-file delta — Delta's `isStartingVersion`. */
+  case class SnapshotOffset(version: Long, index: Long, initial: Boolean)
+      extends OffsetV1 {
+    override def json: String =
+      s"""{"version":$version,"index":$index,"initial":$initial}"""
+  }
+
+  object SnapshotOffset {
+    def parse(o: OffsetV1): SnapshotOffset = o match {
+      case s: SnapshotOffset => s
+      case other => fromJson(other.json)
+    }
+
+    /** Composite json, or a round-10 checkpoint's bare LongOffset
+      * number (= that version fully consumed). */
+    def fromJson(j: String): SnapshotOffset = {
+      val t = j.trim.stripPrefix("\"").stripSuffix("\"")
+      if (t.nonEmpty && t.forall(c => c.isDigit || c == '-'))
+        SnapshotOffset(t.toLong, -1L, initial = false)
+      else {
+        def field(name: String): String =
+          ("\"" + name + "\"\\s*:\\s*([-0-9a-z]+)").r
+            .findFirstMatchIn(t).map(_.group(1)).getOrElse(
+              throw new IllegalStateException(
+                s"unparseable graft-snapshot offset: $j"))
+        SnapshotOffset(field("version").toLong, field("index").toLong,
+          field("initial").toBoolean)
+      }
+    }
+
+    /** Position order: by version, then consumed-file index, a fully
+      * consumed version (-1) after any mid-version index. */
+    def cmp(a: SnapshotOffset, b: SnapshotOffset): Int = {
+      def norm(i: Long) = if (i < 0) Long.MaxValue else i
+      if (a.version != b.version) java.lang.Long.compare(a.version, b.version)
+      else java.lang.Long.compare(norm(a.index), norm(b.index))
+    }
+  }
 
   private[graft] def withMeta(st: StructType): StructType =
     StructType(st.fields ++ Seq(
       StructField("_change_type", StringType),
       StructField("_commit_version", LongType)))
 
-  /** Resolve (root, pinned data schema) for a stream's options —
-    * metadata-only, one manifest header read (the batch connector's
-    * discipline). Streams tail the HEAD, so the batch pins
-    * (version/ref/timestampAsOf) are rejected loudly. */
+  /** Resolved stream configuration for a `readStream` option map. */
+  private[graft] case class StreamConfig(root: String,
+      startingVersion: Option[Long], dataSchema: StructType,
+      maxFilesPerTrigger: Int, maxVersionsPerTrigger: Int)
+
+  /** Resolve a stream's options — metadata-only, one manifest header
+    * read (the batch connector's discipline). Streams tail the HEAD,
+    * so the batch pins (version/ref/timestampAsOf) are rejected
+    * loudly. */
   private[graft] def resolveStream(
-      parameters: Map[String, String]): (String, Option[Long], StructType) = {
+      parameters: Map[String, String]): StreamConfig = {
     val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
     val root = opts.getOrElse("path",
       throw new IllegalArgumentException(
@@ -112,11 +371,21 @@ object SnapshotStream {
     val startingVersion = opts.get("startingversion").map(_.toLong)
     startingVersion.foreach(v =>
       require(v >= 1, s"startingVersion must be >= 1, got $v"))
+    def positiveInt(key: String, default: Int): Int = {
+      val v = opts.get(key).map(_.toInt).getOrElse(default)
+      require(v >= 1, s"$key must be >= 1, got $v")
+      v
+    }
+    // Delta's default pacing: 1000 files per micro-batch unless told
+    // otherwise — an UNBOUNDED default is the scale hazard admission
+    // control exists to close
+    val maxFiles = positiveInt("maxfilespertrigger", 1000)
+    val maxVersions = positiveInt("maxversionspertrigger", Int.MaxValue)
     val s = SparkSession.active
     val vs = ScaleOps.snapshotVersions(s, root)
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val dataSchema = ScaleOps.snapshotSchema(s, root, vs.last).getOrElse(
       ScaleOps.readSnapshot(s, root, Some(vs.last)).schema)
-    (root, startingVersion, dataSchema)
+    StreamConfig(root, startingVersion, dataSchema, maxFiles, maxVersions)
   }
 }

@@ -156,6 +156,112 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(e2.getMessage.contains("startingVersion"))
   }
 
+  /** Checkpointed drain that records PER-BATCH row sets (admission-
+    * control observability: how the engine paced the stream). */
+  private def drainBatches(reader: DataFrame, ckpt: String,
+      once: Boolean = false): Seq[Seq[(Long, String, Long)]] = {
+    val batches =
+      scala.collection.mutable.ArrayBuffer[Seq[(Long, String, Long)]]()
+    val writer = reader.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val got = asTriples(df)
+        batches.synchronized { batches += got }
+        ()
+      }
+    val q = (if (once) writer.trigger(
+      org.apache.spark.sql.streaming.Trigger.Once()) else writer).start()
+    try { if (once) q.awaitTermination() else q.processAllAvailable() }
+    finally q.stop()
+    batches.toSeq
+  }
+
+  test("maxFilesPerTrigger splits the initial snapshot into bounded micro-batches") {
+    val root = freshDir("paced_init")
+    fs(root).delete(new Path(root), true)
+    // 12 docs in 4 range-partitioned files of 3 rows each
+    ScaleOps.publishSnapshot(spark, root,
+      (0 until 12).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+        .repartitionByRange(4, col("doc_id")))
+    assert(ScaleOps.readSnapshot(spark, root).inputFiles.length === 4)
+    val ckpt = freshDir("paced_init_ckpt")
+    fs(ckpt).delete(new Path(ckpt), true)
+    val batches = drainBatches(
+      readStream(root, "maxFilesPerTrigger" -> "1"), ckpt)
+      .filter(_.nonEmpty)
+    // one file per batch: four batches of exactly 3 rows — not one
+    // corpus-sized batch (the round-10 scale hazard)
+    assert(batches.map(_.size) === Seq(3, 3, 3, 3))
+    assert(batches.flatten.map(_._1).sorted === (0L until 12L))
+    assert(batches.flatten.forall(t => t._2 == "insert" && t._3 == 1L))
+  }
+
+  test("multi-batch drain keeps whole-history parity with the batch change feed") {
+    val root = freshDir("paced_parity")
+    mixedHistory(root)
+    val ckpt = freshDir("paced_parity_ckpt")
+    fs(ckpt).delete(new Path(ckpt), true)
+    val batches = drainBatches(readStream(root,
+      "startingVersion" -> "1", "maxFilesPerTrigger" -> "1"), ckpt)
+    assert(batches.count(_.nonEmpty) > 1, "pacing produced a single batch")
+    // same rows as the unbounded batch read — pacing changes batch
+    // boundaries, never content
+    val want = asTriples(ScaleOps.changeFeedHops(spark, root, 0L, 5L))
+    assert(batches.flatten.sorted === want)
+    // no version's rows interleave with a later version's in any
+    // batch out of order: batches arrive in version order
+    val firstVersionPerBatch = batches.filter(_.nonEmpty).map(_.map(_._3).min)
+    assert(firstVersionPerBatch === firstVersionPerBatch.sorted)
+  }
+
+  test("maxVersionsPerTrigger paces catch-up one commit per batch") {
+    val root = freshDir("paced_vers")
+    mixedHistory(root)
+    val ckpt = freshDir("paced_vers_ckpt")
+    fs(ckpt).delete(new Path(ckpt), true)
+    val batches = drainBatches(readStream(root,
+      "startingVersion" -> "1", "maxVersionsPerTrigger" -> "1"), ckpt)
+      .filter(_.nonEmpty)
+    // every non-empty batch carries exactly ONE commit version
+    batches.foreach(b => assert(b.map(_._3).distinct.size === 1,
+      s"batch mixed versions: ${b.map(_._3).distinct}"))
+    assert(batches.flatten.sorted ===
+      asTriples(ScaleOps.changeFeedHops(spark, root, 0L, 5L)))
+  }
+
+  test("a stream stopped MID-VERSION resumes at its file index — no replay, no gap") {
+    val root = freshDir("paced_resume")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root,
+      (0 until 12).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+        .repartitionByRange(4, col("doc_id")))
+    val ckpt = freshDir("paced_resume_ckpt")
+    fs(ckpt).delete(new Path(ckpt), true)
+    // Trigger.Once: exactly one micro-batch (one file), then stop —
+    // the offset checkpoint now points INTO version 1
+    val run1 = drainBatches(readStream(root, "maxFilesPerTrigger" -> "1"),
+      ckpt, once = true).flatten
+    assert(run1.size === 3)
+    // restart drains the REST: disjoint, complete, still bounded
+    val run2 = drainBatches(readStream(root, "maxFilesPerTrigger" -> "1"),
+      ckpt).filter(_.nonEmpty)
+    assert(run2.map(_.size) === Seq(3, 3, 3))
+    val all = (run1 ++ run2.flatten).map(_._1).sorted
+    assert(all === (0L until 12L), "mid-version resume replayed or dropped rows")
+  }
+
+  test("a user-supplied stream schema is rejected loudly") {
+    val root = freshDir("uschema")
+    mixedHistory(root)
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-snapshot")
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long"))
+        .load(root)
+        .writeStream.format("memory").queryName("uschema_q").start()
+    }
+    assert(e.getMessage.contains("not honored"))
+  }
+
   test("schema evolution mid-stream: old pinned schema projects, restart sees the new column") {
     val root = freshDir("evo")
     fs(root).delete(new Path(root), true)
