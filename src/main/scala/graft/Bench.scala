@@ -83,7 +83,8 @@ object Bench {
     "c45_lsh_tradeoff", "t39_mix_execute", "s12_ref_read",
     "t40_classifier_eval", "s13_bloom_lookup", "s14_merge_upsert",
     "c46_span_scrub", "c47_scrub_accounting", "s15_change_feed",
-    "s16_evolve_merge", "s17_dsv2_read")
+    "s16_evolve_merge", "s17_dsv2_read", "s18_multicol_read",
+    "s19_catalog_append")
 
   /** Queries deliberately NOT timed, each for a stated reason — the
     * third leg of the coverage partition. The a-layer rows are
@@ -179,6 +180,8 @@ object Bench {
     operators.ScaleOps.ensureMergeStore(spark, sfDir)
     operators.ScaleOps.ensureCdfStore(spark, sfDir)
     operators.ScaleOps.ensureEvoMergeStore(spark, sfDir)
+    operators.ScaleOps.ensureMultiStatsStore(spark, sfDir)
+    operators.ScaleOps.ensureCatalogStore(spark, sfDir)
     operators.MediaOps.buildPhashStore(spark, sfDir)
 
     val results = (headline ++ extras).map(n => n -> materialize(n))

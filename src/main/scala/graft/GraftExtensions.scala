@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         functions.ScrubSpans(children(0), children(1), children(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_grams"),
+      new ExpressionInfo(classOf[functions.Grams].getName, "graft_grams"),
+      (children: Seq[Expression]) =>
+        functions.Grams(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_gram_h60"),
       new ExpressionInfo(classOf[functions.GramH60].getName, "graft_gram_h60"),
       (children: Seq[Expression]) =>

@@ -125,9 +125,12 @@ object CorpusStats extends QueryModule {
     val counted = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), "\\s+"))
       .where(size(col("toks")) >= 2)
-      .select(col("lang"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), " +
-          "i -> concat_ws(' ', slice(toks, i + 1, 2)))")).as("bigram"))
+      // fused native bigram build ([[graft.functions.Grams]]) — the
+      // HOF twin (transform+slice+concat_ws) paid an interpreted
+      // lambda per TOKEN of the corpus; bit-identical output, so the
+      // oracle twin is unchanged (GramsSpec pins the parity)
+      .select(col("lang"),
+        explode(expr("graft_grams(toks, 2)")).as("bigram"))
       .groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("ct"))
     val w = Window.partitionBy(col("lang"))
@@ -160,9 +163,8 @@ object CorpusStats extends QueryModule {
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), "\\s+"))
       .where(size(col("toks")) >= 2)
-      .select(col("lang"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), " +
-          "i -> concat_ws(' ', slice(toks, i + 1, 2)))")).as("bigram"))
+      .select(col("lang"),
+        explode(expr("graft_grams(toks, 2)")).as("bigram"))
       .groupBy(col("lang"))
       .agg(expr(s"approx_top_k(bigram, $TOPK, $TOPK_SKETCH)").as("top"))
       .select(col("lang"), posexplode(col("top")))

@@ -362,39 +362,74 @@ object ScaleOps extends QueryModule {
     val newFiles = fs.listStatus(dataDir)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted.toSeq
-    val bounds: Map[String, (Long, Long)] = statsCol match {
-      case None => Map.empty
-      case Some(c) =>
+    // `statsCol` may declare SEVERAL comma-separated columns; stats
+    // for all of them come from ONE projection-pruned pass (min/max
+    // per column per file), and Blooms for all of them from one more
+    // — the write amplification is two extra column-pruned scans of
+    // the just-written batch regardless of how many columns index.
+    val statsColumns: Seq[String] = statsCol.toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val bounds: Map[String, Seq[(String, Long, Long)]] =
+      if (statsColumns.isEmpty || newFiles.isEmpty) Map.empty
+      else {
+        val aggs = statsColumns.flatMap(c => Seq(
+          min(col(c)).cast(LongType).as(s"__lo_$c"),
+          max(col(c)).cast(LongType).as(s"__hi_$c")))
         s.read.parquet(dataDir.toString)
           .groupBy(input_file_name().as("f"))
-          .agg(min(col(c)).cast(LongType).as("lo"),
-            max(col(c)).cast(LongType).as("hi"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
-          .filterNot(r => r.isNullAt(1) || r.isNullAt(2))
-          .map(r => (new Path(r.getString(0)).getName,
-            (r.getLong(1), r.getLong(2)))).toMap
-    }
-    val blooms: Map[String, String] =
-      if (!statsBloom || statsCol.isEmpty) Map.empty
+          .map { r =>
+            val per = statsColumns.flatMap { c =>
+              val lo = r.getAs[Any](s"__lo_$c")
+              val hi = r.getAs[Any](s"__hi_$c")
+              if (lo == null || hi == null) None
+              else Some((c, lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+            }
+            new Path(r.getString(0)).getName -> per
+          }.toMap
+      }
+    val blooms: Map[String, Map[String, String]] =
+      if (!statsBloom || statsColumns.isEmpty || newFiles.isEmpty) Map.empty
       else {
-        // one more projection-pruned pass over just-written data:
-        // per file, the ≤BLOOM_BITS distinct set-bit positions of the
-        // stats column's keys (map-side partial agg collapses each
-        // partition to ≤BLOOM_BITS rows per file before the
-        // exchange). Collect is bounded by newFiles · BLOOM_BITS.
+        // per file AND column, the ≤BLOOM_BITS distinct set-bit
+        // positions of the column's keys (map-side partial agg
+        // collapses each partition to ≤BLOOM_BITS rows per
+        // (file, column) before the exchange). Collect is bounded by
+        // newFiles · columns · BLOOM_BITS.
+        val tagged = statsColumns.map(c =>
+          struct(lit(c).as("c"), bloomPosArray(col(c)).as("ps")))
         s.read.parquet(dataDir.toString)
           .select(input_file_name().as("f"),
-            explode(bloomPosArray(col(statsCol.get))).as("pos"))
-          .groupBy(col("f")).agg(collect_set(col("pos")).as("ps"))
+            explode(array(tagged: _*)).as("cp"))
+          .select(col("f"), col("cp.c").as("c"),
+            explode(col("cp.ps")).as("pos")) // null ps (null key) drops
+          .groupBy(col("f"), col("c")).agg(collect_set(col("pos")).as("ps"))
           .collect()
-          .map(r => (new Path(r.getString(0)).getName,
-            bloomHex(r.getSeq[Long](1)))).toMap
+          .groupBy(r => new Path(r.getString(0)).getName)
+          .map { case (f, rows) => f -> rows.map(r =>
+            r.getString(1) -> bloomHex(r.getSeq[Long](2))).toMap }
       }
     val newLines = newFiles.map { f =>
-      (bounds.get(new Path(f).getName), blooms.get(new Path(f).getName)) match {
-        case (Some((lo, hi)), Some(bm)) => s"$f\t$lo\t$hi\t$bm"
-        case (Some((lo, hi)), None) => s"$f\t$lo\t$hi"
-        case _ => f
+      val name = new Path(f).getName
+      val per = bounds.getOrElse(name, Seq.empty)
+      val bl = blooms.getOrElse(name, Map.empty)
+      if (statsColumns.size <= 1) {
+        // the legacy positional single-column form — existing stores,
+        // oracles and specs read it unchanged
+        (per.headOption, per.headOption.flatMap(p => bl.get(p._1))) match {
+          case (Some((_, lo, hi)), Some(bm)) => s"$f\t$lo\t$hi\t$bm"
+          case (Some((_, lo, hi)), None) => s"$f\t$lo\t$hi"
+          case _ => f
+        }
+      } else {
+        val fields = per.map { case (c, lo, hi) =>
+          bl.get(c) match {
+            case Some(bm) => s"$c=$lo:$hi:$bm"
+            case None => s"$c=$lo:$hi"
+          }
+        }
+        (f +: fields).mkString("\t")
       }
     }
     // change feed lands attempt-private BEFORE the commit point;
@@ -427,10 +462,26 @@ object ScaleOps extends QueryModule {
           mergeSchemas(_, allNullable(df.schema)))
       case None => allNullable(df.schema)
     }
+    // The store's declared stats columns ride the manifest as a
+    // `#statscols:` header (union of this commit's and the parent's
+    // — one parent header read, shared with the schema resolution
+    // above), so catalog/DSv2 reads can DEFAULT their pruning columns
+    // instead of requiring every reader to re-declare what the
+    // writers indexed. Best-effort metadata: files without stats
+    // entries are kept regardless, and an explicit statsCol option
+    // still overrides.
+    val statsHeader: Seq[String] = {
+      val parentCols = expectParent.filter(_ >= 1L)
+        .flatMap(p => snapshotStatsCols(s, root, p))
+        .toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+      val all = (parentCols ++ statsColumns).distinct
+      if (all.isEmpty) Nil else Seq(STATSCOLS_HEADER + all.mkString(","))
+    }
     val text = (tag.toSeq.map(TAG_HEADER + _) ++
       parentRef.toSeq.map(PARENT_HEADER + _) ++
       Seq(SCHEMA_HEADER + schema.json,
         TS_HEADER + System.currentTimeMillis()) ++
+      statsHeader ++
       parentLines ++ newLines)
       .mkString("\n")
     val tmp = new Path(rootP, s"_manifests/.tmp-v$next-$att")
@@ -631,6 +682,7 @@ object ScaleOps extends QueryModule {
   private val PARENT_HEADER = "#parent:"
   private val SCHEMA_HEADER = "#schema:"
   private val TS_HEADER = "#ts:"
+  private val STATSCOLS_HEADER = "#statscols:"
 
   /** A committed version's manifest HEADER lines as key -> value
     * (`#tag:`, `#parent:`, `#schema:`, `#ts:`), reading only the
@@ -667,6 +719,15 @@ object ScaleOps extends QueryModule {
       v: Long): Option[StructType] =
     manifestHeaders(s, root, v).get("schema")
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+  /** The stats columns a version's history declared, from its
+    * `#statscols:` header (written at commit, union-inherited through
+    * the parent chain) — the default pruning columns for catalog and
+    * DSv2 reads that don't declare their own. None for pre-header
+    * manifests. */
+  private[graft] def snapshotStatsCols(s: SparkSession, root: String,
+      v: Long): Option[String] =
+    manifestHeaders(s, root, v).get("statscols").filter(_.nonEmpty)
 
   /** A committed version's commit instant from its `#ts:` header
     * (written at commit), falling back to the manifest's mtime for
@@ -777,18 +838,65 @@ object ScaleOps extends QueryModule {
   private[graft] def manifestFiles(s: SparkSession, root: String, v: Long): Seq[String] =
     manifestDataLines(s, root, v).map(_.split('\t')(0))
 
-  /** A committed version's zone-map bounds: file path -> (min, max)
-    * for every manifest line that carries stats (absent entries
-    * degrade pruned reads to keeping the file, never to wrong
-    * answers). */
+  /** One column's per-file stats as a manifest line carries them. */
+  private case class FileColStats(lo: Long, hi: Long, bloom: Option[String])
+
+  /** Parse a manifest data line's stats fields. Two formats coexist:
+    * the legacy single-column positional form (`path\tlo\thi[\tbloom]`
+    * — the column's NAME is the caller's declaration, recorded here
+    * under the reserved key "") and the multi-column named form
+    * (`path\tcol=lo:hi[:bloom]\t…`) written when a commit declares
+    * more than one stats column. Readers resolve a named entry first
+    * and fall back to the positional one ([[statsFor]]), so the two
+    * forms mix freely across a store's history. */
+  private def parseStatsLine(
+      line: String): (String, Map[String, FileColStats]) = {
+    val arr = line.split('\t')
+    val path = arr(0)
+    if (arr.length >= 3 && !arr(1).contains('=')) {
+      val bloom = if (arr.length >= 4) Some(arr(3)) else None
+      (path, Map("" -> FileColStats(arr(1).toLong, arr(2).toLong, bloom)))
+    } else {
+      val named = arr.iterator.drop(1).filter(_.contains('=')).map { fld =>
+        val cut = fld.indexOf('=')
+        val c = fld.substring(0, cut)
+        val parts = fld.substring(cut + 1).split(':')
+        c -> FileColStats(parts(0).toLong, parts(1).toLong,
+          if (parts.length >= 3) Some(parts(2)) else None)
+      }.toMap
+      (path, named)
+    }
+  }
+
+  /** Column `c`'s stats from a parsed line: the named entry, else the
+    * positional one (whose column identity is the caller's
+    * declaration — the pre-multi-column contract, unchanged). */
+  private def statsFor(named: Map[String, FileColStats],
+      c: String): Option[FileColStats] =
+    named.get(c).orElse(named.get(""))
+
+  /** A committed version's zone-map bounds FOR COLUMN `c`: file path
+    * -> (min, max) for every manifest line that carries stats for it
+    * (absent entries degrade pruned reads to keeping the file, never
+    * to wrong answers). `c` = "" resolves only positional stats. */
   private def manifestBounds(s: SparkSession, root: String,
-      v: Long): Map[String, (Long, Long)] =
+      v: Long, c: String = ""): Map[String, (Long, Long)] =
     manifestDataLines(s, root, v).flatMap { line =>
-      line.split('\t') match {
-        case arr if arr.length >= 3 => Some(arr(0) -> (arr(1).toLong, arr(2).toLong))
-        case _ => None
-      }
+      val (path, named) = parseStatsLine(line)
+      statsFor(named, c).map(st => path -> (st.lo, st.hi))
     }.toMap
+
+  /** Every column any of version `v`'s data lines carries stats for,
+    * named columns only — what a rewrite commit must keep indexing so
+    * its rewritten files don't silently lose a store's second stats
+    * column. (Positional lines don't record their column's name; the
+    * rewriting caller's own key column covers them, as it always
+    * has.) */
+  private def statsColumnsOf(s: SparkSession, root: String,
+      v: Long): Seq[String] =
+    manifestDataLines(s, root, v)
+      .flatMap(l => parseStatsLine(l)._2.keys.filter(_.nonEmpty))
+      .distinct.sorted
 
   // ---------------------------------------------------------------
   // Per-file Bloom fingerprints — point-lookup file skipping
@@ -853,12 +961,10 @@ object ScaleOps extends QueryModule {
     * always kept by lookup reads (same degrade contract as the
     * zone-map bounds — skipping needs PROOF of absence). */
   private def manifestBlooms(s: SparkSession, root: String,
-      v: Long): Map[String, String] =
+      v: Long, c: String = ""): Map[String, String] =
     manifestDataLines(s, root, v).flatMap { line =>
-      line.split('\t') match {
-        case Array(f, _, _, bm) => Some(f -> bm)
-        case _ => None
-      }
+      val (path, named) = parseStatsLine(line)
+      statsFor(named, c).flatMap(_.bloom).map(path -> _)
     }.toMap
 
   /** BLOOM-SKIPPED POINT LOOKUP: plan only the manifest files whose
@@ -880,8 +986,8 @@ object ScaleOps extends QueryModule {
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
-    val bounds = manifestBounds(s, root, v)
-    val blooms = manifestBlooms(s, root, v)
+    val bounds = manifestBounds(s, root, v, colName)
+    val blooms = manifestBlooms(s, root, v, colName)
     val posOf = bloomKeyPositions(s, keys.distinct)
     val files = manifestFiles(s, root, v)
     val kept = files.filter { f =>
@@ -910,28 +1016,47 @@ object ScaleOps extends QueryModule {
     * through `spark.read.format("graft-snapshot")`. Files without
     * stats/Bloom fields are kept — pruning only ever skips files
     * PROVEN irrelevant. Returns (resolved version, kept files). */
+  /** One column's pruning constraints for [[planSnapshotFiles]] —
+    * conjunctive across columns: a file survives only if EVERY
+    * constrained column's stats allow it. */
+  private[graft] case class ColConstraint(col: String, lo: Option[Long],
+      hi: Option[Long], keys: Option[Seq[Long]])
+
   private[graft] def planSnapshotFiles(s: SparkSession, root: String,
       version: Option[Long], lo: Option[Long], hi: Option[Long],
-      keys: Option[Seq[Long]]): (Long, Seq[String]) = {
+      keys: Option[Seq[Long]]): (Long, Seq[String]) =
+    planSnapshotFiles(s, root, version,
+      if (lo.isEmpty && hi.isEmpty && keys.isEmpty) Nil
+      else Seq(ColConstraint("", lo, hi, keys)))
+
+  private[graft] def planSnapshotFiles(s: SparkSession, root: String,
+      version: Option[Long],
+      constraints: Seq[ColConstraint]): (Long, Seq[String]) = {
     val vs = snapshotVersions(s, root)
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
     val files = manifestFiles(s, root, v)
-    if (lo.isEmpty && hi.isEmpty && keys.isEmpty) return (v, files)
-    val bounds = manifestBounds(s, root, v)
-    val blooms = if (keys.isDefined) manifestBlooms(s, root, v) else Map.empty[String, String]
-    val posOf = keys.map(ks => bloomKeyPositions(s, ks.distinct))
-      .getOrElse(Map.empty)
-    val kept = files.filter { f =>
-      val inRange = bounds.get(f).forall { case (mn, mx) =>
-        lo.forall(_ <= mx) && hi.forall(_ >= mn)
+    val active = constraints.filter(c =>
+      c.lo.isDefined || c.hi.isDefined || c.keys.isDefined)
+    if (active.isEmpty) return (v, files)
+    val kept = active.foldLeft(files) { (remaining, con) =>
+      val bounds = manifestBounds(s, root, v, con.col)
+      val blooms =
+        if (con.keys.isDefined) manifestBlooms(s, root, v, con.col)
+        else Map.empty[String, String]
+      val posOf = con.keys.map(ks => bloomKeyPositions(s, ks.distinct))
+        .getOrElse(Map.empty)
+      remaining.filter { f =>
+        val inRange = bounds.get(f).forall { case (mn, mx) =>
+          con.lo.forall(_ <= mx) && con.hi.forall(_ >= mn)
+        }
+        val hasKey = con.keys.forall(_.exists { k =>
+          bounds.get(f).forall { case (mn, mx) => k >= mn && k <= mx } &&
+            blooms.get(f).forall(bloomTest(_, posOf(k)))
+        })
+        inRange && hasKey
       }
-      val hasKey = keys.forall(_.exists { k =>
-        bounds.get(f).forall { case (mn, mx) => k >= mn && k <= mx } &&
-          blooms.get(f).forall(bloomTest(_, posOf(k)))
-      })
-      inRange && hasKey
     }
     (v, kept)
   }
@@ -1205,7 +1330,7 @@ object ScaleOps extends QueryModule {
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
-    val stats = manifestBounds(s, root, v)
+    val stats = manifestBounds(s, root, v, colName)
     val files = manifestFiles(s, root, v)
     val kept = files.filter(f =>
       stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
@@ -1629,12 +1754,13 @@ object ScaleOps extends QueryModule {
     val vs = snapshotVersions(s, root)
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val v = vs.last
-    val bounds = manifestBounds(s, root, v)
+    val bounds = manifestBounds(s, root, v, colName)
     val (touched, untouched) = manifestDataLines(s, root, v).partition { line =>
       val f = line.split('\t')(0)
       bounds.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
     }
     if (touched.isEmpty) return v
+    val keepStats = (statsColumnsOf(s, root, v) :+ colName).distinct
     // NULLs are outside every range: keep them (a bare NOT BETWEEN
     // would silently delete null-keyed rows through three-valued logic)
     val base = s.read.parquet(touched.map(_.split('\t')(0)): _*)
@@ -1642,7 +1768,7 @@ object ScaleOps extends QueryModule {
       !(col(colName) >= lo && col(colName) <= hi))
     val dropped = base.filter(col(colName) >= lo && col(colName) <= hi)
     commitVersion(s, root, kept, parentLines = untouched,
-      statsCol = Some(colName), tag = None,
+      statsCol = Some(keepStats.mkString(",")), tag = None,
       cdf = Some((kept.limit(0), dropped)), expectParent = Some(v))
   }
 
@@ -1699,7 +1825,11 @@ object ScaleOps extends QueryModule {
         statsCol = Some(keyCol), tag, expectParent = Some(0L))
     val v = vs.last
     val lines = manifestDataLines(s, root, v)
-    val bounds = manifestBounds(s, root, v)
+    val bounds = manifestBounds(s, root, v, keyCol)
+    // a rewrite keeps indexing every NAMED stats column the store
+    // already carries (plus its own key), so a multi-column store's
+    // rewritten files don't silently lose their second zone map
+    val keepStats = (statsColumnsOf(s, root, v) :+ keyCol).distinct
     // EVOLVE-ON-MERGE (the Delta mergeSchema composition of s14 and
     // s11): with evolveSchema the batch may CARRY columns the store
     // lacks — rewritten survivors null-fill them, untouched files
@@ -1732,7 +1862,7 @@ object ScaleOps extends QueryModule {
     }
     if (touched.isEmpty)
       return commitVersion(s, root, updates, parentLines = untouched,
-        statsCol = bounds.headOption.map(_ => keyCol), tag,
+        statsCol = bounds.headOption.map(_ => keepStats.mkString(",")), tag,
         cdf = Some((updates, updates.limit(0))), expectParent = Some(v))
     // mergeSchema: post-evolution, touched files may disagree on
     // columns among themselves — the union below null-fills whatever
@@ -1747,7 +1877,7 @@ object ScaleOps extends QueryModule {
     commitVersion(s, root,
       survivors.unionByName(updates, allowMissingColumns = true),
       parentLines = untouched,
-      statsCol = bounds.headOption.map(_ => keyCol), tag,
+      statsCol = bounds.headOption.map(_ => keepStats.mkString(",")), tag,
       cdf = Some((updates, replaced)), expectParent = Some(v))
   }
 
@@ -2166,6 +2296,137 @@ object ScaleOps extends QueryModule {
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text"))).cast(LongType).as("n_chars"))
       .orderBy(col("lang"))
+  }
+
+  /** Build-once fixture for s18 (own store): the corpus plus a
+    * deterministic integral `quality` column (s16's score), laid out
+    * on the 2-D Z-ORDER curve over (doc_id, quality) so BOTH columns'
+    * per-file zone maps are selective at once — the layout where a
+    * multi-column stats map actually pays (range-clustering on one
+    * column makes the other's intervals span everything). Published
+    * with `statsCol = "doc_id,quality"` + Blooms: the manifest's
+    * per-column named stats form. Drift-token guarded. */
+  private[graft] def ensureMultiStatsStore(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = snapRoot(s, d) + "_mc"
+    val tokP = new Path(root, "_token")
+    val fs = fsOf(s, tokP)
+    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(root), true)
+      val zed = Tables.documents(s, d)
+        .withColumn("quality",
+          graft.functions.Portable.h60(concat(lit("q:"),
+            col("doc_id").cast(StringType))) % 100)
+        .withColumn("zx", pmod(col("doc_id"), lit(1L << Z_BITS)))
+        .withColumn("z", expr(zExprSql("zx", "quality", "div")))
+        .repartitionByRange(SNAP_FILES, col("z"))
+        .sortWithinPartitions(col("z"))
+        .drop("zx", "z")
+      publishSnapshot(s, root, zed,
+        statsCol = Some("doc_id,quality"), statsBloom = true)
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    root
+  }
+
+  /** s18 — MULTI-COLUMN pruned read through the DSv2 table: one
+    * predicate constrains doc_id AND quality, and the connector
+    * prunes with BOTH columns' manifest zone maps conjunctively (a
+    * file survives only if every constrained column's interval
+    * intersects — SnapshotDataSourceSpec pins that each single-column
+    * filter prunes and the conjunction prunes strictly harder). The
+    * oracle recomputes the deterministic quality score over the raw
+    * corpus and applies the same predicate, so value equality proves
+    * two-column pruning never drops a qualifying row. */
+  def s18MulticolRead(s: SparkSession, d: String): DataFrame = {
+    val root = ensureMultiStatsStore(s, d)
+    val mx = Tables.documents(s, d).agg(max(col("doc_id")))
+      .collect()(0).getLong(0) // bounded: one row
+    val (lo, hi) = (mx * 1 / 10, mx * 3 / 10)
+    s.read.format("graft-snapshot")
+      .option("statsCol", "doc_id,quality")
+      .load(root)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi &&
+        col("quality") >= 40 && col("quality") <= 70)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality")).cast(LongType).as("sum_q"),
+        sum(length(col("text"))).cast(LongType).as("n_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Build-once fixture for s19 (own store + its own CATALOG
+    * registration): v1 = the full corpus published through the API,
+    * v2 = a deterministic batch APPENDED through the SQL write
+    * surface — `df.writeTo("<cat>.<table>").append()` — so the row
+    * proves the catalog write path commits through the same protocol
+    * the API uses. The catalog name is derived from the sf dir (a
+    * CatalogManager instance is cached per name after first load, so
+    * a per-dir name keeps warehouses from cross-binding). Returns the
+    * table's fully-qualified SQL name. Drift-token guarded. */
+  private[graft] def ensureCatalogStore(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = snapRoot(s, d) + "_cat"
+    val catName = s"graft_cat_${Integer.toHexString(d.hashCode)}"
+    val tableName = new Path(root).getName
+    s.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$catName.warehouse",
+      new Path(root).getParent.toString)
+    val tokP = new Path(root, "_token")
+    val fs = fsOf(s, tokP)
+    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(root), true)
+      publishSnapshot(s, root,
+        Tables.documents(s, d).repartitionByRange(SNAP_FILES, col("doc_id")),
+        statsCol = Some("doc_id"))
+      val mx = Tables.documents(s, d).agg(max(col("doc_id")))
+        .collect()(0).getLong(0) // bounded: one row
+      // the SQL-surface append: a deterministic re-keyed slice (ids
+      // above the existing space, lang re-tagged) — mirrored verbatim
+      // in the oracle
+      Tables.documents(s, d)
+        .filter(col("doc_id") < mx / 20)
+        .withColumn("doc_id", col("doc_id") + mx + 1L)
+        .withColumn("lang", lit("zz"))
+        .writeTo(s"$catName.$tableName").append()
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    s"$catName.$tableName"
+  }
+
+  /** s19 — the SQL WRITE surface read back: after the catalog append
+    * ([[ensureCatalogStore]]), the per-lang profile of the table AS
+    * SQL TEXT sees base + batch exactly once. The oracle replays the
+    * append relationally over the raw corpus, so value equality
+    * proves `writeTo(...).append()` landed the batch through the
+    * commit protocol (version bump, delta manifest, conflict rules —
+    * SnapshotCatalogSpec pins the file-grain claims); the write and
+    * read surfaces are now both plain SQL. */
+  def s19CatalogAppend(s: SparkSession, d: String): DataFrame = {
+    val table = ensureCatalogStore(s, d)
+    s.sql(
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM $table GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
   /** Build-once fixture for s16 (own store): v1 = the full corpus
@@ -2636,7 +2897,9 @@ object ScaleOps extends QueryModule {
     "s14_merge_upsert" -> s14MergeUpsert,
     "s15_change_feed" -> s15ChangeFeed,
     "s16_evolve_merge" -> s16EvolveMerge,
-    "s17_dsv2_read" -> s17Dsv2Read)
+    "s17_dsv2_read" -> s17Dsv2Read,
+    "s18_multicol_read" -> s18MulticolRead,
+    "s19_catalog_append" -> s19CatalogAppend)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   /** s07's oracle: the four faces' own oracle SQLs composed verbatim
@@ -2909,5 +3172,36 @@ object ScaleOps extends QueryModule {
          |         AS BIGINT) AS n_with_quality,
          |       CAST(SUM(quality) AS BIGINT) AS sum_quality,
          |       CAST(SUM(length(text)) AS BIGINT) AS text_chars
-         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin)
+         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+    // the two-column pruned read replayed over the raw corpus with
+    // the same deterministic quality score and the same predicate —
+    // value equality proves conjunctive multi-column pruning never
+    // drops a qualifying row (file-grain pruning counts are pinned
+    // in SnapshotDataSourceSpec)
+    "s18_multicol_read" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, text,
+         |         ${graft.functions.Portable.h60Sql("'q:' || CAST(doc_id AS VARCHAR)")} % 100 AS quality
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(quality) AS BIGINT) AS sum_q,
+         |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+         |FROM q, mx
+         |WHERE doc_id >= mx.m * 1 // 10 AND doc_id <= mx.m * 3 // 10
+         |  AND quality >= 40 AND quality <= 70
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the catalog append replayed relationally: base plus the
+    // deterministic re-keyed slice, profiled per lang
+    "s19_catalog_append" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+         |app AS (
+         |  SELECT doc_id + m + 1 AS doc_id, 'zz' AS lang, n_chars
+         |  FROM documents, mx WHERE doc_id < m // 20),
+         |allr AS (
+         |  SELECT lang, n_chars FROM documents
+         |  UNION ALL SELECT lang, n_chars FROM app)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM allr GROUP BY lang ORDER BY lang""".stripMargin)
 }

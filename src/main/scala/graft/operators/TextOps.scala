@@ -676,10 +676,12 @@ object TextOps extends QueryModule {
     .where(size(col("toks")) >= 2)
     // explode_outer: plain explode would infer a size>0 scan filter
     // that re-derives the bigram transform (see c23); the size>=2
-    // guard above already makes the array non-empty
-    .select(col("doc_id"), col("lang"), explode_outer(expr(
-      "transform(sequence(0, size(toks) - 2), " +
-        "i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
+    // guard above already makes the array non-empty. The fused native
+    // bigram kernel replaces the per-token interpreted lambda —
+    // identical output: split tokens never hold nulls or spaces, so
+    // concat(a,' ',b) ≡ the kernel's concat_ws join (GramsSpec).
+    .select(col("doc_id"), col("lang"),
+      explode_outer(expr("graft_grams(toks, 2)")).as("bg"))
     .select(col("doc_id"), col("lang"),
       (call_function("graft_h60", concat(lit("dsir:"), col("bg"))) % DSIR_B)
         .as("b"))
@@ -1047,11 +1049,11 @@ object TextOps extends QueryModule {
     * c12's Lloyd step. Re-segmentation is a per-row array fold, no
     * shuffle.
     *
-    * No DuckDB oracle: the merge recurrence (round r's counts depend
-    * on round r−1's winner) has no single-statement SQL form — the
-    * a21x precedent: rows-only driver check, correctness pinned by
-    * BpeLearnSpec against an independent in-memory reference
-    * implementation. */
+    * Oracle: the merge recurrence (round r's counts depend on round
+    * r−1's winner) unrolls into [[BPE_ROUNDS]] chained MATERIALIZED
+    * CTEs with a closed form for the greedy left-to-right merge (see
+    * [[bpeTaken]]) — full DuckDB row/hash checking, plus
+    * BpeLearnSpec's independent in-memory reference. */
   def t26BpeLearn(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(explode(split(col("text"), "\\s+")).as("w"))
@@ -1122,9 +1124,11 @@ object TextOps extends QueryModule {
     * touched once. Emits per doc: subword count under the learned
     * vocabulary, whitespace-word count, and the fertility ratio —
     * the end-to-end answer to "did training help" (compare against
-    * t18's fixed-vocab fertility). Spec-pinned to the same
-    * independent reference as t26 (no SQL face: the segmentation
-    * depends on the learned recurrence). */
+    * t18's fixed-vocab fertility). Oracle: replays the t26 unroll and
+    * segments the distinct-word table with round 8's token lists
+    * (same closed-form merge), joined back onto occurrences —
+    * DuckDB-checked like every other t row, with BpeLearnSpec's
+    * independent reference on top. */
   def t27BpeApply(s: SparkSession, d: String): DataFrame = {
     val (mT, metaT) = bpeTables(d)
     def token(): Option[String] =
@@ -1188,6 +1192,79 @@ object TextOps extends QueryModule {
           .as("fertility"))
       .orderBy(col("doc_id"))
   }
+
+  /** The t26/t27 oracle: the identical [[BPE_ROUNDS]]-round merge
+    * recurrence as chained MATERIALIZED CTEs (the t36 unroll
+    * discipline) — round k's one-row winner CTE `m k` is the
+    * freq-then-lex top pair over round k−1's segmentation, and `w k`
+    * re-segments by merging that pair's non-overlapping occurrences
+    * left-to-right. The sequential greedy merge has a CLOSED FORM the
+    * SQL can evaluate per position: a candidate (toks[i]=a,
+    * toks[i+1]=b) is taken iff a≠b (candidates can then never be
+    * adjacent, so greedy takes all) or its offset into the maximal
+    * run of `a`s ending the candidate chain is even (greedy takes
+    * every other candidate of an aa…a run) — bit-identical to the
+    * fold, which is what lets t26/t27 graduate from spec-pinned
+    * no-oracle rows to full DuckDB-checked rows. */
+  private def bpeTaken(i: String, a: String, b: String): String =
+    s"($i < len(toks) AND toks[$i] = $a AND toks[$i+1] = $b " +
+      s"AND ($a <> $b OR ($i - (1 + coalesce(list_max(" +
+      s"list_filter(range(1, $i), j -> toks[j] <> $a)), 0))) % 2 = 0))"
+
+  private def bpeLearnCtes: String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc,
+         |    list_transform(range(1, length(w) + 1),
+         |      i -> substr(w, CAST(i AS INT), 1)) AS toks
+         |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+         |        FROM documents WHERE text IS NOT NULL)
+         |  WHERE w <> '' GROUP BY w)""".stripMargin
+    val rounds = (1 to BPE_ROUNDS).map { k =>
+      val p = k - 1
+      s"""p$k AS MATERIALIZED (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(SUM(wc) AS BIGINT) AS freq
+         |  FROM (SELECT wc, unnest(list_transform(range(1, len(toks)),
+         |          i -> {'a': toks[i], 'b': toks[i + 1]})) AS pr
+         |        FROM w$p WHERE len(toks) >= 2)
+         |  GROUP BY pr.a, pr.b),
+         |m$k AS MATERIALIZED (
+         |  SELECT a, b, freq FROM p$k ORDER BY freq DESC, a, b LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT w, wc,
+         |    CASE WHEN m.a IS NULL OR len(toks) < 2 THEN toks ELSE
+         |      list_transform(
+         |        list_filter(range(1, len(toks) + 1),
+         |          i -> i = 1 OR NOT ${bpeTaken("i - 1", "m.a", "m.b")}),
+         |        i -> CASE WHEN ${bpeTaken("i", "m.a", "m.b")}
+         |             THEN toks[i] || toks[i + 1] ELSE toks[i] END)
+         |    END AS toks
+         |  FROM w$p LEFT JOIN m$k m ON TRUE)""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
+
+  private def t26Sql: String = {
+    val union = (1 to BPE_ROUNDS).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, a, b, freq FROM m$k")
+      .mkString("\n  UNION ALL ")
+    s"WITH $bpeLearnCtes\n$union\nORDER BY rank"
+  }
+
+  private def t27Sql: String =
+    s"""WITH $bpeLearnCtes,
+       |seg AS MATERIALIZED (
+       |  SELECT w, CAST(len(toks) AS BIGINT) AS n_sub FROM w$BPE_ROUNDS),
+       |occ AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE w <> '')
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(n_sub) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+       |FROM occ JOIN seg USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** t28 hashing-trick feature space and weight fixed point. */
   private val CLF_B = 4096L
@@ -2182,6 +2259,11 @@ object TextOps extends QueryModule {
          |  CAST(COALESCE(g.margin_fp, 0) >= 0 AS BIGINT) AS kept
          |FROM documents d LEFT JOIN appagg g USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // t26/t27: the 8-round merge recurrence unrolled as MATERIALIZED
+    // CTEs (the t36 discipline) with the greedy merge's closed form
+    // — see the bpeTaken scaladoc for the a==b parity argument.
+    "t26_bpe_learn" -> t26Sql,
+    "t27_bpe_apply" -> t27Sql,
     // t20: wtok segments the DISTINCT words (the same recursion as
     // t03b); pair counting joins the word-frequency dict and zips
     // the two shifted unnests into adjacent (a, b) pairs.

@@ -7,11 +7,12 @@ import scala.jdk.CollectionConverters._
 import graft.operators.ScaleOps
 import graft.streaming.SnapshotStream
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources._
@@ -110,10 +111,11 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
   }
 
   // per-load pinned resolution — inferSchema resolves, getTable reuses
-  private var pinned: Option[(String, (String, Long, StructType))] = None
+  private var pinned:
+    Option[(String, (String, Long, StructType, Option[String]))] = None
 
-  private def resolveOnce(
-      options: CaseInsensitiveStringMap): (String, Long, StructType) =
+  private def resolveOnce(options: CaseInsensitiveStringMap)
+      : (String, Long, StructType, Option[String]) =
     synchronized {
       val key = options.asCaseSensitiveMap().asScala.toSeq.sorted.toString
       pinned match {
@@ -133,9 +135,11 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val (root, v, _) = resolveOnce(opts)
+    val (root, v, _, statsDefault) = resolveOnce(opts)
+    // pruning columns: the explicit option wins; otherwise the
+    // store's own #statscols: header (what its writers indexed)
     new SnapshotTable(root, v, schema,
-      Option(opts.get("statscol")))
+      Option(opts.get("statscol")).orElse(statsDefault))
   }
 }
 
@@ -151,9 +155,10 @@ object SnapshotDataSource {
     * once (inferSchema + getTable share the pinned result). */
   private[graft] val resolves = new java.util.concurrent.atomic.AtomicLong
 
-  /** (root, resolved version, merged schema) for the options. */
-  private[sources] def resolve(
-      options: CaseInsensitiveStringMap): (String, Long, StructType) = {
+  /** (root, resolved version, merged schema, header-declared stats
+    * columns) for the options. */
+  private[sources] def resolve(options: CaseInsensitiveStringMap)
+      : (String, Long, StructType, Option[String]) = {
     resolves.incrementAndGet()
     val s = SparkSession.active
     val root = Option(options.get("path")).getOrElse(
@@ -186,21 +191,63 @@ object SnapshotDataSource {
           "#schema: header; no schema source")
       s.read.option("mergeSchema", "true").parquet(files: _*).schema
     }
-    (root, v, schema)
+    (root, v, schema, ScaleOps.snapshotStatsCols(s, root, v))
   }
 }
 
-/** One committed snapshot version as a read-only DSv2 table. */
+/** One committed snapshot version as a DSv2 table: reads plan
+  * through the manifest (pruned, metadata-only), writes route through
+  * the SAME race-safe commit protocol as the API — an append is
+  * [[ScaleOps.appendSnapshot]] (delta manifest, claim + rename +
+  * conflict detection), an overwrite is [[ScaleOps.publishSnapshot]]
+  * (a new full version; history stays time-travelable). The write
+  * face is the standard V1Write bridge (DeltaLake's long-standing
+  * connector shape): the engine hands the planned DataFrame to
+  * `InsertableRelation.insert`, which is exactly the input the
+  * commit protocol wants — no bespoke per-partition writer to keep
+  * correct alongside it. */
 class SnapshotTable(root: String, version: Long, tableSchema: StructType,
-    statsCol: Option[String]) extends Table with SupportsRead {
+    statsCol: Option[String]) extends Table
+    with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-snapshot `$root` v$version"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(root, version, tableSchema, statsCol)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SnapshotWriteBuilder(root, statsCol)
+}
+
+/** Append / truncate-overwrite builder onto a store root. */
+class SnapshotWriteBuilder(root: String, statsCol: Option[String])
+    extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ignored: Boolean): Unit = {
+          val s = data.sparkSession
+          // keep indexing the store's declared stats columns, but
+          // only those the batch actually carries (a projected-away
+          // column can't be aggregated; its files just go unstatted)
+          val stats = statsCol
+            .map(_.split(',').map(_.trim)
+              .filter(data.columns.contains).mkString(","))
+            .filter(_.nonEmpty)
+          if (overwrite) ScaleOps.publishSnapshot(s, root, data, stats)
+          else ScaleOps.appendSnapshot(s, root, data, stats)
+        }
+      }
+  }
 }
 
 /** Collects pushed filters + required columns, then builds the
@@ -225,21 +272,24 @@ class SnapshotScanBuilder(root: String, version: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** The declared stats column's type in the table schema — the gate
-    * for what may prune. The manifest's zone maps hold the column's
-    * min/max CAST TO LONG, so the ±1 integral arithmetic below is
-    * sound only for integral columns: a fractional stats column
-    * (where GreaterThan(c, 2.2) would need lo=2.3, not 3) simply
-    * doesn't range-prune through this connector. The Bloom bits hash
-    * the column IN ITS NATIVE TYPE at publish while lookup keys probe
+  /** The declared stats columns (the option may name SEVERAL,
+    * comma-separated — each indexed in the manifest's per-column
+    * stats map) with their table-schema types — the gate for what may
+    * prune. The manifest's zone maps hold a column's min/max CAST TO
+    * LONG, so the ±1 integral arithmetic below is sound only for
+    * integral columns: a fractional stats column (where
+    * GreaterThan(c, 2.2) would need lo=2.3, not 3) simply doesn't
+    * range-prune through this connector. The Bloom bits hash the
+    * column IN ITS NATIVE TYPE at publish while lookup keys probe
     * as longs, and xxhash64 hashes Int and Long differently — so
     * key-based pruning is additionally gated on LongType, or files
     * holding the key would be falsely proven key-free. */
-  private val statsColType: Option[DataType] =
-    statsCol.flatMap(c =>
-      tableSchema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+  private val statsColsTyped: Seq[(String, DataType)] =
+    statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .flatMap(c => tableSchema.fields
+        .find(_.name.equalsIgnoreCase(c)).map(f => f.name -> f.dataType))
 
-  private val statsColIntegral: Boolean = statsColType.exists {
+  private def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
@@ -314,15 +364,18 @@ class SnapshotScanBuilder(root: String, version: Long,
 
   override def build(): Scan = {
     val s = SparkSession.active
-    val (lo, hi, keys0) = statsCol match {
-      case Some(c) if statsColIntegral => statsConstraints(c)
-      case _ => (None, None, None)
+    // one conjunctive constraint per integral declared column — a
+    // file survives only if EVERY column's manifest stats allow it
+    val constraints = statsColsTyped.collect {
+      case (c, dt) if integral(dt) =>
+        val (lo, hi, keys0) = statsConstraints(c)
+        // Bloom probes hash as LongType; publish hashed the native
+        // type — only a LongType stats column may key-prune
+        val keys = if (dt == LongType) keys0 else None
+        ScaleOps.ColConstraint(c, lo, hi, keys)
     }
-    // Bloom probes hash as LongType; publish hashed the native type —
-    // only a LongType stats column may key-prune (see statsColType)
-    val keys = if (statsColType.contains(LongType)) keys0 else None
     val (_, files) = ScaleOps.planSnapshotFiles(s, root, Some(version),
-      lo, hi, keys)
+      constraints)
     val index = new InMemoryFileIndex(s, files.map(new Path(_)),
       Map.empty, Some(tableSchema))
     val opts = new CaseInsensitiveStringMap(

@@ -230,7 +230,32 @@ class SnapshotStream(spark: SparkSession, root: String,
     cur
   }
 
+  /** A committed checkpoint written by the pre-pacing source (or one
+    * whose floor file was lost) has an engine offset log but no floor
+    * — re-deriving a from-scratch offset here could re-emit rows the
+    * old stream already delivered. Refuse loudly instead of
+    * duplicating silently. (A fresh stream's first getOffset runs
+    * BEFORE the engine writes its first offset-log entry, so this
+    * never fires on a clean start; an uncommitted-batch recovery
+    * calls getBatch first, which restores the floor from the replayed
+    * offsets.) */
+  private def rejectFloorlessRestart(): Unit = {
+    val engineOffsets =
+      new Path(new Path(metadataPath).getParent.getParent, "offsets")
+    val fs = engineOffsets.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (scala.util.Try(fs.exists(engineOffsets) &&
+        fs.listStatus(engineOffsets).nonEmpty).getOrElse(false))
+      throw new IllegalStateException(
+        "graft-snapshot: this checkpoint has engine offsets but no " +
+          "source offset floor (a pre-admission-control checkpoint, " +
+          "or a lost floor file); resuming could re-emit delivered " +
+          "rows — restart with a fresh checkpoint (use " +
+          "startingVersion to replay history deliberately)")
+  }
+
   override def getOffset: Option[OffsetV1] = {
+    if (known.isEmpty) rejectFloorlessRestart()
     val next = advanceFrom(known)
     if (next != known) {
       next.foreach(persist)
@@ -310,6 +335,16 @@ object SnapshotStream {
       extends OffsetV1 {
     override def json: String =
       s"""{"version":$version,"index":$index,"initial":$initial}"""
+
+    // offsets compare BY JSON across representations (the engine
+    // holds deserialized SerializedOffsets after a restart; the
+    // case-class equality would call them unequal and schedule a
+    // spurious batch per restart)
+    override def equals(obj: Any): Boolean = obj match {
+      case o: OffsetV1 => json == o.json
+      case _ => false
+    }
+    override def hashCode(): Int = json.hashCode
   }
 
   object SnapshotOffset {

@@ -170,7 +170,7 @@ class SnapshotDataSourceSpec extends SparkSpec {
       val sweepsBefore = SnapshotDataSource.footerSweeps.get()
       val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("path", root))
-      val (_, v, schema) = SnapshotDataSource.resolve(opts)
+      val (_, v, schema, _) = SnapshotDataSource.resolve(opts)
       assert(v === 2L)
       assert(schema.fieldNames.toSeq === Seq("id", "s"))
       assert(SnapshotDataSource.footerSweeps.get() === sweepsBefore,
@@ -241,6 +241,91 @@ class SnapshotDataSourceSpec extends SparkSpec {
       .filter(col("id") === 42)
       .as[(Int, String)].collect().toSeq
     assert(got === Seq((42, "row42")))
+  }
+
+  /** A 2×2 grid layout: four files, each holding one (id-half,
+    * q-half) cell, so BOTH columns' zone maps are selective. */
+  private def gridStore(root: String, bloom: Boolean = false): Unit = {
+    fs(root).delete(new Path(root), true)
+    val df = (0 until 400).map(i => (i.toLong, (i * 7 % 100).toLong, s"row$i"))
+      .toDF("id", "q", "s")
+      .withColumn("g",
+        (col("id") / 200).cast("int") * 2 + (col("q") / 50).cast("int"))
+      .repartitionByRange(4, col("g")).drop("g")
+    ScaleOps.publishSnapshot(spark, root, df,
+      statsCol = Some("id,q"), statsBloom = bloom)
+  }
+
+  test("multi-column stats prune conjunctively: each column skips, together they skip harder") {
+    val root = freshRoot("mc")
+    gridStore(root)
+    def read() = spark.read.format("graft-snapshot")
+      .option("statsCol", "id,q").load(root)
+    val all = scannedFiles(read())
+    assert(all.length === 4)
+    val idOnly = read().filter(col("id") < 200L)
+    val qOnly = read().filter(col("q") < 50L)
+    val both = read().filter(col("id") < 200L && col("q") < 50L)
+    assert(scannedFiles(idOnly).length === 2, "id zone maps did not prune")
+    assert(scannedFiles(qOnly).length === 2, "q zone maps did not prune")
+    assert(scannedFiles(both).length === 1,
+      "conjunctive two-column pruning did not compose")
+    // and the answers are exactly the predicate's rows
+    assert(both.count() ===
+      (0 until 400).count(i => i < 200 && (i * 7 % 100) < 50).toLong)
+    assert(idOnly.count() === 200L)
+    // declaring only ONE of the columns still prunes on that one
+    val oneDecl = spark.read.format("graft-snapshot")
+      .option("statsCol", "q").load(root).filter(col("q") >= 50L)
+    assert(scannedFiles(oneDecl).length === 2)
+    assert(oneDecl.count() ===
+      (0 until 400).count(i => (i * 7 % 100) >= 50).toLong)
+  }
+
+  test("multi-column Blooms: each named column key-prunes independently") {
+    val root = freshRoot("mcbloom")
+    gridStore(root, bloom = true)
+    def read(cols: String) = spark.read.format("graft-snapshot")
+      .option("statsCol", cols).load(root)
+    val all = scannedFiles(read("id,q"))
+    // a point lookup on id prunes to the single grid cell... and a
+    // q-key probe composes zone map + Bloom on q alone
+    val point = read("id,q").filter(col("id") === 123L)
+    assert(scannedFiles(point).length < all.length)
+    assert(point.select("s").as[String].collect().toSeq === Seq("row123"))
+    val qpoint = read("q").filter(col("q") === 61L)
+    assert(scannedFiles(qpoint).length < all.length)
+    assert(qpoint.count() === (0 until 400).count(i => i * 7 % 100 == 61).toLong)
+  }
+
+  test("a rewrite keeps indexing every named stats column (delete, then q still prunes)") {
+    val root = freshRoot("mckeep")
+    gridStore(root)
+    // COW delete on id rewrites the two id<200 files; the rewritten
+    // files must still carry q stats or the store silently loses its
+    // second zone map
+    ScaleOps.deleteFromSnapshot(spark, root, "id", 0L, 9L)
+    def read() = spark.read.format("graft-snapshot")
+      .option("statsCol", "id,q").load(root)
+    val all = scannedFiles(read())
+    val qOnly = read().filter(col("q") >= 50L)
+    assert(scannedFiles(qOnly).length < all.length,
+      "rewritten files lost the second column's stats")
+    assert(read().count() === 390L)
+    assert(qOnly.count() ===
+      (10 until 400).count(i => (i * 7 % 100) >= 50).toLong)
+    // the DIRECT pin: every rewritten (data-v2) manifest line still
+    // carries BOTH named stats fields
+    val man = fs(root).open(new Path(root, "_manifests/v2.manifest"))
+    val lines = try scala.io.Source.fromInputStream(man, "UTF-8")
+      .getLines().toList finally man.close()
+    val rewritten = lines.filterNot(_.startsWith("#"))
+      .filter(_.split('\t')(0).contains("data-v2"))
+    assert(rewritten.nonEmpty)
+    rewritten.foreach { l =>
+      assert(l.contains("\tid=") && l.contains("\tq="),
+        s"rewritten line lost a named stats column: $l")
+    }
   }
 
   test("schema-evolved stores read with null-fill through the table") {
