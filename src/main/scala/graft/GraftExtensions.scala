@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         functions.ScrubSpans(children(0), children(1), children(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_gram_pairs"),
+      new ExpressionInfo(classOf[functions.GramPairs].getName, "graft_gram_pairs"),
+      (children: Seq[Expression]) => functions.GramPairs(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_grams"),
       new ExpressionInfo(classOf[functions.Grams].getName, "graft_grams"),
       (children: Seq[Expression]) =>

@@ -431,12 +431,15 @@ object TextOps extends QueryModule {
     * trade). (c2+1)·2^30 stays under 2^63 up to ~10^9 occurrences of
     * a single bigram; past that, shrink the quantization scale. */
   def lmScore(ref: DataFrame, target: DataFrame): DataFrame = {
+    // fused native pair build ([[graft.functions.GramPairs]]): the
+    // HOF twin paid an interpreted lambda + struct allocation per
+    // token, twice per LM build (ref + target) — bit-identical rows,
+    // oracle unchanged (GramPairsSpec pins the parity)
     def bigrams(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode_outer(expr(
-        "transform(sequence(0, size(toks) - 2), " +
-          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"),
+        explode_outer(expr("graft_gram_pairs(toks)")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val refBig = bigrams(ref).localCheckpoint()
     val uni = ref.select(explode_outer(split(col("text"), "\\s+")).as("w"))
@@ -511,9 +514,7 @@ object TextOps extends QueryModule {
     val big = docs
       .select(filter(split(col("text"), "\\s+"), x => x =!= "").as("toks"))
       .where(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(toks) - 2), " +
-          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("b"))
+      .select(explode(expr("graft_gram_pairs(toks)")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c2 = big.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2")).localCheckpoint()
@@ -629,10 +630,8 @@ object TextOps extends QueryModule {
     wc
       .withColumn("toks", call_function("graft_subword_arr", col("w")))
       .where(size(col("toks")) >= 2)
-      .select(col("wc"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), " +
-          "i -> struct(toks[i] AS a, toks[i + 1] AS b))")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("wc"), explode(expr("graft_gram_pairs(toks)")).as("p"))
+      .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
       .agg(sum(col("wc")).as("freq"))
       .orderBy(col("freq").desc, col("a"), col("b"))
       .limit(MERGES)
@@ -1077,10 +1076,8 @@ object TextOps extends QueryModule {
     while (r < rounds && !exhausted) {
       val top = words
         .where(size(col("toks")) >= 2)
-        .select(col("wc"), explode(expr(
-          "transform(sequence(0, size(toks) - 2), " +
-            "i -> struct(toks[i] AS a, toks[i + 1] AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .select(col("wc"), explode(expr("graft_gram_pairs(toks)")).as("p"))
+        .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
         .agg(sum(col("wc")).as("freq"))
         .orderBy(col("freq").desc, col("a"), col("b"))
         .limit(1).collect()
