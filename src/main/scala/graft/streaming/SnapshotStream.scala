@@ -285,7 +285,12 @@ class SnapshotStream(spark: SparkSession, root: String,
             else fls.size
           val slice = fls.take(upto)
           if (slice.nonEmpty)
-            frames += spark.read.parquet(slice: _*)
+            // the PINNED schema is passed explicitly: no per-batch
+            // footer inference (metadata-bounded planning even at
+            // 1000 files/trigger), columns a file physically lacks
+            // null-fill natively, columns the stream predates are
+            // not read at all (the restart rule)
+            frames += spark.read.schema(dataSchema).parquet(slice: _*)
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v))
           if (v == endO.version) stop = true
