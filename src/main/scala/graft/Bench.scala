@@ -84,7 +84,7 @@ object Bench {
     "t40_classifier_eval", "s13_bloom_lookup", "s14_merge_upsert",
     "c46_span_scrub", "c47_scrub_accounting", "s15_change_feed",
     "s16_evolve_merge", "s17_dsv2_read", "s18_multicol_read",
-    "s19_catalog_append")
+    "s19_catalog_append", "s20_zorder_recluster")
 
   /** Queries deliberately NOT timed, each for a stated reason — the
     * third leg of the coverage partition. The a-layer rows are
@@ -182,6 +182,7 @@ object Bench {
     operators.ScaleOps.ensureEvoMergeStore(spark, sfDir)
     operators.ScaleOps.ensureMultiStatsStore(spark, sfDir)
     operators.ScaleOps.ensureCatalogStore(spark, sfDir)
+    operators.ScaleOps.ensureZorderStore(spark, sfDir)
     operators.MediaOps.buildPhashStore(spark, sfDir)
 
     val results = (headline ++ extras).map(n => n -> materialize(n))

@@ -2364,6 +2364,91 @@ object ScaleOps extends QueryModule {
       .orderBy(col("lang"))
   }
 
+  /** OPTIMIZE ZORDER as a snapshot commit (Delta's `OPTIMIZE …
+    * ZORDER BY (x, y)`): rewrite the latest version's content
+    * re-clustered on the 2-D Morton curve over `(colX, colY)` and
+    * commit it as a new FULL version carrying MULTI-COLUMN stats
+    * (zone maps on both curve dimensions, optional Blooms), so
+    * predicates on EITHER column — and especially on both — prune
+    * through [[planSnapshotFiles]]' conjunctive per-column check.
+    * This is the standing remedy for a store whose ingest order
+    * matches neither read key (the source-clustered shape s13 works
+    * around with Blooms): one rewrite, and both read keys get
+    * selective intervals. Logical content is unchanged, so the
+    * commit's change feed is EMPTY (compaction's contract — a
+    * downstream sync sees "no logical changes", never a phantom
+    * full-corpus diff). Readers pinned to the parent are isolated;
+    * vacuum reclaims the old layout when the parent expires. Returns
+    * the committed version. */
+  def zorderSnapshot(s: SparkSession, root: String, colX: String,
+      colY: String, files: Int, statsBloom: Boolean = false): Long = {
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val v = vs.last
+    val df = readSnapshotMerged(s, root, Some(v))
+    val zed = df
+      .withColumn("__zx", pmod(col(colX).cast(LongType), lit(1L << Z_BITS)))
+      .withColumn("__zy", pmod(col(colY).cast(LongType), lit(1L << Z_BITS)))
+      .withColumn("__z", expr(zExprSql("__zx", "__zy", "div")))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__zx", "__zy", "__z")
+    commitVersion(s, root, zed, parentLines = Nil,
+      statsCol = Some(s"$colX,$colY"), tag = None,
+      statsBloom = statsBloom,
+      cdf = Some((zed.limit(0), zed.limit(0))), expectParent = Some(v))
+  }
+
+  /** Build-once fixture for s20 (own store): v1 = the corpus
+    * SOURCE-clustered (both read keys' zone maps span everything —
+    * the layout where range pruning is useless on every column), v2
+    * = [[zorderSnapshot]] on (doc_id, n_chars). Drift-token
+    * guarded. */
+  private[graft] def ensureZorderStore(s: SparkSession, d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = snapRoot(s, d) + "_zo"
+    val tokP = new Path(root, "_token")
+    val fs = fsOf(s, tokP)
+    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(root), true)
+      publishSnapshot(s, root,
+        Tables.documents(s, d).repartition(SNAP_FILES, col("source")))
+      zorderSnapshot(s, root, "doc_id", "n_chars", SNAP_FILES)
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    root
+  }
+
+  /** s20 — Z-ORDER RECLUSTER read back: a 2-D predicate
+    * (doc_id range × n_chars range) through the DSv2 table over the
+    * re-clustered version. The oracle applies the same predicate to
+    * the raw corpus, so value equality proves the rewrite changed
+    * LAYOUT, never content; the pruning payoff (both columns'
+    * intervals selective after one rewrite, conjunction strictly
+    * harder) is pinned at file grain in SnapshotDataSourceSpec. */
+  def s20ZorderRecluster(s: SparkSession, d: String): DataFrame = {
+    val root = ensureZorderStore(s, d)
+    val mx = Tables.documents(s, d).agg(max(col("doc_id")))
+      .collect()(0).getLong(0) // bounded: one row
+    val (lo, hi) = (mx * 2 / 10, mx * 4 / 10)
+    s.read.format("graft-snapshot").load(root) // statsCols via header
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi &&
+        col("n_chars") >= 100L && col("n_chars") <= 400L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Build-once fixture for s19 (own store + its own CATALOG
     * registration): v1 = the full corpus published through the API,
     * v2 = a deterministic batch APPENDED through the SQL write
@@ -2899,7 +2984,8 @@ object ScaleOps extends QueryModule {
     "s16_evolve_merge" -> s16EvolveMerge,
     "s17_dsv2_read" -> s17Dsv2Read,
     "s18_multicol_read" -> s18MulticolRead,
-    "s19_catalog_append" -> s19CatalogAppend)
+    "s19_catalog_append" -> s19CatalogAppend,
+    "s20_zorder_recluster" -> s20ZorderRecluster)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   /** s07's oracle: the four faces' own oracle SQLs composed verbatim
@@ -3203,5 +3289,15 @@ object ScaleOps extends QueryModule {
          |  UNION ALL SELECT lang, n_chars FROM app)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-         |FROM allr GROUP BY lang ORDER BY lang""".stripMargin)
+         |FROM allr GROUP BY lang ORDER BY lang""".stripMargin,
+    // the z-order rewrite changed layout, never content: the same
+    // 2-D predicate over the raw corpus must answer identically
+    "s20_zorder_recluster" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents, mx
+         |WHERE doc_id >= mx.m * 2 // 10 AND doc_id <= mx.m * 4 // 10
+         |  AND n_chars >= 100 AND n_chars <= 400
+         |GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -328,6 +328,37 @@ class SnapshotDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE ZORDER: one rewrite makes BOTH read keys selective; content unchanged; feed empty") {
+    val root = freshRoot("zorder")
+    fs(root).delete(new Path(root), true)
+    // ingest-ordered by a THIRD key: both read keys' intervals span
+    // everything, so no predicate can prune v1
+    val df = (0 until 400).map(i => (i.toLong, (i * 7 % 100).toLong, s"row$i"))
+      .toDF("id", "q", "s").repartition(4, col("s"))
+    ScaleOps.publishSnapshot(spark, root, df)
+    val v2 = ScaleOps.zorderSnapshot(spark, root, "id", "q", 4)
+    assert(v2 === 2L)
+    def read(v: Long) = spark.read.format("graft-snapshot")
+      .option("version", v.toString).load(root) // statsCols via header
+    // v1: nothing prunes (no stats were even declared)
+    val pred = (d: org.apache.spark.sql.DataFrame) =>
+      d.filter(col("id") < 200L && col("q") < 50L)
+    assert(scannedFiles(pred(read(1L))).length === 4)
+    // v2: the z-layout + header-declared stats prune the conjunction
+    // below either single column's survivor count
+    val both = scannedFiles(pred(read(2L))).length
+    val idOnly = scannedFiles(read(2L).filter(col("id") < 200L)).length
+    assert(both < 4, "recluster did not make the 2-D predicate prune")
+    assert(both <= idOnly)
+    // content unchanged, answers identical across layouts
+    assert(pred(read(2L)).count() === pred(read(1L)).count())
+    assert(read(2L).count() === 400L)
+    // the recluster committed an EMPTY change feed: downstream syncs
+    // see "no logical changes", not a phantom full-corpus diff
+    val feed = ScaleOps.readSnapshotChangeFeed(spark, root, 1L, 2L)
+    assert(feed.count() === 0L)
+  }
+
   test("schema-evolved stores read with null-fill through the table") {
     val root = freshRoot("evo")
     fs(root).delete(new Path(root), true)
