@@ -1932,14 +1932,27 @@ object ScaleOps extends QueryModule {
     val totalSmall = smallFiles
       .map(f => fs.getFileStatus(new Path(f)).getLen).sum
     val nOut = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
-    val packed = statsCol match {
+    // the clustering key is the FIRST declared column (a multi-column
+    // caller range-clusters on the leading key); the commit keeps
+    // indexing every named stats column the store already carries
+    // plus everything the caller declared, so compacting a
+    // multi-column store never drops its second zone map
+    val clusterKey = statsCol.flatMap(
+      _.split(',').map(_.trim).find(_.nonEmpty))
+    val packed = clusterKey match {
       case Some(c) => s.read.parquet(smallFiles: _*)
         .repartitionByRange(nOut, col(c))
       case None => s.read.parquet(smallFiles: _*).coalesce(nOut)
     }
+    val keepStats = (statsColumnsOf(s, root, v) ++
+      statsCol.toSeq.flatMap(_.split(',').map(_.trim)).filter(_.nonEmpty))
+      .distinct
     // compaction changes no rows: an EMPTY committed feed, so
     // incremental consumers fold nothing instead of recomputing
-    commitVersion(s, root, packed, parentLines = big, statsCol, tag = None,
+    commitVersion(s, root, packed, parentLines = big,
+      statsCol = if (keepStats.isEmpty) None
+        else Some(keepStats.mkString(",")),
+      tag = None,
       cdf = Some((packed.limit(0), packed.limit(0))), expectParent = Some(v))
   }
 

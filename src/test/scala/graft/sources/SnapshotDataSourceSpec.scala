@@ -328,6 +328,23 @@ class SnapshotDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("compaction keeps every named stats column too (statsCol=None on a multi-col store)") {
+    val root = freshRoot("mccompact")
+    gridStore(root)
+    // tiny files: everything is undersized, so compact rewrites all
+    val v2 = ScaleOps.compactSnapshot(spark, root, targetBytes = 1L << 30)
+    assert(v2 === 2L)
+    val man = fs(root).open(new Path(root, "_manifests/v2.manifest"))
+    val lines = try scala.io.Source.fromInputStream(man, "UTF-8")
+      .getLines().toList finally man.close()
+    val rewritten = lines.filterNot(_.startsWith("#"))
+      .filter(_.split('\t')(0).contains("data-v2"))
+    assert(rewritten.nonEmpty)
+    rewritten.foreach(l => assert(l.contains("\tid=") && l.contains("\tq="),
+      s"compaction dropped a named stats column: $l"))
+    assert(spark.read.format("graft-snapshot").load(root).count() === 400L)
+  }
+
   test("OPTIMIZE ZORDER: one rewrite makes BOTH read keys selective; content unchanged; feed empty") {
     val root = freshRoot("zorder")
     fs(root).delete(new Path(root), true)
