@@ -44,12 +44,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_gram_pairs"),
       new ExpressionInfo(classOf[functions.GramPairs].getName, "graft_gram_pairs"),
-      (children: Seq[Expression]) => functions.GramPairs(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_gram_pairs expects (tokens), got ${children.size} args")
+        functions.GramPairs(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_grams"),
       new ExpressionInfo(classOf[functions.Grams].getName, "graft_grams"),
-      (children: Seq[Expression]) =>
-        functions.Grams(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"graft_grams expects (tokens, n), got ${children.size} args")
+        functions.Grams(children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_gram_h60"),
       new ExpressionInfo(classOf[functions.GramH60].getName, "graft_gram_h60"),

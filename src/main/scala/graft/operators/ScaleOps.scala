@@ -550,9 +550,19 @@ object ScaleOps extends QueryModule {
       // attempt's data directory. Deleting that "debris" would erase
       // committed data — detect the case (our attempt id rides every
       // data line we wrote) and return as the winner instead.
-      val committedOurs = fs.exists(dst) && (newLines.nonEmpty &&
-        scala.util.Try(readManifestLines(s, dst)
-          .exists(_.contains(s"-$att"))).getOrElse(false))
+      // Ownership evidence, in preference order: (a) a data line
+      // carrying our attempt id (any commit that wrote files); (b)
+      // for an EMPTY commit (no data lines to ride the id on — e.g.
+      // catalog CREATE TABLE, an empty append), the committed
+      // manifest's text equalling the tmp text we wrote byte-for-byte
+      // — the #ts: millisecond stamp plus parent/schema headers make
+      // a different writer's accidental identical text practically
+      // impossible (and if two empty commits ARE textually identical,
+      // treating either writer as the winner commits the same store
+      // state). Without (b), a repairer finishing our empty commit
+      // made us throw "lost the race" on our own committed version.
+      val committedOurs =
+        committedByRepairer(s, dst, att, newLines.nonEmpty, text)
       if (!committedOurs) { // lost the commit race — clean own debris
         fs.delete(tmp, false)
         fs.delete(dataDir, true)
@@ -576,6 +586,28 @@ object ScaleOps extends QueryModule {
     fs.delete(claimP, false)
     next
   }
+
+  /** Did a repairer finish OUR commit? — consulted by a writer that
+    * lost the in-lock race (see the committedOurs note in
+    * [[commitVersion]]). Evidence, in preference order: (a) a
+    * committed data line carrying our attempt id (any commit that
+    * wrote files); (b) for an EMPTY commit (no data lines to ride the
+    * id on — catalog CREATE TABLE, an empty append), the committed
+    * manifest's text equalling the tmp text we wrote byte-for-byte:
+    * the `#ts:` millisecond stamp plus parent/schema headers make a
+    * DIFFERENT writer's accidental identical text practically
+    * impossible — and if two empty commits ARE textually identical,
+    * either writer winning commits the same store state. Without (b)
+    * a repairer finishing a crashed empty commit made its own writer
+    * throw "lost the commit race" on its own committed version. */
+  private[graft] def committedByRepairer(s: SparkSession,
+      dst: org.apache.hadoop.fs.Path, att: String,
+      wroteFiles: Boolean, text: String): Boolean =
+    fsOf(s, dst).exists(dst) && scala.util.Try {
+      if (wroteFiles)
+        readManifestLines(s, dst).exists(_.contains(s"-$att"))
+      else readManifestLines(s, dst) == text.split('\n').toSeq
+    }.getOrElse(false)
 
   /** Per-store commit-point locks (same-JVM exactly-one-winner; see
     * the commit-point note in [[commitVersion]]). */
@@ -868,23 +900,56 @@ object ScaleOps extends QueryModule {
     }
   }
 
-  /** Column `c`'s stats from a parsed line: the named entry, else the
-    * positional one (whose column identity is the caller's
-    * declaration — the pre-multi-column contract, unchanged). */
+  /** Column `c`'s stats from a parsed line: the named entry, else —
+    * only when `allowPositional` — the positional one. A positional
+    * line does not record WHICH column it indexes, so the fallback is
+    * sound only when the line's column identity is unambiguous:
+    * either the caller itself declared it (`c` = "", the
+    * pre-multi-column API contract) or the store's `#statscols:`
+    * header names exactly one column and it is `c` (see
+    * [[positionalStatsOk]]). In a store mixing positional and named
+    * lines across a MULTI-column history, a positional line could
+    * belong to any single-column commit's column — resolving it for
+    * some other column would prune with the wrong min/max and
+    * silently drop rows, so such lines are treated as stats-absent
+    * (the file is kept; degrade-to-keep, never wrong answers). */
   private def statsFor(named: Map[String, FileColStats],
-      c: String): Option[FileColStats] =
-    named.get(c).orElse(named.get(""))
+      c: String, allowPositional: Boolean): Option[FileColStats] =
+    named.get(c).orElse(if (allowPositional) named.get("") else None)
+
+  /** Whether column `c` may resolve POSITIONAL stats lines at version
+    * `v`: yes for `c` = "" (the caller-declares-the-column API path);
+    * yes for a store with NO `#statscols:` header (pre-header
+    * manifests carry only positional lines — named stats and the
+    * header shipped in the same release — so the caller's declared
+    * identity is the only identity there is, the original contract);
+    * else only when the header names exactly {`c`} — then every
+    * single-column (positional) commit in the history indexed `c`
+    * and the fallback is provably right. */
+  private def positionalStatsOk(s: SparkSession, root: String,
+      v: Long, c: String): Boolean =
+    c.isEmpty || {
+      snapshotStatsCols(s, root, v) match {
+        case None => true // pre-header store: all lines positional
+        case Some(h) =>
+          val declared =
+            h.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          declared.size == 1 && declared.head.equalsIgnoreCase(c)
+      }
+    }
 
   /** A committed version's zone-map bounds FOR COLUMN `c`: file path
     * -> (min, max) for every manifest line that carries stats for it
     * (absent entries degrade pruned reads to keeping the file, never
     * to wrong answers). `c` = "" resolves only positional stats. */
   private def manifestBounds(s: SparkSession, root: String,
-      v: Long, c: String = ""): Map[String, (Long, Long)] =
+      v: Long, c: String = ""): Map[String, (Long, Long)] = {
+    val posOk = positionalStatsOk(s, root, v, c)
     manifestDataLines(s, root, v).flatMap { line =>
       val (path, named) = parseStatsLine(line)
-      statsFor(named, c).map(st => path -> (st.lo, st.hi))
+      statsFor(named, c, posOk).map(st => path -> (st.lo, st.hi))
     }.toMap
+  }
 
   /** Every column any of version `v`'s data lines carries stats for,
     * named columns only — what a rewrite commit must keep indexing so
@@ -961,11 +1026,13 @@ object ScaleOps extends QueryModule {
     * always kept by lookup reads (same degrade contract as the
     * zone-map bounds — skipping needs PROOF of absence). */
   private def manifestBlooms(s: SparkSession, root: String,
-      v: Long, c: String = ""): Map[String, String] =
+      v: Long, c: String = ""): Map[String, String] = {
+    val posOk = positionalStatsOk(s, root, v, c)
     manifestDataLines(s, root, v).flatMap { line =>
       val (path, named) = parseStatsLine(line)
-      statsFor(named, c).flatMap(_.bloom).map(path -> _)
+      statsFor(named, c, posOk).flatMap(_.bloom).map(path -> _)
     }.toMap
+  }
 
   /** BLOOM-SKIPPED POINT LOOKUP: plan only the manifest files whose
     * zone-map interval contains ≥1 key AND whose Bloom fingerprint

@@ -239,9 +239,13 @@ class SnapshotWriteBuilder(root: String, statsCol: Option[String])
           // keep indexing the store's declared stats columns, but
           // only those the batch actually carries (a projected-away
           // column can't be aggregated; its files just go unstatted)
+          // resolution is case-insensitive, mirroring statsColsTyped —
+          // a case-mismatched batch must still stat its files, not
+          // silently degrade pruning
           val stats = statsCol
             .map(_.split(',').map(_.trim)
-              .filter(data.columns.contains).mkString(","))
+              .filter(c => data.columns.exists(_.equalsIgnoreCase(c)))
+              .mkString(","))
             .filter(_.nonEmpty)
           if (overwrite) ScaleOps.publishSnapshot(s, root, data, stats)
           else ScaleOps.appendSnapshot(s, root, data, stats)

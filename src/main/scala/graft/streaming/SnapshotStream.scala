@@ -119,8 +119,19 @@ class SnapshotStream(spark: SparkSession, root: String,
     val tmp = new Path(offsetsDir, s".tmp-o$persistSeq")
     val out = fs.create(tmp, true)
     try out.write(o.json.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new Path(offsetsDir, s"o$persistSeq")))
+    if (!fs.rename(tmp, new Path(offsetsDir, s"o$persistSeq"))) {
+      // NEVER hand the engine an offset whose floor wasn't durably
+      // written: a swallowed failure here lets the engine commit an
+      // offset ahead of the persisted floor, which a restart then
+      // hard-rejects (rejectFloorlessRestart) or replays from a
+      // stale floor. Failing the trigger is safe — the engine
+      // retries getOffset, and no offset was exposed.
       fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"snapshot stream: offset-floor rename failed for o$persistSeq " +
+          s"under $offsetsDir; refusing to expose an offset without " +
+          "its durable floor")
+    }
     // keep the last two (the newest may be the truncated one next
     // time); older floors are dead weight
     if (persistSeq > 2)

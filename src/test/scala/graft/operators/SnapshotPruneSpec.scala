@@ -109,6 +109,37 @@ class SnapshotPruneSpec extends SparkSpec {
     assert(pruned.collect().map(_.getString(1)).sorted.toSeq === Seq("a", "b"))
   }
 
+  test("a positional line never answers for a DIFFERENT column in a multi-column store") {
+    // v1 is published single-column (positional stats for doc_id);
+    // later commits declare (doc_id, quality). A constraint on
+    // `quality` must NOT resolve v1's positional doc_id bounds — that
+    // would prune v1's files with the WRONG column's min/max and
+    // silently drop rows. The positional fallback is only sound when
+    // the store's declared stats set is exactly the one column.
+    val root = freshRoot("mixpos")
+    fs(root).delete(new Path(root), true)
+    // v1: doc_id 0-9, quality 100-109 — high quality, low ids
+    val v1df = (0 until 10).map(i => (i.toLong, 100L + i, s"old$i"))
+      .toDF("doc_id", "quality", "s").coalesce(1)
+    ScaleOps.publishSnapshot(spark, root, v1df, statsCol = Some("doc_id"))
+    // v2: doc_id 10-19, quality 0-9 — low quality, high ids
+    val v2df = (10 until 20).map(i => (i.toLong, i.toLong - 10L, s"new$i"))
+      .toDF("doc_id", "quality", "s").coalesce(1)
+    ScaleOps.appendSnapshot(spark, root, v2df,
+      statsCol = Some("doc_id,quality"))
+    // quality >= 100 lives ONLY in v1's positional-stats file; under
+    // the buggy fallback its doc_id bounds [0,9] "prove" it out
+    val got = spark.read.format("graft-snapshot").load(root)
+      .filter(col("quality") >= 100L)
+    assert(got.count() === 10L,
+      "rows vanished: positional doc_id stats answered a quality constraint")
+    // and the sound single-column case still prunes: doc_id <= 9
+    // needs only v1's file
+    val prunedStill = spark.read.format("graft-snapshot").load(root)
+      .filter(col("doc_id") <= 5L)
+    assert(prunedStill.count() === 6L)
+  }
+
   test("s06 prunes the fixture store and matches the raw-corpus slice") {
     val sfDir = "/root/testdata/sf0.001"
     val agg = ScaleOps.s06PrunedRead(spark, sfDir)

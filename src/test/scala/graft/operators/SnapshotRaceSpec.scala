@@ -198,6 +198,40 @@ class SnapshotRaceSpec extends SparkSpec {
     assert(f.exists(claimP), "a fresh claim was swept")
   }
 
+  test("a repaired EMPTY commit is recognized by its own writer") {
+    // An empty commit (catalog CREATE TABLE, empty append) has no
+    // data lines to carry the attempt id, so ownership detection
+    // falls back to text identity: the committed manifest must equal
+    // the tmp text this writer wrote. Pin both directions.
+    val root = freshDir("emptyown")
+    val f = fs(root)
+    f.delete(new Path(root), true)
+    f.mkdirs(new Path(root, "_manifests"))
+    val dst = new Path(root, "_manifests/v1.manifest")
+    val ourText = "#schema:{}\n#ts:1723780000000"
+    val out = f.create(dst, true)
+    out.write(ourText.getBytes("UTF-8")); out.close()
+    // empty commit, identical text → ours (the repairer finished it)
+    assert(ScaleOps.committedByRepairer(spark, dst, "abcd1234",
+      wroteFiles = false, ourText))
+    // empty commit, different text → someone else's commit, we lost
+    assert(!ScaleOps.committedByRepairer(spark, dst, "abcd1234",
+      wroteFiles = false, "#schema:{}\n#ts:1723780099999"))
+    // file-writing commit still keys on the attempt id in data lines
+    assert(!ScaleOps.committedByRepairer(spark, dst, "abcd1234",
+      wroteFiles = true, ourText))
+    val dst2 = new Path(root, "_manifests/v2.manifest")
+    val withLine = "#ts:1\nfile:///x/data-v2-abcd1234/part-0.parquet"
+    val out2 = f.create(dst2, true)
+    out2.write(withLine.getBytes("UTF-8")); out2.close()
+    assert(ScaleOps.committedByRepairer(spark, dst2, "abcd1234",
+      wroteFiles = true, withLine))
+    // no committed manifest at all → never ours
+    assert(!ScaleOps.committedByRepairer(spark,
+      new Path(root, "_manifests/v9.manifest"), "abcd1234",
+      wroteFiles = false, ourText))
+  }
+
   test("append × merge: both land under contention with merge semantics intact") {
     // a handful of iterations: the lost-update hazard (merge plans vs
     // v1, append commits v2, merge wins v3 carrying only v1's lines)
