@@ -12,6 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   * and DataFrame queries can LATERAL-expand tokens without a UDF. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL MERGE INTO on snapshot-catalog tables → the engine's own
+    // zone-map-planned copy-on-write upsert (plans.ResolveSnapshotMerge)
+    ext.injectResolutionRule(session => plans.ResolveSnapshotMerge(session))
     ext.injectFunction((
       FunctionIdentifier("graft_tokenize"),
       new ExpressionInfo(classOf[functions.DictTokenize].getName, "graft_tokenize"),

@@ -372,19 +372,32 @@ object ScaleOps extends QueryModule {
     val bounds: Map[String, Seq[(String, Long, Long)]] =
       if (statsColumns.isEmpty || newFiles.isEmpty) Map.empty
       else {
-        val aggs = statsColumns.flatMap(c => Seq(
-          min(col(c)).cast(LongType).as(s"__lo_$c"),
-          max(col(c)).cast(LongType).as(s"__hi_$c")))
-        s.read.parquet(dataDir.toString)
+        val written = s.read.parquet(dataDir.toString)
+        // Each column's min/max in STAT SPACE ([[statSpaceAgg]]):
+        // integral columns as themselves, dates as epoch days,
+        // timestamps as epoch micros, strings as their raw min/max
+        // (encoded to the 8-byte prefix on the driver — the agg
+        // itself must compare FULL strings, or "ab…"/"ab…" ties
+        // would pick an arbitrary representative). A column with no
+        // stat-space mapping is skipped: its files go unstatted and
+        // pruned reads keep them, the standing degrade contract.
+        val statted = statsColumns.filter(c =>
+          statSpaceAgg(written.schema, c).isDefined)
+        val aggs = statted.flatMap { c =>
+          val (lo, hi) = statSpaceAgg(written.schema, c).get
+          Seq(lo.as(s"__lo_$c"), hi.as(s"__hi_$c"))
+        }
+        if (aggs.isEmpty) Map.empty
+        else written
           .groupBy(input_file_name().as("f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
-            val per = statsColumns.flatMap { c =>
-              val lo = r.getAs[Any](s"__lo_$c")
-              val hi = r.getAs[Any](s"__hi_$c")
-              if (lo == null || hi == null) None
-              else Some((c, lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+            val per = statted.flatMap { c =>
+              for {
+                lo <- statSpaceDecode(r.getAs[Any](s"__lo_$c"))
+                hi <- statSpaceDecode(r.getAs[Any](s"__hi_$c"))
+              } yield (c, lo, hi)
             }
             new Path(r.getString(0)).getName -> per
           }.toMap
@@ -873,6 +886,84 @@ object ScaleOps extends QueryModule {
   /** One column's per-file stats as a manifest line carries them. */
   private case class FileColStats(lo: Long, hi: Long, bloom: Option[String])
 
+  // ---------------------------------------------------------------
+  // Stat space — ONE Long-typed manifest format indexes integral,
+  // date, timestamp AND string columns, each mapped into Long
+  // ORDER-PRESERVINGLY (the Iceberg lower/upper-bound idea with the
+  // string bound truncated to 8 bytes and packed, instead of a
+  // typed sidecar format)
+  // ---------------------------------------------------------------
+
+  /** A string's first 8 UTF-8 bytes packed big-endian (zero-padded),
+    * sign-flipped so SIGNED Long order equals unsigned byte order —
+    * which is Spark's default UTF8_BINARY string order. Monotone:
+    * a <= b implies prefix64(a) <= prefix64(b), so a file's
+    * [prefix64(min), prefix64(max)] is a sound encoded zone (any
+    * in-file value v has min <= v <= max, hence its prefix lands
+    * inside the interval) and any comparison literal maps to a
+    * SUPERSET range check. Truncation only ever loosens the zone —
+    * degrade-to-keep, never a wrong skip. */
+  private[graft] def stringPrefix64(str: String): Long = {
+    val b = str.getBytes("UTF-8")
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    v ^ Long.MinValue
+  }
+
+  /** Upper bound (in prefix64 space) of EVERY string starting with
+    * `p`: p's first 8 bytes padded with 0xFF — the `startsWith`
+    * pruning bound. For `p` of 8+ bytes the floor and this ceiling
+    * coincide on p's own prefix, which is exactly right. */
+  private[graft] def stringPrefix64Hi(p: String): Long = {
+    val b = p.getBytes("UTF-8")
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0xffL)
+      i += 1
+    }
+    v ^ Long.MinValue
+  }
+
+  /** The (min, max) aggregate pair that lands column `c` in stat
+    * space, by the WRITTEN schema's type: integral as itself, DATE as
+    * epoch days, TIMESTAMP as epoch micros (both already Long-shaped,
+    * discrete, order-preserving), STRING (default binary collation
+    * only — a non-binary collation's order is not byte order, so its
+    * prefixes prove nothing) as the raw min/max string, encoded by
+    * [[statSpaceDecode]] on the driver. None = the column doesn't map
+    * and its files go unstatted (always kept). */
+  private def statSpaceAgg(schema: StructType,
+      c: String): Option[(Column, Column)] =
+    schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some((min(col(c)).cast(LongType), max(col(c)).cast(LongType)))
+      case DateType =>
+        Some((min(unix_date(col(c))).cast(LongType),
+          max(unix_date(col(c))).cast(LongType)))
+      case TimestampType =>
+        Some((min(unix_micros(col(c))), max(unix_micros(col(c)))))
+      case StringType =>
+        Some((min(col(c)), max(col(c))))
+      case _ => None
+    })
+
+  /** A collected [[statSpaceAgg]] value to its Long stat-space form:
+    * already-encoded numerics pass through, strings take their
+    * 8-byte prefix, NULL (an all-NULL column in that file) yields no
+    * bound. */
+  private def statSpaceDecode(v: Any): Option[Long] = v match {
+    case null => None
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i.longValue)
+    case str: String => Some(stringPrefix64(str))
+    case _ => None
+  }
+
   /** Parse a manifest data line's stats fields. Two formats coexist:
     * the legacy single-column positional form (`path\tlo\thi[\tbloom]`
     * — the column's NAME is the caller's declaration, recorded here
@@ -1085,16 +1176,26 @@ object ScaleOps extends QueryModule {
     * PROVEN irrelevant. Returns (resolved version, kept files). */
   /** One column's pruning constraints for [[planSnapshotFiles]] —
     * conjunctive across columns: a file survives only if EVERY
-    * constrained column's stats allow it. */
+    * constrained column's stats allow it. `keys` are point values in
+    * STAT SPACE (the Long encoding of [[statSpaceDecode]]) and drive
+    * the zone-interval membership check; `nativeKeys` (same order as
+    * `keys` when present) are the values IN THE COLUMN'S NATIVE TYPE
+    * and additionally drive Bloom probing — the fingerprint hashed
+    * the native type at publish, so probing with anything else would
+    * compute wrong positions and could FALSELY prune. No nativeKeys
+    * = zone check only, Blooms ignored (never wrong, just weaker). */
   private[graft] case class ColConstraint(col: String, lo: Option[Long],
-      hi: Option[Long], keys: Option[Seq[Long]])
+      hi: Option[Long], keys: Option[Seq[Long]],
+      nativeKeys: Option[Seq[Any]] = None)
 
   private[graft] def planSnapshotFiles(s: SparkSession, root: String,
       version: Option[Long], lo: Option[Long], hi: Option[Long],
       keys: Option[Seq[Long]]): (Long, Seq[String]) =
     planSnapshotFiles(s, root, version,
       if (lo.isEmpty && hi.isEmpty && keys.isEmpty) Nil
-      else Seq(ColConstraint("", lo, hi, keys)))
+      // the legacy long-key contract: keys ARE the native type
+      else Seq(ColConstraint("", lo, hi, keys,
+        keys.map(_.map(k => k: Any)))))
 
   private[graft] def planSnapshotFiles(s: SparkSession, root: String,
       version: Option[Long],
@@ -1110,22 +1211,54 @@ object ScaleOps extends QueryModule {
     val kept = active.foldLeft(files) { (remaining, con) =>
       val bounds = manifestBounds(s, root, v, con.col)
       val blooms =
-        if (con.keys.isDefined) manifestBlooms(s, root, v, con.col)
+        if (con.nativeKeys.exists(_.nonEmpty))
+          manifestBlooms(s, root, v, con.col)
         else Map.empty[String, String]
-      val posOf = con.keys.map(ks => bloomKeyPositions(s, ks.distinct))
+      val posOf = con.nativeKeys.map(nk => bloomKeyPositionsTyped(s, nk.distinct))
         .getOrElse(Map.empty)
+      // (stat-space key, native key or null) pairs: the encoded key
+      // drives the zone check, the native one (when the caller could
+      // provide it) additionally probes the Bloom
+      val pairs = con.keys.map { enc =>
+        con.nativeKeys match {
+          case Some(nk) if nk.size == enc.size => enc.zip(nk)
+          case _ => enc.map(e => (e, null: Any))
+        }
+      }
       remaining.filter { f =>
         val inRange = bounds.get(f).forall { case (mn, mx) =>
           con.lo.forall(_ <= mx) && con.hi.forall(_ >= mn)
         }
-        val hasKey = con.keys.forall(_.exists { k =>
+        val hasKey = pairs.forall(_.exists { case (k, nat) =>
           bounds.get(f).forall { case (mn, mx) => k >= mn && k <= mx } &&
-            blooms.get(f).forall(bloomTest(_, posOf(k)))
+            (nat == null ||
+              blooms.get(f).forall(bloomTest(_, posOf(nat))))
         })
         inRange && hasKey
       }
     }
     (v, kept)
+  }
+
+  /** Probe positions for NATIVELY TYPED lookup keys (long or string
+    * — the two types the connector key-prunes), computed by
+    * evaluating the same Catalyst expression the publish side
+    * aggregated ([[bloomPosArray]]): a 1-row-per-key LocalTableScan
+    * job, driver-local, bounded by the key count. Typing matters —
+    * xxhash64 hashes a long and its decimal string differently, so
+    * probing with the wrong type would prove presence/absence of the
+    * WRONG value. */
+  private def bloomKeyPositionsTyped(s: SparkSession,
+      keys: Seq[Any]): Map[Any, Seq[Long]] = {
+    import s.implicits._
+    if (keys.isEmpty) return Map.empty
+    val df = keys.head match {
+      case _: String => keys.map(_.asInstanceOf[String]).toDF("k")
+      case _ => keys.map { case n: java.lang.Number => n.longValue }.toDF("k")
+    }
+    df.select(col("k"), bloomPosArray(col("k")).as("ps"))
+      .collect()
+      .map(r => (r.get(0): Any) -> r.getSeq[Long](1).toSeq).toMap
   }
 
   // ---------------------------------------------------------------
@@ -1839,6 +1972,46 @@ object ScaleOps extends QueryModule {
       cdf = Some((kept.limit(0), dropped)), expectParent = Some(v))
   }
 
+  /** COPY-ON-WRITE DELETE for an ARBITRARY row-level predicate — the
+    * engine face behind SQL `DELETE FROM cat.t WHERE …`
+    * (SupportsDelete on the DSv2 table). Same discipline as
+    * [[deleteFromSnapshot]]: `constraints` — the pushed filters
+    * mapped into stat space by the connector, exactly what a pruned
+    * READ would derive — pick the candidate files through
+    * [[planSnapshotFiles]]; every provably predicate-free file's
+    * manifest line (stats, Blooms and all) carries forward verbatim,
+    * its data never read. `pred` evaluates with SQL three-valued
+    * logic: only rows where it is TRUE are deleted (NULL keeps — the
+    * WHERE-clause contract; the zone planning is a SUPERSET of the
+    * TRUE rows by construction, so the two layers can never
+    * disagree). Rewritten files re-stat every named stats column the
+    * store carries plus its declared header columns; the commit
+    * lands with a change feed of the dropped rows. Returns the
+    * committed version (or the current one when no file can hold a
+    * match — a no-op needs no commit). */
+  private[graft] def deleteWhereSnapshot(s: SparkSession, root: String,
+      pred: Column, constraints: Seq[ColConstraint]): Long = {
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val v = vs.last
+    val (_, candidates) = planSnapshotFiles(s, root, Some(v), constraints)
+    val cand = candidates.toSet
+    val (touched, untouched) = manifestDataLines(s, root, v)
+      .partition(l => cand.contains(l.split('\t')(0)))
+    if (touched.isEmpty) return v
+    val keepStats = (statsColumnsOf(s, root, v) ++
+      snapshotStatsCols(s, root, v).toSeq
+        .flatMap(_.split(',')).map(_.trim)).filter(_.nonEmpty).distinct
+    val base = s.read.parquet(touched.map(_.split('\t')(0)): _*)
+    val hit = coalesce(pred, lit(false))
+    val kept = base.filter(!hit)
+    val dropped = base.filter(hit)
+    commitVersion(s, root, kept, parentLines = untouched,
+      statsCol = Some(keepStats.mkString(",")).filter(_.nonEmpty),
+      tag = None, cdf = Some((kept.limit(0), dropped)),
+      expectParent = Some(v))
+  }
+
   /** COPY-ON-WRITE MERGE (upsert) as a snapshot version — the
     * Delta/Iceberg `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT
     * MATCHED INSERT` write path, keyed on `keyCol`: rows of the
@@ -2442,6 +2615,67 @@ object ScaleOps extends QueryModule {
         sum(col("quality")).cast(LongType).as("sum_q"),
         sum(length(col("text"))).cast(LongType).as("n_chars"))
       .orderBy(col("lang"))
+  }
+
+  /** Build-once fixture store for s21: the corpus clustered by the
+    * STRING column `source` (plus a derived DATE column `day` =
+    * 2024-01-01 + doc_id % 60 — deterministic, replayable in the
+    * oracle), published with stats declared on BOTH (`source,day`)
+    * and Blooms enabled. Range-clustering on `source` gives each
+    * file a narrow [min,max] source interval, so the string zone
+    * maps — 8-byte UTF-8 prefixes packed into the manifest's Long
+    * fields — are genuinely selective, the layout every corpus store
+    * partitioned-by-source has at 100 TB. */
+  private[graft] def ensureStringStatsStore(s: SparkSession,
+      d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = snapRoot(s, d) + "_ss"
+    val tokP = new Path(root, "_token")
+    val fs = fsOf(s, tokP)
+    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(root), true)
+      val clustered = Tables.documents(s, d)
+        .withColumn("day",
+          date_add(to_date(lit("2024-01-01")),
+            pmod(col("doc_id"), lit(60L)).cast(IntegerType)))
+        .repartitionByRange(SNAP_FILES, col("source"), col("doc_id"))
+        .sortWithinPartitions(col("source"), col("doc_id"))
+      publishSnapshot(s, root, clustered,
+        statsCol = Some("source,day"), statsBloom = true)
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    root
+  }
+
+  /** s21 — STRING/DATE-STATS PRUNED READ: a source-range plus
+    * day-range slice of the string-clustered store, answered through
+    * the DSv2 connector so the STRING zone maps (prefix64-encoded
+    * manifest bounds) and the DATE zone maps (epoch-day bounds)
+    * prune at the FILE grain before parquet even opens. This is the
+    * predicate shape corpus queries actually run — `source`/`lang`/
+    * date strings, not integral ids — and the oracle replays the
+    * same slice (with the same derived day) from the raw table, so
+    * value equality proves string-stats pruning never skips a
+    * qualifying file. File counts are pinned in StringStatsSpec. */
+  def s21StringPrunedRead(s: SparkSession, d: String): DataFrame = {
+    val root = ensureStringStatsStore(s, d)
+    s.read.format("graft-snapshot").load(root)
+      .filter(col("source") >= "src12" && col("source") <= "src15" &&
+        col("day") >= to_date(lit("2024-01-05")) &&
+        col("day") <= to_date(lit("2024-02-25")))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast(LongType).as("n_chars"))
+      .orderBy(col("source"), col("lang"))
   }
 
   /** OPTIMIZE ZORDER as a snapshot commit (Delta's `OPTIMIZE …
@@ -3065,7 +3299,8 @@ object ScaleOps extends QueryModule {
     "s17_dsv2_read" -> s17Dsv2Read,
     "s18_multicol_read" -> s18MulticolRead,
     "s19_catalog_append" -> s19CatalogAppend,
-    "s20_zorder_recluster" -> s20ZorderRecluster)
+    "s20_zorder_recluster" -> s20ZorderRecluster,
+    "s21_string_pruned" -> s21StringPrunedRead)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   /** s07's oracle: the four faces' own oracle SQLs composed verbatim
@@ -3379,5 +3614,19 @@ object ScaleOps extends QueryModule {
          |FROM documents, mx
          |WHERE doc_id >= mx.m * 2 // 10 AND doc_id <= mx.m * 4 // 10
          |  AND n_chars >= 100 AND n_chars <= 400
-         |GROUP BY lang ORDER BY lang""".stripMargin)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the string/date-pruned slice replayed over the raw corpus with
+    // the same derived day column — value equality proves the
+    // prefix64 string zone maps and epoch-day date zone maps never
+    // skipped a qualifying file (string comparison is binary byte
+    // order in BOTH engines for this ASCII domain)
+    "s21_string_pruned" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |FROM (SELECT *,
+        |        DATE '2024-01-01' + CAST(doc_id % 60 AS INTEGER) AS day
+        |      FROM documents)
+        |WHERE source >= 'src12' AND source <= 'src15'
+        |  AND day >= DATE '2024-01-05' AND day <= DATE '2024-02-25'
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin)
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The snapshot store as a CATALOG — register with
@@ -101,11 +101,45 @@ class SnapshotCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** `ALTER TABLE … ADD COLUMN(S)` — a SCHEMA-ONLY COMMIT: an empty
+    * append whose batch carries the widened schema, which
+    * [[ScaleOps]]' commit merges into the parent's `#schema:` header
+    * (the same merge path a widening write takes, s11/s16). Existing
+    * files stay physically column-free; reads null-fill, the Delta
+    * rule. Added columns are forced nullable — rows already
+    * committed have no value to put in a required column. Every
+    * other change kind is refused loudly: the store evolves through
+    * commits, it is never mutated in place. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft snapshot tables evolve through commits " +
-        "(mergeIntoSnapshot(evolveSchema = true)), not ALTER TABLE")
+      changes: TableChange*): Table = {
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.size != changes.size)
+      throw new UnsupportedOperationException(
+        "graft snapshot tables support only ALTER TABLE ADD COLUMN(S)" +
+          " — other alterations would mutate committed history; got: " +
+          changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
+            .mkString(", "))
+    val root = rootFor(ident)
+    val vs = ScaleOps.snapshotVersions(spark, root)
+    if (vs.isEmpty) throw new NoSuchTableException(ident)
+    val current = ScaleOps.snapshotSchema(spark, root, vs.last).getOrElse(
+      ScaleOps.readSnapshot(spark, root, Some(vs.last)).schema)
+    val widened = adds.foldLeft(current) { (sch, a) =>
+      require(a.fieldNames.length == 1,
+        s"nested ADD COLUMN not supported: ${a.fieldNames.mkString(".")}")
+      val name = a.fieldNames.head
+      require(!sch.fields.exists(_.name.equalsIgnoreCase(name)),
+        s"column '$name' already exists")
+      sch.add(StructField(name, a.dataType, nullable = true,
+        Option(a.comment).map(c =>
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("comment", c).build())
+          .getOrElse(org.apache.spark.sql.types.Metadata.empty)))
+    }
+    ScaleOps.appendSnapshot(spark, root,
+      spark.createDataFrame(new util.ArrayList[Row](), widened))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = new Path(rootFor(ident))

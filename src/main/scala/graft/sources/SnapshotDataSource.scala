@@ -9,7 +9,7 @@ import graft.streaming.SnapshotStream
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -206,9 +206,10 @@ object SnapshotDataSource {
   * `InsertableRelation.insert`, which is exactly the input the
   * commit protocol wants — no bespoke per-partition writer to keep
   * correct alongside it. */
-class SnapshotTable(root: String, version: Long, tableSchema: StructType,
-    statsCol: Option[String]) extends Table
-    with SupportsRead with SupportsWrite {
+class SnapshotTable(private[graft] val root: String, version: Long,
+    tableSchema: StructType, private[graft] val statsCol: Option[String])
+    extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"graft-snapshot `$root` v$version"
   override def schema(): StructType = tableSchema
@@ -221,6 +222,66 @@ class SnapshotTable(root: String, version: Long, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotWriteBuilder(root, statsCol)
+
+  /** SQL `DELETE FROM cat.t WHERE …` — SupportsDelete routes the
+    * pushed filters to the zone-map-planned copy-on-write delete:
+    * the SAME stat-space constraints a pruned READ would derive from
+    * these filters decide which files can hold matching rows (the
+    * rest carry their manifest lines forward verbatim, data unread),
+    * and the rewrite commits through the race-safe protocol with a
+    * change feed of the dropped rows. Only filters with no row-level
+    * translation are refused (canDeleteWhere false → Spark raises
+    * the standard cannot-delete error instead of a silent partial
+    * delete). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => SnapshotFilters.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val s = SparkSession.active
+    val unsupported = filters.filter(f => SnapshotFilters.toColumn(f).isEmpty)
+    require(unsupported.isEmpty,
+      s"DELETE filters not translatable row-level: ${unsupported.mkString(", ")}")
+    // DELETE with no WHERE arrives as AlwaysTrue: a full copy-on-write
+    // truncation (history stays time-travelable, unlike TRUNCATE)
+    val pred = filters.flatMap(SnapshotFilters.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val sb = new SnapshotScanBuilder(root, version, tableSchema, statsCol)
+    sb.pushFilters(filters)
+    ScaleOps.deleteWhereSnapshot(s, root, pred, sb.plannedConstraints)
+  }
+}
+
+/** V1 `Filter` → row-level `Column` translation for the delete path
+  * — every shape Spark pushes for the store's flat schemas. None =
+  * untranslatable (the caller must refuse, never approximate: an
+  * approximated DELETE predicate deletes the wrong rows). */
+private[sources] object SnapshotFilters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      for { cl <- toColumn(l); cr <- toColumn(r) } yield cl && cr
+    case Or(l, r) =>
+      for { cl <- toColumn(l); cr <- toColumn(r) } yield cl || cr
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
 }
 
 /** Append / truncate-overwrite builder onto a store root. */
@@ -279,15 +340,20 @@ class SnapshotScanBuilder(root: String, version: Long,
   /** The declared stats columns (the option may name SEVERAL,
     * comma-separated — each indexed in the manifest's per-column
     * stats map) with their table-schema types — the gate for what may
-    * prune. The manifest's zone maps hold a column's min/max CAST TO
-    * LONG, so the ±1 integral arithmetic below is sound only for
-    * integral columns: a fractional stats column (where
-    * GreaterThan(c, 2.2) would need lo=2.3, not 3) simply doesn't
-    * range-prune through this connector. The Bloom bits hash the
-    * column IN ITS NATIVE TYPE at publish while lookup keys probe
-    * as longs, and xxhash64 hashes Int and Long differently — so
-    * key-based pruning is additionally gated on LongType, or files
-    * holding the key would be falsely proven key-free. */
+    * prune. The manifest's zone maps hold a column's min/max in STAT
+    * SPACE (Long): integral columns as themselves, DATE as epoch
+    * days, TIMESTAMP as epoch micros, STRING as its 8-byte UTF-8
+    * prefix packed order-preservingly (ScaleOps.stringPrefix64) — so
+    * range constraints prune for all four families, each with its
+    * own literal→Long mapping below. A fractional stats column
+    * (where GreaterThan(c, 2.2) would need lo=2.3, not 3) simply
+    * doesn't range-prune through this connector. The Bloom bits hash
+    * the column IN ITS NATIVE TYPE at publish, so key-based Bloom
+    * probing passes the native literals through (LongType and
+    * StringType only — an Int column's keys still zone-check, but
+    * xxhash64 hashes Int and Long differently so its Blooms are
+    * never consulted, or files holding the key would be falsely
+    * proven key-free). */
   private val statsColsTyped: Seq[(String, DataType)] =
     statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
       .flatMap(c => tableSchema.fields
@@ -366,20 +432,120 @@ class SnapshotScanBuilder(root: String, version: Long,
     (lo, hi, keys)
   }
 
+  /** A pushed DATE/TIMESTAMP literal in stat space (epoch days /
+    * epoch micros) — both java.time and java.sql flavors arrive
+    * depending on spark.sql.datetime.java8API.enabled. */
+  private def temporalToLong(v: Any): Option[Long] = v match {
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case t: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
+        t.getNano / 1000L))
+    case t: java.sql.Timestamp =>
+      Some(Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L),
+        (t.getNanos / 1000L)))
+    case _ => None
+  }
+
+  /** (lo, hi, keys) the pushed filters put on DISCRETE-Long stats
+    * column `c` (DATE/TIMESTAMP): every literal is an exact point in
+    * stat space, so strict comparisons tighten by ±1 — no fractional
+    * cases. An `enc` failure contributes no constraint (kept). */
+  private def discreteConstraints(c: String, enc: Any => Option[Long])
+      : (Option[Long], Option[Long], Option[Seq[Long]]) = {
+    var lo = Option.empty[Long]
+    var hi = Option.empty[Long]
+    var keys = Option.empty[Seq[Long]]
+    def tightenLo(v: Long): Unit = if (lo.forall(_ < v)) lo = Some(v)
+    def tightenHi(v: Long): Unit = if (hi.forall(_ > v)) hi = Some(v)
+    def addKeys(ks: Seq[Long]): Unit =
+      keys = Some(keys.fold(ks)(_.intersect(ks)))
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(`c`, v) => enc(v).foreach { k =>
+        tightenLo(k); tightenHi(k); addKeys(Seq(k))
+      }
+      case In(`c`, vs) =>
+        val ks = vs.toSeq.map(enc)
+        if (ks.forall(_.isDefined)) addKeys(ks.flatten)
+      case GreaterThan(`c`, v) => enc(v).foreach(k => tightenLo(k + 1))
+      case GreaterThanOrEqual(`c`, v) => enc(v).foreach(tightenLo)
+      case LessThan(`c`, v) => enc(v).foreach(k => tightenHi(k - 1))
+      case LessThanOrEqual(`c`, v) => enc(v).foreach(tightenHi)
+      case And(l, r) => walk(l); walk(r)
+      case _ =>
+    }
+    pushed.foreach(walk)
+    (lo, hi, keys)
+  }
+
+  /** (lo, hi, keys) the pushed filters put on STRING stats column
+    * `c`, all in prefix64 space. The prefix map is monotone but NOT
+    * injective, so strict comparisons tighten WITHOUT the ±1 (two
+    * different strings may share a prefix); `startsWith p` maps to
+    * the [floor(p), 0xFF-padded(p)] prefix interval — the classic
+    * Iceberg truncated-bound pruning. Keys carry (encoded, native)
+    * so the native string can probe the file Blooms. */
+  private def stringConstraints(c: String)
+      : (Option[Long], Option[Long], Option[Seq[(Long, String)]]) = {
+    var lo = Option.empty[Long]
+    var hi = Option.empty[Long]
+    var keys = Option.empty[Seq[(Long, String)]]
+    def p64(s: String): Long = ScaleOps.stringPrefix64(s)
+    def tightenLo(v: Long): Unit = if (lo.forall(_ < v)) lo = Some(v)
+    def tightenHi(v: Long): Unit = if (hi.forall(_ > v)) hi = Some(v)
+    def addKeys(ks: Seq[(Long, String)]): Unit =
+      keys = Some(keys
+        .map(_.filter(x => ks.exists(_._2 == x._2)))
+        .getOrElse(ks))
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(`c`, v: String) =>
+        tightenLo(p64(v)); tightenHi(p64(v)); addKeys(Seq((p64(v), v)))
+      case In(`c`, vs) if vs.forall(_.isInstanceOf[String]) =>
+        addKeys(vs.toSeq.map { case v: String => (p64(v), v) })
+      case GreaterThan(`c`, v: String) => tightenLo(p64(v))
+      case GreaterThanOrEqual(`c`, v: String) => tightenLo(p64(v))
+      case LessThan(`c`, v: String) => tightenHi(p64(v))
+      case LessThanOrEqual(`c`, v: String) => tightenHi(p64(v))
+      case StringStartsWith(`c`, p) =>
+        tightenLo(p64(p)); tightenHi(ScaleOps.stringPrefix64Hi(p))
+      case And(l, r) => walk(l); walk(r)
+      case _ =>
+    }
+    pushed.foreach(walk)
+    (lo, hi, keys)
+  }
+
+  /** The pushed filters as stat-space constraints — one conjunctive
+    * [[ScaleOps.ColConstraint]] per prunable declared column (a file
+    * survives only if EVERY column's manifest stats allow it).
+    * Shared by the scan and the SupportsDelete candidate planning,
+    * so DELETE rewrites exactly the files a pruned read would open. */
+  private[sources] def plannedConstraints: Seq[ScaleOps.ColConstraint] =
+    statsColsTyped.flatMap {
+      case (c, dt) if integral(dt) =>
+        val (lo, hi, keys) = statsConstraints(c)
+        // native Bloom probes only for LongType (publish hashed the
+        // native type); other integral keys still zone-check
+        val native =
+          if (dt == LongType) keys.map(_.map(k => k: Any)) else None
+        Some(ScaleOps.ColConstraint(c, lo, hi, keys, native))
+      case (c, DateType) =>
+        val (lo, hi, keys) = discreteConstraints(c, temporalToLong)
+        Some(ScaleOps.ColConstraint(c, lo, hi, keys))
+      case (c, TimestampType) =>
+        val (lo, hi, keys) = discreteConstraints(c, temporalToLong)
+        Some(ScaleOps.ColConstraint(c, lo, hi, keys))
+      case (c, StringType) =>
+        val (lo, hi, ks) = stringConstraints(c)
+        Some(ScaleOps.ColConstraint(c, lo, hi, ks.map(_.map(_._1)),
+          ks.map(_.map(_._2: Any))))
+      case _ => None
+    }
+
   override def build(): Scan = {
     val s = SparkSession.active
-    // one conjunctive constraint per integral declared column — a
-    // file survives only if EVERY column's manifest stats allow it
-    val constraints = statsColsTyped.collect {
-      case (c, dt) if integral(dt) =>
-        val (lo, hi, keys0) = statsConstraints(c)
-        // Bloom probes hash as LongType; publish hashed the native
-        // type — only a LongType stats column may key-prune
-        val keys = if (dt == LongType) keys0 else None
-        ScaleOps.ColConstraint(c, lo, hi, keys)
-    }
     val (_, files) = ScaleOps.planSnapshotFiles(s, root, Some(version),
-      constraints)
+      plannedConstraints)
     val index = new InMemoryFileIndex(s, files.map(new Path(_)),
       Map.empty, Some(tableSchema))
     val opts = new CaseInsensitiveStringMap(

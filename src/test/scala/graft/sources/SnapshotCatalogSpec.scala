@@ -79,6 +79,95 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(pruned.count() === 51L)
   }
 
+  test("SQL DELETE routes to the zone-map-planned copy-on-write delete") {
+    fs.delete(new Path(root("t5")), true)
+    spark.sql("CREATE TABLE gcat.t5 (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('statscol' = 'id')")
+    (0L until 400L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+      .writeTo("gcat.t5").append()
+    spark.sql("DELETE FROM gcat.t5 WHERE id BETWEEN 100 AND 180")
+    // one new committed version, exact surviving content
+    assert(ScaleOps.snapshotVersions(spark, root("t5")) === Seq(1L, 2L, 3L))
+    assert(spark.sql("SELECT count(*) FROM gcat.t5").as[Long].collect()(0)
+      === 319L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gcat.t5 WHERE id BETWEEN 100 AND 180")
+      .as[Long].collect()(0) === 0L)
+    // copy-on-write: untouched files carried forward verbatim — the
+    // delete range clusters into 1-2 of the 4 files, so at least two
+    // of v2's data files must survive INTO v3's manifest by path
+    val v2Files = ScaleOps.manifestFiles(spark, root("t5"), 2L).toSet
+    val v3Files = ScaleOps.manifestFiles(spark, root("t5"), 3L).toSet
+    assert(v2Files.intersect(v3Files).size >= 2,
+      "DELETE rewrote provably-untouched files")
+    // the pre-delete version still reads whole (snapshot isolation)
+    assert(ScaleOps.readSnapshot(spark, root("t5"), Some(2L)).count() === 400L)
+    // the change feed carries exactly the dropped rows
+    val feed = ScaleOps.readSnapshotChangeFeed(spark, root("t5"), 2L, 3L)
+    assert(feed.filter(col("_change_type") === "delete").count() === 81L)
+    // a DELETE whose predicate can touch nothing is a no-op version
+    spark.sql("DELETE FROM gcat.t5 WHERE id > 5000")
+    assert(ScaleOps.snapshotVersions(spark, root("t5")) === Seq(1L, 2L, 3L))
+    // string predicates translate too (delete one surviving row)
+    spark.sql("DELETE FROM gcat.t5 WHERE s = 'r300'")
+    assert(spark.sql("SELECT count(*) FROM gcat.t5").as[Long].collect()(0)
+      === 318L)
+  }
+
+  test("SQL MERGE INTO routes to the copy-on-write upsert") {
+    fs.delete(new Path(root("t6")), true)
+    spark.sql("CREATE TABLE gcat.t6 (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('statscol' = 'id')")
+    (0L until 100L).map(i => (i, s"old$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+      .writeTo("gcat.t6").append()
+    Seq((5L, "new5"), (42L, "new42"), (200L, "ins200"))
+      .toDF("id", "s").createOrReplaceTempView("t6_updates")
+    spark.sql("""MERGE INTO gcat.t6 AS t USING t6_updates AS u
+                |ON t.id = u.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(ScaleOps.snapshotVersions(spark, root("t6")) === Seq(1L, 2L, 3L))
+    val rows = spark.sql("SELECT * FROM gcat.t6")
+      .as[(Long, String)].collect().toMap
+    assert(rows.size === 101)
+    assert(rows(5L) === "new5" && rows(42L) === "new42" &&
+      rows(200L) === "ins200" && rows(7L) === "old7")
+    // pre-merge version intact
+    assert(ScaleOps.readSnapshot(spark, root("t6"), Some(2L))
+      .filter(col("s") === "old5").count() === 1L)
+    // unsupported MERGE shapes are refused loudly, not approximated
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO gcat.t6 AS t USING t6_updates AS u
+                  |ON t.id = u.id
+                  |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("canonical upsert"))
+  }
+
+  test("ALTER TABLE ADD COLUMN commits a schema-only version; reads null-fill") {
+    fs.delete(new Path(root("t7")), true)
+    spark.sql("CREATE TABLE gcat.t7 (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gcat.t7 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gcat.t7 ADD COLUMN q BIGINT")
+    // one committed version per step: create, insert, alter
+    assert(ScaleOps.snapshotVersions(spark, root("t7")) === Seq(1L, 2L, 3L))
+    // old rows read null-filled through the widened schema
+    assert(spark.sql("SELECT id, q FROM gcat.t7 WHERE q IS NULL").count() === 2L)
+    // and the column is writable immediately
+    spark.sql("INSERT INTO gcat.t7 VALUES (3, 'c', 30)")
+    assert(spark.sql("SELECT sum(q) FROM gcat.t7").as[Long].collect()(0) === 30L)
+    // non-add alterations are refused, history never mutated in place
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.t7 DROP COLUMN s")
+    }
+    assert(e.getMessage.contains("ADD COLUMN"))
+    // pre-alter version still reads with its own narrower schema
+    assert(ScaleOps.readSnapshot(spark, root("t7"), Some(2L))
+      .columns.toSeq === Seq("id", "s"))
+  }
+
   test("catalog hygiene: exists/list/drop; duplicate create and partitioning are loud") {
     fs.delete(new Path(root("t4")), true)
     spark.sql("CREATE TABLE gcat.t4 (id BIGINT)")
