@@ -359,9 +359,14 @@ object ScaleOps extends QueryModule {
     val dataDir = new Path(rootP, s"data-v$next-$att")
     df.write.mode("overwrite").parquet(tmpData.toString)
     require(fs.rename(tmpData, dataDir), s"publish: data rename failed for v$next")
-    val newFiles = fs.listStatus(dataDir)
+    val newStatus = fs.listStatus(dataDir)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString).sorted.toSeq
+      .sortBy(_.getPath.toString)
+    val newFiles = newStatus.map(_.getPath.toString).toSeq
+    // per-file byte sizes, stamped on each manifest line (`sz:<n>`)
+    // so downstream byte-budget planning never re-stats the files
+    val sizeOf: Map[String, Long] =
+      newStatus.map(st => st.getPath.getName -> st.getLen).toMap
     // `statsCol` may declare SEVERAL comma-separated columns; stats
     // for all of them come from ONE projection-pruned pass (min/max
     // per column per file), and Blooms for all of them from one more
@@ -427,13 +432,14 @@ object ScaleOps extends QueryModule {
       val name = new Path(f).getName
       val per = bounds.getOrElse(name, Seq.empty)
       val bl = blooms.getOrElse(name, Map.empty)
+      val sz = s"sz:${sizeOf(name)}"
       if (statsColumns.size <= 1) {
         // the legacy positional single-column form — existing stores,
         // oracles and specs read it unchanged
         (per.headOption, per.headOption.flatMap(p => bl.get(p._1))) match {
-          case (Some((_, lo, hi)), Some(bm)) => s"$f\t$lo\t$hi\t$bm"
-          case (Some((_, lo, hi)), None) => s"$f\t$lo\t$hi"
-          case _ => f
+          case (Some((_, lo, hi)), Some(bm)) => s"$f\t$lo\t$hi\t$bm\t$sz"
+          case (Some((_, lo, hi)), None) => s"$f\t$lo\t$hi\t$sz"
+          case _ => s"$f\t$sz"
         }
       } else {
         val fields = per.map { case (c, lo, hi) =>
@@ -442,7 +448,7 @@ object ScaleOps extends QueryModule {
             case None => s"$c=$lo:$hi"
           }
         }
-        (f +: fields).mkString("\t")
+        ((f +: fields) :+ sz).mkString("\t")
       }
     }
     // change feed lands attempt-private BEFORE the commit point;
@@ -976,11 +982,15 @@ object ScaleOps extends QueryModule {
       line: String): (String, Map[String, FileColStats]) = {
     val arr = line.split('\t')
     val path = arr(0)
-    if (arr.length >= 3 && !arr(1).contains('=')) {
-      val bloom = if (arr.length >= 4) Some(arr(3)) else None
-      (path, Map("" -> FileColStats(arr(1).toLong, arr(2).toLong, bloom)))
+    // the `sz:<bytes>` field (committed since the byte-budget pacing
+    // landed) is metadata about the FILE, not a column — invisible to
+    // stats resolution, read by [[manifestFileSizes]]
+    val fields = arr.drop(1).filterNot(isSizeField)
+    if (fields.length >= 2 && !fields(0).contains('=')) {
+      val bloom = if (fields.length >= 3) Some(fields(2)) else None
+      (path, Map("" -> FileColStats(fields(0).toLong, fields(1).toLong, bloom)))
     } else {
-      val named = arr.iterator.drop(1).filter(_.contains('=')).map { fld =>
+      val named = fields.iterator.filter(_.contains('=')).map { fld =>
         val cut = fld.indexOf('=')
         val c = fld.substring(0, cut)
         val parts = fld.substring(cut + 1).split(':')
@@ -990,6 +1000,25 @@ object ScaleOps extends QueryModule {
       (path, named)
     }
   }
+
+  /** `sz:<bytes>` — the per-file size field a commit stamps on every
+    * new data line (one FileStatus the writer already holds), so
+    * byte-budget admission ([[graft.streaming.SnapshotStream]]'s
+    * maxBytesPerTrigger) plans micro-batches from the MANIFEST
+    * instead of a per-file RPC storm at trigger time. */
+  private def isSizeField(f: String): Boolean =
+    f.length > 3 && f.startsWith("sz:") && f.drop(3).forall(_.isDigit)
+
+  /** A committed version's per-file byte sizes, for every manifest
+    * line that carries one. Size-less lines (commits predating the
+    * field) are simply absent — byte-budget consumers fall back to
+    * file-count admission for them, never to an RPC. */
+  private[graft] def manifestFileSizes(s: SparkSession, root: String,
+      v: Long): Map[String, Long] =
+    manifestDataLines(s, root, v).flatMap { line =>
+      val arr = line.split('\t')
+      arr.drop(1).find(isSizeField).map(f => arr(0) -> f.drop(3).toLong)
+    }.toMap
 
   /** Column `c`'s stats from a parsed line: the named entry, else —
     * only when `allowPositional` — the positional one. A positional
@@ -2012,6 +2041,54 @@ object ScaleOps extends QueryModule {
       expectParent = Some(v))
   }
 
+  /** COPY-ON-WRITE UPDATE for an ARBITRARY row-level predicate — the
+    * engine face behind SQL `UPDATE cat.t SET … WHERE …`. The exact
+    * [[deleteWhereSnapshot]] discipline (constraints prune candidate
+    * files, untouched lines carry forward verbatim, three-valued
+    * predicate, change feed of before/after images), with the
+    * rewrite REPLACING matching rows by their SET projection instead
+    * of dropping them: each assigned column becomes
+    * `when(pred, value).otherwise(col)` cast back to its own type,
+    * so non-matching rows are bit-identical ride-alongs. Returns the
+    * committed version (current one when no file can hold a match). */
+  private[graft] def updateWhereSnapshot(s: SparkSession, root: String,
+      pred: Column, sets: Seq[(String, Column)],
+      constraints: Seq[ColConstraint]): Long = {
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val v = vs.last
+    val (_, candidates) = planSnapshotFiles(s, root, Some(v), constraints)
+    val cand = candidates.toSet
+    val (touched, untouched) = manifestDataLines(s, root, v)
+      .partition(l => cand.contains(l.split('\t')(0)))
+    if (touched.isEmpty) return v
+    val keepStats = (statsColumnsOf(s, root, v) ++
+      snapshotStatsCols(s, root, v).toSeq
+        .flatMap(_.split(',')).map(_.trim)).filter(_.nonEmpty).distinct
+    val base = s.read.parquet(touched.map(_.split('\t')(0)): _*)
+    // the match flag is evaluated on the OLD row image and carried
+    // through the projection — re-evaluating the predicate on
+    // updated values would mislabel rows whose SET changes the very
+    // column the WHERE tests
+    val hit = coalesce(pred, lit(false))
+    val setFor = sets.map { case (c, e) => c.toLowerCase -> e }.toMap
+    val flagged = base.withColumn("__graft_hit", hit)
+    val rewritten = flagged.select((base.schema.fields.map { f =>
+      setFor.get(f.name.toLowerCase) match {
+        case Some(value) =>
+          when(col("__graft_hit"), value.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    } :+ col("__graft_hit")).toIndexedSeq: _*)
+    val before = base.filter(hit)
+    val after = rewritten.filter(col("__graft_hit")).drop("__graft_hit")
+    commitVersion(s, root, rewritten.drop("__graft_hit"),
+      parentLines = untouched,
+      statsCol = Some(keepStats.mkString(",")).filter(_.nonEmpty),
+      tag = None, cdf = Some((after, before)), expectParent = Some(v))
+  }
+
   /** COPY-ON-WRITE MERGE (upsert) as a snapshot version — the
     * Delta/Iceberg `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT
     * MATCHED INSERT` write path, keyed on `keyCol`: rows of the
@@ -2695,20 +2772,41 @@ object ScaleOps extends QueryModule {
     * vacuum reclaims the old layout when the parent expires. Returns
     * the committed version. */
   def zorderSnapshot(s: SparkSession, root: String, colX: String,
-      colY: String, files: Int, statsBloom: Boolean = false): Long = {
+      colY: String, files: Int, statsBloom: Boolean = false): Long =
+    zorderSnapshotK(s, root, Seq(colX, colY), files, statsBloom)
+
+  /** The k-DIMENSIONAL generalization: interleave the low
+    * `63 / k` (capped at [[Z_BITS]]) bits of each column round-robin
+    * into one Morton value, recluster on it, and declare ALL k
+    * columns in the commit's stats — every curve dimension then
+    * range-prunes through the conjunctive per-column check. Bits per
+    * dimension shrink as k grows (63-bit BIGINT budget); what
+    * changes is curve RESOLUTION, i.e. how fine the per-file
+    * bounding boxes are — never correctness, since the zone maps
+    * are computed from the DATA, not from the curve. Practical k is
+    * 2-4 (Delta's guidance): each added dimension dilutes every
+    * dimension's locality. */
+  def zorderSnapshotK(s: SparkSession, root: String, cols: Seq[String],
+      files: Int, statsBloom: Boolean = false): Long = {
+    require(cols.size >= 2, s"z-order needs >= 2 columns, got $cols")
+    require(cols.size <= 8, s"z-order over ${cols.size} columns has " +
+      "no locality left; cluster on fewer keys")
+    val bits = math.min(Z_BITS, 63 / cols.size)
     val vs = snapshotVersions(s, root)
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val v = vs.last
     val df = readSnapshotMerged(s, root, Some(v))
-    val zed = df
-      .withColumn("__zx", pmod(col(colX).cast(LongType), lit(1L << Z_BITS)))
-      .withColumn("__zy", pmod(col(colY).cast(LongType), lit(1L << Z_BITS)))
-      .withColumn("__z", expr(zExprSql("__zx", "__zy", "div")))
+    val dims = cols.indices.map(i => s"__zd$i")
+    val zed = cols.zip(dims)
+      .foldLeft(df) { case (acc, (c, d)) =>
+        acc.withColumn(d, pmod(col(c).cast(LongType), lit(1L << bits)))
+      }
+      .withColumn("__z", expr(zExprSqlK(dims, "div", bits)))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__zx", "__zy", "__z")
+      .drop(dims :+ "__z": _*)
     commitVersion(s, root, zed, parentLines = Nil,
-      statsCol = Some(s"$colX,$colY"), tag = None,
+      statsCol = Some(cols.mkString(",")), tag = None,
       statsBloom = statsBloom,
       cdf = Some((zed.limit(0), zed.limit(0))), expectParent = Some(v))
   }
@@ -3174,9 +3272,19 @@ object ScaleOps extends QueryModule {
     * and DuckDB's (divOp = "//") — the oracle replays the curve
     * exactly rather than trusting a reimplementation. */
   private[graft] def zExprSql(x: String, y: String, divOp: String): String =
-    (0 until Z_BITS).flatMap(i => Seq(
-      s"(($x $divOp ${1L << i}) % 2) * ${1L << (2 * i)}",
-      s"(($y $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}")).mkString(" + ")
+    zExprSqlK(Seq(x, y), divOp, Z_BITS)
+
+  /** The k-dimensional round-robin interleave — bit i of dimension d
+    * lands at position k·i + d. Same dual-dialect discipline as the
+    * 2-D form (div/%-only arithmetic runs through Spark's parser AND
+    * DuckDB's). */
+  private[graft] def zExprSqlK(cols: Seq[String], divOp: String,
+      bits: Int): String = {
+    val k = cols.size
+    (0 until bits).flatMap(i => cols.zipWithIndex.map { case (c, d) =>
+      s"(($c $divOp ${1L << i}) % 2) * ${1L << (k * i + d)}"
+    }).mkString(" + ")
+  }
 
   /** Write `df` laid out along the z-curve of (xCol, yCol): range-
     * partition by z into `files` files, z-sorted inside each. Every

@@ -3,15 +3,16 @@ package graft.plans
 import graft.operators.ScaleOps
 import graft.sources.SnapshotTable
 import org.apache.spark.sql.{Dataset, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.expressions.{And => CatalystAnd, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-/** SQL `MERGE INTO` on snapshot-catalog tables, resolved to the
-  * copy-on-write upsert ([[ScaleOps.mergeIntoSnapshot]] — the s14
-  * write path, commit protocol and all).
+/** SQL `MERGE INTO` and `UPDATE` on snapshot-catalog tables,
+  * resolved to the engine's own copy-on-write rewrites
+  * ([[ScaleOps.mergeIntoSnapshot]] — the s14 write path — and
+  * [[ScaleOps.updateWhereSnapshot]], commit protocol and all).
   *
   * Spark's generic row-level-operation rewrite needs
   * SupportsRowLevelOperations; the store instead routes MERGE through
@@ -38,6 +39,21 @@ case class ResolveSnapshotMerge(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
+      // SQL UPDATE — the same copy-on-write rewrite discipline as
+      // SupportsDelete: condition → pushed-filter constraints →
+      // candidate files; assignments applied only to matching rows.
+      case u: UpdateTable if snapshotTarget(u.table).isDefined &&
+          u.table.resolved && u.assignments.forall(_.resolved) &&
+          u.condition.forall(_.resolved) =>
+        val table = snapshotTarget(u.table).get
+        val sets = u.assignments.map {
+          case Assignment(k: AttributeReference, v) => k.name -> v
+          case a => refuse(
+            s"UPDATE SET targets must be top-level columns, got: ${a.sql}")
+        }
+        UpdateSnapshotCommand(table.root, table.statsCol, sets,
+          u.condition)
+
       case m: MergeIntoTable if snapshotTarget(m.targetTable).isDefined &&
           m.targetTable.resolved && m.sourceTable.resolved =>
         val table = snapshotTarget(m.targetTable).get
@@ -56,7 +72,7 @@ case class ResolveSnapshotMerge(spark: SparkSession)
 
   private def refuse(why: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft snapshot MERGE INTO: $why")
+      s"graft snapshot DML: $why")
 
   /** The target resolved to a snapshot-catalog table (under any
     * stack of aliases). */
@@ -124,9 +140,60 @@ case class MergeIntoSnapshotCommand(root: String, keyCol: String,
     Seq(source)
 
   override def run(session: SparkSession): Seq[Row] = {
-    val updates = org.apache.spark.sql.GraftPlanBridge.ofRows(session, source)
+    val updates = org.apache.spark.sql.graft.SqlShims.ofRows(session, source)
     ScaleOps.mergeIntoSnapshot(session, root, keyCol, updates,
       evolveSchema = evolveSchema)
+    Seq.empty
+  }
+}
+
+/** The resolved UPDATE as a driver command — the copy-on-write
+  * rewrite behind SQL `UPDATE cat.t SET … WHERE …`, sharing the
+  * DELETE path's candidate planning: each WHERE conjunct must
+  * translate to a data-source Filter (the language the scan builder
+  * maps into stat-space constraints — reused verbatim, so UPDATE
+  * rewrites exactly the files a pruned read would open), and the
+  * SET/WHERE expressions are re-rooted on column NAMES before
+  * evaluating over the rewrite scan (their original attribute ids
+  * belong to the query's relation, not the rewrite's). */
+case class UpdateSnapshotCommand(root: String, statsCol: Option[String],
+    sets: Seq[(String, Expression)], condition: Option[Expression])
+    extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.graft.SqlShims
+
+  /** AttributeReference → by-name unresolved attribute, so the
+    * expression resolves against the rewrite's own scan. */
+  private def byName(e: Expression): Expression = e.transform {
+    case a: AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        .quoted(a.name)
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case CatalystAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val exprs = condition.toSeq.flatMap(conjuncts)
+    val translated = exprs.map(e => e -> SqlShims.translateFilter(e))
+    val bad = translated.collect { case (e, None) => e.sql }
+    if (bad.nonEmpty) throw new UnsupportedOperationException(
+      "graft snapshot UPDATE: WHERE clause not row-level translatable " +
+        s"(rewrite it in pushable predicates): ${bad.mkString(", ")}")
+    val pred = condition.map(e => SqlShims.column(byName(e)))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val vs = ScaleOps.snapshotVersions(session, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root")
+    val schema = ScaleOps.snapshotSchema(session, root, vs.last)
+      .getOrElse(ScaleOps.readSnapshot(session, root, Some(vs.last)).schema)
+    val sb = new graft.sources.SnapshotScanBuilder(
+      root, vs.last, schema, statsCol)
+    sb.pushFilters(translated.flatMap(_._2).toArray)
+    ScaleOps.updateWhereSnapshot(session, root, pred,
+      sets.map { case (c, e) => c -> SqlShims.column(byName(e)) },
+      sb.plannedConstraints)
     Seq.empty
   }
 }

@@ -85,6 +85,44 @@ class SnapshotCatalog extends TableCatalog {
       ScaleOps.snapshotStatsCols(spark, root, v))
   }
 
+  /** SQL time travel — `SELECT … FROM cat.t VERSION AS OF 3` (a
+    * committed version number or a named ref) and `… TIMESTAMP AS OF
+    * '2026-08-01…'`: the engine's own pinned-version read, resolved
+    * from the same manifest headers as the path face's
+    * version/ref/timestampAsOf options. Travel pins are READ pins —
+    * writes always contend on the head, so the returned table keeps
+    * its write face but any engine write to a non-head pin loses the
+    * expectParent check loudly rather than forking history. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootFor(ident)
+    val vs = ScaleOps.snapshotVersions(spark, root)
+    if (vs.isEmpty) throw new NoSuchTableException(ident)
+    val v = scala.util.Try(version.toLong).toOption match {
+      case Some(n) =>
+        require(vs.contains(n),
+          s"snapshot v$n not committed (have ${vs.mkString(",")})")
+        n
+      case None => ScaleOps.resolveRef(spark, root, version)
+    }
+    tableAt(root, v)
+  }
+
+  /** TIMESTAMP AS OF — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootFor(ident)
+    if (ScaleOps.snapshotVersions(spark, root).isEmpty)
+      throw new NoSuchTableException(ident)
+    tableAt(root,
+      ScaleOps.resolveAsOfTimestamp(spark, root, timestamp / 1000L))
+  }
+
+  private def tableAt(root: String, v: Long): Table = {
+    val schema = ScaleOps.snapshotSchema(spark, root, v).getOrElse(
+      ScaleOps.readSnapshot(spark, root, Some(v)).schema)
+    new SnapshotTable(root, v, schema,
+      ScaleOps.snapshotStatsCols(spark, root, v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

@@ -8,7 +8,8 @@ import graft.operators.ScaleOps
 import graft.streaming.SnapshotStream
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
@@ -60,7 +61,42 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * longer bind the scan to a newer version than the schema, and the
   * resolution cost is paid once, not twice. */
 class SnapshotDataSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
+
+  // ---- streaming sink face: writeStream.format("graft-snapshot") ----
+
+  /** Exactly-once ingest as the DEFAULT path, not a foreachBatch
+    * recipe: each micro-batch commits ONE `batch:<id>`-tagged version
+    * through the idempotent append (or, with a `mergeKey` option, the
+    * idempotent copy-on-write upsert) — an at-least-once replay of a
+    * batch the store already committed is absorbed by the tag probe,
+    * the [[graft.streaming.Jobs.snapshotIngest]] discipline verbatim.
+    * `statsCol` defaults to the store's own `#statscols:` header so
+    * sink commits keep indexing what the store's writers always
+    * indexed. Append-only: aggregating modes would need the engine to
+    * retract rows a committed version already fixed. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = opts.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot sink requires a path option (the store root)"))
+    require(partitionColumns.isEmpty,
+      "graft-snapshot stores are unpartitioned — cluster via " +
+        "statsCol zone maps instead of directories")
+    require(outputMode == OutputMode.Append(),
+      s"graft-snapshot sink is append-only (each micro-batch = one " +
+        s"committed version); got $outputMode")
+    val mergeKey = opts.get("mergekey").map(_.trim).filter(_.nonEmpty)
+    val statsCol = opts.get("statscol").map(_.trim).filter(_.nonEmpty)
+      .orElse {
+        val s = SparkSession.active
+        ScaleOps.snapshotVersions(s, root).lastOption
+          .flatMap(v => ScaleOps.snapshotStatsCols(s, root, v))
+      }
+    new SnapshotSink(root, statsCol, mergeKey)
+  }
 
   // ---- streaming face: readStream.format("graft-snapshot") ----
   // (the v1 Source contract — see graft.streaming.SnapshotStream;
@@ -107,7 +143,8 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
     val cfg = resolveStreamOnce(parameters)
     new SnapshotStream(sqlContext.sparkSession, cfg.root,
       cfg.startingVersion, cfg.dataSchema, metadataPath,
-      cfg.maxFilesPerTrigger, cfg.maxVersionsPerTrigger)
+      cfg.maxFilesPerTrigger, cfg.maxVersionsPerTrigger,
+      cfg.maxBytesPerTrigger)
   }
 
   // per-load pinned resolution — inferSchema resolves, getTable reuses
@@ -168,6 +205,15 @@ object SnapshotDataSource {
       .flatMap(k => Option(options.get(k)).map(k -> _))
     require(pins.size <= 1, "graft-snapshot takes at most one of " +
       s"version/ref/timestampAsOf, got ${pins.map(_._1).mkString(", ")}")
+    // an UNPINNED empty/nonexistent store resolves as a pure WRITE
+    // TARGET (version 0, empty schema): the engine probes the
+    // provider with the SINK's options before falling back to the v1
+    // StreamSinkProvider, and a batch/stream write must be able to
+    // BOOTSTRAP a store the way CREATE TABLE does. Reads of a v0
+    // table refuse loudly at scan build (SnapshotTable.newScanBuilder)
+    // — never an empty result for a store that isn't there.
+    if (pins.isEmpty && ScaleOps.snapshotVersions(s, root).isEmpty)
+      return (root, 0L, new StructType(), None)
     val v = pins.headOption match {
       case Some(("version", ver)) => ver.toLong
       case Some(("ref", ref)) => ScaleOps.resolveRef(s, root, ref)
@@ -217,8 +263,13 @@ class SnapshotTable(private[graft] val root: String, version: Long,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // version 0 = the write-target sentinel for a store with no
+    // committed snapshots (see SnapshotDataSource.resolve)
+    require(version >= 1, s"no committed snapshots under $root — " +
+      "the table currently exists only as a write target")
     new SnapshotScanBuilder(root, version, tableSchema, statsCol)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotWriteBuilder(root, statsCol)
@@ -313,6 +364,37 @@ class SnapshotWriteBuilder(root: String, statsCol: Option[String])
         }
       }
   }
+}
+
+/** The v1 streaming Sink behind `writeStream.format("graft-snapshot")`
+  * — each `addBatch` is ONE tagged commit through the race-safe
+  * protocol: `batch:<id>` rides the manifest, so the engine's
+  * at-least-once replay of an already-committed batch probes the tag
+  * and commits nothing (exactly-once store content with ANY
+  * checkpointed query). The micro-batch frame is re-rooted as a batch
+  * frame ([[org.apache.spark.sql.graft.SqlShims.asBatchFrame]]) so
+  * the commit's ordinary batch write can execute it — the same v1
+  * bridge shape the source uses in reverse. With `mergeKey`, batches
+  * are row-images upserted copy-on-write (the CDC-apply sink);
+  * without, they are appends. */
+class SnapshotSink(root: String, statsCol: Option[String],
+    mergeKey: Option[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val s = data.sparkSession
+    val batch = org.apache.spark.sql.graft.SqlShims.asBatchFrame(data)
+    mergeKey match {
+      case Some(k) =>
+        ScaleOps.snapshotMergeOnce(s, root, k, batch, s"batch:$batchId")
+      case None =>
+        ScaleOps.snapshotAppendOnce(s, root, batch, s"batch:$batchId",
+          statsCol)
+    }
+    ()
+  }
+
+  override def toString: String =
+    s"SnapshotSink[$root${mergeKey.fold("")(k => s", mergeKey=$k")}]"
 }
 
 /** Collects pushed filters + required columns, then builds the
@@ -520,7 +602,7 @@ class SnapshotScanBuilder(root: String, version: Long,
     * survives only if EVERY column's manifest stats allow it).
     * Shared by the scan and the SupportsDelete candidate planning,
     * so DELETE rewrites exactly the files a pruned read would open. */
-  private[sources] def plannedConstraints: Seq[ScaleOps.ColConstraint] =
+  private[graft] def plannedConstraints: Seq[ScaleOps.ColConstraint] =
     statsColsTyped.flatMap {
       case (c, dt) if integral(dt) =>
         val (lo, hi, keys) = statsConstraints(c)

@@ -73,7 +73,8 @@ import org.apache.spark.sql.types._
 class SnapshotStream(spark: SparkSession, root: String,
     startingVersion: Option[Long], dataSchema: StructType,
     metadataPath: String, maxFilesPerTrigger: Int,
-    maxVersionsPerTrigger: Int) extends Source {
+    maxVersionsPerTrigger: Int,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   import SnapshotStream._
 
@@ -211,19 +212,47 @@ class SnapshotStream(spark: SparkSession, root: String,
   /** Advance `pos` by at most the per-trigger budgets. A bootstrap
     * segment never shares a batch with delta hops (its completion
     * ends the batch), so `getBatch(None, end)` can always recover
-    * the bootstrap version from `end` alone. */
+    * the bootstrap version from `end` alone.
+    *
+    * The BYTE budget (`maxBytesPerTrigger`, Delta's soft max) spends
+    * the manifest's `sz:` fields — zero per-file RPCs at trigger
+    * time — and admits files until the NEXT file would exceed the
+    * remaining budget, always admitting at least one file per
+    * trigger (progress even when a single compacted file outweighs
+    * the budget — post-s10/s20 compaction is exactly when file
+    * count stops being a proxy for bytes). Size-less legacy lines
+    * spend nothing: they admit by file count alone, the documented
+    * back-compat. A rewrite's change feed is admitted atomically, as
+    * before. */
   private def advanceFrom(pos: Option[SnapshotOffset]): Option[SnapshotOffset] = {
     var cur = pos
     var files = maxFilesPerTrigger.toLong
     var vers = maxVersionsPerTrigger.toLong
+    var bytes = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var admittedAny = false
     val segs = segmentsAfter(pos, ScaleOps.snapshotVersions(spark, root).last)
     var stop = false
     while (!stop && segs.hasNext) {
-      if (files <= 0 || vers <= 0) stop = true
+      if (files <= 0 || vers <= 0 || bytes <= 0) stop = true
       else segs.next() match {
         case FileSeg(v, base, fls, init) =>
           vers -= 1
-          val take = math.min(files, fls.size.toLong).toInt
+          val sizes =
+            if (maxBytesPerTrigger.isDefined)
+              ScaleOps.manifestFileSizes(spark, root, v)
+            else Map.empty[String, Long]
+          // admit while inside BOTH budgets; the first file of the
+          // trigger is always admitted (soft-max progress guarantee)
+          var take = 0
+          var go = true
+          while (go && take < fls.size && take < files) {
+            val sz = sizes.getOrElse(fls(take), 0L)
+            if (sz <= bytes || !admittedAny) {
+              bytes -= math.min(sz, bytes)
+              admittedAny = true
+              take += 1
+            } else go = false
+          }
           files -= take
           if (take < fls.size) {
             cur = Some(SnapshotOffset(v, base + take, init))
@@ -235,6 +264,7 @@ class SnapshotStream(spark: SparkSession, root: String,
         case FeedSeg(v) =>
           vers -= 1
           files -= 1
+          admittedAny = true
           cur = Some(SnapshotOffset(v, -1L, initial = false))
       }
     }
@@ -336,7 +366,8 @@ class SnapshotStream(spark: SparkSession, root: String,
 
   override def toString: String =
     s"SnapshotStream[$root${startingVersion.fold("")(v => s", from v$v")}, " +
-      s"maxFiles=$maxFilesPerTrigger, maxVersions=$maxVersionsPerTrigger]"
+      s"maxFiles=$maxFilesPerTrigger, maxVersions=$maxVersionsPerTrigger" +
+      maxBytesPerTrigger.fold("")(b => s", maxBytes=$b") + "]"
 }
 
 object SnapshotStream {
@@ -403,7 +434,8 @@ object SnapshotStream {
   /** Resolved stream configuration for a `readStream` option map. */
   private[graft] case class StreamConfig(root: String,
       startingVersion: Option[Long], dataSchema: StructType,
-      maxFilesPerTrigger: Int, maxVersionsPerTrigger: Int)
+      maxFilesPerTrigger: Int, maxVersionsPerTrigger: Int,
+      maxBytesPerTrigger: Option[Long])
 
   /** Resolve a stream's options — metadata-only, one manifest header
     * read (the batch connector's discipline). Streams tail the HEAD,
@@ -432,11 +464,21 @@ object SnapshotStream {
     // control exists to close
     val maxFiles = positiveInt("maxfilespertrigger", 1000)
     val maxVersions = positiveInt("maxversionspertrigger", Int.MaxValue)
+    // byte budget (Delta's maxBytesPerTrigger pair): after compaction
+    // to ~target-size files, N files/trigger is an arbitrarily large
+    // byte batch — the byte budget re-bounds it. No default: files
+    // alone remain the default pacing, bytes opt in.
+    val maxBytes = opts.get("maxbytespertrigger").map { v =>
+      val b = v.toLong
+      require(b >= 1, s"maxBytesPerTrigger must be >= 1, got $b")
+      b
+    }
     val s = SparkSession.active
     val vs = ScaleOps.snapshotVersions(s, root)
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val dataSchema = ScaleOps.snapshotSchema(s, root, vs.last).getOrElse(
       ScaleOps.readSnapshot(s, root, Some(vs.last)).schema)
-    StreamConfig(root, startingVersion, dataSchema, maxFiles, maxVersions)
+    StreamConfig(root, startingVersion, dataSchema, maxFiles,
+      maxVersions, maxBytes)
   }
 }

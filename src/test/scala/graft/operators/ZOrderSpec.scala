@@ -40,6 +40,62 @@ class ZOrderSpec extends SparkSpec {
       .sum
   }
 
+  test("k-D interleave: 3-column Morton positions, and k=2 equals the 2-D form") {
+    // k=3, bit i of dim d lands at 3i+d: x=1,y=1,z=1 → 1+2+4 = 7;
+    // x=2 (bit1) → position 3·1+0 = 8
+    val got = Seq((1L, 1L, 1L), (2L, 0L, 0L), (0L, 2L, 0L), (0L, 0L, 2L))
+      .toDF("x", "y", "w")
+      .select(expr(ScaleOps.zExprSqlK(Seq("x", "y", "w"), "div", 4)).as("z"))
+      .as[Long].collect().toSeq
+    assert(got === Seq(7L, 8L, 16L, 32L))
+    // the 2-D generalization reproduces the s20 curve EXACTLY (the
+    // DuckDB oracle replays this string — it must never drift)
+    assert(ScaleOps.zExprSql("x", "y", "div") ===
+      ScaleOps.zExprSqlK(Seq("x", "y"), "div", 16))
+  }
+
+  test("OPTIMIZE ZORDER over 3 columns: content unchanged, all three dimensions prune") {
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_zorder3").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    // three independent-ish dimensions, ingest-ordered by none of them
+    val df = (0 until 4096).map { i =>
+      val x = (i * 2654435761L) % 256
+      val y = (i * 40503L) % 256
+      val w = (i * 69621L) % 256
+      (i.toLong, x, y, w)
+    }.toDF("id", "x", "y", "w").repartitionByRange(8, col("id"))
+    ScaleOps.publishSnapshot(spark, root, df, statsCol = Some("id"))
+    val v2 = ScaleOps.zorderSnapshotK(spark, root, Seq("x", "y", "w"), 8)
+    assert(v2 === 2L)
+    // logical content unchanged by the recluster
+    assert(ScaleOps.readSnapshot(spark, root, Some(2L))
+      .agg(sum(col("id"))).as[Long].head() ===
+      ScaleOps.readSnapshot(spark, root, Some(1L))
+        .agg(sum(col("id"))).as[Long].head())
+    // all three dimensions are declared stats columns of the commit
+    assert(ScaleOps.snapshotStatsCols(spark, root, 2L)
+      .exists(h => Seq("x", "y", "w").forall(h.split(',').contains)))
+    // a thin box on EACH dimension individually prunes files
+    def scanned(c: String): Int = {
+      val pruned = spark.read.format("graft-snapshot").load(root)
+        .filter(col(c) >= 10 && col(c) <= 20)
+      pruned.collect()
+      pruned.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+    }
+    for (c <- Seq("x", "y", "w"))
+      assert(scanned(c) < 8, s"3-D curve left dimension '$c' unprunable")
+  }
+
   test("z-layout prunes a thin-y box query; a linear x-sort layout cannot") {
     val dir = Files.createTempDirectory("zorder").toString
     val grid = spark.range(0, 128L * 128L)

@@ -146,6 +146,70 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("canonical upsert"))
   }
 
+  test("SQL UPDATE routes to the zone-map-planned copy-on-write rewrite") {
+    fs.delete(new Path(root("t8")), true)
+    spark.sql("CREATE TABLE gcat.t8 (id BIGINT, s STRING, q BIGINT) " +
+      "TBLPROPERTIES ('statscol' = 'id')")
+    (0L until 400L).map(i => (i, s"r$i", i % 10)).toDF("id", "s", "q")
+      .repartitionByRange(4, col("id"))
+      .writeTo("gcat.t8").append()
+    spark.sql("UPDATE gcat.t8 SET q = q + 100, s = 'touched' " +
+      "WHERE id BETWEEN 100 AND 150 AND q >= 5")
+    assert(ScaleOps.snapshotVersions(spark, root("t8")) === Seq(1L, 2L, 3L))
+    // exact row-level semantics: only matching rows changed
+    val rows = spark.sql("SELECT id, s, q FROM gcat.t8")
+      .as[(Long, String, Long)].collect()
+    assert(rows.length === 400)
+    rows.foreach { case (id, s, q) =>
+      if (id >= 100 && id <= 150 && id % 10 >= 5) {
+        assert(s === "touched" && q === id % 10 + 100, s"row $id wrong")
+      } else assert(s === s"r$id" && q === id % 10, s"row $id disturbed")
+    }
+    // copy-on-write: files the id-range proves clean carry forward
+    val v2Files = ScaleOps.manifestFiles(spark, root("t8"), 2L).toSet
+    val v3Files = ScaleOps.manifestFiles(spark, root("t8"), 3L).toSet
+    assert(v2Files.intersect(v3Files).size >= 2,
+      "UPDATE rewrote provably-untouched files")
+    // the change feed carries before/after images of exactly the hits
+    val feed = ScaleOps.readSnapshotChangeFeed(spark, root("t8"), 2L, 3L)
+    val nHit = (100L to 150L).count(_ % 10 >= 5)
+    assert(feed.filter(col("_change_type") === "delete").count() === nHit)
+    assert(feed.filter(col("_change_type") === "insert" &&
+      col("s") === "touched").count() === nHit)
+    // a no-match UPDATE commits nothing
+    spark.sql("UPDATE gcat.t8 SET q = 0 WHERE id > 5000")
+    assert(ScaleOps.snapshotVersions(spark, root("t8")) === Seq(1L, 2L, 3L))
+    // pre-update version intact (snapshot isolation)
+    assert(ScaleOps.readSnapshot(spark, root("t8"), Some(2L))
+      .filter(col("s") === "touched").count() === 0L)
+  }
+
+  test("SQL time travel: VERSION AS OF (number and ref) and TIMESTAMP AS OF") {
+    fs.delete(new Path(root("t9")), true)
+    spark.sql("CREATE TABLE gcat.t9 (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gcat.t9 VALUES (1, 'a')")
+    val tsBetween = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO gcat.t9 VALUES (2, 'b')")
+    assert(spark.sql("SELECT count(*) FROM gcat.t9").as[Long].head() === 2L)
+    assert(spark.sql("SELECT count(*) FROM gcat.t9 VERSION AS OF 2")
+      .as[Long].head() === 1L)
+    // a named ref resolves through VERSION AS OF too
+    ScaleOps.setRef(spark, root("t9"), "prod", 2L)
+    assert(spark.sql("SELECT count(*) FROM gcat.t9 VERSION AS OF 'prod'")
+      .as[Long].head() === 1L)
+    // TIMESTAMP AS OF picks the newest version committed before it
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    assert(spark.sql("SELECT count(*) FROM gcat.t9 TIMESTAMP AS OF " +
+      s"'${fmt.format(new java.util.Date(tsBetween))}'")
+      .as[Long].head() === 1L)
+    // an uncommitted pin is loud
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.t9 VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("not committed"))
+  }
+
   test("ALTER TABLE ADD COLUMN commits a schema-only version; reads null-fill") {
     fs.delete(new Path(root("t7")), true)
     spark.sql("CREATE TABLE gcat.t7 (id BIGINT, s STRING)")

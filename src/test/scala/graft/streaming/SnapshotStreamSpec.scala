@@ -195,6 +195,74 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(batches.flatten.forall(t => t._2 == "insert" && t._3 == 1L))
   }
 
+  test("maxBytesPerTrigger paces batches by manifest byte sizes (soft max, always progresses)") {
+    val root = freshDir("paced_bytes")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root,
+      (0 until 12).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+        .repartitionByRange(4, col("doc_id")))
+    // every committed line carries its sz: field — byte planning is
+    // manifest-only, zero per-file RPCs at trigger time
+    val sizes = ScaleOps.manifestFileSizes(spark, root, 1L)
+    assert(sizes.size === 4, s"missing sz: fields: $sizes")
+    assert(sizes.values.forall(_ > 0L))
+    // a budget of one smallest file admits exactly one file per
+    // trigger: the first file always enters (soft-max progress, even
+    // when it alone exceeds the budget), the second never fits
+    val ckpt = freshDir("paced_bytes_ckpt")
+    fs(ckpt).delete(new Path(ckpt), true)
+    val batches = drainBatches(readStream(root,
+      "maxBytesPerTrigger" -> sizes.values.min.toString), ckpt)
+      .filter(_.nonEmpty)
+    assert(batches.map(_.size) === Seq(3, 3, 3, 3),
+      s"byte budget did not pace: ${batches.map(_.size)}")
+    assert(batches.flatten.map(_._1).sorted === (0L until 12L))
+    // an absurdly small budget still progresses one file at a time —
+    // a compacted store can legitimately hold files larger than any
+    // sane budget, and a stream that stalls forever is worse than a
+    // batch that overshoots (Delta's soft-max semantics)
+    val ckpt2 = freshDir("paced_bytes1_ckpt")
+    fs(ckpt2).delete(new Path(ckpt2), true)
+    val batches2 = drainBatches(readStream(root,
+      "maxBytesPerTrigger" -> "1"), ckpt2).filter(_.nonEmpty)
+    assert(batches2.map(_.size) === Seq(3, 3, 3, 3))
+    // bad option values are loud
+    val e = intercept[Exception] {
+      drain(readStream(root, "maxBytesPerTrigger" -> "0"))
+    }
+    assert(e.getMessage.contains("maxBytesPerTrigger"))
+  }
+
+  test("size-less legacy manifest lines admit by file count (byte-budget back-compat)") {
+    val root = freshDir("paced_legacy")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root,
+      (0 until 12).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+        .repartitionByRange(4, col("doc_id")))
+    // strip the sz: fields — the manifest a pre-byte-budget commit
+    // wrote (this store's own scratch history, safe to rewrite)
+    val man = new Path(root, "_manifests/v1.manifest")
+    val f = fs(root)
+    val in = f.open(man)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val stripped = text.replaceAll("\tsz:\\d+", "")
+    assert(stripped != text)
+    val out = f.create(man, true)
+    out.write(stripped.getBytes("UTF-8")); out.close()
+    assert(ScaleOps.manifestFileSizes(spark, root, 1L).isEmpty)
+    // byte budget has nothing to spend against → the FILE budget
+    // paces: 2 files per batch, never a stall, never a wrong skip
+    val ckpt = freshDir("paced_legacy_ckpt")
+    fs(ckpt).delete(new Path(ckpt), true)
+    val batches = drainBatches(readStream(root,
+      "maxBytesPerTrigger" -> "1", "maxFilesPerTrigger" -> "2"), ckpt)
+      .filter(_.nonEmpty)
+    assert(batches.map(_.size) === Seq(6, 6),
+      s"legacy lines did not fall back to file-count pacing: ${batches.map(_.size)}")
+    assert(batches.flatten.map(_._1).sorted === (0L until 12L))
+  }
+
   test("multi-batch drain keeps whole-history parity with the batch change feed") {
     val root = freshDir("paced_parity")
     mixedHistory(root)
