@@ -624,17 +624,122 @@ class SnapshotScanBuilder(root: String, version: Long,
       case _ => None
     }
 
-  override def build(): Scan = {
-    val s = SparkSession.active
-    val (_, files) = ScaleOps.planSnapshotFiles(s, root, Some(version),
-      plannedConstraints)
-    val index = new InMemoryFileIndex(s, files.map(new Path(_)),
-      Map.empty, Some(tableSchema))
-    val opts = new CaseInsensitiveStringMap(
-      Map("mergeSchema" -> "true").asJava)
-    val pb = ParquetScanBuilder(s, index, tableSchema, tableSchema, opts)
-    pb.pruneColumns(required)
-    pb.pushDataFilters(pushed) // parquet-level row-group skipping
-    pb.build()
+  override def build(): Scan =
+    new SnapshotScan(root, version, tableSchema, statsCol, pushed, required)
+}
+
+/** The store's Scan: manifest-pruned parquet, with RUNTIME FILTERING
+  * (Spark's dynamic file pruning) over the declared stats columns —
+  * when the store is the big side of a join on a stats column, the
+  * engine hands this scan the build side's key set at execution prep
+  * (an `In` filter) and the zone maps AND per-file Blooms re-plan the
+  * file list before a single partition is launched. At 100 TB this is
+  * the star-join shape: "fetch these 10⁴ doc_ids" touches the files
+  * that can hold them, not the corpus, with no explicit predicate in
+  * the user's query. The parquet delegate is built LAZILY so the
+  * runtime filters (delivered between planning and execution) are in
+  * the file plan; all filters also push to parquet for row-group
+  * skipping inside surviving files. */
+class SnapshotScan(
+    private[graft] val root: String,
+    private[graft] val version: Long,
+    private[graft] val tableSchema: StructType,
+    private[graft] val statsCol: Option[String],
+    private[graft] val pushed: Array[Filter],
+    private[graft] val required: StructType)
+    extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def readSchema(): StructType = required
+
+  override def filterAttributes(): Array[NamedReference] =
+    statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .map(c => Expressions.column(c)).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    // only filters the stat-space mapping understands matter; others
+    // are dropped here (Spark re-applies the join itself — runtime
+    // filters are a pure file/row-group-skipping hint)
+    runtime = filters
   }
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  /** The delegate is REBUILT whenever the effective filter set
+    * changes — the engine probes partitions (supportsColumnar) BEFORE
+    * delivering runtime filters and re-plans via toBatch() after, so
+    * a once-only lazy val here would silently pin the pre-filter file
+    * list and runtime pruning would never happen. Cache keyed by the
+    * filter set: the post-filter re-plan builds once, every later
+    * call reuses it. */
+  @volatile private var cached: Option[(Array[Filter],
+    (org.apache.spark.sql.connector.read.Batch, Seq[String]))] = None
+
+  private def planned
+      : (org.apache.spark.sql.connector.read.Batch, Seq[String]) =
+    synchronized {
+      val all = pushed ++ runtime
+      cached match {
+        case Some((k, v)) if k.sameElements(all) => v
+        case _ =>
+          val s = SparkSession.active
+          val sb = new SnapshotScanBuilder(root, version, tableSchema,
+            statsCol)
+          sb.pushFilters(all)
+          val (_, files) = ScaleOps.planSnapshotFiles(s, root,
+            Some(version), sb.plannedConstraints)
+          val index = new InMemoryFileIndex(s, files.map(new Path(_)),
+            Map.empty, Some(tableSchema))
+          val opts = new CaseInsensitiveStringMap(
+            Map("mergeSchema" -> "true").asJava)
+          val pb = ParquetScanBuilder(s, index, tableSchema, tableSchema,
+            opts)
+          pb.pruneColumns(required)
+          pb.pushDataFilters(all) // parquet-level row-group skipping
+          val v = (pb.build().toBatch, files)
+          cached = Some((all, v))
+          v
+      }
+    }
+
+  private def delegate: org.apache.spark.sql.connector.read.Batch =
+    planned._1
+
+  /** The manifest-planned files of the EXECUTED scan (pushed AND
+    * runtime constraints applied) — what the pruning pins count. */
+  def plannedFiles: Seq[String] = planned._2
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    delegate.planInputPartitions()
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    delegate.createReaderFactory()
+
+  override def description(): String =
+    s"graft-snapshot $root v$version " +
+      s"[pushed ${pushed.length}, runtime ${runtime.length}]"
+
+  // value equality (the delegated ParquetScan was a case class): scan
+  // and exchange REUSE compare scans, and reference equality would
+  // quietly disable reuse for identical reads. Runtime filters are
+  // part of the identity — two scans of the same table filtered by
+  // different join keys are different scans (the Iceberg convention).
+  override def equals(other: Any): Boolean = other match {
+    case o: SnapshotScan =>
+      root == o.root && version == o.version &&
+        tableSchema == o.tableSchema && statsCol == o.statsCol &&
+        required == o.required &&
+        pushed.toSeq == o.pushed.toSeq && runtime.toSeq == o.runtime.toSeq
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(root, version.asInstanceOf[AnyRef],
+      tableSchema, statsCol, required, pushed.toSeq, runtime.toSeq)
 }

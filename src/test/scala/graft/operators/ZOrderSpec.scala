@@ -86,6 +86,7 @@ class ZOrderSpec extends SparkSpec {
       pruned.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
           b.scan match {
+            case g: graft.sources.SnapshotScan => g.plannedFiles.length
             case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
               f.fileIndex.inputFiles.length
             case _ => 0

@@ -69,6 +69,7 @@ class SnapshotCatalogSpec extends SparkSpec {
     val scanned = pruned.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b.scan match {
+          case g: SnapshotScan => g.plannedFiles
           case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
             f.fileIndex.inputFiles.toSeq
           case _ => Seq.empty

@@ -33,6 +33,7 @@ class SnapshotDataSourceSpec extends SparkSpec {
     df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b.scan match {
+          case g: SnapshotScan => g.plannedFiles
           case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
             f.fileIndex.inputFiles.toSeq
           case _ => Seq.empty
@@ -119,6 +120,52 @@ class SnapshotDataSourceSpec extends SparkSpec {
       .select("id", "s", "d").as[(Long, String, String)]
       .collect().sorted.toSeq
     assert(joined === Seq((25L, "row25", "dim25"), (350L, "row350", "dim350")))
+  }
+
+  test("runtime filtering: broadcast-join keys prune files at execution time") {
+    // the dynamic-file-pruning shape: the store is the BIG side of a
+    // join on its stats column with no literal predicate of its own —
+    // only the build side's runtime key set can skip files, through
+    // SnapshotScan's SupportsRuntimeFiltering face
+    val root = freshRoot("dpp")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 400),
+      statsCol = Some("id"), statsBloom = true)
+    // the dim must be a REAL source (a literal Seq constant-folds to
+    // a LocalRelation, erasing the selective predicate DPP requires)
+    val dimPath = freshRoot("dpp_dim")
+    Seq((25L, "keep"), (26L, "keep"), (31L, "drop"))
+      .toDF("id", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = readStore(root)
+      .join(org.apache.spark.sql.functions.broadcast(
+        dim.filter(col("tag") === "keep")), Seq("id"))
+    // execute THIS dataset — the runtime-filtered scan instance lives
+    // in its own QueryExecution, not in a derived projection's
+    val rows = joined.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("s"))).sorted.toSeq
+    assert(rows === Seq((25L, "row25"), (26L, "row26")))
+    // the executed scan planned fewer files than the store holds —
+    // the join keys arrived as a runtime In-filter and the zone
+    // maps/Blooms skipped the rest
+    // the join plan is adaptive: recurse through AQE wrappers and
+    // query stages to reach the BatchScanExec leaf
+    def planned(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          planned(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          planned(q.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case g: SnapshotScan => g.plannedFiles.length
+            case _ => 0
+          }
+      }.sum
+    val plannedN = planned(joined.queryExecution.executedPlan)
+    assert(plannedN > 0, "no SnapshotScan in the executed join plan")
+    assert(plannedN < 4,
+      s"runtime join keys did not prune: planned $plannedN/4 files")
   }
 
   test("timestampAsOf resolves the newest version committed at or before the instant") {
