@@ -15,6 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL MERGE INTO on snapshot-catalog tables → the engine's own
     // zone-map-planned copy-on-write upsert (plans.ResolveSnapshotMerge)
     ext.injectResolutionRule(session => plans.ResolveSnapshotMerge(session))
+    // reads of versions carrying merge-on-read deletion vectors →
+    // the DV-aware composed read (plans.ResolveSnapshotDvRead)
+    ext.injectResolutionRule(session => plans.ResolveSnapshotDvRead(session))
     ext.injectFunction((
       FunctionIdentifier("graft_tokenize"),
       new ExpressionInfo(classOf[functions.DictTokenize].getName, "graft_tokenize"),

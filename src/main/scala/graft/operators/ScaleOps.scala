@@ -181,8 +181,11 @@ object ScaleOps extends QueryModule {
     * a CAS/log-append commit; the reader contract is unchanged. */
   def publishSnapshot(s: SparkSession, root: String, df: DataFrame,
       statsCol: Option[String] = None, statsBloom: Boolean = false): Long =
-    commitVersion(s, root, df, parentLines = Nil, statsCol, tag = None,
-      statsBloom = statsBloom)
+    // a full overwrite replaces whatever the head is — commutes with
+    // any interleaved commit, so a slot-race loser just retries
+    retryingCommit(s, root, dmlGuard = false)(
+      commitVersion(s, root, df, parentLines = Nil, statsCol, tag = None,
+        statsBloom = statsBloom))
 
   /** Publish `df` as the next snapshot version WITHOUT rewriting the
     * existing data: the new manifest lists the PARENT version's
@@ -200,7 +203,16 @@ object ScaleOps extends QueryModule {
 
   def appendSnapshot(s: SparkSession, root: String, df: DataFrame,
       statsCol: Option[String] = None, tag: Option[String] = None,
-      statsBloom: Boolean = false): Long = {
+      statsBloom: Boolean = false): Long =
+    // appends COMMUTE with any interleaved commit: a loser re-plans
+    // against the new head and re-lands the batch (retryingCommit) —
+    // two concurrent writers both land instead of one throwing
+    retryingCommit(s, root, dmlGuard = false)(
+      appendSnapshotAttempt(s, root, df, statsCol, tag, statsBloom))
+
+  private def appendSnapshotAttempt(s: SparkSession, root: String,
+      df: DataFrame, statsCol: Option[String], tag: Option[String],
+      statsBloom: Boolean): Long = {
     val vs = snapshotVersions(s, root)
     // The append hot path writes a DELTA manifest: `#parent:<v>` plus
     // only this batch's lines — O(batch) metadata per append instead
@@ -250,8 +262,14 @@ object ScaleOps extends QueryModule {
     * compact() for small files. */
   def snapshotAppendOnce(s: SparkSession, root: String, df: DataFrame,
       tag: String, statsCol: Option[String] = None): Option[Long] =
-    if (lastCommittedTag(s, root).contains(tag)) None
-    else Some(appendSnapshot(s, root, df, statsCol, Some(tag)))
+    // the retry wraps probe AND attempt so a lost race RE-PROBES the
+    // tag — if the winner was a same-tag replay racer, the retry
+    // must absorb rather than double-commit the batch
+    retryingCommit(s, root, dmlGuard = false) {
+      if (lastCommittedTag(s, root).contains(tag)) None
+      else Some(appendSnapshotAttempt(s, root, df, statsCol, Some(tag),
+        statsBloom = false))
+    }
 
   /** The LAST TAGGED version's tag: the replay probe for the
     * idempotent sinks. Scans backwards past UNTAGGED versions —
@@ -346,7 +364,9 @@ object ScaleOps extends QueryModule {
       tag: Option[String], statsBloom: Boolean = false,
       parentRef: Option[Long] = None,
       cdf: Option[(DataFrame, DataFrame)] = None,
-      expectParent: Option[Long] = None): Long = {
+      expectParent: Option[Long] = None,
+      dvNew: Option[DataFrame] = None,
+      writeData: Boolean = true): Long = {
     require(parentRef.isEmpty || parentLines.isEmpty,
       "a delta manifest names its parent instead of carrying its lines")
     import org.apache.hadoop.fs.Path
@@ -357,11 +377,50 @@ object ScaleOps extends QueryModule {
     val att = java.util.UUID.randomUUID().toString.take(8)
     val tmpData = new Path(rootP, s".tmp-data-v$next-$att")
     val dataDir = new Path(rootP, s"data-v$next-$att")
-    df.write.mode("overwrite").parquet(tmpData.toString)
-    require(fs.rename(tmpData, dataDir), s"publish: data rename failed for v$next")
-    val newStatus = fs.listStatus(dataDir)
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .sortBy(_.getPath.toString)
+    // `writeData = false` = a METADATA-ONLY commit (the pure MoR
+    // delete: new lines are re-pointed parent lines, no data moves).
+    // Spark deliberately writes one schema-carrying part file even
+    // for an empty frame, so "write an empty df" is NOT a no-op — it
+    // would add one stray empty file to the store per point delete.
+    if (writeData) {
+      df.write.mode("overwrite").parquet(tmpData.toString)
+      require(fs.rename(tmpData, dataDir), s"publish: data rename failed for v$next")
+    }
+    // MERGE-ON-READ deletion vectors: `dvNew` carries the CUMULATIVE
+    // (f, pos) deleted rows for a subset of parentLines' files — land
+    // them attempt-private under the dir the re-pointed lines will
+    // name (pre-commit, like data: the rename below publishes the
+    // manifest that references it; a loser deletes its own dir).
+    val dvDirName = s"dv-v$next-$att"
+    val dvCounts: Map[String, Long] = dvNew match {
+      case None => Map.empty
+      case Some(rows) =>
+        val tmpDv = new Path(rootP, s".tmp-dv-v$next-$att")
+        rows.write.mode("overwrite").parquet(tmpDv.toString)
+        val counts = s.read.parquet(tmpDv.toString)
+          .groupBy(col("f")).agg(count(lit(1)).as("n"))
+          .collect() // bounded: one row per DV'd file
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (counts.isEmpty) { fs.delete(tmpDv, true); Map.empty }
+        else {
+          require(fs.rename(tmpDv, new Path(rootP, dvDirName)),
+            s"publish: dv rename failed for v$next")
+          counts
+        }
+    }
+    // re-point the named files' lines at THIS commit's dv dir (their
+    // old field, if any, is superseded — dvNew is cumulative)
+    val effectiveParent = parentLines.map { l =>
+      dvCounts.get(l.split('\t')(0)) match {
+        case Some(n) => withDvField(l, dvDirName, n)
+        case None => l
+      }
+    }
+    val newStatus =
+      if (!writeData) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(dataDir)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.toString)
     val newFiles = newStatus.map(_.getPath.toString).toSeq
     // per-file byte sizes, stamped on each manifest line (`sz:<n>`)
     // so downstream byte-budget planning never re-stats the files
@@ -496,12 +555,22 @@ object ScaleOps extends QueryModule {
       val all = (parentCols ++ statsColumns).distinct
       if (all.isEmpty) Nil else Seq(STATSCOLS_HEADER + all.mkString(","))
     }
+    // `#dvs:` header — the O(1) "this version carries deletion
+    // vectors" probe every read path checks before choosing the
+    // plain scan plan. Full-listing commits answer from their own
+    // lines; a delta append inherits the parent's flag (its carried
+    // lines may hold dv fields this manifest never sees).
+    val dvsHeader: Seq[String] =
+      if ((effectiveParent ++ newLines).exists(l => dvOf(l).isDefined) ||
+        parentRef.exists(p => snapshotHasDvs(s, root, p)))
+        Seq("#dvs:1")
+      else Nil
     val text = (tag.toSeq.map(TAG_HEADER + _) ++
       parentRef.toSeq.map(PARENT_HEADER + _) ++
       Seq(SCHEMA_HEADER + schema.json,
         TS_HEADER + System.currentTimeMillis()) ++
-      statsHeader ++
-      parentLines ++ newLines)
+      statsHeader ++ dvsHeader ++
+      effectiveParent ++ newLines)
       .mkString("\n")
     val tmp = new Path(rootP, s"_manifests/.tmp-v$next-$att")
     val out = fs.create(tmp, true)
@@ -585,6 +654,7 @@ object ScaleOps extends QueryModule {
       if (!committedOurs) { // lost the commit race — clean own debris
         fs.delete(tmp, false)
         fs.delete(dataDir, true)
+        if (dvCounts.nonEmpty) fs.delete(new Path(rootP, dvDirName), true)
         if (cdf.isDefined) fs.delete(tmpCh, true)
         throw new IllegalStateException(
           s"publish: lost the commit race for v$next")
@@ -604,6 +674,57 @@ object ScaleOps extends QueryModule {
     // accumulate one-per-version in _manifests/ forever
     fs.delete(claimP, false)
     next
+  }
+
+  /** BOUNDED RE-PLAN-AND-RETRY for commits that lose the optimistic
+    * race: `body` plans against the CURRENT head and commits with
+    * expectParent; a loser re-runs it (re-reading the new head,
+    * re-landing its data under a fresh attempt id) when the
+    * interleaved commits COMMUTE with the operation:
+    *
+    *  - APPENDS (`dmlGuard = false`) retry against anything — an
+    *    append planned after ANY commit is the same append, and the
+    *    serial order "their commit, then ours" is exactly what the
+    *    retry produces. Two concurrent streaming sinks now both land
+    *    instead of one throwing.
+    *  - DML/maintenance (`dmlGuard = true`) retries only when every
+    *    intervening hop is a PURE APPEND (the line-grain check):
+    *    re-running a DELETE/UPDATE/MERGE against "head + some new
+    *    rows" applies the statement to the new table state, the
+    *    serializable outcome. An intervening REWRITE (another DML,
+    *    compaction, z-order) conflicts — the statement's planning
+    *    premises changed under it — and the loser still refuses
+    *    loudly, the Delta ConcurrentModificationException stance.
+    *
+    * The retry cap and the jittered backoff bound claim-slot
+    * livelock between symmetric retriers. */
+  private[graft] def retryingCommit[T](s: SparkSession, root: String,
+      dmlGuard: Boolean)(body: => T): T = {
+    val max = s.conf.get("spark.graft.snapshot.commitRetries", "3").toInt
+    var attempt = 0
+    while (true) {
+      val before = snapshotVersions(s, root).lastOption.getOrElse(0L)
+      try return body
+      catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("lost the commit race") =>
+          attempt += 1
+          if (attempt > max) throw e
+          if (dmlGuard) {
+            val now = snapshotVersions(s, root)
+            val intervening = now.filter(_ > before)
+            val appendsOnly = intervening.forall(v =>
+              now.contains(v - 1) && isPureAppendHop(s, root, v - 1, v))
+            if (!appendsOnly) throw new IllegalStateException(
+              "concurrent rewrite commit(s) " +
+                s"${intervening.mkString(", ")} conflict with this " +
+                "operation; inspect the new head and re-run it " +
+                "deliberately", e)
+          }
+          Thread.sleep(50L + scala.util.Random.nextInt(150))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Did a repairer finish OUR commit? — consulted by a writer that
@@ -889,6 +1010,20 @@ object ScaleOps extends QueryModule {
   private[graft] def manifestFiles(s: SparkSession, root: String, v: Long): Seq[String] =
     manifestDataLines(s, root, v).map(_.split('\t')(0))
 
+  /** Is hop parent→v a PURE APPEND (child's manifest carries every
+    * parent LINE verbatim, plus new ones)? — the incremental-consumer
+    * cue. The check is on LINES, not file paths: a merge-on-read
+    * delete keeps the exact file SET and changes only a line's `dv:`
+    * field, so a path-level subset test would call it an append and
+    * silently emit an EMPTY hop where a delete happened. Appends
+    * always carry parent lines verbatim (delta manifests by
+    * construction, checkpoints by copy), so the stricter test never
+    * demotes a real append. */
+  private[graft] def isPureAppendHop(s: SparkSession, root: String,
+      parent: Long, v: Long): Boolean =
+    manifestDataLines(s, root, parent).toSet
+      .subsetOf(manifestDataLines(s, root, v).toSet)
+
   /** One column's per-file stats as a manifest line carries them. */
   private case class FileColStats(lo: Long, hi: Long, bloom: Option[String])
 
@@ -934,6 +1069,18 @@ object ScaleOps extends QueryModule {
     }
     v ^ Long.MinValue
   }
+
+  /** [[stringPrefix64]] as a COLUMN (codegen'd builtins only — no
+    * UDF): first 8 UTF-8 bytes, hex-packed, right-zero-padded,
+    * decoded base-16, sign-flipped by subtracting 2^63 (unsigned u
+    * XOR MinValue == u − 2^63 over the 64-bit ring, and the decimal
+    * intermediate holds the full unsigned range exactly). Value
+    * parity with the JVM function is pinned in ZOrderSpec. */
+  private[graft] def stringPrefix64Col(c: Column): Column =
+    (conv(rpad(hex(substring(encode(c, "UTF-8"), 1, 8)), 16, "0"), 16, 10)
+      .cast(DecimalType(21, 0)) -
+      lit(new java.math.BigDecimal("9223372036854775808")))
+      .cast(LongType)
 
   /** The (min, max) aggregate pair that lands column `c` in stat
     * space, by the WRITTEN schema's type: integral as itself, DATE as
@@ -983,9 +1130,10 @@ object ScaleOps extends QueryModule {
     val arr = line.split('\t')
     val path = arr(0)
     // the `sz:<bytes>` field (committed since the byte-budget pacing
-    // landed) is metadata about the FILE, not a column — invisible to
-    // stats resolution, read by [[manifestFileSizes]]
-    val fields = arr.drop(1).filterNot(isSizeField)
+    // landed) and the `dv:<dir>:<n>` deletion-vector field are
+    // metadata about the FILE, not a column — invisible to stats
+    // resolution, read by [[manifestFileSizes]] / [[manifestDvs]]
+    val fields = arr.drop(1).filterNot(f => isSizeField(f) || isDvField(f))
     if (fields.length >= 2 && !fields(0).contains('=')) {
       val bloom = if (fields.length >= 3) Some(fields(2)) else None
       (path, Map("" -> FileColStats(fields(0).toLong, fields(1).toLong, bloom)))
@@ -1019,6 +1167,126 @@ object ScaleOps extends QueryModule {
       val arr = line.split('\t')
       arr.drop(1).find(isSizeField).map(f => arr(0) -> f.drop(3).toLong)
     }.toMap
+
+  // ---------------------------------------------------------------
+  // Deletion vectors — merge-on-read row-level deletes
+  // ---------------------------------------------------------------
+
+  /** `dv:<dir>:<count>` — the per-file DELETION-VECTOR field (the
+    * Delta/Iceberg merge-on-read shape): `dir` is a root-relative
+    * directory of (f, pos) parquet rows naming the file's DELETED
+    * row positions (parquet `_metadata.row_index` space — `f` is the
+    * file path exactly as `_metadata.file_path` and the manifest both
+    * render it), `count` the file's deleted-row count. A line's DV
+    * set is CUMULATIVE: a second delete on the same file writes the
+    * union into the new commit's dir and re-points the line, so one
+    * dir reference per line always suffices, and DV'd positions are
+    * MONOTONE per physical file (rows never un-delete; rewrites make
+    * NEW files). Reads anti-join the dir's rows out; writes that
+    * rewrite a file drop its field (the rewrite materialized the
+    * deletes). Readers that predate the field would resurrect
+    * deleted rows silently — which is why a version carrying any DV
+    * also carries the `#dvs:` header and every read path checks it. */
+  private def isDvField(f: String): Boolean = f.startsWith("dv:")
+
+  /** Parse a line's DV field → (root-relative dir, deleted count). */
+  private def dvOf(line: String): Option[(String, Long)] =
+    line.split('\t').drop(1).find(isDvField).map { f =>
+      val body = f.drop(3)
+      val cut = body.lastIndexOf(':')
+      (body.substring(0, cut), body.substring(cut + 1).toLong)
+    }
+
+  /** file path → (dv dir, deleted count) for every line carrying a
+    * deletion vector at version `v`. */
+  private[graft] def manifestDvs(s: SparkSession, root: String,
+      v: Long): Map[String, (String, Long)] =
+    manifestDataLines(s, root, v).flatMap { line =>
+      dvOf(line).map(line.split('\t')(0) -> _)
+    }.toMap
+
+  /** Does version `v` carry ANY deletion vector? — one manifest
+    * header read (`#dvs:`, stamped at commit), never a line scan:
+    * every read path probes this per plan, so it must stay O(1). */
+  private[graft] def snapshotHasDvs(s: SparkSession, root: String,
+      v: Long): Boolean =
+    manifestHeaders(s, root, v).contains("dvs")
+
+  /** A line with its DV field replaced (or added). */
+  private def withDvField(line: String, dir: String, count: Long): String =
+    (line.split('\t').filterNot(isDvField) :+ s"dv:$dir:$count")
+      .mkString("\t")
+
+  /** The CURRENT deleted (f, pos) rows of the given manifest lines —
+    * the union read of their referenced dv dirs, restricted to the
+    * lines' own files (a shared dir may also carry rows for files
+    * these lines don't name). Empty-schema frame when none. */
+  private[graft] def dvRowsOf(s: SparkSession, root: String,
+      lines: Seq[String]): DataFrame = {
+    val withDv = lines.flatMap(l => dvOf(l).map(l.split('\t')(0) -> _._1))
+    if (withDv.isEmpty)
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("f", StringType),
+          StructField("pos", LongType))))
+    else {
+      val dirs = withDv.map(_._2).distinct
+      s.read.parquet(dirs.map(dir =>
+          new org.apache.hadoop.fs.Path(root, dir).toString): _*)
+        .filter(col("f").isin(withDv.map(_._1): _*))
+        .select(col("f"), col("pos"))
+    }
+  }
+
+  /** DV-AWARE READ of a set of manifest lines — THE read doorway
+    * every path that opens snapshot data files goes through once a
+    * store can carry deletion vectors. Clean lines read straight
+    * (and keep Spark's plain scan plan); DV'd lines read with the
+    * parquet reader's (file_path, row_index) metadata attached and
+    * LEFT ANTI join their dirs' (f, pos) rows out — the deleted-row
+    * count is known from the manifest, so a small DV side broadcasts
+    * (metadata-driven join strategy, no stats estimation roulette).
+    * `schema` (the version's merged header schema) null-fills evolved
+    * columns; without it `merged` selects plain vs mergeSchema
+    * footer resolution, preserving each caller's historic contract. */
+  private[graft] def readLinesDv(s: SparkSession, root: String,
+      lines: Seq[String], schema: Option[StructType],
+      merged: Boolean): DataFrame = {
+    def rd(files: Seq[String]): DataFrame = schema match {
+      case Some(sc) => s.read.schema(sc).parquet(files: _*)
+      case None if merged =>
+        s.read.option("mergeSchema", "true").parquet(files: _*)
+      case None => s.read.parquet(files: _*)
+    }
+    val dvd = lines.filter(dvOf(_).isDefined)
+    if (dvd.isEmpty) rd(lines.map(_.split('\t')(0)))
+    else {
+      val dvdPaths = dvd.map(_.split('\t')(0))
+      val clean = lines.map(_.split('\t')(0)).filterNot(dvdPaths.toSet)
+      val deletedRows = dvd.flatMap(dvOf).map(_._2).sum
+      val delDf = dvRowsOf(s, root, dvd)
+        .select(col("f").as("__graft_dv_f"), col("pos").as("__graft_dv_p"))
+      val del = if (deletedRows <= 2000000L) broadcast(delDf) else delDf
+      val masked = rd(dvdPaths)
+        .withColumn("__graft_dv_f", col("_metadata.file_path"))
+        .withColumn("__graft_dv_p", col("_metadata.row_index"))
+        .join(del, Seq("__graft_dv_f", "__graft_dv_p"), "left_anti")
+        .drop("__graft_dv_f", "__graft_dv_p")
+      if (clean.isEmpty) masked
+      else masked.unionByName(rd(clean), allowMissingColumns = true)
+    }
+  }
+
+  /** DV-aware read of a FILE SUBSET of version `v` under an explicit
+    * schema — the streaming source's bootstrap slices go through
+    * this (a raw parquet read of a DV'd bootstrap version would
+    * resurrect every deleted row into the stream). */
+  private[graft] def readFilesDv(s: SparkSession, root: String, v: Long,
+      files: Seq[String], schema: StructType): DataFrame = {
+    val fset = files.toSet
+    val lines = manifestDataLines(s, root, v)
+      .filter(l => fset(l.split('\t')(0)))
+    readLinesDv(s, root, lines, Some(schema), merged = true)
+  }
 
   /** Column `c`'s stats from a parsed line: the named entry, else —
     * only when `allowPositional` — the positional one. A positional
@@ -1176,8 +1444,9 @@ object ScaleOps extends QueryModule {
     val bounds = manifestBounds(s, root, v, colName)
     val blooms = manifestBlooms(s, root, v, colName)
     val posOf = bloomKeyPositions(s, keys.distinct)
-    val files = manifestFiles(s, root, v)
-    val kept = files.filter { f =>
+    val lines = manifestDataLines(s, root, v)
+    val kept = lines.filter { l =>
+      val f = l.split('\t')(0)
       keys.exists { k =>
         bounds.get(f).forall { case (mn, mx) => k >= mn && k <= mx } &&
           blooms.get(f).forall(bloomTest(_, posOf(k)))
@@ -1185,11 +1454,12 @@ object ScaleOps extends QueryModule {
     }
     // an empty store (a delete can rewrite the last file away) has
     // no footer to borrow a schema from — surface that, don't NPE
-    require(files.nonEmpty,
+    require(lines.nonEmpty,
       s"snapshot v$v lists no data files; key lookup has no schema source")
-    val base = if (kept.nonEmpty) s.read.parquet(kept: _*)
+    val base = if (kept.nonEmpty)
+      readLinesDv(s, root, kept, schema = None, merged = false)
       // every file proven key-free: one footer for the schema, 0 rows
-      else s.read.parquet(files.head).limit(0)
+      else s.read.parquet(lines.head.split('\t')(0)).limit(0)
     base.filter(col(colName).isin(keys.distinct: _*))
   }
 
@@ -1411,9 +1681,33 @@ object ScaleOps extends QueryModule {
       }
     }
     var bytes = 0L
+    var reclaimedDv = 0L
     reclaim.foreach { f =>
       val p = new Path(f)
       if (fs.exists(p)) { bytes += fs.getFileStatus(p).getLen; fs.delete(p, false) }
+    }
+    // DELETION-VECTOR reference counting: a dv dir lives exactly as
+    // long as some RETAINED manifest line points at it (carry-forward
+    // shares dirs across versions the way appends share data files).
+    // Unreferenced dirs of DECIDED slots are expired history — their
+    // bytes count into the reclaim total (the write-side cost of
+    // merge-on-read is bounded BY THIS sweep plus compaction's
+    // materialization, and both are auditable).
+    val referencedDv = retainedVs
+      .flatMap(v => manifestDvs(s, root, v).values.map(_._1)).toSet
+    val dvDirRe = "dv-v(\\d+)(-.*)?".r
+    vs.lastOption.foreach { last =>
+      fs.listStatus(new Path(root)).filter(_.isDirectory).foreach { d =>
+        d.getPath.getName match {
+          case dvDirRe(vStr, _) if vStr.toLong <= last &&
+              !referencedDv(d.getPath.getName) =>
+            bytes += fs.listStatus(d.getPath).filter(_.isFile)
+              .map(_.getLen).sum
+            reclaimedDv += 1
+            fs.delete(d.getPath, true)
+          case _ =>
+        }
+      }
     }
     expired.foreach { v =>
       // an expired version's release report goes with it — report
@@ -1450,7 +1744,7 @@ object ScaleOps extends QueryModule {
     // publish window). Swept only when the slot is decided AND the
     // dir has aged past the grace — a claimed-but-mid-rename commit
     // at N == last must not have its feed swept from under it.
-    val tmpDirRe = "\\.tmp-(?:data|changes)-v(\\d+)-.*".r
+    val tmpDirRe = "\\.tmp-(?:data|changes|dv)-v(\\d+)-.*".r
     val retained = retainedVs
     val referencedRel = retained
       .filter(v => fs.exists(new Path(root, s"_manifests/v$v.release")))
@@ -1507,7 +1801,7 @@ object ScaleOps extends QueryModule {
           }
         }
     }
-    (reclaim.size.toLong, bytes)
+    (reclaim.size.toLong + reclaimedDv, bytes)
   }
 
   /** TIMESTAMP AS OF resolution (the Delta/Iceberg time-travel
@@ -1540,7 +1834,10 @@ object ScaleOps extends QueryModule {
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
-    s.read.parquet(manifestFiles(s, root, v): _*)
+    if (!snapshotHasDvs(s, root, v)) // one header probe; keeps the
+      s.read.parquet(manifestFiles(s, root, v): _*) // plain scan plan
+    else readLinesDv(s, root, manifestDataLines(s, root, v),
+      schema = None, merged = false)
   }
 
   /** ZONE-MAP-PRUNED snapshot read: plan only the manifest files
@@ -1560,11 +1857,15 @@ object ScaleOps extends QueryModule {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
     val stats = manifestBounds(s, root, v, colName)
-    val files = manifestFiles(s, root, v)
-    val kept = files.filter(f =>
-      stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
-    val base = if (kept.nonEmpty) s.read.parquet(kept: _*)
-      else s.read.parquet(files: _*) // schema-only; predicate yields 0 rows
+    val lines = manifestDataLines(s, root, v)
+    val kept = lines.filter { l =>
+      val f = l.split('\t')(0)
+      stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    val base = if (kept.nonEmpty)
+      readLinesDv(s, root, kept, schema = None, merged = false)
+    else s.read.parquet(lines.map(_.split('\t')(0)): _*)
+      // schema-only; predicate yields 0 rows (no DV masking needed)
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
 
@@ -1932,8 +2233,7 @@ object ScaleOps extends QueryModule {
               "versions directly (s04 content diff) instead")
         } else {
           val parent = v - 1
-          val pureAppend = manifestFiles(s, root, parent).toSet
-            .subsetOf(manifestFiles(s, root, v).toSet)
+          val pureAppend = isPureAppendHop(s, root, parent, v)
           if (pureAppend)
             readSnapshotChanges(s, root, parent, v)
               .withColumn("_change_type", lit("insert"))
@@ -1954,6 +2254,20 @@ object ScaleOps extends QueryModule {
       acc.unionByName(hopRows, allowMissingColumns = true)
     }
   }
+
+  /** The ONE read doorway for DML rewrites (delete/update/merge
+    * touched-file reads): the named manifest lines' files, read under
+    * the VERSION's merged header schema — on a schema-evolved store a
+    * footer-inferred schema over the touched SUBSET can lack a column
+    * other files carry, and a rewrite through it would silently drop
+    * those values (reads null-fill afterwards). Pre-header stores pay
+    * the one mergeSchema footer sweep over the touched files only. */
+  private def readTouched(s: SparkSession, root: String, v: Long,
+      lines: Seq[String]): DataFrame =
+    // DV-aware: a rewrite that read a DV'd file raw would resurrect
+    // its deleted rows INTO the rewrite — the one way a committed
+    // delete could silently un-happen
+    readLinesDv(s, root, lines, snapshotSchema(s, root, v), merged = true)
 
   /** COPY-ON-WRITE row-level DELETE: commit a new version whose
     * content is the latest version's minus rows with `colName` in
@@ -1979,7 +2293,12 @@ object ScaleOps extends QueryModule {
     * a conservative enclosing range on the stats column (or rewrites
     * everything when it can't). Returns the committed version. */
   def deleteFromSnapshot(s: SparkSession, root: String, colName: String,
-      lo: Long, hi: Long): Long = {
+      lo: Long, hi: Long): Long =
+    retryingCommit(s, root, dmlGuard = true)(
+      deleteFromSnapshotAttempt(s, root, colName, lo, hi))
+
+  private def deleteFromSnapshotAttempt(s: SparkSession, root: String,
+      colName: String, lo: Long, hi: Long): Long = {
     val vs = snapshotVersions(s, root)
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val v = vs.last
@@ -1992,7 +2311,7 @@ object ScaleOps extends QueryModule {
     val keepStats = (statsColumnsOf(s, root, v) :+ colName).distinct
     // NULLs are outside every range: keep them (a bare NOT BETWEEN
     // would silently delete null-keyed rows through three-valued logic)
-    val base = s.read.parquet(touched.map(_.split('\t')(0)): _*)
+    val base = readTouched(s, root, v, touched)
     val kept = base.filter(col(colName).isNull ||
       !(col(colName) >= lo && col(colName) <= hi))
     val dropped = base.filter(col(colName) >= lo && col(colName) <= hi)
@@ -2018,21 +2337,97 @@ object ScaleOps extends QueryModule {
     * lands with a change feed of the dropped rows. Returns the
     * committed version (or the current one when no file can hold a
     * match — a no-op needs no commit). */
+  /** MoR policy gate: `mor` forces merge-on-read, `cow` forces the
+    * rewrite, `auto` (the SQL default) picks merge-on-read when the
+    * touched-file FRACTION is at most
+    * `spark.graft.snapshot.morMaxTouchedFraction` (default 0.2) —
+    * the regime where rewriting whole files to drop a few rows is
+    * pure write amplification (the round-12 CDC-sink scale-killer: a
+    * 1,000-key micro-batch spread over 1,000 files of a 100 TB store
+    * rewrote ~1,000 files per trigger, forever). A broad delete
+    * keeps the copy-on-write path: its rewrite IS the materialization
+    * and leaves no read-side debt. */
+  private def morChosen(s: SparkSession, mode: String,
+      touched: Int, total: Int): Boolean = mode match {
+    case "mor" => true
+    case "cow" => false
+    case "auto" =>
+      val frac = s.conf
+        .get("spark.graft.snapshot.morMaxTouchedFraction", "0.2").toDouble
+      total > 0 && touched.toDouble / total <= frac
+    case other => throw new IllegalArgumentException(
+      s"snapshot DML mode must be auto|cow|mor, got '$other'")
+  }
+
+  /** The touched files' LIVE rows (existing deletion vectors already
+    * anti-joined out) with `__graft_dv_f`/`__graft_dv_p` position
+    * columns attached — the MoR write paths' shared read: new DV
+    * positions come from these columns, preimages from the rows. */
+  private def readTouchedWithPos(s: SparkSession, root: String, v: Long,
+      lines: Seq[String]): DataFrame = {
+    val files = lines.map(_.split('\t')(0))
+    val raw = (snapshotSchema(s, root, v) match {
+      case Some(sc) => s.read.schema(sc)
+      case None => s.read.option("mergeSchema", "true")
+    }).parquet(files: _*)
+      .withColumn("__graft_dv_f", col("_metadata.file_path"))
+      .withColumn("__graft_dv_p", col("_metadata.row_index"))
+    val oldDf = dvRowsOf(s, root, lines)
+      .select(col("f").as("__graft_dv_f"), col("pos").as("__graft_dv_p"))
+    // manifest-known DV cardinality decides the join strategy, the
+    // same metadata-driven broadcast as readLinesDv
+    val deleted = lines.flatMap(dvOf).map(_._2).sum
+    val old = if (deleted <= 2000000L) broadcast(oldDf) else oldDf
+    raw.join(old, Seq("__graft_dv_f", "__graft_dv_p"), "left_anti")
+  }
+
   private[graft] def deleteWhereSnapshot(s: SparkSession, root: String,
-      pred: Column, constraints: Seq[ColConstraint]): Long = {
+      pred: Column, constraints: Seq[ColConstraint],
+      mode: String = "auto"): Long =
+    retryingCommit(s, root, dmlGuard = true)(
+      deleteWhereSnapshotAttempt(s, root, pred, constraints, mode))
+
+  private def deleteWhereSnapshotAttempt(s: SparkSession, root: String,
+      pred: Column, constraints: Seq[ColConstraint],
+      mode: String): Long = {
     val vs = snapshotVersions(s, root)
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val v = vs.last
     val (_, candidates) = planSnapshotFiles(s, root, Some(v), constraints)
     val cand = candidates.toSet
-    val (touched, untouched) = manifestDataLines(s, root, v)
+    val lines = manifestDataLines(s, root, v)
+    val (touched, untouched) = lines
       .partition(l => cand.contains(l.split('\t')(0)))
     if (touched.isEmpty) return v
     val keepStats = (statsColumnsOf(s, root, v) ++
       snapshotStatsCols(s, root, v).toSeq
         .flatMap(_.split(',')).map(_.trim)).filter(_.nonEmpty).distinct
-    val base = s.read.parquet(touched.map(_.split('\t')(0)): _*)
     val hit = coalesce(pred, lit(false))
+    if (morChosen(s, mode, touched.size, lines.size)) {
+      // MERGE-ON-READ: the deleted rows' (file, position) pairs land
+      // as a deletion vector; NO data file is written or rewritten —
+      // a point delete costs one tiny parquet dir plus a manifest,
+      // whatever the store size. Reads anti-join the positions out;
+      // compaction materializes them away on its own cadence.
+      val live = readTouchedWithPos(s, root, v, touched)
+      val hits = live.filter(hit)
+      if (hits.limit(1).count() == 0L) return v // nothing matched: no-op
+      val dropped = hits.drop("__graft_dv_f", "__graft_dv_p")
+      val dvRows = dvRowsOf(s, root, touched).unionByName(
+        hits.select(col("__graft_dv_f").as("f"),
+          col("__graft_dv_p").as("pos")))
+      return commitVersion(s, root, dropped.limit(0),
+        parentLines = untouched ++ touched, statsCol = None, tag = None,
+        cdf = Some((dropped.limit(0), dropped)), expectParent = Some(v),
+        dvNew = Some(dvRows), writeData = false)
+    }
+    // read with the VERSION's merged header schema: on a schema-
+    // evolved store the touched subset's footer-inferred schema can
+    // lack a column some OTHER touched file carries — a bare
+    // s.read.parquet would silently drop those values from the
+    // rewrite (mergeIntoSnapshot's mergeSchema rationale, applied to
+    // every DML rewrite read)
+    val base = readTouched(s, root, v, touched)
     val kept = base.filter(!hit)
     val dropped = base.filter(hit)
     commitVersion(s, root, kept, parentLines = untouched,
@@ -2053,37 +2448,75 @@ object ScaleOps extends QueryModule {
     * committed version (current one when no file can hold a match). */
   private[graft] def updateWhereSnapshot(s: SparkSession, root: String,
       pred: Column, sets: Seq[(String, Column)],
-      constraints: Seq[ColConstraint]): Long = {
+      constraints: Seq[ColConstraint], mode: String = "auto"): Long =
+    retryingCommit(s, root, dmlGuard = true)(
+      updateWhereSnapshotAttempt(s, root, pred, sets, constraints, mode))
+
+  private def updateWhereSnapshotAttempt(s: SparkSession, root: String,
+      pred: Column, sets: Seq[(String, Column)],
+      constraints: Seq[ColConstraint], mode: String): Long = {
     val vs = snapshotVersions(s, root)
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val v = vs.last
     val (_, candidates) = planSnapshotFiles(s, root, Some(v), constraints)
     val cand = candidates.toSet
-    val (touched, untouched) = manifestDataLines(s, root, v)
+    val lines = manifestDataLines(s, root, v)
+    val (touched, untouched) = lines
       .partition(l => cand.contains(l.split('\t')(0)))
     if (touched.isEmpty) return v
     val keepStats = (statsColumnsOf(s, root, v) ++
       snapshotStatsCols(s, root, v).toSeq
         .flatMap(_.split(',')).map(_.trim)).filter(_.nonEmpty).distinct
-    val base = s.read.parquet(touched.map(_.split('\t')(0)): _*)
+    if (morChosen(s, mode, touched.size, lines.size)) {
+      // MERGE-ON-READ UPDATE = DV the old images + APPEND the new:
+      // write amplification is the MATCHED rows' bytes, not the
+      // touched files' — the point-update regime
+      val schema = snapshotSchema(s, root, v).getOrElse(
+        readSnapshotMerged(s, root, Some(v)).schema)
+      val live = readTouchedWithPos(s, root, v, touched)
+      val hits = live.filter(coalesce(pred, lit(false)))
+      if (hits.limit(1).count() == 0L) return v
+      val before = hits.drop("__graft_dv_f", "__graft_dv_p")
+      val setFor = sets.map { case (c, e) => c.toLowerCase -> e }.toMap
+      val after = before.select(schema.fields.toIndexedSeq.map { f =>
+        setFor.get(f.name.toLowerCase) match {
+          case Some(value) => value.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      val dvRows = dvRowsOf(s, root, touched).unionByName(
+        hits.select(col("__graft_dv_f").as("f"),
+          col("__graft_dv_p").as("pos")))
+      return commitVersion(s, root, after,
+        parentLines = untouched ++ touched,
+        statsCol = Some(keepStats.mkString(",")).filter(_.nonEmpty),
+        tag = None, cdf = Some((after, before)), expectParent = Some(v),
+        dvNew = Some(dvRows))
+    }
+    // merged header schema — same rationale as deleteWhereSnapshot
+    val base = readTouched(s, root, v, touched)
     // the match flag is evaluated on the OLD row image and carried
     // through the projection — re-evaluating the predicate on
     // updated values would mislabel rows whose SET changes the very
     // column the WHERE tests
     val hit = coalesce(pred, lit(false))
     val setFor = sets.map { case (c, e) => c.toLowerCase -> e }.toMap
-    val flagged = base.withColumn("__graft_hit", hit)
+    // the flag column's name must not collide with a table that
+    // already carries one — suffix until free (deterministic walk)
+    val hitCol = Iterator.from(0).map(i => s"__graft_hit$i")
+      .find(n => !base.columns.exists(_.equalsIgnoreCase(n))).get
+    val flagged = base.withColumn(hitCol, hit)
     val rewritten = flagged.select((base.schema.fields.map { f =>
       setFor.get(f.name.toLowerCase) match {
         case Some(value) =>
-          when(col("__graft_hit"), value.cast(f.dataType))
+          when(col(hitCol), value.cast(f.dataType))
             .otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
       }
-    } :+ col("__graft_hit")).toIndexedSeq: _*)
+    } :+ col(hitCol)).toIndexedSeq: _*)
     val before = base.filter(hit)
-    val after = rewritten.filter(col("__graft_hit")).drop("__graft_hit")
-    commitVersion(s, root, rewritten.drop("__graft_hit"),
+    val after = rewritten.filter(col(hitCol)).drop(hitCol)
+    commitVersion(s, root, rewritten.drop(hitCol),
       parentLines = untouched,
       statsCol = Some(keepStats.mkString(",")).filter(_.nonEmpty),
       tag = None, cdf = Some((after, before)), expectParent = Some(v))
@@ -2127,7 +2560,14 @@ object ScaleOps extends QueryModule {
     * version. */
   def mergeIntoSnapshot(s: SparkSession, root: String, keyCol: String,
       updates: DataFrame, tag: Option[String] = None,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false, mode: String = "auto"): Long =
+    retryingCommit(s, root, dmlGuard = true)(
+      mergeIntoSnapshotAttempt(s, root, keyCol, updates, tag,
+        evolveSchema, mode))
+
+  private def mergeIntoSnapshotAttempt(s: SparkSession, root: String,
+      keyCol: String, updates: DataFrame, tag: Option[String],
+      evolveSchema: Boolean, mode: String): Long = {
     import s.implicits._
     val dup = updates.agg(count(lit(1)).as("n"),
       count_distinct(col(keyCol)).as("k")).collect()(0) // bounded: one row
@@ -2161,32 +2601,38 @@ object ScaleOps extends QueryModule {
     require(evolveSchema || newCols.isEmpty,
       s"merge batch carries columns the store lacks (${newCols.mkString(",")}); " +
         "pass evolveSchema=true to evolve, or project them away")
-    val statted = lines.map(_.split('\t')(0)).filter(bounds.contains)
-    val hit: Set[String] =
-      if (statted.isEmpty) Set.empty
-      else {
-        val bdf = broadcast(statted.map { f =>
-          val (mn, mx) = bounds(f); (f, mn, mx)
-        }.toDF("__f", "__mn", "__mx"))
-        updates.select(col(keyCol).as("__k"))
-          .join(bdf, col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-          .select(col("__f")).distinct()
-          .collect().map(_.getString(0)).toSet // bounded: touched paths
-      }
-    val (touched, untouched) = lines.partition { line =>
-      val f = line.split('\t')(0)
-      !bounds.contains(f) || hit(f)
-    }
+    val (touched, untouched) = keyTouchedLines(s, lines, bounds,
+      updates, keyCol)
     if (touched.isEmpty)
       return commitVersion(s, root, updates, parentLines = untouched,
         statsCol = bounds.headOption.map(_ => keepStats.mkString(",")), tag,
         cdf = Some((updates, updates.limit(0))), expectParent = Some(v))
-    // mergeSchema: post-evolution, touched files may disagree on
-    // columns among themselves — the union below null-fills whatever
-    // any side physically lacks (the require above already decided
-    // whether NEW columns are allowed in)
-    val base = s.read.option("mergeSchema", "true")
-      .parquet(touched.map(_.split('\t')(0)): _*)
+    if (morChosen(s, mode, touched.size, lines.size)) {
+      // MERGE-ON-READ upsert — the CDC-sink write-amplification fix:
+      // matched preimages become DV positions, the WHOLE batch lands
+      // as new appended files (replaced keys' new images + inserts),
+      // and NOT ONE touched file is rewritten. A steady stream of
+      // small upserts now costs O(batch) writes per trigger instead
+      // of O(touched files); compaction materializes the DVs away on
+      // its own cadence, exactly like the small-file tail.
+      val live = readTouchedWithPos(s, root, v, touched)
+      val matchedRows = live.join(updates.select(col(keyCol)),
+        Seq(keyCol), "left_semi")
+      val replaced = matchedRows.drop("__graft_dv_f", "__graft_dv_p")
+      val dvRows = dvRowsOf(s, root, touched).unionByName(
+        matchedRows.select(col("__graft_dv_f").as("f"),
+          col("__graft_dv_p").as("pos")))
+      return commitVersion(s, root, updates,
+        parentLines = untouched ++ touched,
+        statsCol = bounds.headOption.map(_ => keepStats.mkString(",")),
+        tag, cdf = Some((updates, replaced)), expectParent = Some(v),
+        dvNew = Some(dvRows))
+    }
+    // version's merged header schema: post-evolution, touched files
+    // may disagree on columns among themselves — the header schema
+    // null-fills whatever any file physically lacks (the require
+    // above already decided whether NEW columns are allowed in)
+    val base = readTouched(s, root, v, touched)
     val survivors = base.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
     // CDF decomposes an update into delete(preimage) + insert(row):
     // replaced = touched-file rows whose key a batch row matches
@@ -2211,8 +2657,178 @@ object ScaleOps extends QueryModule {
     * order-dependent answer. */
   def snapshotMergeOnce(s: SparkSession, root: String, keyCol: String,
       updates: DataFrame, tag: String): Option[Long] =
-    if (lastCommittedTag(s, root).contains(tag)) None
-    else Some(mergeIntoSnapshot(s, root, keyCol, updates, Some(tag)))
+    // retry wraps probe AND attempt (see snapshotAppendOnce)
+    retryingCommit(s, root, dmlGuard = true) {
+      if (lastCommittedTag(s, root).contains(tag)) None
+      else Some(mergeIntoSnapshotAttempt(s, root, keyCol, updates,
+        Some(tag), evolveSchema = false, mode = "auto"))
+    }
+
+  /** The MERGE planning metadata join shared by the canonical upsert
+    * and the general SQL executor: a manifest line is TOUCHED iff it
+    * has no key zone map (degrade contract) or some update key lands
+    * inside its `[min, max]` interval. Broadcast of the driver-held
+    * per-file intervals against the batch; the collect is file-grain
+    * paths, bounded by what the batch actually hits. */
+  private def keyTouchedLines(s: SparkSession, lines: Seq[String],
+      bounds: Map[String, (Long, Long)], updates: DataFrame,
+      keyCol: String): (Seq[String], Seq[String]) = {
+    import s.implicits._
+    val statted = lines.map(_.split('\t')(0)).filter(bounds.contains)
+    val hit: Set[String] =
+      if (statted.isEmpty) Set.empty
+      else {
+        val bdf = broadcast(statted.map { f =>
+          val (mn, mx) = bounds(f); (f, mn, mx)
+        }.toDF("__f", "__mn", "__mx"))
+        updates.select(col(keyCol).as("__k"))
+          .join(bdf, col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+          .select(col("__f")).distinct()
+          .collect().map(_.getString(0)).toSet // bounded: touched paths
+      }
+    lines.partition { line =>
+      val f = line.split('\t')(0)
+      !bounds.contains(f) || hit(f)
+    }
+  }
+
+  /** One clause of a GENERAL SQL MERGE, pre-lowered by the resolution
+    * rule ([[graft.plans.ResolveSnapshotMerge]]): `kind` is
+    * update/delete/insert, `condition` and the assignment values are
+    * Columns over the joined frame's `__t_`/`__s_`-prefixed columns
+    * (target/source images of the merge key join). */
+  private[graft] case class GeneralMergeClause(kind: String,
+      condition: Option[Column], assigns: Seq[(String, Column)])
+
+  /** GENERAL COPY-ON-WRITE MERGE — the full SQL MERGE shape family
+    * (clause conditions, `WHEN MATCHED … THEN DELETE`, partial SET
+    * lists, several WHEN clauses in order), which is what applying a
+    * CDC insert/update/delete envelope as ONE statement needs
+    * (reference: BaseDBApp.java:52-62's type field routed row-grain —
+    * here `WHEN MATCHED AND s.type='delete' THEN DELETE`):
+    *
+    * {{{
+    *   MERGE INTO cat.t USING batch s ON t.k = s.k
+    *   WHEN MATCHED AND s.op = 'delete' THEN DELETE
+    *   WHEN MATCHED THEN UPDATE SET val = s.val          -- partial SET
+    *   WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT *
+    * }}}
+    *
+    * Same scale shape as [[mergeIntoSnapshot]] — zone-map planning
+    * picks the touched files, untouched manifest lines carry forward
+    * verbatim — with the row rewrite generalized to SQL MERGE
+    * semantics: one full-outer join of the touched rows against the
+    * batch at key grain, each row routed by the FIRST clause whose
+    * condition is TRUE (a NULL condition keeps/drops per the
+    * WHEN-clause contract, exactly like WHERE), matched rows with no
+    * firing clause ride along unchanged, source rows with no firing
+    * NOT MATCHED clause are discarded. Partial SET lists update ONLY
+    * the assigned columns — every other column carries the target's
+    * value — and INSERT lists null-fill unassigned columns. The
+    * commit lands with a change feed decomposing updates into
+    * delete(preimage)/insert(postimage) rows. Source keys must be
+    * unique (order-dependent multi-matches refuse loudly, the
+    * SQL-standard cardinality rule). Returns the committed version. */
+  private[graft] def mergeGeneralSnapshot(s: SparkSession, root: String,
+      keyCol: String, srcKeyCol: String, updates: DataFrame,
+      matched: Seq[GeneralMergeClause],
+      notMatched: Seq[GeneralMergeClause]): Long =
+    retryingCommit(s, root, dmlGuard = true)(
+      mergeGeneralSnapshotAttempt(s, root, keyCol, srcKeyCol, updates,
+        matched, notMatched))
+
+  private def mergeGeneralSnapshotAttempt(s: SparkSession, root: String,
+      keyCol: String, srcKeyCol: String, updates: DataFrame,
+      matched: Seq[GeneralMergeClause],
+      notMatched: Seq[GeneralMergeClause]): Long = {
+    val dup = updates.agg(count(lit(1)).as("n"),
+      count_distinct(col(srcKeyCol)).as("k")).collect()(0) // bounded: one row
+    require(dup.getLong(0) == dup.getLong(1),
+      s"merge source must have unique non-null '$srcKeyCol' keys " +
+        s"(${dup.getLong(0)} rows, ${dup.getLong(1)} distinct keys)")
+    val vs = snapshotVersions(s, root)
+    require(vs.nonEmpty, s"no committed snapshots under $root — " +
+      "CREATE the table (or publish v1) before a general MERGE")
+    val v = vs.last
+    val lines = manifestDataLines(s, root, v)
+    val bounds = manifestBounds(s, root, v, keyCol)
+    val keepStats = (statsColumnsOf(s, root, v) :+ keyCol).distinct
+    val schema = snapshotSchema(s, root, v).getOrElse(
+      readSnapshotMerged(s, root, Some(v)).schema)
+    val (touched, untouched) = keyTouchedLines(s, lines, bounds,
+      updates, srcKeyCol)
+    val base =
+      if (touched.isEmpty)
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema)
+      else readTouched(s, root, v, touched)
+    val clash = (base.columns ++ updates.columns).filter(c =>
+      c.startsWith("__t_") || c.startsWith("__s_") || c == "__graft_act")
+    require(clash.isEmpty,
+      s"general MERGE reserves __t_/__s_/__graft_act column names; " +
+        s"rename: ${clash.mkString(", ")}")
+    val t = base.select(base.columns.map(c => col(c).as(s"__t_$c")).toSeq :+
+      lit(true).as("__t_p"): _*)
+    val u = updates.select(
+      updates.columns.map(c => col(c).as(s"__s_$c")).toSeq :+
+        lit(true).as("__s_p"): _*)
+    val j = t.join(u, col(s"__t_$keyCol") === col(s"__s_$srcKeyCol"),
+      "full_outer")
+    // Row routing: action codes — update clause i → i, insert clause
+    // i → 1000+i, DELETE → -2 (drop), no clause fires → -1 (matched/
+    // target-only rows KEEP; source-only rows DROP). when() treats a
+    // NULL clause condition as not firing, the WHERE contract.
+    def chainOf(cls: Seq[GeneralMergeClause], dflt: Column): Column =
+      cls.zipWithIndex.foldRight(dflt) { case ((cl, i), els) =>
+        val code = cl.kind match {
+          case "delete" => -2
+          case "update" => i
+          case "insert" => 1000 + i
+        }
+        when(cl.condition.getOrElse(lit(true)), lit(code)).otherwise(els)
+      }
+    val act = when(col("__t_p").isNotNull && col("__s_p").isNotNull,
+        chainOf(matched, lit(-1)))
+      .when(col("__s_p").isNotNull, chainOf(notMatched, lit(-2)))
+      .otherwise(lit(-1))
+    val jA = j.withColumn("__graft_act", act)
+    val alive = jA.filter(col("__graft_act") =!= lit(-2))
+    def assignFor(cl: GeneralMergeClause,
+        f: StructField): Option[Column] =
+      cl.assigns.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
+    val outCols = schema.fields.toIndexedSeq.map { f =>
+      val keep = col(s"__t_${f.name}")
+      val routed = (matched.zipWithIndex.collect {
+        case (cl, i) if cl.kind == "update" =>
+          i -> assignFor(cl, f).getOrElse(keep)
+      } ++ notMatched.zipWithIndex.map { case (cl, i) =>
+        (1000 + i) -> assignFor(cl, f)
+          .getOrElse(lit(null).cast(f.dataType))
+      }).foldRight(keep: Column) { case ((code, value), els) =>
+        when(col("__graft_act") === lit(code), value).otherwise(els)
+      }
+      routed.cast(f.dataType).as(f.name)
+    }
+    val result = alive.select(outCols: _*)
+    // change feed: updated/deleted preimages out, updated postimages
+    // and inserts in (compaction-style empty sides when a clause
+    // family is absent)
+    val preCols = schema.fields.toIndexedSeq.map(f =>
+      col(s"__t_${f.name}").cast(f.dataType).as(f.name))
+    val updIdx = matched.zipWithIndex.collect {
+      case (cl, i) if cl.kind == "update" => i }
+    val matchedFlag = col("__t_p").isNotNull && col("__s_p").isNotNull
+    val deletedPre = jA.filter(matchedFlag &&
+        (col("__graft_act") === lit(-2) ||
+          col("__graft_act").isin(updIdx.map(Int.box): _*)))
+      .select(preCols: _*)
+    val insertedPost = alive.filter(col("__graft_act") >= lit(0))
+      .select(outCols: _*)
+    commitVersion(s, root, result, parentLines = untouched,
+      statsCol = bounds.headOption.map(_ => keepStats.mkString(",")),
+      tag = None, cdf = Some((insertedPost, deletedPre)),
+      expectParent = Some(v))
+  }
 
   /** OPTIMIZE (small-file compaction) as a snapshot version: bin the
     * latest version's UNDERSIZED files (< targetBytes/2) together and
@@ -2233,7 +2849,12 @@ object ScaleOps extends QueryModule {
     * reference the old small files — vacuum reclaims them once the
     * pre-compaction versions expire. Returns the committed version. */
   def compactSnapshot(s: SparkSession, root: String, targetBytes: Long,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None): Long =
+    retryingCommit(s, root, dmlGuard = true)(
+      compactSnapshotAttempt(s, root, targetBytes, statsCol))
+
+  private def compactSnapshotAttempt(s: SparkSession, root: String,
+      targetBytes: Long, statsCol: Option[String]): Long = {
     import org.apache.hadoop.fs.Path
     require(targetBytes > 0, "targetBytes must be positive")
     val vs = snapshotVersions(s, root)
@@ -2244,9 +2865,18 @@ object ScaleOps extends QueryModule {
     val (small, big) = lines.partition { line =>
       fs.getFileStatus(new Path(line.split('\t')(0))).getLen < targetBytes / 2
     }
-    if (small.size <= 1) return v
-    val smallFiles = small.map(_.split('\t')(0))
-    val totalSmall = smallFiles
+    // DV'd right-sized files join the rewrite REGARDLESS of size:
+    // compaction is the standing MATERIALIZER for merge-on-read
+    // deletion vectors — the rewrite drops the DV'd rows physically,
+    // the new lines carry no dv field, and vacuum reclaims the dirs
+    // once the pre-compaction versions expire. Same cadence argument
+    // as the small-file tail: MoR writes cheap debt, compaction pays
+    // it down in bulk.
+    val (dvBig, cleanBig) = big.partition(l => dvOf(l).isDefined)
+    val rewrite = small ++ dvBig
+    if (small.size <= 1 && dvBig.isEmpty) return v
+    val rewriteFiles = rewrite.map(_.split('\t')(0))
+    val totalSmall = rewriteFiles
       .map(f => fs.getFileStatus(new Path(f)).getLen).sum
     val nOut = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
     // the clustering key is the FIRST declared column (a multi-column
@@ -2256,17 +2886,19 @@ object ScaleOps extends QueryModule {
     // multi-column store never drops its second zone map
     val clusterKey = statsCol.flatMap(
       _.split(',').map(_.trim).find(_.nonEmpty))
+    val src = readLinesDv(s, root, rewrite, schema = None, merged = false)
     val packed = clusterKey match {
-      case Some(c) => s.read.parquet(smallFiles: _*)
-        .repartitionByRange(nOut, col(c))
-      case None => s.read.parquet(smallFiles: _*).coalesce(nOut)
+      case Some(c) => src.repartitionByRange(nOut, col(c))
+      case None => src.coalesce(nOut)
     }
     val keepStats = (statsColumnsOf(s, root, v) ++
       statsCol.toSeq.flatMap(_.split(',').map(_.trim)).filter(_.nonEmpty))
       .distinct
     // compaction changes no rows: an EMPTY committed feed, so
     // incremental consumers fold nothing instead of recomputing
-    commitVersion(s, root, packed, parentLines = big,
+    // (DV materialization keeps that contract — the dropped rows
+    // were already logically deleted by the DV commit's own feed)
+    commitVersion(s, root, packed, parentLines = cleanBig,
       statsCol = if (keepStats.isEmpty) None
         else Some(keepStats.mkString(",")),
       tag = None,
@@ -2332,9 +2964,7 @@ object ScaleOps extends QueryModule {
     }
     var prev: Option[Long] = cursor.filter(vs.contains)
     todo.foreach { v =>
-      val pureAppend = prev.exists(p =>
-        manifestFiles(s, root, p).toSet
-          .subsetOf(manifestFiles(s, root, v).toSet))
+      val pureAppend = prev.exists(p => isPureAppendHop(s, root, p, v))
       // signed fold: additive profiles subtract cleanly, and a lang
       // whose docs all vanish drops out (matching a recompute)
       def fold(deltas: DataFrame): DataFrame =
@@ -2787,7 +3417,12 @@ object ScaleOps extends QueryModule {
     * 2-4 (Delta's guidance): each added dimension dilutes every
     * dimension's locality. */
   def zorderSnapshotK(s: SparkSession, root: String, cols: Seq[String],
-      files: Int, statsBloom: Boolean = false): Long = {
+      files: Int, statsBloom: Boolean = false): Long =
+    retryingCommit(s, root, dmlGuard = true)(
+      zorderSnapshotKAttempt(s, root, cols, files, statsBloom))
+
+  private def zorderSnapshotKAttempt(s: SparkSession, root: String,
+      cols: Seq[String], files: Int, statsBloom: Boolean): Long = {
     require(cols.size >= 2, s"z-order needs >= 2 columns, got $cols")
     require(cols.size <= 8, s"z-order over ${cols.size} columns has " +
       "no locality left; cluster on fewer keys")
@@ -2796,10 +3431,63 @@ object ScaleOps extends QueryModule {
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val v = vs.last
     val df = readSnapshotMerged(s, root, Some(v))
+    // Each curve dimension maps through the SAME order-preserving
+    // stat-space encodings the manifest zone maps use (integral as
+    // itself, DATE → epoch days, TIMESTAMP → epoch micros, STRING →
+    // packed 8-byte UTF-8 prefix) — a bare cast-to-Long silently
+    // NULLed every string/date dimension, committing a clustering
+    // claim the layout didn't deliver. Unmappable types refuse
+    // loudly, the store's one degrade discipline.
+    def encoded(c: String): Column = {
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"z-order column '$c' is not in the store's schema"))
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(f.name).cast(LongType)
+        case DateType => unix_date(col(f.name)).cast(LongType)
+        case TimestampType => unix_micros(col(f.name))
+        case StringType => stringPrefix64Col(col(f.name))
+        case other => throw new UnsupportedOperationException(
+          s"z-order dimension '$c' (${other.simpleString}) has no " +
+            "order-preserving stat-space mapping — cluster on an " +
+            "integral/date/timestamp/string key instead")
+      }
+    }
+    // Dimensions are MIN-MAX SCALED into the curve's 2^bits buckets
+    // (one bounded agg row for all dimensions' encoded extrema): the
+    // old low-bits pmod wrapped any dimension whose values exceed
+    // 2^bits — and a string prefix64 ALWAYS does (its low bits are
+    // byte 8, constant zero for short strings). Scaling is resolution
+    // only, never correctness: zone maps are computed from the DATA.
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(encoded(c)).as(s"__lo$i"), max(encoded(c)).as(s"__hi$i"))
+    }
+    val ext = df.agg(aggs.head, aggs.tail: _*).collect()(0) // bounded: one row
     val dims = cols.indices.map(i => s"__zd$i")
-    val zed = cols.zip(dims)
-      .foldLeft(df) { case (acc, (c, d)) =>
-        acc.withColumn(d, pmod(col(c).cast(LongType), lit(1L << bits)))
+    val zed = cols.indices
+      .foldLeft(df) { (acc, i) =>
+        val (lo, hi) = (Option(ext.getAs[java.lang.Long](s"__lo$i")),
+          Option(ext.getAs[java.lang.Long](s"__hi$i")))
+        val scaled = (lo, hi) match {
+          case (Some(mn), Some(mx)) if mx > mn =>
+            // double arithmetic THROUGHOUT (the Long difference can
+            // overflow: string prefixes span nearly the full signed
+            // range): precision loss past 2^53 can shift a row one
+            // BUCKET, never a wrong answer (curve resolution). The
+            // quotient is < 2^bits by construction; clamp anyway so a
+            // rounding artifact can't escape the bucket domain.
+            least(lit((1L << bits) - 1L),
+              floor((encoded(cols(i)).cast(DoubleType) -
+                lit(mn.doubleValue)) *
+                lit((1L << bits).toDouble) /
+                lit((mx.doubleValue - mn.doubleValue) + 1.0))
+                .cast(LongType))
+          case _ => lit(0L) // constant or all-NULL dimension
+        }
+        // NULLs cluster at the curve origin (a NULL dim would NULL
+        // the whole interleave and strand rows in one range bucket)
+        acc.withColumn(dims(i), coalesce(scaled, lit(0L)))
       }
       .withColumn("__z", expr(zExprSqlK(dims, "div", bits)))
       .repartitionByRange(files, col("__z"))
@@ -2821,7 +3509,9 @@ object ScaleOps extends QueryModule {
     val root = snapRoot(s, d) + "_zo"
     val tokP = new Path(root, "_token")
     val fs = fsOf(s, tokP)
-    val want = "layout2§" + corpusToken(s, d, "documents.parquet")
+    // layout3: round-13 typed/min-max-scaled curve dimensions — a
+    // cached layout2 store was clustered by the old low-bits pmod
+    val want = "layout3§" + corpusToken(s, d, "documents.parquet")
     val have =
       if (!fs.exists(tokP)) None
       else {
@@ -2924,6 +3614,152 @@ object ScaleOps extends QueryModule {
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM $table GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** Build-once fixture for s22 (TWIN stores): the same corpus
+    * projection published identically twice, then the same row-level
+    * delete (`doc_id % 31 = 0`) committed MERGE-ON-READ (deletion
+    * vectors; file set untouched) in one store and COPY-ON-WRITE
+    * (files rewritten) in the other. Returns (morRoot, cowRoot) —
+    * the two stores must be value-identical forever after, which is
+    * exactly what the s22 oracle (and SnapshotDvSpec's direct twin
+    * comparison) checks. Drift-token guarded. */
+  private[graft] def ensureDvStores(s: SparkSession,
+      d: String): (String, String) = {
+    import org.apache.hadoop.fs.Path
+    val morRoot = snapRoot(s, d) + "_dvm"
+    val cowRoot = snapRoot(s, d) + "_dvc"
+    val tokP = new Path(morRoot, "_token")
+    val fs = fsOf(s, tokP)
+    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(morRoot), true)
+      fs.delete(new Path(cowRoot), true)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .repartitionByRange(SNAP_FILES, col("doc_id"))
+      val pred = pmod(col("doc_id"), lit(31L)) === 0L
+      for ((root, mode) <- Seq(morRoot -> "mor", cowRoot -> "cow")) {
+        publishSnapshot(s, root, docs, statsCol = Some("doc_id"))
+        deleteWhereSnapshot(s, root, pred, constraints = Nil, mode = mode)
+      }
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    (morRoot, cowRoot)
+  }
+
+  /** s22 — MERGE-ON-READ deletion vectors read back through the SQL
+    * face: the `(source, lang)` profile of the MoR-deleted store via
+    * `spark.read.format("graft-snapshot")` — the version carries
+    * `dv:` fields, so [[graft.plans.ResolveSnapshotDvRead]] swaps the
+    * scan for the anti-joined composed read. The oracle replays the
+    * delete relationally over the raw corpus; by construction the
+    * COW twin answers identically (SnapshotDvSpec compares the twins
+    * row-for-row and pins the write-amplification claims: the MoR
+    * commit wrote ZERO data files, the CoW commit rewrote its
+    * touched files). */
+  def s22DvRead(s: SparkSession, d: String): DataFrame = {
+    val (morRoot, _) = ensureDvStores(s, d)
+    s.read.format("graft-snapshot").load(morRoot)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("sum_chars"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** Build-once fixture for s23 (own store + its own catalog
+    * registration): v1 = the (doc_id, source, lang, n_chars) corpus
+    * projection range-clustered on doc_id, then ONE general SQL
+    * MERGE replaying a mixed CDC batch — conditional DELETE
+    * (doc_id % 97 = 0), PARTIAL-SET update (lang := 'xx' where
+    * doc_id % 89 = 0, n_chars untouched) and conditional INSERT (a
+    * re-keyed slice tagged source='merged') — through
+    * [[graft.plans.ResolveSnapshotMerge]]'s general executor.
+    * Drift-token guarded. Returns the table's SQL name. */
+  private[graft] def ensureGeneralMergeStore(s: SparkSession,
+      d: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = snapRoot(s, d) + "_gmrg"
+    val catName = s"graft_mrg_${Integer.toHexString(d.hashCode)}"
+    val tableName = new Path(root).getName
+    s.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$catName.warehouse",
+      new Path(root).getParent.toString)
+    val tokP = new Path(root, "_token")
+    val fs = fsOf(s, tokP)
+    val want = "layout1§" + corpusToken(s, d, "documents.parquet")
+    val have =
+      if (!fs.exists(tokP)) None
+      else {
+        val in = fs.open(tokP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!have.contains(want)) {
+      fs.delete(new Path(root), true)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      publishSnapshot(s, root,
+        docs.repartitionByRange(SNAP_FILES, col("doc_id")),
+        statsCol = Some("doc_id"))
+      val mx = docs.agg(max(col("doc_id")))
+        .collect()(0).getLong(0) // bounded: one row
+      // the mixed batch: unique keys across the three op families by
+      // construction (deletes/updates disjoint on existing ids,
+      // inserts keyed above the id space)
+      val dels = docs.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+        .select(col("doc_id"), lit("delete").as("op"),
+          lit(null).cast(StringType).as("lang"),
+          lit(null).cast(LongType).as("n_chars"))
+      val upds = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L &&
+          pmod(col("doc_id"), lit(89L)) === 0L)
+        .select(col("doc_id"), lit("update").as("op"),
+          lit("xx").as("lang"), lit(null).cast(LongType).as("n_chars"))
+      val ins = docs.filter(col("doc_id") < mx / 20)
+        .select((col("doc_id") + mx + 1L).as("doc_id"),
+          lit("insert").as("op"), lit("zz").as("lang"), col("n_chars"))
+      dels.unionByName(upds).unionByName(ins)
+        .createOrReplaceTempView(s"${tableName}_batch")
+      s.sql(
+        s"""MERGE INTO $catName.$tableName AS t
+           |USING ${tableName}_batch AS u ON t.doc_id = u.doc_id
+           |WHEN MATCHED AND u.op = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET lang = u.lang
+           |WHEN NOT MATCHED AND u.op = 'insert' THEN
+           |  INSERT (doc_id, source, lang, n_chars)
+           |  VALUES (u.doc_id, 'merged', u.lang, u.n_chars)""".stripMargin)
+      val out = fs.create(tokP, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    s"$catName.$tableName"
+  }
+
+  /** s23 — the GENERAL SQL MERGE shape family read back: after ONE
+    * statement replayed a mixed CDC envelope (conditional DELETE +
+    * partial-SET UPDATE + conditional INSERT — the
+    * insert/update/delete row-typing of the reference's CDC feed,
+    * gmall-realtime BaseDBApp.java:52-62, applied as SQL), the
+    * (source, lang) profile of the table. The oracle replays the
+    * three clause families relationally over the raw corpus, so value
+    * equality proves clause order, partial-SET isolation (n_chars
+    * untouched by the update clause) and conditional insert routing
+    * — while the file-grain copy-on-write claims are pinned in
+    * SnapshotMergeGeneralSpec. */
+  def s23MergeGeneral(s: SparkSession, d: String): DataFrame = {
+    val table = ensureGeneralMergeStore(s, d)
+    s.sql(
+      s"""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM $table GROUP BY source, lang ORDER BY source, lang""".stripMargin)
   }
 
   /** Build-once fixture for s16 (own store): v1 = the full corpus
@@ -3130,7 +3966,11 @@ object ScaleOps extends QueryModule {
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"snapshot v$v not committed (have ${vs.mkString(",")})")
-    s.read.option("mergeSchema", "true").parquet(manifestFiles(s, root, v): _*)
+    if (!snapshotHasDvs(s, root, v))
+      s.read.option("mergeSchema", "true")
+        .parquet(manifestFiles(s, root, v): _*)
+    else readLinesDv(s, root, manifestDataLines(s, root, v),
+      schema = None, merged = true)
   }
 
   /** Build-once fixture for s11 (own store): v1 = the corpus's
@@ -3408,7 +4248,9 @@ object ScaleOps extends QueryModule {
     "s18_multicol_read" -> s18MulticolRead,
     "s19_catalog_append" -> s19CatalogAppend,
     "s20_zorder_recluster" -> s20ZorderRecluster,
-    "s21_string_pruned" -> s21StringPrunedRead)
+    "s21_string_pruned" -> s21StringPrunedRead,
+    "s22_dv_read" -> s22DvRead,
+    "s23_merge_general" -> s23MergeGeneral)
 
   // identical semantics ⇒ identical oracle as a08_keyed_agg
   /** s07's oracle: the four faces' own oracle SQLs composed verbatim
@@ -3736,5 +4578,35 @@ object ScaleOps extends QueryModule {
         |      FROM documents)
         |WHERE source >= 'src12' AND source <= 'src15'
         |  AND day >= DATE '2024-01-05' AND day <= DATE '2024-02-25'
-        |GROUP BY source, lang ORDER BY source, lang""".stripMargin)
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    // the merge-on-read delete replayed relationally: value equality
+    // proves the deletion vectors hide EXACTLY the deleted rows
+    // through the SQL read face (and the CoW twin, compared directly
+    // in SnapshotDvSpec, proves the two write paths commit the same
+    // logical content)
+    "s22_dv_read" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 31 <> 0
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    // the general MERGE replayed relationally: matched %97 keys
+    // deleted, matched %89 keys re-langed with n_chars UNTOUCHED
+    // (partial SET), the re-keyed slice inserted under
+    // source='merged' — clause order and conditions in plain SQL
+    "s23_merge_general" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+         |surv AS (
+         |  SELECT source,
+         |         CASE WHEN doc_id % 89 = 0 THEN 'xx' ELSE lang END AS lang,
+         |         n_chars
+         |  FROM documents WHERE doc_id % 97 <> 0),
+         |ins AS (
+         |  SELECT 'merged' AS source, 'zz' AS lang, n_chars
+         |  FROM documents, mx WHERE doc_id < m // 20),
+         |allr AS (
+         |  SELECT * FROM surv UNION ALL SELECT * FROM ins)
+         |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM allr GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin)
 }

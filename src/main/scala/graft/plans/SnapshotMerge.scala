@@ -2,37 +2,43 @@ package graft.plans
 
 import graft.operators.ScaleOps
 import graft.sources.SnapshotTable
-import org.apache.spark.sql.{Dataset, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{And => CatalystAnd, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And => CatalystAnd, AttributeReference, AttributeSet, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-/** SQL `MERGE INTO` and `UPDATE` on snapshot-catalog tables,
-  * resolved to the engine's own copy-on-write rewrites
-  * ([[ScaleOps.mergeIntoSnapshot]] — the s14 write path — and
-  * [[ScaleOps.updateWhereSnapshot]], commit protocol and all).
+/** SQL `MERGE INTO`, `UPDATE` and (non-pushable-WHERE) `DELETE` on
+  * snapshot-catalog tables, resolved to the engine's own
+  * copy-on-write rewrites ([[ScaleOps.mergeIntoSnapshot]],
+  * [[ScaleOps.mergeGeneralSnapshot]], [[ScaleOps.updateWhereSnapshot]],
+  * [[ScaleOps.deleteWhereSnapshot]] — commit protocol and all).
   *
   * Spark's generic row-level-operation rewrite needs
   * SupportsRowLevelOperations; the store instead routes MERGE through
-  * its OWN rewrite — zone-map-planned touched files, key-grain anti
-  * join, untouched manifest lines carried forward verbatim — which is
+  * its OWN rewrite — zone-map-planned touched files, key-grain joins,
+  * untouched manifest lines carried forward verbatim — which is
   * strictly better-informed than a generic scan-and-replace (it reads
-  * only the files an update key can land in). The supported statement
-  * is the canonical upsert the engine's merge semantics define:
+  * only the files an update key can land in). Two MERGE executors:
   *
-  * {{{
-  *   MERGE INTO cat.t [AS t] USING src [AS s] ON t.k = s.k
-  *   WHEN MATCHED THEN UPDATE SET *
-  *   WHEN NOT MATCHED THEN INSERT *
-  * }}}
+  *  - the CANONICAL UPSERT (`WHEN MATCHED THEN UPDATE SET * WHEN NOT
+  *    MATCHED THEN INSERT *`, no clause conditions, full-row
+  *    assignment lists) routes to [[ScaleOps.mergeIntoSnapshot]] —
+  *    the s14 write path, anti/semi joins, evolve-on-merge support;
+  *  - every other GENERAL shape — clause conditions, `WHEN MATCHED …
+  *    THEN DELETE`, PARTIAL SET lists, several WHEN clauses in order
+  *    — routes to [[ScaleOps.mergeGeneralSnapshot]], the full-outer-
+  *    join row router. This is what applying a CDC
+  *    insert/update/delete envelope as one statement needs.
   *
-  * (with `t.k = s.k` any single equi-key whose two sides name the
-  * same column). Conditional clauses, DELETE actions, partial SET
-  * lists and NOT MATCHED BY SOURCE are refused LOUDLY — silently
-  * approximating a different MERGE would commit wrong rows. The rule
-  * fires during resolution, before Spark's RewriteMergeIntoTable can
+  * Still refused loudly (never approximated): non-equi-key ON
+  * conditions, NOT MATCHED BY SOURCE clauses, and schema evolution on
+  * a general shape. The rule fires during resolution, AFTER the
+  * statement is fully resolved (star expansion included) — acting on
+  * a half-resolved MERGE mis-reads partial assignment lists as
+  * full-row replaces — and before Spark's RewriteMergeIntoTable can
   * reject the table for not implementing SupportsRowLevelOperations. */
 case class ResolveSnapshotMerge(spark: SparkSession)
     extends Rule[LogicalPlan] {
@@ -54,25 +60,63 @@ case class ResolveSnapshotMerge(spark: SparkSession)
         UpdateSnapshotCommand(table.root, table.statsCol, sets,
           u.condition)
 
+      // SQL DELETE whose WHERE has conjuncts with NO data-source
+      // Filter translation (e.g. length(text) > N): SupportsDelete
+      // cannot carry the row-level predicate, and Spark's fallback
+      // needs SupportsRowLevelOperations — so the engine takes the
+      // statement itself. Translatable conjuncts still prune the
+      // candidate files; the untranslatable ones just degrade the
+      // plan to every statted file, never the ANSWER. Fully-pushable
+      // DELETEs keep flowing through SupportsDelete unchanged.
+      case d: DeleteFromTable if snapshotTarget(d.table).isDefined &&
+          d.table.resolved && d.condition.resolved &&
+          conjuncts(d.condition).exists(e =>
+            org.apache.spark.sql.graft.SqlShims.translateFilter(e).isEmpty) =>
+        val table = snapshotTarget(d.table).get
+        DeleteSnapshotCommand(table.root, table.statsCol,
+          Some(d.condition))
+
       case m: MergeIntoTable if snapshotTarget(m.targetTable).isDefined &&
-          m.targetTable.resolved && m.sourceTable.resolved =>
+          m.targetTable.resolved && m.sourceTable.resolved &&
+          m.mergeCondition.resolved &&
+          (m.matchedActions ++ m.notMatchedActions ++
+            m.notMatchedBySourceActions).forall(actionResolved) =>
         val table = snapshotTarget(m.targetTable).get
-        val keyCol = equiKey(m).getOrElse(refuse(
+        val (keyCol, srcKeyCol) = equiKey(m).getOrElse(refuse(
           "ON condition must be a single equi-join on one column " +
             s"present on both sides, got: ${m.mergeCondition.sql}"))
-        if (!isUpsertShape(m.matchedActions, m.notMatchedActions,
-            m.notMatchedBySourceActions))
-          refuse("only the canonical upsert is supported — " +
-            "WHEN MATCHED THEN UPDATE SET * " +
-            "WHEN NOT MATCHED THEN INSERT * (no clause conditions, " +
-            "no DELETE, no partial SET, no NOT MATCHED BY SOURCE)")
-        MergeIntoSnapshotCommand(table.root, keyCol, m.sourceTable,
-          m.withSchemaEvolution)
+        if (m.notMatchedBySourceActions.nonEmpty)
+          refuse("WHEN NOT MATCHED BY SOURCE is not supported — " +
+            "rewrite as a DELETE/UPDATE over an anti join")
+        val tOut = m.targetTable.outputSet
+        val sOut = m.sourceTable.outputSet
+        val tCols = m.targetTable.output.map(_.name)
+        val sCols = m.sourceTable.output.map(_.name)
+        if (isCanonicalUpsert(m.matchedActions, m.notMatchedActions,
+            tOut, sOut, tCols))
+          MergeIntoSnapshotCommand(table.root, keyCol, m.sourceTable,
+            m.withSchemaEvolution)
+        else {
+          if (m.withSchemaEvolution)
+            refuse("WITH SCHEMA EVOLUTION is supported only on the " +
+              "canonical upsert (UPDATE SET * / INSERT *)")
+          val matched = m.matchedActions.map(clauseOf(_, tOut, sOut,
+            tCols, sCols, insertSide = false))
+          val notMatched = m.notMatchedActions.map(clauseOf(_, tOut, sOut,
+            tCols, sCols, insertSide = true))
+          MergeIntoSnapshotGeneralCommand(table.root, keyCol, srcKeyCol,
+            m.sourceTable, matched, notMatched)
+        }
     }
 
   private def refuse(why: String): Nothing =
     throw new UnsupportedOperationException(
       s"graft snapshot DML: $why")
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case CatalystAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
 
   /** The target resolved to a snapshot-catalog table (under any
     * stack of aliases). */
@@ -83,8 +127,9 @@ case class ResolveSnapshotMerge(spark: SparkSession)
     }
 
   /** The merge key: `ON t.k = s.k` with one side a target attribute,
-    * the other a source attribute, both naming the same column. */
-  private def equiKey(m: MergeIntoTable): Option[String] = {
+    * the other a source attribute, both naming the same column.
+    * Returns (target-side name, source-side name). */
+  private def equiKey(m: MergeIntoTable): Option[(String, String)] = {
     val tIds = m.targetTable.outputSet
     val sIds = m.sourceTable.outputSet
     m.mergeCondition match {
@@ -92,39 +137,113 @@ case class ResolveSnapshotMerge(spark: SparkSession)
           if a.name.equalsIgnoreCase(b.name) &&
             ((tIds.contains(a) && sIds.contains(b)) ||
               (tIds.contains(b) && sIds.contains(a))) =>
-        Some(if (tIds.contains(a)) a.name else b.name)
+        Some(if (tIds.contains(a)) (a.name, b.name) else (b.name, a.name))
       case _ => None
     }
   }
 
-  /** UPDATE SET * / INSERT * with no clause conditions — matched both
-    * before star expansion (UpdateStarAction/InsertStarAction) and
-    * after (UpdateAction/InsertAction whose assignments are all
-    * same-name column identities), since the analyzer's fixed point
-    * may expand the stars before this rule fires. */
-  private def isUpsertShape(matched: Seq[MergeAction],
-      notMatched: Seq[MergeAction],
-      bySource: Seq[MergeAction]): Boolean = {
-    def identityAssigns(as: Seq[Assignment]): Boolean =
-      as.forall {
-        case Assignment(k: AttributeReference, v: AttributeReference) =>
-          k.name.equalsIgnoreCase(v.name)
-        case Assignment(k, v) => // unresolved-yet star expansion
-          !k.resolved || !v.resolved
+  /** An action whose every expression is resolved — star actions
+    * count (they carry no expressions; their meaning is positional).
+    * The rule must not interpret a HALF-resolved action: treating a
+    * pending star expansion as "identity assignments" is exactly the
+    * bug that executed partial SET lists as full-row replaces. */
+  private def actionResolved(a: MergeAction): Boolean = a match {
+    case UpdateStarAction(cond) => cond.forall(_.resolved)
+    case InsertStarAction(cond) => cond.forall(_.resolved)
+    case other => other.condition.forall(_.resolved) &&
+      other.children.forall(_.resolved)
+  }
+
+  /** The canonical upsert — UPDATE SET * / INSERT * with no clause
+    * conditions. Matched both before star expansion (the star action
+    * nodes) and after: an assignment list is a full-row identity
+    * replace only when every assignment is a same-name target←source
+    * column copy AND the list covers EVERY target column exactly
+    * once — a partial list routes to the general executor, which
+    * updates only what it names. */
+  private def isCanonicalUpsert(matched: Seq[MergeAction],
+      notMatched: Seq[MergeAction], tOut: AttributeSet,
+      sOut: AttributeSet, tCols: Seq[String]): Boolean = {
+    def identityCover(as: Seq[Assignment]): Boolean = {
+      val names = as.collect {
+        case Assignment(k: AttributeReference, v: AttributeReference)
+            if tOut.contains(k) && sOut.contains(v) &&
+              k.name.equalsIgnoreCase(v.name) => k.name.toLowerCase
       }
+      names.length == as.length && names.distinct.length == names.length &&
+        tCols.map(_.toLowerCase).toSet == names.toSet
+    }
     val updOk = matched match {
       case Seq(UpdateStarAction(None)) => true
-      case Seq(UpdateAction(None, as, _)) => identityAssigns(as)
+      case Seq(UpdateAction(None, as, _)) => identityCover(as)
       case _ => false
     }
     val insOk = notMatched match {
       case Seq(InsertStarAction(None)) => true
-      case Seq(InsertAction(None, as)) => identityAssigns(as)
+      case Seq(InsertAction(None, as)) => identityCover(as)
       case _ => false
     }
-    updOk && insOk && bySource.isEmpty
+    updOk && insOk
+  }
+
+  /** Re-root an expression's target/source attributes onto the
+    * general executor's joined-frame names (`__t_<col>` /
+    * `__s_<col>`) as by-name unresolved attributes — the original
+    * attribute ids belong to the statement's relations, not the
+    * rewrite's own scan. */
+  private def reroot(e: Expression, tOut: AttributeSet,
+      sOut: AttributeSet): Expression = e.transform {
+    case a: AttributeReference if tOut.contains(a) =>
+      UnresolvedAttribute.quoted(s"__t_${a.name}")
+    case a: AttributeReference if sOut.contains(a) =>
+      UnresolvedAttribute.quoted(s"__s_${a.name}")
+  }
+
+  /** One resolved MERGE action as the general executor's clause
+    * shape: (kind, re-rooted condition, target-column → re-rooted
+    * value assignments). A star action with a CONDITION synthesizes
+    * its full by-name assignment list here (the analyzer only
+    * expands unconditioned stars for non-row-level tables). */
+  private def clauseOf(a: MergeAction, tOut: AttributeSet,
+      sOut: AttributeSet, tCols: Seq[String], sCols: Seq[String],
+      insertSide: Boolean): SnapshotMergeClause = {
+    def starAssigns: Seq[(String, Expression)] = tCols.map { c =>
+      require(sCols.exists(_.equalsIgnoreCase(c)),
+        s"MERGE star action needs source column '$c' (by name)")
+      c -> UnresolvedAttribute.quoted(s"__s_$c")
+    }
+    def named(as: Seq[Assignment]): Seq[(String, Expression)] = as.map {
+      case Assignment(k: AttributeReference, v) if tOut.contains(k) =>
+        k.name -> reroot(v, tOut, sOut)
+      case x => refuse(
+        s"MERGE assignment targets must be top-level target columns, " +
+          s"got: ${x.sql}")
+    }
+    a match {
+      case UpdateStarAction(cond) =>
+        SnapshotMergeClause("update", cond.map(reroot(_, tOut, sOut)),
+          starAssigns)
+      case InsertStarAction(cond) =>
+        SnapshotMergeClause("insert", cond.map(reroot(_, tOut, sOut)),
+          starAssigns)
+      case UpdateAction(cond, as, _) =>
+        SnapshotMergeClause("update", cond.map(reroot(_, tOut, sOut)),
+          named(as))
+      case InsertAction(cond, as) =>
+        SnapshotMergeClause("insert", cond.map(reroot(_, tOut, sOut)),
+          named(as))
+      case DeleteAction(cond) =>
+        SnapshotMergeClause("delete", cond.map(reroot(_, tOut, sOut)), Nil)
+      case other => refuse(s"unsupported MERGE action: $other")
+    }
   }
 }
+
+/** A general-MERGE clause as the resolution rule hands it to the
+  * command: expressions are re-rooted on `__t_`/`__s_` names and
+  * resolve against the executor's own joined frame. */
+case class SnapshotMergeClause(kind: String,
+    condition: Option[Expression], assigns: Seq[(String, Expression)])
 
 /** The resolved MERGE as a driver command: materialize the source
   * plan, hand it to the engine's copy-on-write upsert. The command
@@ -147,27 +266,94 @@ case class MergeIntoSnapshotCommand(root: String, keyCol: String,
   }
 }
 
+/** The GENERAL MERGE shapes as a driver command — clause conditions,
+  * DELETE actions, partial SET/INSERT lists, clause order — executed
+  * by [[ScaleOps.mergeGeneralSnapshot]]'s full-outer row router over
+  * the zone-map-planned touched files. */
+case class MergeIntoSnapshotGeneralCommand(root: String, keyCol: String,
+    srcKeyCol: String, source: LogicalPlan,
+    matched: Seq[SnapshotMergeClause], notMatched: Seq[SnapshotMergeClause])
+    extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.graft.SqlShims
+
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(source)
+
+  private def lower(c: SnapshotMergeClause): ScaleOps.GeneralMergeClause =
+    ScaleOps.GeneralMergeClause(c.kind,
+      c.condition.map(SqlShims.column),
+      c.assigns.map { case (n, e) => n -> SqlShims.column(e) })
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val updates = SqlShims.ofRows(session, source)
+    ScaleOps.mergeGeneralSnapshot(session, root, keyCol, srcKeyCol,
+      updates, matched.map(lower), notMatched.map(lower))
+    Seq.empty
+  }
+}
+
 /** The resolved UPDATE as a driver command — the copy-on-write
   * rewrite behind SQL `UPDATE cat.t SET … WHERE …`, sharing the
-  * DELETE path's candidate planning: each WHERE conjunct must
-  * translate to a data-source Filter (the language the scan builder
-  * maps into stat-space constraints — reused verbatim, so UPDATE
-  * rewrites exactly the files a pruned read would open), and the
+  * DELETE path's candidate planning: each WHERE conjunct that
+  * translates to a data-source Filter (the language the scan builder
+  * maps into stat-space constraints — reused verbatim) PRUNES the
+  * candidate files; conjuncts with no translation (e.g.
+  * `length(text) > N`) contribute no constraint — the plan degrades
+  * to every statted file, the ANSWER stays exact, because the full
+  * row-level predicate always re-evaluates over the rewrite scan.
   * SET/WHERE expressions are re-rooted on column NAMES before
-  * evaluating over the rewrite scan (their original attribute ids
-  * belong to the query's relation, not the rewrite's). */
+  * evaluating there (their original attribute ids belong to the
+  * query's relation, not the rewrite's). */
 case class UpdateSnapshotCommand(root: String, statsCol: Option[String],
     sets: Seq[(String, Expression)], condition: Option[Expression])
     extends LeafRunnableCommand {
 
   import org.apache.spark.sql.graft.SqlShims
 
+  override def run(session: SparkSession): Seq[Row] = {
+    val (pred, constraints) = SnapshotDmlPlanning.plan(
+      session, root, statsCol, condition)
+    ScaleOps.updateWhereSnapshot(session, root, pred,
+      sets.map { case (c, e) =>
+        c -> SqlShims.column(SnapshotDmlPlanning.byName(e)) },
+      constraints)
+    Seq.empty
+  }
+}
+
+/** The resolved DELETE (non-pushable WHERE) as a driver command —
+  * same candidate planning as UPDATE: pushable conjuncts prune,
+  * the full predicate decides rows. The fully-pushable DELETE path
+  * stays on SupportsDelete (SnapshotTable.deleteWhere). */
+case class DeleteSnapshotCommand(root: String, statsCol: Option[String],
+    condition: Option[Expression])
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (pred, constraints) = SnapshotDmlPlanning.plan(
+      session, root, statsCol, condition)
+    ScaleOps.deleteWhereSnapshot(session, root, pred, constraints)
+    Seq.empty
+  }
+}
+
+/** Shared UPDATE/DELETE candidate planning: re-root the condition by
+  * name, translate each conjunct to a data-source Filter where
+  * possible, and map the translatable subset into stat-space
+  * constraints through the scan builder — so DML rewrites exactly
+  * the files a pruned read with the same pushable predicate would
+  * open, and untranslatable conjuncts degrade the PLAN (all statted
+  * files kept), never the answer. */
+private[plans] object SnapshotDmlPlanning {
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.SqlShims
+
   /** AttributeReference → by-name unresolved attribute, so the
     * expression resolves against the rewrite's own scan. */
-  private def byName(e: Expression): Expression = e.transform {
-    case a: AttributeReference =>
-      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-        .quoted(a.name)
+  def byName(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -175,25 +361,20 @@ case class UpdateSnapshotCommand(root: String, statsCol: Option[String],
     case other => Seq(other)
   }
 
-  override def run(session: SparkSession): Seq[Row] = {
-    val exprs = condition.toSeq.flatMap(conjuncts)
-    val translated = exprs.map(e => e -> SqlShims.translateFilter(e))
-    val bad = translated.collect { case (e, None) => e.sql }
-    if (bad.nonEmpty) throw new UnsupportedOperationException(
-      "graft snapshot UPDATE: WHERE clause not row-level translatable " +
-        s"(rewrite it in pushable predicates): ${bad.mkString(", ")}")
+  def plan(session: SparkSession, root: String, statsCol: Option[String],
+      condition: Option[Expression])
+      : (Column, Seq[ScaleOps.ColConstraint]) = {
     val pred = condition.map(e => SqlShims.column(byName(e)))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val pushable = condition.toSeq.flatMap(conjuncts)
+      .flatMap(SqlShims.translateFilter)
     val vs = ScaleOps.snapshotVersions(session, root)
     require(vs.nonEmpty, s"no committed snapshots under $root")
     val schema = ScaleOps.snapshotSchema(session, root, vs.last)
       .getOrElse(ScaleOps.readSnapshot(session, root, Some(vs.last)).schema)
     val sb = new graft.sources.SnapshotScanBuilder(
       root, vs.last, schema, statsCol)
-    sb.pushFilters(translated.flatMap(_._2).toArray)
-    ScaleOps.updateWhereSnapshot(session, root, pred,
-      sets.map { case (c, e) => c -> SqlShims.column(byName(e)) },
-      sb.plannedConstraints)
-    Seq.empty
+    sb.pushFilters(pushable.toArray)
+    (pred, sb.plannedConstraints)
   }
 }

@@ -6,7 +6,8 @@ import graft.operators.ScaleOps
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,7 +43,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * commit inherits it. Tables are directories; namespaces are
   * subdirectories; partitioning is rejected — clustering is the
   * store's own zone-map discipline, not hive-style directories. */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -189,4 +190,27 @@ class SnapshotCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "graft snapshot tables are directories; rename the store and " +
         "re-point readers instead")
+
+  /** A procedure's `table` argument resolved against THIS catalog's
+    * warehouse (namespaces as dotted prefixes). */
+  private[sources] def rootForName(table: String): String = {
+    val parts = table.split('.')
+    rootFor(Identifier.of(parts.init, parts.last))
+  }
+
+  // ---- SQL maintenance procedures: CALL <cat>.system.<verb>(...) ----
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live under the 'system' namespace, got $ident")
+    SnapshotProcedures.forName(this, ident.name()).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unknown procedure '${ident.name()}' — have " +
+          SnapshotProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      SnapshotProcedures.names.map(Identifier.of(Array("system"), _))
+    else Array.empty
 }

@@ -252,23 +252,35 @@ object SnapshotDataSource {
   * `InsertableRelation.insert`, which is exactly the input the
   * commit protocol wants — no bespoke per-partition writer to keep
   * correct alongside it. */
-class SnapshotTable(private[graft] val root: String, version: Long,
+class SnapshotTable(private[graft] val root: String,
+    private[graft] val pinnedVersion: Long,
     tableSchema: StructType, private[graft] val statsCol: Option[String])
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
 
-  override def name(): String = s"graft-snapshot `$root` v$version"
+  override def name(): String = s"graft-snapshot `$root` v$pinnedVersion"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // version 0 = the write-target sentinel for a store with no
+    // pinnedVersion 0 = the write-target sentinel for a store with no
     // committed snapshots (see SnapshotDataSource.resolve)
-    require(version >= 1, s"no committed snapshots under $root — " +
+    require(pinnedVersion >= 1, s"no committed snapshots under $root — " +
       "the table currently exists only as a write target")
-    new SnapshotScanBuilder(root, version, tableSchema, statsCol)
+    // belt and braces: a pinnedVersion carrying merge-on-read deletion
+    // vectors is readable ONLY through the DV-aware resolution rule
+    // (graft.plans.ResolveSnapshotDvRead, injected by
+    // GraftExtensions), which replaces the relation before scan
+    // planning ever gets here. Reaching this builder means the
+    // session has no extensions registered — refuse loudly rather
+    // than silently resurrecting deleted rows through a raw scan.
+    require(!ScaleOps.snapshotHasDvs(SparkSession.active, root, pinnedVersion),
+      s"snapshot v$pinnedVersion of $root carries deletion vectors; register " +
+        "spark.sql.extensions=graft.GraftExtensions (the DV-aware read " +
+        "rule) or read through ScaleOps.readSnapshot*")
+    new SnapshotScanBuilder(root, pinnedVersion, tableSchema, statsCol)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -289,6 +301,16 @@ class SnapshotTable(private[graft] val root: String, version: Long,
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val s = SparkSession.active
+    // writes contend on the HEAD only (the documented catalog
+    // contract): a DELETE issued through a time-travel-pinned table
+    // must fail loudly here rather than silently applying to the head
+    // — deleteWhereSnapshot resolves vs.last internally, so without
+    // this check a pinned-table delete would target a pinnedVersion the
+    // user never named
+    val head = ScaleOps.snapshotVersions(s, root).lastOption.getOrElse(0L)
+    require(pinnedVersion == head,
+      s"DELETE through a table pinned to v$pinnedVersion, but the head is " +
+        s"v$head — writes go through the head table, not a time-travel pin")
     val unsupported = filters.filter(f => SnapshotFilters.toColumn(f).isEmpty)
     require(unsupported.isEmpty,
       s"DELETE filters not translatable row-level: ${unsupported.mkString(", ")}")
@@ -297,7 +319,7 @@ class SnapshotTable(private[graft] val root: String, version: Long,
     val pred = filters.flatMap(SnapshotFilters.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    val sb = new SnapshotScanBuilder(root, version, tableSchema, statsCol)
+    val sb = new SnapshotScanBuilder(root, pinnedVersion, tableSchema, statsCol)
     sb.pushFilters(filters)
     ScaleOps.deleteWhereSnapshot(s, root, pred, sb.plannedConstraints)
   }
@@ -524,7 +546,15 @@ class SnapshotScanBuilder(root: String, version: Long,
       Some(Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
         t.getNano / 1000L))
     case t: java.sql.Timestamp =>
-      Some(Math.addExact(Math.multiplyExact(t.getTime / 1000L, 1000000L),
+      // floorDiv, not truncation: a pre-epoch fractional-second
+      // timestamp (e.g. 1969-12-31T23:59:58.5, getTime = -1500 ms)
+      // must floor to its second (-2) before the positive nanos add
+      // back the fraction — truncation lands one second high, and a
+      // too-high "exact point" lets the zone maps falsely prune files
+      // that hold matching rows (the Instant branch's getEpochSecond
+      // already floors)
+      Some(Math.addExact(Math.multiplyExact(
+        Math.floorDiv(t.getTime, 1000L), 1000000L),
         (t.getNanos / 1000L)))
     case _ => None
   }

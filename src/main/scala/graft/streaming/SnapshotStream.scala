@@ -165,11 +165,16 @@ class SnapshotStream(spark: SparkSession, root: String,
           s"change-feed hop v$v has no committed parent v${v - 1} " +
             "(vacuumed?); the delta cannot be proven — re-read the " +
             "versions directly (s04 content diff) instead")
-      val parent = ScaleOps.manifestFiles(spark, root, v - 1).toSet
-      val files = ScaleOps.manifestFiles(spark, root, v)
-      if (parent.subsetOf(files.toSet))
-        FileSeg(v, 0L, files.filterNot(parent), initial = false)
-      else FeedSeg(v)
+      // LINE-grain append detection (ScaleOps.isPureAppendHop): a
+      // merge-on-read delete keeps the file SET and changes only a
+      // dv: field — a path-level subset test would emit an empty hop
+      // where a delete happened
+      if (ScaleOps.isPureAppendHop(spark, root, v - 1, v)) {
+        val parent = ScaleOps.manifestFiles(spark, root, v - 1).toSet
+        FileSeg(v, 0L,
+          ScaleOps.manifestFiles(spark, root, v).filterNot(parent),
+          initial = false)
+      } else FeedSeg(v)
     }
     def hops(afterV: Long): Iterator[Seg] =
       vs.iterator.filter(_ > afterV).map { v =>
@@ -325,15 +330,25 @@ class SnapshotStream(spark: SparkSession, root: String,
               (endO.index - base).toInt
             else fls.size
           val slice = fls.take(upto)
-          if (slice.nonEmpty)
+          if (slice.nonEmpty) {
             // the PINNED schema is passed explicitly: no per-batch
             // footer inference (metadata-bounded planning even at
             // 1000 files/trigger), columns a file physically lacks
             // null-fill natively, columns the stream predates are
-            // not read at all (the restart rule)
-            frames += spark.read.schema(dataSchema).parquet(slice: _*)
+            // not read at all (the restart rule). A BOOTSTRAP slice
+            // of a version carrying deletion vectors masks them
+            // (ScaleOps.readFilesDv) — a raw read would resurrect
+            // every deleted row into the stream; append-hop slices
+            // are fresh files and never carry a dv field, so the
+            // header probe keeps them on the plain read.
+            val body =
+              if (ScaleOps.snapshotHasDvs(spark, root, v))
+                ScaleOps.readFilesDv(spark, root, v, slice, dataSchema)
+              else spark.read.schema(dataSchema).parquet(slice: _*)
+            frames += body
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v))
+          }
           if (v == endO.version) stop = true
         case FeedSeg(v) if v <= endO.version =>
           val (ins, del) = ScaleOps.snapshotChangeFiles(spark, root, v)

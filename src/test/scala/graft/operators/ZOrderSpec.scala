@@ -97,6 +97,75 @@ class ZOrderSpec extends SparkSpec {
       assert(scanned(c) < 8, s"3-D curve left dimension '$c' unprunable")
   }
 
+  test("stringPrefix64Col matches the JVM encoding on every byte-shape") {
+    val samples = Seq("", "a", "ab", "abcdefgh", "abcdefghij", "src0",
+      "src19", "corpus__part055", "éclair", "中文字符串超过八字节",
+      "a\u0000b", "ÿÿÿÿÿÿÿÿÿ", "2024-01-05")
+    val got = samples.toDF("s")
+      .select(ScaleOps.stringPrefix64Col(col("s")).as("p"))
+      .as[Long].collect().toSeq
+    assert(got === samples.map(ScaleOps.stringPrefix64),
+      "column encoding drifted from the manifest's JVM encoding")
+  }
+
+  test("typed z-order: (source STRING, day DATE) recluster prunes BOTH dimensions, content unchanged") {
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_zorder_typed").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    // ingest-ordered by NEITHER read key: id-clustered rows whose
+    // (source, day) pairs interleave across the whole id range —
+    // exactly the natural 100 TB key pair the round-12 curve NULLed
+    // (string cast to Long = NULL, date cast = epoch days by luck)
+    val df = (0 until 4000).map { i =>
+      (i.toLong, s"src${(i * 2654435761L % 20).toInt}", (i * 40503) % 60)
+    }.toDF("id", "source", "off")
+      .withColumn("day", date_add(to_date(lit("2024-01-01")),
+        col("off").cast("int")))
+      .drop("off")
+      .repartitionByRange(8, col("id"))
+    ScaleOps.publishSnapshot(spark, root, df, statsCol = Some("id"))
+    val v2 = ScaleOps.zorderSnapshotK(spark, root, Seq("source", "day"), 8)
+    assert(v2 === 2L)
+    // content bit-identical to the parent
+    assert(ScaleOps.readSnapshot(spark, root, Some(2L))
+      .agg(sum(col("id")), count(lit(1))).as[(Long, Long)].head() ===
+      ScaleOps.readSnapshot(spark, root, Some(1L))
+        .agg(sum(col("id")), count(lit(1))).as[(Long, Long)].head())
+    // both dimensions are declared stats columns
+    assert(ScaleOps.snapshotStatsCols(spark, root, 2L)
+      .exists(h => Seq("source", "day").forall(h.split(',').contains)))
+    def scanned(df2: DataFrame): Int = {
+      df2.collect()
+      df2.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case g: graft.sources.SnapshotScan => g.plannedFiles.length
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.inputFiles.length
+            case _ => 0
+          }
+      }.sum
+    }
+    def read() = spark.read.format("graft-snapshot").load(root)
+    val bySrc = read().filter(col("source") === "src7")
+    assert(scanned(bySrc) < 8, "string dimension did not prune")
+    assert(bySrc.count() === df.filter(col("source") === "src7").count())
+    val byDay = read().filter(col("day") >= to_date(lit("2024-01-10")) &&
+      col("day") <= to_date(lit("2024-01-14")))
+    assert(scanned(byDay) < 8, "date dimension did not prune")
+    assert(byDay.count() ===
+      df.filter(col("day") >= to_date(lit("2024-01-10")) &&
+        col("day") <= to_date(lit("2024-01-14"))).count())
+    // an unmappable dimension type refuses loudly
+    val e = intercept[Exception] {
+      ScaleOps.zorderSnapshotK(spark, root, Seq("source", "id2double"), 8)
+    }
+    assert(e.getMessage.contains("not in the store's schema") ||
+      e.getMessage.contains("no"))
+  }
+
   test("z-layout prunes a thin-y box query; a linear x-sort layout cannot") {
     val dir = Files.createTempDirectory("zorder").toString
     val grid = spark.range(0, 128L * 128L)

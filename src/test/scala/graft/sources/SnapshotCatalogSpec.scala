@@ -138,13 +138,22 @@ class SnapshotCatalogSpec extends SparkSpec {
     // pre-merge version intact
     assert(ScaleOps.readSnapshot(spark, root("t6"), Some(2L))
       .filter(col("s") === "old5").count() === 1L)
-    // unsupported MERGE shapes are refused loudly, not approximated
+    // a general shape (WHEN MATCHED THEN DELETE) routes to the
+    // general executor and deletes exactly the matched keys
+    spark.sql("""MERGE INTO gcat.t6 AS t USING t6_updates AS u
+                |ON t.id = u.id
+                |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gcat.t6").as[Long].head() === 98L)
+    assert(spark.sql("SELECT count(*) FROM gcat.t6 WHERE id IN (5, 42, 200)")
+      .as[Long].head() === 0L)
+    // still-unsupported shapes are refused loudly, not approximated
     val e = intercept[Exception] {
       spark.sql("""MERGE INTO gcat.t6 AS t USING t6_updates AS u
                   |ON t.id = u.id
-                  |WHEN MATCHED THEN DELETE""".stripMargin)
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     }
-    assert(e.getMessage.contains("canonical upsert"))
+    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
   }
 
   test("SQL UPDATE routes to the zone-map-planned copy-on-write rewrite") {

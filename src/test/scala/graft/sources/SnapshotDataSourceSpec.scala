@@ -168,6 +168,70 @@ class SnapshotDataSourceSpec extends SparkSpec {
       s"runtime join keys did not prune: planned $plannedN/4 files")
   }
 
+  test("runtime filtering: a NON-broadcast (shuffle) join still prunes files via DPP subqueries") {
+    // when the build side is too big to broadcast, Spark can still
+    // deliver the join keys to SupportsRuntimeFiltering as a
+    // DPP-style In-subquery — at the cost of re-executing the build
+    // side's distinct keys — when reuseBroadcastOnly is off. This is
+    // the shuffle-join file-skipping shape for the 100 TB fact⋈fact
+    // case; the conf trade (duplicate build-side subquery vs skipped
+    // probe-side terabytes) is documented in the README.
+    val root = freshRoot("dpps")
+    fs(root).delete(new Path(root), true)
+    ScaleOps.publishSnapshot(spark, root, rangedDf(0 until 400),
+      statsCol = Some("id"), statsBloom = true)
+    val dimPath = freshRoot("dpps_dim")
+    (0L until 200L).map(i => (i, if (i == 25L || i == 26L) "keep" else "drop"))
+      .toDF("id", "tag").write.mode("overwrite").parquet(dimPath)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevReuse = spark.conf.get(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "false")
+    try {
+      val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+      val joined = readStore(root).join(dim, Seq("id"))
+      val rows = joined.collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("s"))).sorted.toSeq
+      assert(rows === Seq((25L, "row25"), (26L, "row26")))
+      // no broadcast join in the executed plan (the shape under test)
+      def hasBhj(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            hasBhj(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            hasBhj(q.plan)
+          case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+            true
+        }.exists(identity)
+      def planned(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            planned(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            planned(q.plan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan match {
+              case g: SnapshotScan => g.plannedFiles.length
+              case _ => 0
+            }
+        }.sum
+      val exec = joined.queryExecution.executedPlan
+      assert(!hasBhj(exec), "expected a shuffle join under the test confs")
+      val plannedN = planned(exec)
+      assert(plannedN > 0, "no SnapshotScan in the executed join plan")
+      assert(plannedN < 4,
+        s"shuffle-join runtime keys did not prune: planned $plannedN/4 files")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        prevReuse)
+    }
+  }
+
   test("timestampAsOf resolves the newest version committed at or before the instant") {
     val root = freshRoot("ts")
     fs(root).delete(new Path(root), true)

@@ -1,0 +1,214 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.ScaleOps
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+
+/** General SQL MERGE shapes on snapshot-catalog tables: clause
+  * conditions, WHEN MATCHED DELETE, PARTIAL SET lists (updating only
+  * the named columns — the round-12 silent-full-row-replace
+  * regression), clause order, CDC envelope replay, copy-on-write
+  * file carry, and the remaining loud refusals. */
+class SnapshotMergeGeneralSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+    "graft_mrg_spec").toString
+  spark.conf.set("spark.sql.catalog.gmrg",
+    classOf[SnapshotCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gmrg.warehouse", wh)
+
+  private def fs = new Path(wh)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def root(t: String) = new Path(wh, t).toString
+
+  private def seed(t: String, n: Long = 100L): Unit = {
+    fs.delete(new Path(root(t)), true)
+    spark.sql(s"CREATE TABLE gmrg.$t (id BIGINT, s STRING, q BIGINT) " +
+      "TBLPROPERTIES ('statscol' = 'id')")
+    (0L until n).map(i => (i, s"old$i", i % 10)).toDF("id", "s", "q")
+      .repartitionByRange(4, col("id"))
+      .writeTo(s"gmrg.$t").append()
+  }
+
+  test("partial SET updates ONLY the assigned columns (regression: was a full-row replace)") {
+    seed("p1")
+    Seq((5L, "new5", 999L), (200L, "ins200", 7L))
+      .toDF("id", "s", "q").createOrReplaceTempView("p1_src")
+    spark.sql("""MERGE INTO gmrg.p1 AS t USING p1_src AS u
+                |ON t.id = u.id
+                |WHEN MATCHED THEN UPDATE SET s = u.s
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT id, s, q FROM gmrg.p1")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows.size === 101)
+    // the assigned column changed, the UNASSIGNED one kept the
+    // TARGET's value (5 % 10 = 5, not the source's 999)
+    assert(rows(5L) === ("new5", 5L))
+    assert(rows(200L) === ("ins200", 7L))
+    assert(rows(6L) === ("old6", 6L))
+  }
+
+  test("CDC envelope: conditional DELETE / partial UPDATE / conditional INSERT in one statement") {
+    seed("p2")
+    Seq(
+      (3L, "delete", null.asInstanceOf[String], 0L),
+      (7L, "update", "upd7", 0L),
+      (300L, "insert", "ins300", 42L),
+      (301L, "delete", null.asInstanceOf[String], 0L) // unmatched delete: no-op
+    ).toDF("id", "op", "s", "q").createOrReplaceTempView("p2_src")
+    spark.sql("""MERGE INTO gmrg.p2 AS t USING p2_src AS u
+                |ON t.id = u.id
+                |WHEN MATCHED AND u.op = 'delete' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET s = u.s
+                |WHEN NOT MATCHED AND u.op != 'delete'
+                |  THEN INSERT (id, s, q) VALUES (u.id, u.s, u.q)""".stripMargin)
+    val rows = spark.sql("SELECT id, s, q FROM gmrg.p2")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows.size === 100) // 100 - 1 deleted + 1 inserted
+    assert(!rows.contains(3L), "matched delete did not drop the row")
+    assert(!rows.contains(301L), "unmatched delete-op row was inserted")
+    assert(rows(7L) === ("upd7", 7L), "partial update wrong")
+    assert(rows(300L) === ("ins300", 42L), "conditional insert missing")
+    assert(rows(8L) === ("old8", 8L), "ride-along row disturbed")
+    // copy-on-write: the touched keys cluster into few of the 4
+    // files; provably-untouched files carry forward by path
+    val v2 = ScaleOps.manifestFiles(spark, root("p2"), 2L).toSet
+    val v3 = ScaleOps.manifestFiles(spark, root("p2"), 3L).toSet
+    assert(v2.intersect(v3).nonEmpty, "general MERGE rewrote every file")
+    // change feed: delete preimage for id 3 and 7; insert postimage
+    // for 7 and 300
+    val feed = ScaleOps.readSnapshotChangeFeed(spark, root("p2"), 2L, 3L)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq === Seq(3L, 7L))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq === Seq(7L, 300L))
+    // snapshot isolation: the pre-merge version is intact
+    assert(ScaleOps.readSnapshot(spark, root("p2"), Some(2L)).count() === 100L)
+  }
+
+  test("clause order: the FIRST matching clause wins") {
+    seed("p3", 20L)
+    Seq((4L, "x"), (5L, "y")).toDF("id", "tag")
+      .createOrReplaceTempView("p3_src")
+    spark.sql("""MERGE INTO gmrg.p3 AS t USING p3_src AS u
+                |ON t.id = u.id
+                |WHEN MATCHED AND u.tag = 'x' THEN UPDATE SET s = 'first'
+                |WHEN MATCHED THEN UPDATE SET s = 'second'""".stripMargin)
+    val rows = spark.sql("SELECT id, s FROM gmrg.p3")
+      .as[(Long, String)].collect().toMap
+    assert(rows(4L) === "first")
+    assert(rows(5L) === "second")
+    assert(rows(6L) === "old6")
+  }
+
+  test("update-only and insert-only merges work; NULL clause conditions keep/drop per the WHERE contract") {
+    seed("p4", 10L)
+    Seq((2L, null.asInstanceOf[String]), (100L, null.asInstanceOf[String]))
+      .toDF("id", "tag").createOrReplaceTempView("p4_src")
+    // tag = 'x' is NULL for both rows → neither clause fires: the
+    // matched row rides along, the unmatched row is NOT inserted
+    spark.sql("""MERGE INTO gmrg.p4 AS t USING p4_src AS u
+                |ON t.id = u.id
+                |WHEN MATCHED AND u.tag = 'x' THEN UPDATE SET s = 'no'
+                |WHEN NOT MATCHED AND u.tag = 'x' THEN
+                |  INSERT (id, s, q) VALUES (u.id, 'no', 0)""".stripMargin)
+    val rows = spark.sql("SELECT id, s FROM gmrg.p4")
+      .as[(Long, String)].collect().toMap
+    assert(rows.size === 10 && rows(2L) === "old2")
+    // insert-only merge: unassigned INSERT columns null-fill
+    spark.sql("""MERGE INTO gmrg.p4 AS t USING p4_src AS u
+                |ON t.id = u.id
+                |WHEN NOT MATCHED THEN INSERT (id) VALUES (u.id)""".stripMargin)
+    val got = spark.sql("SELECT id, s, q FROM gmrg.p4 WHERE id = 100")
+      .as[(Long, Option[String], Option[Long])].collect()
+    assert(got.toSeq === Seq((100L, None, None)))
+  }
+
+  test("DELETE with a non-pushable WHERE executes row-level; pushable conjuncts still bound the rewrite") {
+    seed("p6", 400L)
+    // length(s) has no data-source Filter translation — round 12
+    // refused this statement outright; now the row-level Column
+    // drives a correct copy-on-write delete
+    spark.sql("DELETE FROM gmrg.p6 WHERE length(s) > 5")
+    // 'old100'..'old399' have length 6 → 300 deleted
+    assert(spark.sql("SELECT count(*) FROM gmrg.p6").as[Long].head() === 100L)
+    assert(ScaleOps.snapshotVersions(spark, root("p6")) === Seq(1L, 2L, 3L))
+    // the pushable conjunct still bounds the rewrite set: an id-range
+    // AND a non-pushable predicate must carry the out-of-range files
+    // forward by path
+    seed("p7", 400L)
+    spark.sql(
+      "DELETE FROM gmrg.p7 WHERE id BETWEEN 0 AND 80 AND length(s) > 4")
+    assert(spark.sql("SELECT count(*) FROM gmrg.p7").as[Long].head() ===
+      400L - (10L to 80L).size)
+    val v2 = ScaleOps.manifestFiles(spark, root("p7"), 2L).toSet
+    val v3 = ScaleOps.manifestFiles(spark, root("p7"), 3L).toSet
+    assert(v2.intersect(v3).size >= 2,
+      "pushable conjunct did not bound the DELETE rewrite set")
+  }
+
+  test("UPDATE with a non-pushable WHERE executes row-level; pushable conjuncts still prune") {
+    seed("p8", 400L)
+    spark.sql("UPDATE gmrg.p8 SET q = -1 " +
+      "WHERE id BETWEEN 100 AND 150 AND length(s) = 6")
+    val rows = spark.sql("SELECT id, q FROM gmrg.p8")
+      .as[(Long, Long)].collect().toMap
+    (0L until 400L).foreach { id =>
+      if (id >= 100 && id <= 150) assert(rows(id) === -1L, s"row $id missed")
+      else assert(rows(id) === id % 10, s"row $id disturbed")
+    }
+    val v2 = ScaleOps.manifestFiles(spark, root("p8"), 2L).toSet
+    val v3 = ScaleOps.manifestFiles(spark, root("p8"), 3L).toSet
+    assert(v2.intersect(v3).size >= 2,
+      "pushable conjunct did not bound the UPDATE rewrite set")
+  }
+
+  test("s23 answers the mixed-envelope merge exactly (relational replay parity)") {
+    val d = "/root/testdata/sf0.001"
+    val got = ScaleOps.s23MergeGeneral(spark, d)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val mx = docs.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .as[Long].head()
+    import org.apache.spark.sql.functions.{when => sqlWhen, lit, pmod, count, sum}
+    val surv = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+      .select(col("source"),
+        sqlWhen(pmod(col("doc_id"), lit(89L)) === 0L, lit("xx"))
+          .otherwise(col("lang")).as("lang"),
+        col("n_chars"))
+    val ins = docs.filter(col("doc_id") < mx / 20)
+      .select(lit("merged").as("source"), lit("zz").as("lang"),
+        col("n_chars"))
+    val want = surv.unionByName(ins)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("source"), col("lang"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("unsupported general shapes refuse loudly") {
+    seed("p5", 10L)
+    Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("p5_src")
+    val e1 = intercept[Exception] {
+      spark.sql("""MERGE INTO gmrg.p5 AS t USING p5_src AS u
+                  |ON t.id = u.id AND t.q > 0
+                  |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("single equi-join"))
+    // duplicate source keys refuse (cardinality), not last-wins
+    Seq((1L, "a"), (1L, "b")).toDF("id", "s")
+      .createOrReplaceTempView("p5_dup")
+    val e2 = intercept[Exception] {
+      spark.sql("""MERGE INTO gmrg.p5 AS t USING p5_dup AS u
+                  |ON t.id = u.id
+                  |WHEN MATCHED THEN UPDATE SET s = u.s""".stripMargin)
+    }
+    assert(e2.getMessage.contains("unique"))
+  }
+}
