@@ -84,7 +84,8 @@ object Bench {
     "t40_classifier_eval", "s13_bloom_lookup", "s14_merge_upsert",
     "c46_span_scrub", "c47_scrub_accounting", "s15_change_feed",
     "s16_evolve_merge", "s17_dsv2_read", "s18_multicol_read",
-    "s19_catalog_append", "s20_zorder_recluster", "s21_string_pruned")
+    "s19_catalog_append", "s20_zorder_recluster", "s21_string_pruned",
+    "s22_dv_read", "s23_merge_general")
 
   /** Queries deliberately NOT timed, each for a stated reason — the
     * third leg of the coverage partition. The a-layer rows are
