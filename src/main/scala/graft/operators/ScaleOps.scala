@@ -2732,15 +2732,19 @@ object ScaleOps extends QueryModule {
   private[graft] def mergeGeneralSnapshot(s: SparkSession, root: String,
       keyCol: String, srcKeyCol: String, updates: DataFrame,
       matched: Seq[GeneralMergeClause],
-      notMatched: Seq[GeneralMergeClause]): Long =
+      notMatched: Seq[GeneralMergeClause],
+      bySource: Seq[GeneralMergeClause] = Nil,
+      mode: String = "auto"): Long =
     retryingCommit(s, root, dmlGuard = true)(
       mergeGeneralSnapshotAttempt(s, root, keyCol, srcKeyCol, updates,
-        matched, notMatched))
+        matched, notMatched, bySource, mode))
 
   private def mergeGeneralSnapshotAttempt(s: SparkSession, root: String,
       keyCol: String, srcKeyCol: String, updates: DataFrame,
       matched: Seq[GeneralMergeClause],
-      notMatched: Seq[GeneralMergeClause]): Long = {
+      notMatched: Seq[GeneralMergeClause],
+      bySource: Seq[GeneralMergeClause],
+      mode: String): Long = {
     val dup = updates.agg(count(lit(1)).as("n"),
       count_distinct(col(srcKeyCol)).as("k")).collect()(0) // bounded: one row
     require(dup.getLong(0) == dup.getLong(1),
@@ -2755,42 +2759,63 @@ object ScaleOps extends QueryModule {
     val keepStats = (statsColumnsOf(s, root, v) :+ keyCol).distinct
     val schema = snapshotSchema(s, root, v).getOrElse(
       readSnapshotMerged(s, root, Some(v)).schema)
-    val (touched, untouched) = keyTouchedLines(s, lines, bounds,
-      updates, srcKeyCol)
+    // NOT MATCHED BY SOURCE clauses act on target rows whose key is
+    // ABSENT from the batch — which can live in ANY file, so the
+    // key-zone planning cannot bound the rewrite: every line is
+    // touched by construction ("make target mirror source" IS a full
+    // rewrite). Without such clauses the zone maps bound it as ever.
+    val (touched, untouched) =
+      if (bySource.nonEmpty) (lines, Seq.empty[String])
+      else keyTouchedLines(s, lines, bounds, updates, srcKeyCol)
+    // MERGE-ON-READ for the general shapes too (bySource excluded —
+    // its rewrite is every file by definition, so CoW IS the right
+    // materialization): fired-on target rows become DV positions,
+    // updated post-images and inserts append, ride-along rows stay
+    // in their files — the CDC envelope's per-trigger write drops to
+    // O(batch) exactly like the canonical upsert's.
+    val useMor = bySource.isEmpty && touched.nonEmpty &&
+      morChosen(s, mode, touched.size, lines.size)
     val base =
       if (touched.isEmpty)
         s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           schema)
+      else if (useMor) readTouchedWithPos(s, root, v, touched)
       else readTouched(s, root, v, touched)
-    val clash = (base.columns ++ updates.columns).filter(c =>
+    val clash = (base.columns.filterNot(_.startsWith("__graft_dv_")) ++
+      updates.columns).filter(c =>
       c.startsWith("__t_") || c.startsWith("__s_") || c == "__graft_act")
     require(clash.isEmpty,
       s"general MERGE reserves __t_/__s_/__graft_act column names; " +
         s"rename: ${clash.mkString(", ")}")
-    val t = base.select(base.columns.map(c => col(c).as(s"__t_$c")).toSeq :+
+    // position columns (MoR) ride UNprefixed beside the __t_ images
+    val t = base.select(base.columns.map(c =>
+      if (c.startsWith("__graft_dv_")) col(c)
+      else col(c).as(s"__t_$c")).toSeq :+
       lit(true).as("__t_p"): _*)
     val u = updates.select(
       updates.columns.map(c => col(c).as(s"__s_$c")).toSeq :+
         lit(true).as("__s_p"): _*)
     val j = t.join(u, col(s"__t_$keyCol") === col(s"__s_$srcKeyCol"),
       "full_outer")
-    // Row routing: action codes — update clause i → i, insert clause
-    // i → 1000+i, DELETE → -2 (drop), no clause fires → -1 (matched/
-    // target-only rows KEEP; source-only rows DROP). when() treats a
-    // NULL clause condition as not firing, the WHERE contract.
-    def chainOf(cls: Seq[GeneralMergeClause], dflt: Column): Column =
+    // Row routing: action codes — MATCHED update clause i → i, NOT
+    // MATCHED insert clause i → 1000+i, NOT MATCHED BY SOURCE update
+    // clause i → 2000+i, any DELETE → -2 (drop), no clause fires →
+    // -1 (matched/target-only rows KEEP; source-only rows DROP).
+    // when() treats a NULL clause condition as not firing, the WHERE
+    // contract.
+    def chainOf(cls: Seq[GeneralMergeClause], base: Int,
+        dflt: Column): Column =
       cls.zipWithIndex.foldRight(dflt) { case ((cl, i), els) =>
         val code = cl.kind match {
           case "delete" => -2
-          case "update" => i
-          case "insert" => 1000 + i
+          case _ => base + i
         }
         when(cl.condition.getOrElse(lit(true)), lit(code)).otherwise(els)
       }
     val act = when(col("__t_p").isNotNull && col("__s_p").isNotNull,
-        chainOf(matched, lit(-1)))
-      .when(col("__s_p").isNotNull, chainOf(notMatched, lit(-2)))
-      .otherwise(lit(-1))
+        chainOf(matched, 0, lit(-1)))
+      .when(col("__s_p").isNotNull, chainOf(notMatched, 1000, lit(-2)))
+      .otherwise(chainOf(bySource, 2000, lit(-1)))
     val jA = j.withColumn("__graft_act", act)
     val alive = jA.filter(col("__graft_act") =!= lit(-2))
     def assignFor(cl: GeneralMergeClause,
@@ -2804,30 +2829,53 @@ object ScaleOps extends QueryModule {
       } ++ notMatched.zipWithIndex.map { case (cl, i) =>
         (1000 + i) -> assignFor(cl, f)
           .getOrElse(lit(null).cast(f.dataType))
+      } ++ bySource.zipWithIndex.collect {
+        case (cl, i) if cl.kind == "update" =>
+          (2000 + i) -> assignFor(cl, f).getOrElse(keep)
       }).foldRight(keep: Column) { case ((code, value), els) =>
         when(col("__graft_act") === lit(code), value).otherwise(els)
       }
       routed.cast(f.dataType).as(f.name)
     }
-    val result = alive.select(outCols: _*)
+    // MoR: only rows a clause REPLACED or CREATED are written (the
+    // update/insert post-images); keeps stay in their files. CoW:
+    // every surviving row of the touched files is rewritten.
+    val result =
+      if (useMor) alive.filter(col("__graft_act") >= lit(0))
+        .select(outCols: _*)
+      else alive.select(outCols: _*)
     // change feed: updated/deleted preimages out, updated postimages
     // and inserts in (compaction-style empty sides when a clause
     // family is absent)
     val preCols = schema.fields.toIndexedSeq.map(f =>
       col(s"__t_${f.name}").cast(f.dataType).as(f.name))
     val updIdx = matched.zipWithIndex.collect {
-      case (cl, i) if cl.kind == "update" => i }
-    val matchedFlag = col("__t_p").isNotNull && col("__s_p").isNotNull
-    val deletedPre = jA.filter(matchedFlag &&
+      case (cl, i) if cl.kind == "update" => i } ++
+      bySource.zipWithIndex.collect {
+        case (cl, i) if cl.kind == "update" => 2000 + i }
+    val deletedPre = jA.filter(col("__t_p").isNotNull &&
         (col("__graft_act") === lit(-2) ||
           col("__graft_act").isin(updIdx.map(Int.box): _*)))
       .select(preCols: _*)
     val insertedPost = alive.filter(col("__graft_act") >= lit(0))
       .select(outCols: _*)
-    commitVersion(s, root, result, parentLines = untouched,
-      statsCol = bounds.headOption.map(_ => keepStats.mkString(",")),
-      tag = None, cdf = Some((insertedPost, deletedPre)),
-      expectParent = Some(v))
+    if (useMor) {
+      // every target row a clause FIRED on leaves its file via a DV
+      // position (updates move to new files, deletes just go)
+      val fired = jA.filter(col("__t_p").isNotNull &&
+        col("__graft_act") =!= lit(-1))
+      val dvRows = dvRowsOf(s, root, touched).unionByName(
+        fired.select(col("__graft_dv_f").as("f"),
+          col("__graft_dv_p").as("pos")))
+      commitVersion(s, root, result, parentLines = untouched ++ touched,
+        statsCol = bounds.headOption.map(_ => keepStats.mkString(",")),
+        tag = None, cdf = Some((insertedPost, deletedPre)),
+        expectParent = Some(v), dvNew = Some(dvRows))
+    } else
+      commitVersion(s, root, result, parentLines = untouched,
+        statsCol = bounds.headOption.map(_ => keepStats.mkString(",")),
+        tag = None, cdf = Some((insertedPost, deletedPre)),
+        expectParent = Some(v))
   }
 
   /** OPTIMIZE (small-file compaction) as a snapshot version: bin the

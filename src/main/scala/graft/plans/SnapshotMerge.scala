@@ -28,14 +28,17 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   *    assignment lists) routes to [[ScaleOps.mergeIntoSnapshot]] —
   *    the s14 write path, anti/semi joins, evolve-on-merge support;
   *  - every other GENERAL shape — clause conditions, `WHEN MATCHED …
-  *    THEN DELETE`, PARTIAL SET lists, several WHEN clauses in order
-  *    — routes to [[ScaleOps.mergeGeneralSnapshot]], the full-outer-
-  *    join row router. This is what applying a CDC
-  *    insert/update/delete envelope as one statement needs.
+  *    THEN DELETE`, PARTIAL SET lists, several WHEN clauses in order,
+  *    and `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE (the
+  *    mirror-the-source sync; its rewrite is unbounded by key zones
+  *    BY DEFINITION — every absent key is a candidate) — routes to
+  *    [[ScaleOps.mergeGeneralSnapshot]], the full-outer-join row
+  *    router. This is what applying a CDC insert/update/delete
+  *    envelope as one statement needs.
   *
   * Still refused loudly (never approximated): non-equi-key ON
-  * conditions, NOT MATCHED BY SOURCE clauses, and schema evolution on
-  * a general shape. The rule fires during resolution, AFTER the
+  * conditions, star/INSERT actions under NOT MATCHED BY SOURCE, and
+  * schema evolution on a general shape. The rule fires during resolution, AFTER the
   * statement is fully resolved (star expansion included) — acting on
   * a half-resolved MERGE mis-reads partial assignment lists as
   * full-row replaces — and before Spark's RewriteMergeIntoTable can
@@ -85,15 +88,13 @@ case class ResolveSnapshotMerge(spark: SparkSession)
         val (keyCol, srcKeyCol) = equiKey(m).getOrElse(refuse(
           "ON condition must be a single equi-join on one column " +
             s"present on both sides, got: ${m.mergeCondition.sql}"))
-        if (m.notMatchedBySourceActions.nonEmpty)
-          refuse("WHEN NOT MATCHED BY SOURCE is not supported — " +
-            "rewrite as a DELETE/UPDATE over an anti join")
         val tOut = m.targetTable.outputSet
         val sOut = m.sourceTable.outputSet
         val tCols = m.targetTable.output.map(_.name)
         val sCols = m.sourceTable.output.map(_.name)
-        if (isCanonicalUpsert(m.matchedActions, m.notMatchedActions,
-            tOut, sOut, tCols))
+        if (m.notMatchedBySourceActions.isEmpty &&
+            isCanonicalUpsert(m.matchedActions, m.notMatchedActions,
+              tOut, sOut, tCols))
           MergeIntoSnapshotCommand(table.root, keyCol, m.sourceTable,
             m.withSchemaEvolution)
         else {
@@ -104,8 +105,18 @@ case class ResolveSnapshotMerge(spark: SparkSession)
             tCols, sCols, insertSide = false))
           val notMatched = m.notMatchedActions.map(clauseOf(_, tOut, sOut,
             tCols, sCols, insertSide = true))
+          // NOT MATCHED BY SOURCE: target-row-only clauses (UPDATE
+          // with target-side values / DELETE); a star action has no
+          // source row to expand against and is refused by shape
+          val bySource = m.notMatchedBySourceActions.map {
+            case UpdateStarAction(_) | InsertStarAction(_) | (_: InsertAction) =>
+              refuse("NOT MATCHED BY SOURCE supports UPDATE SET "
+                + "<target exprs> and DELETE only")
+            case a => clauseOf(a, tOut, sOut, tCols, sCols,
+              insertSide = false)
+          }
           MergeIntoSnapshotGeneralCommand(table.root, keyCol, srcKeyCol,
-            m.sourceTable, matched, notMatched)
+            m.sourceTable, matched, notMatched, bySource)
         }
     }
 
@@ -272,7 +283,8 @@ case class MergeIntoSnapshotCommand(root: String, keyCol: String,
   * the zone-map-planned touched files. */
 case class MergeIntoSnapshotGeneralCommand(root: String, keyCol: String,
     srcKeyCol: String, source: LogicalPlan,
-    matched: Seq[SnapshotMergeClause], notMatched: Seq[SnapshotMergeClause])
+    matched: Seq[SnapshotMergeClause], notMatched: Seq[SnapshotMergeClause],
+    bySource: Seq[SnapshotMergeClause] = Nil)
     extends LeafRunnableCommand {
 
   import org.apache.spark.sql.graft.SqlShims
@@ -288,7 +300,8 @@ case class MergeIntoSnapshotGeneralCommand(root: String, keyCol: String,
   override def run(session: SparkSession): Seq[Row] = {
     val updates = SqlShims.ofRows(session, source)
     ScaleOps.mergeGeneralSnapshot(session, root, keyCol, srcKeyCol,
-      updates, matched.map(lower), notMatched.map(lower))
+      updates, matched.map(lower), notMatched.map(lower),
+      bySource.map(lower))
     Seq.empty
   }
 }

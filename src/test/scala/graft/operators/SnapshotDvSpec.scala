@@ -212,6 +212,39 @@ class SnapshotDvSpec extends SparkSpec {
     assert(ScaleOps.readSnapshot(spark, root).count() === 389L)
   }
 
+  test("the CDC upsert sink path picks MoR automatically: a small batch rewrites NO files") {
+    // the round-12 scale-killer scenario: a store of many files takes
+    // a steady stream of small upsert batches (snapshotMergeOnce is
+    // the sink's commit). With auto-MoR the per-trigger write is
+    // O(batch) — matched preimages become DV positions, the batch
+    // appends — instead of rewriting every touched file forever.
+    val root = freshRoot("sink")
+    fs(root).delete(new Path(root), true)
+    val df = (0L until 1000L).map(i => (i, s"r$i", i % 10))
+      .toDF("id", "s", "q").repartitionByRange(10, col("id"))
+    ScaleOps.publishSnapshot(spark, root, df, statsCol = Some("id"))
+    val v1f = ScaleOps.manifestFiles(spark, root, 1L).toSet
+    // batch 1: one update + one insert → touches 1/10 files → MoR
+    val b1 = Seq((500L, "upd500", -1L), (2000L, "ins2000", -1L))
+      .toDF("id", "s", "q")
+    assert(ScaleOps.snapshotMergeOnce(spark, root, "id", b1, "batch:1")
+      === Some(2L))
+    val v2f = ScaleOps.manifestFiles(spark, root, 2L).toSet
+    assert(v1f.subsetOf(v2f), "sink merge rewrote a carried file")
+    assert(ScaleOps.snapshotHasDvs(spark, root, 2L))
+    // replay absorbed (exactly-once), then a second batch composes
+    assert(ScaleOps.snapshotMergeOnce(spark, root, "id", b1, "batch:1")
+      === None)
+    val b2 = Seq((500L, "upd500b", -2L)).toDF("id", "s", "q")
+    assert(ScaleOps.snapshotMergeOnce(spark, root, "id", b2, "batch:2")
+      === Some(3L))
+    val rows = ScaleOps.readSnapshot(spark, root)
+      .select("id", "s").as[(Long, String)].collect().toMap
+    assert(rows.size === 1001)
+    assert(rows(500L) === "upd500b" && rows(2000L) === "ins2000" &&
+      rows(501L) === "r501")
+  }
+
   test("s22 fixture: the MoR store, the CoW twin and the relational truth agree") {
     val d = "/root/testdata/sf0.001"
     val (morRoot, cowRoot) = ScaleOps.ensureDvStores(spark, d)

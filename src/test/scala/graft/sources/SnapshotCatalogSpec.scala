@@ -146,14 +146,14 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gcat.t6").as[Long].head() === 98L)
     assert(spark.sql("SELECT count(*) FROM gcat.t6 WHERE id IN (5, 42, 200)")
       .as[Long].head() === 0L)
-    // still-unsupported shapes are refused loudly, not approximated
-    val e = intercept[Exception] {
-      spark.sql("""MERGE INTO gcat.t6 AS t USING t6_updates AS u
-                  |ON t.id = u.id
-                  |WHEN MATCHED THEN UPDATE SET *
-                  |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
-    }
-    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+    // the mirror-sync shape: rows absent from the source are deleted
+    spark.sql("""MERGE INTO gcat.t6 AS t USING t6_updates AS u
+                |ON t.id = u.id
+                |WHEN NOT MATCHED THEN INSERT *
+                |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT * FROM gcat.t6").as[(Long, String)]
+      .collect().sorted.toSeq ===
+      Seq((5L, "new5"), (42L, "new42"), (200L, "ins200")))
   }
 
   test("SQL UPDATE routes to the zone-map-planned copy-on-write rewrite") {

@@ -192,6 +192,80 @@ class SnapshotMergeGeneralSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("NOT MATCHED BY SOURCE: conditional UPDATE and DELETE over target-only rows") {
+    seed("p9", 20L)
+    Seq((4L, "x"), (100L, "y")).toDF("id", "tag")
+      .createOrReplaceTempView("p9_src")
+    spark.sql("""MERGE INTO gmrg.p9 AS t USING p9_src AS u
+                |ON t.id = u.id
+                |WHEN MATCHED THEN UPDATE SET s = 'hit'
+                |WHEN NOT MATCHED THEN INSERT (id, s, q) VALUES (u.id, 'ins', 0)
+                |WHEN NOT MATCHED BY SOURCE AND t.q >= 8 THEN DELETE
+                |WHEN NOT MATCHED BY SOURCE AND t.q >= 6
+                |  THEN UPDATE SET s = 'stale'""".stripMargin)
+    val rows = spark.sql("SELECT id, s FROM gmrg.p9")
+      .as[(Long, String)].collect().toMap
+    // matched: id 4 updated; unmatched source: id 100 inserted
+    assert(rows(4L) === "hit" && rows(100L) === "ins")
+    // target-only rows: q in {8,9} deleted, q in {6,7} re-tagged,
+    // the rest ride along — clause order and conditions respected
+    (0L until 20L).filterNot(_ == 4L).foreach { id =>
+      val q = id % 10
+      if (q >= 8) assert(!rows.contains(id), s"row $id not deleted")
+      else if (q >= 6) assert(rows(id) === "stale", s"row $id not updated")
+      else assert(rows(id) === s"old$id", s"row $id disturbed")
+    }
+    // the change feed decomposes the sync correctly: deletes carry
+    // the q>=8 preimages plus the updated rows' preimages
+    val feed = ScaleOps.readSnapshotChangeFeed(spark, root("p9"), 2L, 3L)
+    val delIds = feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(delIds === (0L until 20L).filter(i =>
+      i == 4L || (i % 10 >= 6 && i != 4L)).sorted)
+  }
+
+  test("general merge picks MoR on a narrow envelope: fired rows DV out, only post-images append") {
+    def mk(t: String): String = {
+      fs.delete(new Path(root(t)), true)
+      spark.sql(s"CREATE TABLE gmrg.$t (id BIGINT, s STRING, q BIGINT) " +
+        "TBLPROPERTIES ('statscol' = 'id')")
+      (0L until 1000L).map(i => (i, s"r$i", i % 10)).toDF("id", "s", "q")
+        .repartitionByRange(10, col("id"))
+        .writeTo(s"gmrg.$t").append()
+      root(t)
+    }
+    val morRoot = mk("pm1")
+    val cowRoot = mk("pm2")
+    Seq((500L, "delete", null.asInstanceOf[String]),
+      (501L, "update", "upd501"), (5000L, "insert", "ins5000"))
+      .toDF("id", "op", "s").createOrReplaceTempView("pm_src")
+    def run(t: String): Unit = spark.sql(
+      s"""MERGE INTO gmrg.$t AS t USING pm_src AS u
+         |ON t.id = u.id
+         |WHEN MATCHED AND u.op = 'delete' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET s = u.s
+         |WHEN NOT MATCHED AND u.op = 'insert'
+         |  THEN INSERT (id, s, q) VALUES (u.id, u.s, -1)""".stripMargin)
+    // 3 keys in 1 of 10 files: auto picks MoR — every parent file
+    // carries forward, the envelope writes only its post-images
+    run("pm1")
+    val v2f = ScaleOps.manifestFiles(spark, morRoot, 3L).toSet
+    assert(ScaleOps.manifestFiles(spark, morRoot, 2L).toSet
+      .subsetOf(v2f), "general MoR merge rewrote a carried file")
+    assert(ScaleOps.snapshotHasDvs(spark, morRoot, 3L))
+    // the CoW twin (threshold 0 forces the rewrite) agrees row-for-row
+    spark.conf.set("spark.graft.snapshot.morMaxTouchedFraction", "0.0")
+    try run("pm2")
+    finally spark.conf.unset("spark.graft.snapshot.morMaxTouchedFraction")
+    assert(!ScaleOps.snapshotHasDvs(spark, cowRoot, 3L))
+    def rows(r: String) = ScaleOps.readSnapshot(spark, r)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(rows(morRoot) === rows(cowRoot))
+    assert(rows(morRoot).size === 1000) // -1 deleted, +1 inserted
+    assert(!rows(morRoot).exists(_._1 == 500L))
+    assert(rows(morRoot).find(_._1 == 501L).get._2 === "upd501")
+  }
+
   test("unsupported general shapes refuse loudly") {
     seed("p5", 10L)
     Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("p5_src")
