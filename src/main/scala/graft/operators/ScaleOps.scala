@@ -673,6 +673,11 @@ object ScaleOps extends QueryModule {
     // marker for a decided slot is safe, and markers no longer
     // accumulate one-per-version in _manifests/ forever
     fs.delete(claimP, false)
+    // a freshly committed slot can only be cached stale if the store
+    // was deleted and re-created under the same root (fixtures do) —
+    // drop every memoized #dvs: answer at-or-above the slot
+    val qr = qualifiedRoot(s, root)
+    dvHeaderCache.keySet.removeIf(k => k._1 == qr && k._2 >= next)
     next
   }
 
@@ -991,7 +996,7 @@ object ScaleOps extends QueryModule {
     * reads from the `v<N>.full` listing vacuum materialized before
     * deleting the parent (pure cache: rename-committed, content ==
     * the resolved chain). */
-  private def manifestDataLines(s: SparkSession, root: String,
+  private[graft] def manifestDataLines(s: SparkSession, root: String,
       v: Long): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val fullP = new Path(root, s"_manifests/v$v.full")
@@ -1189,6 +1194,9 @@ object ScaleOps extends QueryModule {
     * also carries the `#dvs:` header and every read path checks it. */
   private def isDvField(f: String): Boolean = f.startsWith("dv:")
 
+  /** Does this manifest line carry a deletion-vector field? */
+  private[graft] def lineHasDv(l: String): Boolean = dvOf(l).isDefined
+
   /** Parse a line's DV field → (root-relative dir, deleted count). */
   private def dvOf(line: String): Option[(String, Long)] =
     line.split('\t').drop(1).find(isDvField).map { f =>
@@ -1206,11 +1214,25 @@ object ScaleOps extends QueryModule {
     }.toMap
 
   /** Does version `v` carry ANY deletion vector? — one manifest
-    * header read (`#dvs:`, stamped at commit), never a line scan:
-    * every read path probes this per plan, so it must stay O(1). */
+    * header read (`#dvs:`, stamped at commit), never a line scan.
+    * MEMOIZED per (qualified root, version): the analyzer's
+    * fixed-point iterations probe this for EVERY snapshot relation
+    * in a plan, and a committed version's manifest is immutable, so
+    * the first header read answers forever. The one way a (root, v)
+    * key could go stale — a store deleted and re-created under the
+    * same root (test fixtures do) — is covered by [[commitVersion]]
+    * invalidating every cached key at-or-above the version it
+    * commits. */
+  private val dvHeaderCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]
+  private def qualifiedRoot(s: SparkSession, root: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    fsOf(s, p).makeQualified(p).toString
+  }
   private[graft] def snapshotHasDvs(s: SparkSession, root: String,
       v: Long): Boolean =
-    manifestHeaders(s, root, v).contains("dvs")
+    dvHeaderCache.computeIfAbsent((qualifiedRoot(s, root), v),
+      _ => manifestHeaders(s, root, v).contains("dvs"))
 
   /** A line with its DV field replaced (or added). */
   private def withDvField(line: String, dir: String, count: Long): String =
@@ -1218,9 +1240,16 @@ object ScaleOps extends QueryModule {
       .mkString("\t")
 
   /** The CURRENT deleted (f, pos) rows of the given manifest lines —
-    * the union read of their referenced dv dirs, restricted to the
-    * lines' own files (a shared dir may also carry rows for files
-    * these lines don't name). Empty-schema frame when none. */
+    * each referenced dv dir read RESTRICTED TO THE FILES WHOSE LINE
+    * CURRENTLY POINTS AT IT, then unioned. The per-dir restriction
+    * is correctness, not just hygiene: a shared dir can hold a
+    * SUPERSEDED row set for a file whose line has since re-pointed
+    * elsewhere (file A moved to dv-v3 while file B still references
+    * dv-v2, which carries A's older rows) — a flat "union all dirs,
+    * filter by file name" would return A's stale positions TWICE,
+    * and the MoR write paths would persist the duplicates into the
+    * next commit's dir and overcount its manifest `dv:` field.
+    * Empty-schema frame when no line carries a vector. */
   private[graft] def dvRowsOf(s: SparkSession, root: String,
       lines: Seq[String]): DataFrame = {
     val withDv = lines.flatMap(l => dvOf(l).map(l.split('\t')(0) -> _._1))
@@ -1228,14 +1257,25 @@ object ScaleOps extends QueryModule {
       s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         StructType(Seq(StructField("f", StringType),
           StructField("pos", LongType))))
-    else {
-      val dirs = withDv.map(_._2).distinct
-      s.read.parquet(dirs.map(dir =>
-          new org.apache.hadoop.fs.Path(root, dir).toString): _*)
-        .filter(col("f").isin(withDv.map(_._1): _*))
+    else withDv.groupBy(_._2).map { case (dir, pairs) =>
+      s.read.parquet(new org.apache.hadoop.fs.Path(root, dir).toString)
+        .filter(col("f").isin(pairs.map(_._1): _*))
         .select(col("f"), col("pos"))
-    }
+    }.reduce(_.unionByName(_))
   }
+
+  /** Should the lines' DV row set BROADCAST for the anti-join? —
+    * decided from manifest metadata alone, sized in BYTES, not rows:
+    * a (file_path STRING, pos LONG) row costs roughly the path's
+    * length plus ~24B of row overhead, so 2M rows of long URIs can
+    * be a multi-hundred-MB driver broadcast a flat row threshold
+    * would wave through. The manifest already knows each line's
+    * per-file deleted count; Σ count × (path + 24) ≤ 32 MB
+    * broadcasts, anything bigger shuffles. */
+  private[graft] def dvSideBroadcastable(lines: Seq[String]): Boolean =
+    lines.flatMap { l =>
+      dvOf(l).map { case (_, n) => n * (l.split('\t')(0).length + 24L) }
+    }.sum <= (32L << 20)
 
   /** DV-AWARE READ of a set of manifest lines — THE read doorway
     * every path that opens snapshot data files goes through once a
@@ -1262,10 +1302,9 @@ object ScaleOps extends QueryModule {
     else {
       val dvdPaths = dvd.map(_.split('\t')(0))
       val clean = lines.map(_.split('\t')(0)).filterNot(dvdPaths.toSet)
-      val deletedRows = dvd.flatMap(dvOf).map(_._2).sum
       val delDf = dvRowsOf(s, root, dvd)
         .select(col("f").as("__graft_dv_f"), col("pos").as("__graft_dv_p"))
-      val del = if (deletedRows <= 2000000L) broadcast(delDf) else delDf
+      val del = if (dvSideBroadcastable(dvd)) broadcast(delDf) else delDf
       val masked = rd(dvdPaths)
         .withColumn("__graft_dv_f", col("_metadata.file_path"))
         .withColumn("__graft_dv_p", col("_metadata.row_index"))
@@ -2374,10 +2413,9 @@ object ScaleOps extends QueryModule {
       .withColumn("__graft_dv_p", col("_metadata.row_index"))
     val oldDf = dvRowsOf(s, root, lines)
       .select(col("f").as("__graft_dv_f"), col("pos").as("__graft_dv_p"))
-    // manifest-known DV cardinality decides the join strategy, the
+    // manifest-known DV byte size decides the join strategy, the
     // same metadata-driven broadcast as readLinesDv
-    val deleted = lines.flatMap(dvOf).map(_._2).sum
-    val old = if (deleted <= 2000000L) broadcast(oldDf) else oldDf
+    val old = if (dvSideBroadcastable(lines)) broadcast(oldDf) else oldDf
     raw.join(old, Seq("__graft_dv_f", "__graft_dv_p"), "left_anti")
   }
 
@@ -2562,31 +2600,39 @@ object ScaleOps extends QueryModule {
       updates: DataFrame, tag: Option[String] = None,
       evolveSchema: Boolean = false, mode: String = "auto"): Long =
     retryingCommit(s, root, dmlGuard = true)(
-      mergeIntoSnapshotAttempt(s, root, keyCol, updates, tag,
+      mergeIntoSnapshotAttempt(s, root, splitKeys(keyCol), updates, tag,
         evolveSchema, mode))
 
+  /** `keyCol` may name a COMPOSITE key, comma-separated — every
+    * member joins, plans and stats. */
+  private def splitKeys(keyCol: String): Seq[String] = {
+    val ks = keyCol.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(ks.nonEmpty, "merge key must name at least one column")
+    ks
+  }
+
   private def mergeIntoSnapshotAttempt(s: SparkSession, root: String,
-      keyCol: String, updates: DataFrame, tag: Option[String],
+      keyCols: Seq[String], updates: DataFrame, tag: Option[String],
       evolveSchema: Boolean, mode: String): Long = {
-    import s.implicits._
     val dup = updates.agg(count(lit(1)).as("n"),
-      count_distinct(col(keyCol)).as("k")).collect()(0) // bounded: one row
+      count_distinct(col(keyCols.head),
+        keyCols.tail.map(col): _*).as("k")).collect()(0) // bounded: one row
     require(dup.getLong(0) == dup.getLong(1),
-      s"merge updates must have unique non-null '$keyCol' keys " +
+      s"merge updates must have unique non-null '${keyCols.mkString(",")}' keys " +
         s"(${dup.getLong(0)} rows, ${dup.getLong(1)} distinct keys)")
     val vs = snapshotVersions(s, root)
     // merging into an empty store bootstraps it: everything is an
     // insert, so v1 = the batch (the CREATE TABLE AS face of MERGE)
     if (vs.isEmpty)
       return commitVersion(s, root, updates, parentLines = Nil,
-        statsCol = Some(keyCol), tag, expectParent = Some(0L))
+        statsCol = Some(keyCols.mkString(",")), tag, expectParent = Some(0L))
     val v = vs.last
     val lines = manifestDataLines(s, root, v)
-    val bounds = manifestBounds(s, root, v, keyCol)
     // a rewrite keeps indexing every NAMED stats column the store
-    // already carries (plus its own key), so a multi-column store's
+    // already carries (plus its own keys), so a multi-column store's
     // rewritten files don't silently lose their second zone map
-    val keepStats = (statsColumnsOf(s, root, v) :+ keyCol).distinct
+    val keepStats = (statsColumnsOf(s, root, v) ++ keyCols).distinct
+    val anyBounds = keyCols.exists(k => manifestBounds(s, root, v, k).nonEmpty)
     // EVOLVE-ON-MERGE (the Delta mergeSchema composition of s14 and
     // s11): with evolveSchema the batch may CARRY columns the store
     // lacks — rewritten survivors null-fill them, untouched files
@@ -2601,12 +2647,12 @@ object ScaleOps extends QueryModule {
     require(evolveSchema || newCols.isEmpty,
       s"merge batch carries columns the store lacks (${newCols.mkString(",")}); " +
         "pass evolveSchema=true to evolve, or project them away")
-    val (touched, untouched) = keyTouchedLines(s, lines, bounds,
-      updates, keyCol)
+    val (touched, untouched) = keysTouchedLines(s, root, v, lines,
+      updates, keyCols.map(k => k -> k))
     if (touched.isEmpty)
       return commitVersion(s, root, updates, parentLines = untouched,
-        statsCol = bounds.headOption.map(_ => keepStats.mkString(",")), tag,
-        cdf = Some((updates, updates.limit(0))), expectParent = Some(v))
+        statsCol = if (anyBounds) Some(keepStats.mkString(",")) else None,
+        tag, cdf = Some((updates, updates.limit(0))), expectParent = Some(v))
     if (morChosen(s, mode, touched.size, lines.size)) {
       // MERGE-ON-READ upsert — the CDC-sink write-amplification fix:
       // matched preimages become DV positions, the WHOLE batch lands
@@ -2616,15 +2662,15 @@ object ScaleOps extends QueryModule {
       // of O(touched files); compaction materializes the DVs away on
       // its own cadence, exactly like the small-file tail.
       val live = readTouchedWithPos(s, root, v, touched)
-      val matchedRows = live.join(updates.select(col(keyCol)),
-        Seq(keyCol), "left_semi")
+      val matchedRows = live.join(updates.select(keyCols.map(col): _*),
+        keyCols, "left_semi")
       val replaced = matchedRows.drop("__graft_dv_f", "__graft_dv_p")
       val dvRows = dvRowsOf(s, root, touched).unionByName(
         matchedRows.select(col("__graft_dv_f").as("f"),
           col("__graft_dv_p").as("pos")))
       return commitVersion(s, root, updates,
         parentLines = untouched ++ touched,
-        statsCol = bounds.headOption.map(_ => keepStats.mkString(",")),
+        statsCol = if (anyBounds) Some(keepStats.mkString(",")) else None,
         tag, cdf = Some((updates, replaced)), expectParent = Some(v),
         dvNew = Some(dvRows))
     }
@@ -2633,15 +2679,17 @@ object ScaleOps extends QueryModule {
     // null-fills whatever any file physically lacks (the require
     // above already decided whether NEW columns are allowed in)
     val base = readTouched(s, root, v, touched)
-    val survivors = base.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val survivors = base.join(updates.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
     // CDF decomposes an update into delete(preimage) + insert(row):
     // replaced = touched-file rows whose key a batch row matches
-    val replaced = base.join(updates.select(col(keyCol)), Seq(keyCol), "left_semi")
+    val replaced = base.join(updates.select(keyCols.map(col): _*),
+      keyCols, "left_semi")
     commitVersion(s, root,
       survivors.unionByName(updates, allowMissingColumns = true),
       parentLines = untouched,
-      statsCol = bounds.headOption.map(_ => keepStats.mkString(",")), tag,
-      cdf = Some((updates, replaced)), expectParent = Some(v))
+      statsCol = if (anyBounds) Some(keepStats.mkString(",")) else None,
+      tag, cdf = Some((updates, replaced)), expectParent = Some(v))
   }
 
   /** Batch-tagged IDEMPOTENT merge — [[snapshotAppendOnce]]'s
@@ -2660,8 +2708,8 @@ object ScaleOps extends QueryModule {
     // retry wraps probe AND attempt (see snapshotAppendOnce)
     retryingCommit(s, root, dmlGuard = true) {
       if (lastCommittedTag(s, root).contains(tag)) None
-      else Some(mergeIntoSnapshotAttempt(s, root, keyCol, updates,
-        Some(tag), evolveSchema = false, mode = "auto"))
+      else Some(mergeIntoSnapshotAttempt(s, root, splitKeys(keyCol),
+        updates, Some(tag), evolveSchema = false, mode = "auto"))
     }
 
   /** The MERGE planning metadata join shared by the canonical upsert
@@ -2690,6 +2738,27 @@ object ScaleOps extends QueryModule {
       val f = line.split('\t')(0)
       !bounds.contains(f) || hit(f)
     }
+  }
+
+  /** COMPOSITE-KEY touched-file planning: each (target key, source
+    * key) pair prunes independently — a file is untouched as soon as
+    * ANY pair's zone map proves no update key lands in its interval.
+    * Per-pair independence is a SUPERSET of the true row match (a
+    * real match needs every key column in range simultaneously), so
+    * intersecting the per-pair touched sets can only keep extra
+    * files, never lose a match — the same degrade-to-keep contract
+    * as single-key planning, and at 100 TB a two-column key prunes
+    * with whichever of its columns the store happens to cluster on. */
+  private def keysTouchedLines(s: SparkSession, root: String, v: Long,
+      lines: Seq[String], updates: DataFrame,
+      pairs: Seq[(String, String)]): (Seq[String], Seq[String]) = {
+    val untouchedFiles = pairs.flatMap { case (tKey, sKey) =>
+      val bounds = manifestBounds(s, root, v, tKey)
+      if (bounds.isEmpty) Nil
+      else keyTouchedLines(s, lines, bounds, updates, sKey)
+        ._2.map(_.split('\t')(0))
+    }.toSet
+    lines.partition(l => !untouchedFiles.contains(l.split('\t')(0)))
   }
 
   /** One clause of a GENERAL SQL MERGE, pre-lowered by the resolution
@@ -2730,35 +2799,47 @@ object ScaleOps extends QueryModule {
     * unique (order-dependent multi-matches refuse loudly, the
     * SQL-standard cardinality rule). Returns the committed version. */
   private[graft] def mergeGeneralSnapshot(s: SparkSession, root: String,
-      keyCol: String, srcKeyCol: String, updates: DataFrame,
+      keys: Seq[(String, String)], updates: DataFrame,
       matched: Seq[GeneralMergeClause],
       notMatched: Seq[GeneralMergeClause],
       bySource: Seq[GeneralMergeClause] = Nil,
-      mode: String = "auto"): Long =
+      mode: String = "auto",
+      evolved: Option[StructType] = None): Long =
     retryingCommit(s, root, dmlGuard = true)(
-      mergeGeneralSnapshotAttempt(s, root, keyCol, srcKeyCol, updates,
-        matched, notMatched, bySource, mode))
+      mergeGeneralSnapshotAttempt(s, root, keys, updates,
+        matched, notMatched, bySource, mode, evolved))
 
   private def mergeGeneralSnapshotAttempt(s: SparkSession, root: String,
-      keyCol: String, srcKeyCol: String, updates: DataFrame,
+      keys: Seq[(String, String)], updates: DataFrame,
       matched: Seq[GeneralMergeClause],
       notMatched: Seq[GeneralMergeClause],
       bySource: Seq[GeneralMergeClause],
-      mode: String): Long = {
+      mode: String, evolved: Option[StructType]): Long = {
+    require(keys.nonEmpty, "general MERGE needs at least one key pair")
+    val srcKeyCols = keys.map(_._2)
     val dup = updates.agg(count(lit(1)).as("n"),
-      count_distinct(col(srcKeyCol)).as("k")).collect()(0) // bounded: one row
+      count_distinct(col(srcKeyCols.head),
+        srcKeyCols.tail.map(col): _*).as("k")).collect()(0) // bounded: one row
     require(dup.getLong(0) == dup.getLong(1),
-      s"merge source must have unique non-null '$srcKeyCol' keys " +
-        s"(${dup.getLong(0)} rows, ${dup.getLong(1)} distinct keys)")
+      s"merge source must have unique non-null '${srcKeyCols.mkString(",")}' " +
+        s"keys (${dup.getLong(0)} rows, ${dup.getLong(1)} distinct keys)")
     val vs = snapshotVersions(s, root)
     require(vs.nonEmpty, s"no committed snapshots under $root — " +
       "CREATE the table (or publish v1) before a general MERGE")
     val v = vs.last
     val lines = manifestDataLines(s, root, v)
-    val bounds = manifestBounds(s, root, v, keyCol)
-    val keepStats = (statsColumnsOf(s, root, v) :+ keyCol).distinct
-    val schema = snapshotSchema(s, root, v).getOrElse(
+    val keepStats = (statsColumnsOf(s, root, v) ++ keys.map(_._1)).distinct
+    val anyBounds = keys.exists(k => manifestBounds(s, root, v, k._1).nonEmpty)
+    val headerSchema = snapshotSchema(s, root, v).getOrElse(
       readSnapshotMerged(s, root, Some(v)).schema)
+    // EVOLVE-ON-MERGE for the general shapes: `evolved` appends the
+    // statement's NEW target columns (source columns the store
+    // lacks, star-expanded or analyzer-evolved) — rewritten/kept
+    // rows null-fill them, untouched files stay physically
+    // column-free, and the commit's merged `#schema:` header evolves
+    // the store exactly like the canonical upsert's path.
+    val schema = evolved.fold(headerSchema)(ev =>
+      mergeSchemas(headerSchema, allNullable(ev)))
     // NOT MATCHED BY SOURCE clauses act on target rows whose key is
     // ABSENT from the batch — which can live in ANY file, so the
     // key-zone planning cannot bound the rewrite: every line is
@@ -2766,7 +2847,7 @@ object ScaleOps extends QueryModule {
     // rewrite). Without such clauses the zone maps bound it as ever.
     val (touched, untouched) =
       if (bySource.nonEmpty) (lines, Seq.empty[String])
-      else keyTouchedLines(s, lines, bounds, updates, srcKeyCol)
+      else keysTouchedLines(s, root, v, lines, updates, keys)
     // MERGE-ON-READ for the general shapes too (bySource excluded —
     // its rewrite is every file by definition, so CoW IS the right
     // materialization): fired-on target rows become DV positions,
@@ -2787,16 +2868,22 @@ object ScaleOps extends QueryModule {
     require(clash.isEmpty,
       s"general MERGE reserves __t_/__s_/__graft_act column names; " +
         s"rename: ${clash.mkString(", ")}")
-    // position columns (MoR) ride UNprefixed beside the __t_ images
+    // position columns (MoR) ride UNprefixed beside the __t_ images;
+    // evolved columns the touched files physically lack null-fill
+    // here so every routed output column has a target image to keep
+    val missing = schema.fields.toIndexedSeq.filterNot(f =>
+      base.columns.exists(_.equalsIgnoreCase(f.name)))
     val t = base.select(base.columns.map(c =>
       if (c.startsWith("__graft_dv_")) col(c)
-      else col(c).as(s"__t_$c")).toSeq :+
+      else col(c).as(s"__t_$c")).toSeq ++
+      missing.map(f => lit(null).cast(f.dataType).as(s"__t_${f.name}")) :+
       lit(true).as("__t_p"): _*)
     val u = updates.select(
       updates.columns.map(c => col(c).as(s"__s_$c")).toSeq :+
         lit(true).as("__s_p"): _*)
-    val j = t.join(u, col(s"__t_$keyCol") === col(s"__s_$srcKeyCol"),
-      "full_outer")
+    val j = t.join(u, keys.map { case (tk, sk) =>
+        col(s"__t_$tk") === col(s"__s_$sk")
+      }.reduce(_ && _), "full_outer")
     // Row routing: action codes — MATCHED update clause i → i, NOT
     // MATCHED insert clause i → 1000+i, NOT MATCHED BY SOURCE update
     // clause i → 2000+i, any DELETE → -2 (drop), no clause fires →
@@ -2868,12 +2955,12 @@ object ScaleOps extends QueryModule {
         fired.select(col("__graft_dv_f").as("f"),
           col("__graft_dv_p").as("pos")))
       commitVersion(s, root, result, parentLines = untouched ++ touched,
-        statsCol = bounds.headOption.map(_ => keepStats.mkString(",")),
+        statsCol = if (anyBounds) Some(keepStats.mkString(",")) else None,
         tag = None, cdf = Some((insertedPost, deletedPre)),
         expectParent = Some(v), dvNew = Some(dvRows))
     } else
       commitVersion(s, root, result, parentLines = untouched,
-        statsCol = bounds.headOption.map(_ => keepStats.mkString(",")),
+        statsCol = if (anyBounds) Some(keepStats.mkString(",")) else None,
         tag = None, cdf = Some((insertedPost, deletedPre)),
         expectParent = Some(v))
   }

@@ -12,24 +12,22 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * snapshot version whose manifest carries `dv:` fields must not be
   * scanned raw — the scan would resurrect every deleted row. This
   * rule replaces each READ relation over such a version with the
-  * engine's DV-aware composed read ([[ScaleOps.readSnapshotMerged]]:
-  * clean files on the plain parquet path, DV'd files anti-joined
-  * against their (file, row_index) deletion rows), projected back
-  * onto the relation's own output attribute ids so the surrounding
-  * plan re-binds nothing.
-  *
-  * The trade, stated plainly: a DV-carrying version reads through v1
-  * parquet relations — Catalyst still pushes filters/column pruning
-  * into the files, but the connector's manifest-grain file skipping
-  * is bypassed until compaction materializes the vectors away (the
-  * standing cadence; [[ScaleOps.compactSnapshot]] rewrites every
-  * DV'd file). That is the Delta/Iceberg position too: DVs are cheap
-  * transient write-side debt, OPTIMIZE pays it down.
+  * PRUNED composed read ([[graft.sources.SnapshotDvReadPlan]]):
+  * clean files come back through the connector itself
+  * (`subset=clean` — zone maps, Blooms and runtime join filters all
+  * still plan files), DV'd files read through a v1 relation over a
+  * pruning FileIndex and anti-join their (file, row_index) deletion
+  * rows out. The result is projected back onto the relation's own
+  * output attribute ids so the surrounding plan re-binds nothing —
+  * and, per round-13's standing finding, a DV'd version no longer
+  * loses manifest-grain file skipping at CDC steady state.
   *
   * DML/write TARGETS keep their relation identity — the commands
   * need the raw table (their execution paths are DV-aware inside
-  * [[ScaleOps]]); only pure reads rewrite. The per-plan cost of the
-  * probe is one manifest HEADER read (`#dvs:`). */
+  * [[ScaleOps]]); only pure reads rewrite. The clean half's
+  * relation carries `subset`, which this rule skips — no rewrite
+  * recursion. The per-plan cost of the probe is one MEMOIZED
+  * manifest header read (`#dvs:`). */
 case class ResolveSnapshotDvRead(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
@@ -49,12 +47,12 @@ case class ResolveSnapshotDvRead(spark: SparkSession)
           if r.table.isInstanceOf[SnapshotTable] &&
             !writeTargets.contains(r) && {
               val t = r.table.asInstanceOf[SnapshotTable]
-              t.pinnedVersion >= 1 &&
+              t.subset.isEmpty && t.pinnedVersion >= 1 &&
                 ScaleOps.snapshotHasDvs(spark, t.root, t.pinnedVersion)
             } =>
         val t = r.table.asInstanceOf[SnapshotTable]
-        val child = ScaleOps
-          .readSnapshotMerged(spark, t.root, Some(t.pinnedVersion))
+        val child = graft.sources.SnapshotDvReadPlan
+          .composedRead(spark, t.root, t.pinnedVersion, t.statsCol)
           .queryExecution.analyzed
         Project(r.output.map { a =>
           val src = child.output

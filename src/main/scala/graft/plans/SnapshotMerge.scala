@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, De
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** SQL `MERGE INTO`, `UPDATE` and (non-pushable-WHERE) `DELETE` on
   * snapshot-catalog tables, resolved to the engine's own
@@ -60,8 +61,8 @@ case class ResolveSnapshotMerge(spark: SparkSession)
           case a => refuse(
             s"UPDATE SET targets must be top-level columns, got: ${a.sql}")
         }
-        UpdateSnapshotCommand(table.root, table.statsCol, sets,
-          u.condition)
+        UpdateSnapshotCommand(table.root, table.pinnedVersion,
+          table.statsCol, sets, u.condition)
 
       // SQL DELETE whose WHERE has conjuncts with NO data-source
       // Filter translation (e.g. length(text) > N): SupportsDelete
@@ -76,8 +77,8 @@ case class ResolveSnapshotMerge(spark: SparkSession)
           conjuncts(d.condition).exists(e =>
             org.apache.spark.sql.graft.SqlShims.translateFilter(e).isEmpty) =>
         val table = snapshotTarget(d.table).get
-        DeleteSnapshotCommand(table.root, table.statsCol,
-          Some(d.condition))
+        DeleteSnapshotCommand(table.root, table.pinnedVersion,
+          table.statsCol, Some(d.condition))
 
       case m: MergeIntoTable if snapshotTarget(m.targetTable).isDefined &&
           m.targetTable.resolved && m.sourceTable.resolved &&
@@ -85,26 +86,33 @@ case class ResolveSnapshotMerge(spark: SparkSession)
           (m.matchedActions ++ m.notMatchedActions ++
             m.notMatchedBySourceActions).forall(actionResolved) =>
         val table = snapshotTarget(m.targetTable).get
-        val (keyCol, srcKeyCol) = equiKey(m).getOrElse(refuse(
-          "ON condition must be a single equi-join on one column " +
-            s"present on both sides, got: ${m.mergeCondition.sql}"))
+        val keys = equiKeys(m).getOrElse(refuse(
+          "ON condition must be a conjunction of equi-joins, each " +
+            "between one target and one source column, got: " +
+            m.mergeCondition.sql))
         val tOut = m.targetTable.outputSet
         val sOut = m.sourceTable.outputSet
         val tCols = m.targetTable.output.map(_.name)
         val sCols = m.sourceTable.output.map(_.name)
+        // schema evolution on ANY shape: the statement's new target
+        // columns are the source's columns the target lacks (plus
+        // whatever the analyzer already evolved into the target
+        // relation); the executors null-fill them on keep paths and
+        // commit the merged #schema: header
+        val sourceOnly = m.sourceTable.output.filterNot(sa =>
+          tCols.exists(_.equalsIgnoreCase(sa.name)))
         if (m.notMatchedBySourceActions.isEmpty &&
+            keys.forall { case (t, sc) => t.equalsIgnoreCase(sc) } &&
             isCanonicalUpsert(m.matchedActions, m.notMatchedActions,
               tOut, sOut, tCols))
-          MergeIntoSnapshotCommand(table.root, keyCol, m.sourceTable,
-            m.withSchemaEvolution)
+          MergeIntoSnapshotCommand(table.root, table.pinnedVersion,
+            keys.map(_._1), m.sourceTable, m.withSchemaEvolution)
         else {
-          if (m.withSchemaEvolution)
-            refuse("WITH SCHEMA EVOLUTION is supported only on the " +
-              "canonical upsert (UPDATE SET * / INSERT *)")
+          val evoCols = if (m.withSchemaEvolution) sourceOnly else Nil
           val matched = m.matchedActions.map(clauseOf(_, tOut, sOut,
-            tCols, sCols, insertSide = false))
+            tCols, sCols, evoCols.map(_.name)))
           val notMatched = m.notMatchedActions.map(clauseOf(_, tOut, sOut,
-            tCols, sCols, insertSide = true))
+            tCols, sCols, evoCols.map(_.name)))
           // NOT MATCHED BY SOURCE: target-row-only clauses (UPDATE
           // with target-side values / DELETE); a star action has no
           // source row to expand against and is refused by shape
@@ -113,10 +121,18 @@ case class ResolveSnapshotMerge(spark: SparkSession)
               refuse("NOT MATCHED BY SOURCE supports UPDATE SET "
                 + "<target exprs> and DELETE only")
             case a => clauseOf(a, tOut, sOut, tCols, sCols,
-              insertSide = false)
+              evoCols.map(_.name))
           }
-          MergeIntoSnapshotGeneralCommand(table.root, keyCol, srcKeyCol,
-            m.sourceTable, matched, notMatched, bySource)
+          // the statement's full evolved output: the target relation's
+          // own columns (analyzer-evolved or not) plus the source-only
+          // columns the evolution admits
+          val evolved =
+            if (!m.withSchemaEvolution) None
+            else Some(StructType(
+              (m.targetTable.output ++ evoCols).map(a =>
+                StructField(a.name, a.dataType, nullable = true))))
+          MergeIntoSnapshotGeneralCommand(table.root, table.pinnedVersion,
+            keys, m.sourceTable, matched, notMatched, bySource, evolved)
         }
     }
 
@@ -137,19 +153,31 @@ case class ResolveSnapshotMerge(spark: SparkSession)
         r.table.asInstanceOf[SnapshotTable]
     }
 
-  /** The merge key: `ON t.k = s.k` with one side a target attribute,
-    * the other a source attribute, both naming the same column.
-    * Returns (target-side name, source-side name). */
-  private def equiKey(m: MergeIntoTable): Option[(String, String)] = {
+  /** The merge keys: `ON t.a = s.a AND t.b = s.x AND …` — a
+    * CONJUNCTION of equi pairs, each between one target attribute
+    * and one source attribute (the two sides may be named
+    * differently). Returns the (target name, source name) pairs in
+    * statement order; None for any other ON shape (range/OR/expr
+    * conditions refuse loudly upstream — approximating the join key
+    * would merge the wrong rows). Duplicate target-side columns
+    * also refuse: `ON t.k = s.a AND t.k = s.b` is a valid SQL join
+    * but not a KEY, and the executors' by-name frames need one
+    * source image per target key column. */
+  private def equiKeys(m: MergeIntoTable): Option[Seq[(String, String)]] = {
     val tIds = m.targetTable.outputSet
     val sIds = m.sourceTable.outputSet
-    m.mergeCondition match {
+    val pairs = conjuncts(m.mergeCondition).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
-          if a.name.equalsIgnoreCase(b.name) &&
-            ((tIds.contains(a) && sIds.contains(b)) ||
-              (tIds.contains(b) && sIds.contains(a))) =>
-        Some(if (tIds.contains(a)) (a.name, b.name) else (b.name, a.name))
+          if tIds.contains(a) && sIds.contains(b) => Some(a.name -> b.name)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tIds.contains(b) && sIds.contains(a) => Some(b.name -> a.name)
       case _ => None
+    }
+    if (pairs.exists(_.isEmpty)) None
+    else {
+      val ks = pairs.flatten
+      val tNames = ks.map(_._1.toLowerCase)
+      if (tNames.distinct.length != tNames.length) None else Some(ks)
     }
   }
 
@@ -214,15 +242,18 @@ case class ResolveSnapshotMerge(spark: SparkSession)
     * shape: (kind, re-rooted condition, target-column → re-rooted
     * value assignments). A star action with a CONDITION synthesizes
     * its full by-name assignment list here (the analyzer only
-    * expands unconditioned stars for non-row-level tables). */
+    * expands unconditioned stars for non-row-level tables); under
+    * schema evolution the star also covers `evoCols` — the source's
+    * new columns the target is evolving to carry. */
   private def clauseOf(a: MergeAction, tOut: AttributeSet,
       sOut: AttributeSet, tCols: Seq[String], sCols: Seq[String],
-      insertSide: Boolean): SnapshotMergeClause = {
+      evoCols: Seq[String]): SnapshotMergeClause = {
     def starAssigns: Seq[(String, Expression)] = tCols.map { c =>
       require(sCols.exists(_.equalsIgnoreCase(c)),
         s"MERGE star action needs source column '$c' (by name)")
       c -> UnresolvedAttribute.quoted(s"__s_$c")
-    }
+    } ++ evoCols.map(c =>
+      (c: String) -> (UnresolvedAttribute.quoted(s"__s_$c"): Expression))
     def named(as: Seq[Assignment]): Seq[(String, Expression)] = as.map {
       case Assignment(k: AttributeReference, v) if tOut.contains(k) =>
         k.name -> reroot(v, tOut, sOut)
@@ -230,6 +261,24 @@ case class ResolveSnapshotMerge(spark: SparkSession)
         s"MERGE assignment targets must be top-level target columns, " +
           s"got: ${x.sql}")
     }
+    // an assignment list the ANALYZER expanded from a star (identity
+    // same-name cover of every target column) is still a `SET *` /
+    // `INSERT *` to the user — under schema evolution it covers the
+    // evolved columns too, exactly as the unexpanded star does; an
+    // explicit partial list never evolves what it doesn't name
+    def starShaped(as: Seq[Assignment]): Boolean = {
+      val names = as.collect {
+        case Assignment(k: AttributeReference, v: AttributeReference)
+            if tOut.contains(k) && sOut.contains(v) &&
+              k.name.equalsIgnoreCase(v.name) => k.name.toLowerCase
+      }
+      names.length == as.length &&
+        tCols.map(_.toLowerCase).toSet == names.toSet
+    }
+    def namedEvo(as: Seq[Assignment]): Seq[(String, Expression)] =
+      if (evoCols.isEmpty || !starShaped(as)) named(as)
+      else named(as) ++ evoCols.map(c =>
+        (c: String) -> (UnresolvedAttribute.quoted(s"__s_$c"): Expression))
     a match {
       case UpdateStarAction(cond) =>
         SnapshotMergeClause("update", cond.map(reroot(_, tOut, sOut)),
@@ -239,10 +288,10 @@ case class ResolveSnapshotMerge(spark: SparkSession)
           starAssigns)
       case UpdateAction(cond, as, _) =>
         SnapshotMergeClause("update", cond.map(reroot(_, tOut, sOut)),
-          named(as))
+          namedEvo(as))
       case InsertAction(cond, as) =>
         SnapshotMergeClause("insert", cond.map(reroot(_, tOut, sOut)),
-          named(as))
+          namedEvo(as))
       case DeleteAction(cond) =>
         SnapshotMergeClause("delete", cond.map(reroot(_, tOut, sOut)), Nil)
       case other => refuse(s"unsupported MERGE action: $other")
@@ -262,17 +311,18 @@ case class SnapshotMergeClause(kind: String,
   * analyzer stops rewriting it; the heavy lifting — zone-map file
   * planning, key-grain anti join, race-safe commit — happens inside
   * [[ScaleOps.mergeIntoSnapshot]] at execution. */
-case class MergeIntoSnapshotCommand(root: String, keyCol: String,
-    source: LogicalPlan, evolveSchema: Boolean)
+case class MergeIntoSnapshotCommand(root: String, pinnedVersion: Long,
+    keyCols: Seq[String], source: LogicalPlan, evolveSchema: Boolean)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
     Seq(source)
 
   override def run(session: SparkSession): Seq[Row] = {
+    SnapshotDmlPlanning.requireHead(session, root, pinnedVersion, "MERGE")
     val updates = org.apache.spark.sql.graft.SqlShims.ofRows(session, source)
-    ScaleOps.mergeIntoSnapshot(session, root, keyCol, updates,
-      evolveSchema = evolveSchema)
+    ScaleOps.mergeIntoSnapshot(session, root, keyCols.mkString(","),
+      updates, evolveSchema = evolveSchema)
     Seq.empty
   }
 }
@@ -281,10 +331,11 @@ case class MergeIntoSnapshotCommand(root: String, keyCol: String,
   * DELETE actions, partial SET/INSERT lists, clause order — executed
   * by [[ScaleOps.mergeGeneralSnapshot]]'s full-outer row router over
   * the zone-map-planned touched files. */
-case class MergeIntoSnapshotGeneralCommand(root: String, keyCol: String,
-    srcKeyCol: String, source: LogicalPlan,
+case class MergeIntoSnapshotGeneralCommand(root: String,
+    pinnedVersion: Long, keys: Seq[(String, String)], source: LogicalPlan,
     matched: Seq[SnapshotMergeClause], notMatched: Seq[SnapshotMergeClause],
-    bySource: Seq[SnapshotMergeClause] = Nil)
+    bySource: Seq[SnapshotMergeClause] = Nil,
+    evolved: Option[org.apache.spark.sql.types.StructType] = None)
     extends LeafRunnableCommand {
 
   import org.apache.spark.sql.graft.SqlShims
@@ -298,10 +349,11 @@ case class MergeIntoSnapshotGeneralCommand(root: String, keyCol: String,
       c.assigns.map { case (n, e) => n -> SqlShims.column(e) })
 
   override def run(session: SparkSession): Seq[Row] = {
+    SnapshotDmlPlanning.requireHead(session, root, pinnedVersion, "MERGE")
     val updates = SqlShims.ofRows(session, source)
-    ScaleOps.mergeGeneralSnapshot(session, root, keyCol, srcKeyCol,
+    ScaleOps.mergeGeneralSnapshot(session, root, keys,
       updates, matched.map(lower), notMatched.map(lower),
-      bySource.map(lower))
+      bySource.map(lower), evolved = evolved)
     Seq.empty
   }
 }
@@ -318,13 +370,15 @@ case class MergeIntoSnapshotGeneralCommand(root: String, keyCol: String,
   * SET/WHERE expressions are re-rooted on column NAMES before
   * evaluating there (their original attribute ids belong to the
   * query's relation, not the rewrite's). */
-case class UpdateSnapshotCommand(root: String, statsCol: Option[String],
+case class UpdateSnapshotCommand(root: String, pinnedVersion: Long,
+    statsCol: Option[String],
     sets: Seq[(String, Expression)], condition: Option[Expression])
     extends LeafRunnableCommand {
 
   import org.apache.spark.sql.graft.SqlShims
 
   override def run(session: SparkSession): Seq[Row] = {
+    SnapshotDmlPlanning.requireHead(session, root, pinnedVersion, "UPDATE")
     val (pred, constraints) = SnapshotDmlPlanning.plan(
       session, root, statsCol, condition)
     ScaleOps.updateWhereSnapshot(session, root, pred,
@@ -339,11 +393,12 @@ case class UpdateSnapshotCommand(root: String, statsCol: Option[String],
   * same candidate planning as UPDATE: pushable conjuncts prune,
   * the full predicate decides rows. The fully-pushable DELETE path
   * stays on SupportsDelete (SnapshotTable.deleteWhere). */
-case class DeleteSnapshotCommand(root: String, statsCol: Option[String],
-    condition: Option[Expression])
+case class DeleteSnapshotCommand(root: String, pinnedVersion: Long,
+    statsCol: Option[String], condition: Option[Expression])
     extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
+    SnapshotDmlPlanning.requireHead(session, root, pinnedVersion, "DELETE")
     val (pred, constraints) = SnapshotDmlPlanning.plan(
       session, root, statsCol, condition)
     ScaleOps.deleteWhereSnapshot(session, root, pred, constraints)
@@ -362,6 +417,23 @@ private[plans] object SnapshotDmlPlanning {
 
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.SqlShims
+
+  /** Writes contend on the HEAD only (the catalog contract): a DML
+    * statement whose target relation resolved against a
+    * stale/time-travel-pinned version must fail loudly here — the
+    * executors re-plan against `vs.last` internally, so without this
+    * check a pinned-table statement would silently apply to a head
+    * the user never named (the SupportsDelete guard, applied to
+    * every command-shaped DML). */
+  def requireHead(session: SparkSession, root: String,
+      pinnedVersion: Long, op: String): Unit = {
+    val head = ScaleOps.snapshotVersions(session, root)
+      .lastOption.getOrElse(0L)
+    require(pinnedVersion == head,
+      s"$op through a table pinned to v$pinnedVersion, but the head of " +
+        s"$root is v$head — writes go through the head table, not a " +
+        "time-travel pin")
+  }
 
   /** AttributeReference → by-name unresolved attribute, so the
     * expression resolves against the rewrite's own scan. */

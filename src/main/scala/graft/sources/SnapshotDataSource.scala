@@ -173,10 +173,16 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (root, v, _, statsDefault) = resolveOnce(opts)
+    // `subset` restricts the scan to the version's clean or DV'd
+    // manifest lines — the composed merge-on-read plan's internal
+    // handle (SnapshotDvReadPlan), not a user surface
+    val subset = Option(opts.get("subset")).map(_.toLowerCase)
+    require(subset.forall(ss => ss == "clean" || ss == "dvd"),
+      s"graft-snapshot subset must be clean|dvd, got ${subset.get}")
     // pruning columns: the explicit option wins; otherwise the
     // store's own #statscols: header (what its writers indexed)
     new SnapshotTable(root, v, schema,
-      Option(opts.get("statscol")).orElse(statsDefault))
+      Option(opts.get("statscol")).orElse(statsDefault), subset)
   }
 }
 
@@ -254,11 +260,13 @@ object SnapshotDataSource {
   * correct alongside it. */
 class SnapshotTable(private[graft] val root: String,
     private[graft] val pinnedVersion: Long,
-    tableSchema: StructType, private[graft] val statsCol: Option[String])
+    tableSchema: StructType, private[graft] val statsCol: Option[String],
+    private[graft] val subset: Option[String] = None)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
 
-  override def name(): String = s"graft-snapshot `$root` v$pinnedVersion"
+  override def name(): String = s"graft-snapshot `$root` v$pinnedVersion" +
+    subset.fold("")(ss => s" [$ss]")
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -272,19 +280,27 @@ class SnapshotTable(private[graft] val root: String,
     // belt and braces: a pinnedVersion carrying merge-on-read deletion
     // vectors is readable ONLY through the DV-aware resolution rule
     // (graft.plans.ResolveSnapshotDvRead, injected by
-    // GraftExtensions), which replaces the relation before scan
-    // planning ever gets here. Reaching this builder means the
+    // GraftExtensions), which swaps the relation for the composed
+    // pruned read (SnapshotDvReadPlan) before scan planning ever
+    // gets here — its clean half comes back through this builder
+    // with `subset` set. Reaching this builder subset-less means the
     // session has no extensions registered — refuse loudly rather
     // than silently resurrecting deleted rows through a raw scan.
-    require(!ScaleOps.snapshotHasDvs(SparkSession.active, root, pinnedVersion),
+    require(subset.isDefined ||
+      !ScaleOps.snapshotHasDvs(SparkSession.active, root, pinnedVersion),
       s"snapshot v$pinnedVersion of $root carries deletion vectors; register " +
         "spark.sql.extensions=graft.GraftExtensions (the DV-aware read " +
         "rule) or read through ScaleOps.readSnapshot*")
-    new SnapshotScanBuilder(root, pinnedVersion, tableSchema, statsCol)
+    new SnapshotScanBuilder(root, pinnedVersion, tableSchema, statsCol,
+      subset)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(subset.isEmpty,
+      "a subset-restricted snapshot table is a read handle, not a " +
+        "write target")
     new SnapshotWriteBuilder(root, statsCol)
+  }
 
   /** SQL `DELETE FROM cat.t WHERE …` — SupportsDelete routes the
     * pushed filters to the zone-map-planned copy-on-write delete:
@@ -422,7 +438,8 @@ class SnapshotSink(root: String, statsCol: Option[String],
 /** Collects pushed filters + required columns, then builds the
   * delegated parquet scan over the manifest-pruned file list. */
 class SnapshotScanBuilder(root: String, version: Long,
-    tableSchema: StructType, statsCol: Option[String])
+    tableSchema: StructType, statsCol: Option[String],
+    subset: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -655,7 +672,8 @@ class SnapshotScanBuilder(root: String, version: Long,
     }
 
   override def build(): Scan =
-    new SnapshotScan(root, version, tableSchema, statsCol, pushed, required)
+    new SnapshotScan(root, version, tableSchema, statsCol, pushed, required,
+      subset)
 }
 
 /** The store's Scan: manifest-pruned parquet, with RUNTIME FILTERING
@@ -676,7 +694,8 @@ class SnapshotScan(
     private[graft] val tableSchema: StructType,
     private[graft] val statsCol: Option[String],
     private[graft] val pushed: Array[Filter],
-    private[graft] val required: StructType)
+    private[graft] val required: StructType,
+    private[graft] val subset: Option[String] = None)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -720,8 +739,18 @@ class SnapshotScan(
           val sb = new SnapshotScanBuilder(root, version, tableSchema,
             statsCol)
           sb.pushFilters(all)
-          val (_, files) = ScaleOps.planSnapshotFiles(s, root,
+          val (_, kept) = ScaleOps.planSnapshotFiles(s, root,
             Some(version), sb.plannedConstraints)
+          // subset restriction intersects the pruned list: the
+          // composed merge-on-read plan reads the version's clean
+          // lines here while its DV'd lines go through the v1
+          // anti-join half (SnapshotDvReadPlan)
+          val files = subset match {
+            case None => kept
+            case Some(ss) =>
+              val dvd = ScaleOps.manifestDvs(s, root, version).keySet
+              if (ss == "dvd") kept.filter(dvd) else kept.filterNot(dvd)
+          }
           val index = new InMemoryFileIndex(s, files.map(new Path(_)),
             Map.empty, Some(tableSchema))
           val opts = new CaseInsensitiveStringMap(
@@ -753,7 +782,8 @@ class SnapshotScan(
 
   override def description(): String =
     s"graft-snapshot $root v$version " +
-      s"[pushed ${pushed.length}, runtime ${runtime.length}]"
+      s"[pushed ${pushed.length}, runtime ${runtime.length}" +
+      subset.fold("")(ss => s", $ss") + "]"
 
   // value equality (the delegated ParquetScan was a case class): scan
   // and exchange REUSE compare scans, and reference equality would
@@ -764,12 +794,12 @@ class SnapshotScan(
     case o: SnapshotScan =>
       root == o.root && version == o.version &&
         tableSchema == o.tableSchema && statsCol == o.statsCol &&
-        required == o.required &&
+        required == o.required && subset == o.subset &&
         pushed.toSeq == o.pushed.toSeq && runtime.toSeq == o.runtime.toSeq
     case _ => false
   }
 
   override def hashCode(): Int =
     java.util.Objects.hash(root, version.asInstanceOf[AnyRef],
-      tableSchema, statsCol, required, pushed.toSeq, runtime.toSeq)
+      tableSchema, statsCol, required, subset, pushed.toSeq, runtime.toSeq)
 }

@@ -50,6 +50,16 @@ object SqlShims {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** A v1 BaseRelation as a DataFrame — the composed merge-on-read
+    * read plan (graft.sources.SnapshotDvReadPlan) builds its DV'd
+    * half as a HadoopFsRelation over a pruning FileIndex, the one
+    * relation shape that exposes `_metadata.row_index` (the deletion
+    * vectors' position space). */
+  def ofBaseRelation(session: org.apache.spark.sql.SparkSession,
+      rel: org.apache.spark.sql.sources.BaseRelation): DataFrame =
+    session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(rel)
+
   /** Catalyst predicate → data-source Filter, the engine's own
     * translation — what lets a DML condition reuse the scan
     * builder's stat-space constraint mapping verbatim. */

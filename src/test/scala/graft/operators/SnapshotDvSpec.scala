@@ -245,6 +245,120 @@ class SnapshotDvSpec extends SparkSpec {
       rows(501L) === "r501")
   }
 
+  /** Files the executed plan actually planned, across BOTH halves of
+    * the composed merge-on-read read: the connector's clean half
+    * ([[graft.sources.SnapshotScan.plannedFiles]]) plus the v1 DV'd
+    * half ([[graft.sources.SnapshotPruningFileIndex]]'s last
+    * listing). AQE off so the scans sit in the executed tree. */
+  private def dvFilesOpened(df: DataFrame): Int = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case g: graft.sources.SnapshotScan => g.plannedFiles.length
+          case _ => 0
+        }
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location match {
+          case i: graft.sources.SnapshotPruningFileIndex =>
+            i.lastPlanned.length
+          case _ => 0
+        }
+    }.sum
+  }
+
+  test("round-14 pin: a selective SQL read over a DV'd version opens only zone-map-kept files") {
+    val root = seeded("dvprune")
+    // DV file 2 (ids 100-199): the store now carries vectors
+    ScaleOps.deleteWhereSnapshot(spark, root, col("id").between(100L, 105L),
+      Seq(ScaleOps.ColConstraint("id", Some(100L), Some(105L), None)),
+      mode = "mor")
+    assert(ScaleOps.snapshotHasDvs(spark, root, 2L))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // selective read AWAY from the DV'd file: the clean half keeps
+      // exactly one file, the DV'd half prunes to ZERO — the pruning
+      // outage the old unpruned composed read had is closed
+      val q1 = spark.read.format("graft-snapshot").load(root)
+        .filter(col("id").between(300L, 310L))
+      assert(q1.select("id").as[Long].collect().sorted.toSeq ===
+        (300L to 310L))
+      assert(dvFilesOpened(q1) === 1,
+        "a selective DV'd-version read planned more than the zone-map-kept file")
+      // selective read INTO the DV'd file: the v1 half keeps exactly
+      // that file, the clean half prunes to zero — and the vectors
+      // still mask the deleted rows
+      val q2 = spark.read.format("graft-snapshot").load(root)
+        .filter(col("id").between(100L, 120L))
+      assert(q2.select("id").as[Long].collect().sorted.toSeq ===
+        (106L to 120L))
+      assert(dvFilesOpened(q2) === 1,
+        "the DV'd half lost manifest-grain pruning")
+      // SQL text over the face prunes the same way
+      spark.read.format("graft-snapshot").load(root)
+        .createOrReplaceTempView("dvprune_t")
+      val q3 = spark.sql(
+        "SELECT sum(id) AS s FROM dvprune_t WHERE id BETWEEN 0 AND 50")
+      assert(q3.as[Long].head() === (0L to 50L).sum)
+      assert(dvFilesOpened(q3) === 1)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("round-14 regression: shared dv dirs never double-count re-pointed files") {
+    val root = seeded("dvdirs")
+    def morDelete(ids: Seq[Long]): Long =
+      ScaleOps.deleteWhereSnapshot(spark, root, col("id").isin(ids: _*),
+        Seq(ScaleOps.ColConstraint("id", Some(ids.min), Some(ids.max),
+          Some(ids))), mode = "mor")
+    // v2 deletes in files 1 AND 2 → one dir carries rows for both
+    morDelete(Seq(10L, 110L))
+    // v3 deletes in file 1 only → file 1 re-points to the new dir,
+    // file 2 still references v2's dir, which HOLDS file 1's old row
+    morDelete(Seq(20L))
+    // v4 deletes in files 1 AND 2 again: the union read must take
+    // file 1's rows ONLY from its own dir — the flat union-all-dirs
+    // read returned id=10's position twice here, overcounting the
+    // manifest and growing the dir
+    morDelete(Seq(30L, 130L))
+    val dvs = ScaleOps.manifestDvs(spark, root, 4L)
+    assert(dvs.values.map(_._2).sum === 5L,
+      s"dv accounting overcounts: $dvs")
+    // the committed dir itself holds no duplicate (f, pos) rows
+    val dirRows = dvs.values.map(_._1).toSeq.distinct.map(dir =>
+      spark.read.parquet(new Path(root, dir).toString))
+      .reduce(_ unionByName _).select("f", "pos")
+    assert(dirRows.count() === dirRows.distinct().count())
+    assert(dirRows.count() === 5L)
+    // and the content is exactly the five deletions
+    assert(ScaleOps.readSnapshot(spark, root).count() === 395L)
+    assert(ScaleOps.readSnapshot(spark, root)
+      .filter(col("id").isin(10L, 20L, 30L, 110L, 130L)).count() === 0L)
+  }
+
+  test("round-14 pin: a DV-carrying table as MERGE SOURCE never resurrects deleted rows") {
+    val src = seeded("dvsrc")
+    val dst = freshRoot("dvdst")
+    fs(dst).delete(new Path(dst), true)
+    // target starts with ids 0..49, stale strings
+    ScaleOps.publishSnapshot(spark, dst,
+      (0L until 50L).map(i => (i, "stale", 0L)).toDF("id", "s", "q"),
+      statsCol = Some("id"))
+    // MoR-delete ids 0..9 from the SOURCE, then merge source → target
+    ScaleOps.deleteWhereSnapshot(spark, src, col("id") < 10L,
+      Seq(ScaleOps.ColConstraint("id", None, Some(9L), None)), mode = "mor")
+    ScaleOps.mergeIntoSnapshot(spark, dst, "id",
+      spark.read.format("graft-snapshot").load(src)
+        .filter(col("id") < 50L))
+    val rows = ScaleOps.readSnapshot(spark, dst)
+      .select("id", "s").as[(Long, String)].collect().toMap
+    // ids 0..9 were deleted in the source BEFORE the merge: the
+    // merge saw 40 source rows, so the stale target rows survive
+    assert(rows.size === 50)
+    (0L until 10L).foreach(i => assert(rows(i) === "stale",
+      s"deleted source row $i resurrected into the merge"))
+    (10L until 50L).foreach(i => assert(rows(i) === s"r$i"))
+  }
+
   test("s22 fixture: the MoR store, the CoW twin and the relational truth agree") {
     val d = "/root/testdata/sf0.001"
     val (morRoot, cowRoot) = ScaleOps.ensureDvStores(spark, d)

@@ -266,6 +266,132 @@ class SnapshotMergeGeneralSpec extends SparkSpec {
     assert(rows(morRoot).find(_._1 == 501L).get._2 === "upd501")
   }
 
+  test("round-14: composite two-column MERGE keys (SQL general + canonical + API)") {
+    // a composite-keyed table: (grp, id) identifies a row
+    fs.delete(new Path(root("ck1")), true)
+    spark.sql("CREATE TABLE gmrg.ck1 (grp BIGINT, id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('statscol' = 'id')")
+    (0L until 100L).map(i => (i % 4, i, s"old$i")).toDF("grp", "id", "s")
+      .repartitionByRange(4, col("id")).writeTo("gmrg.ck1").append()
+    Seq((1L, 5L, "upd5"), (0L, 5L, "upd5g0"), (2L, 500L, "ins500"))
+      .toDF("grp", "id", "s").createOrReplaceTempView("ck1_src")
+    // GENERAL shape (partial SET) on the two-column key: only the
+    // (grp, id) pairs named update — id=5 belongs to grp 1, so the
+    // (0, 5) source row matches nothing and inserts nothing (no
+    // NOT MATCHED clause fires for it under the condition)
+    spark.sql("""MERGE INTO gmrg.ck1 AS t USING ck1_src AS u
+                |ON t.grp = u.grp AND t.id = u.id
+                |WHEN MATCHED THEN UPDATE SET s = u.s
+                |WHEN NOT MATCHED AND u.id >= 100 THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT grp, id, s FROM gmrg.ck1")
+      .as[(Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(rows.size === 101)
+    assert(rows((1L, 5L)) === "upd5")
+    assert(rows((2L, 500L)) === "ins500")
+    assert(rows((2L, 6L)) === "old6")
+    assert(!rows.contains((0L, 5L)))
+    // CANONICAL composite upsert (UPDATE SET * / INSERT *) routes to
+    // the upsert executor — unique-key check is over the PAIR
+    Seq((1L, 9L, "upd9"), (3L, 9L, "dup-but-distinct-pair"))
+      .toDF("grp", "id", "s").createOrReplaceTempView("ck1_src2")
+    spark.sql("""MERGE INTO gmrg.ck1 AS t USING ck1_src2 AS u
+                |ON t.grp = u.grp AND t.id = u.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows2 = spark.sql("SELECT grp, id, s FROM gmrg.ck1")
+      .as[(Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(rows2((1L, 9L)) === "upd9")
+    assert(rows2((3L, 9L)) === "dup-but-distinct-pair")
+    // the API face takes the same composite key comma-separated
+    ScaleOps.mergeIntoSnapshot(spark, root("ck1"), "grp,id",
+      Seq((2L, 6L, "api6")).toDF("grp", "id", "s"))
+    assert(ScaleOps.readSnapshot(spark, root("ck1"))
+      .filter(col("grp") === 2L && col("id") === 6L)
+      .select("s").as[String].head() === "api6")
+  }
+
+  test("round-14: RENAMED merge keys (ON t.id = s.doc) route by the pair") {
+    seed("rk1", 20L)
+    Seq((5L, "upd5"), (200L, "ins200"))
+      .toDF("doc", "v").createOrReplaceTempView("rk1_src")
+    spark.sql("""MERGE INTO gmrg.rk1 AS t USING rk1_src AS u
+                |ON t.id = u.doc
+                |WHEN MATCHED THEN UPDATE SET s = u.v
+                |WHEN NOT MATCHED THEN INSERT (id, s, q) VALUES (u.doc, u.v, 0)""".stripMargin)
+    val rows = spark.sql("SELECT id, s FROM gmrg.rk1")
+      .as[(Long, String)].collect().toMap
+    assert(rows.size === 21)
+    assert(rows(5L) === "upd5" && rows(200L) === "ins200")
+    assert(rows(6L) === "old6")
+  }
+
+  test("round-14: schema evolution on a GENERAL (conditional-star) merge") {
+    seed("ev1", 20L)
+    Seq((5L, "upd5", 1L, "extra5"), (200L, "ins200", 2L, "extra200"),
+      (7L, "skip7", 1L, "extra7"))
+      .toDF("id", "s", "q", "note").createOrReplaceTempView("ev1_src")
+    // the clause CONDITION makes this a general shape; WITH SCHEMA
+    // EVOLUTION admits the source's new `note` column
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO gmrg.ev1 AS t
+                |USING ev1_src AS u
+                |ON t.id = u.id
+                |WHEN MATCHED AND u.s != 'skip7' THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT id, s, q, note FROM gmrg.ev1")
+      .as[(Long, String, Long, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(rows.size === 21)
+    // updated row carries the evolved column
+    assert(rows(5L) === (("upd5", 1L, Some("extra5"))))
+    // inserted row too
+    assert(rows(200L) === (("ins200", 2L, Some("extra200"))))
+    // conditioned-out row kept its old image, note null-fills
+    assert(rows(7L) === (("old7", 7L, None)))
+    // untouched rows null-fill the evolved column
+    assert(rows(3L) === (("old3", 3L, None)))
+  }
+
+  test("round-14: DML through a stale/pinned relation refuses loudly") {
+    seed("pin1", 10L)
+    val r = root("pin1")
+    val head = ScaleOps.snapshotVersions(spark, r).last
+    val cmd = graft.plans.DeleteSnapshotCommand(r, head - 1L, None, None)
+    val e = intercept[Exception](cmd.run(spark))
+    assert(e.getMessage.contains(s"pinned to v${head - 1}"))
+    val cmd2 = graft.plans.UpdateSnapshotCommand(r, head - 1L, None,
+      Nil, None)
+    val e2 = intercept[Exception](cmd2.run(spark))
+    assert(e2.getMessage.contains("time-travel pin"))
+  }
+
+  test("round-14 pin: SQL MERGE whose SOURCE carries deletion vectors") {
+    seed("dvs1", 50L)
+    // source table: ids 0..29, then MoR-delete 0..9
+    fs.delete(new Path(root("dvs1s")), true)
+    spark.sql("CREATE TABLE gmrg.dvs1s (id BIGINT, s STRING, q BIGINT) " +
+      "TBLPROPERTIES ('statscol' = 'id')")
+    (0L until 30L).map(i => (i, s"src$i", 0L)).toDF("id", "s", "q")
+      .repartitionByRange(3, col("id")).writeTo("gmrg.dvs1s").append()
+    ScaleOps.deleteWhereSnapshot(spark, root("dvs1s"), col("id") < 10L,
+      Seq(ScaleOps.ColConstraint("id", None, Some(9L), None)), mode = "mor")
+    assert(ScaleOps.snapshotHasDvs(spark, root("dvs1s"),
+      ScaleOps.snapshotVersions(spark, root("dvs1s")).last))
+    spark.sql("""MERGE INTO gmrg.dvs1 AS t USING gmrg.dvs1s AS u
+                |ON t.id = u.id
+                |WHEN MATCHED THEN UPDATE SET s = u.s""".stripMargin)
+    val rows = spark.sql("SELECT id, s FROM gmrg.dvs1")
+      .as[(Long, String)].collect().toMap
+    // the source's deleted rows 0..9 must NOT have matched: their
+    // target rows keep the old image (resurrection = the rule losing
+    // to the command's inner re-analysis)
+    (0L until 10L).foreach(i => assert(rows(i) === s"old$i",
+      s"DV'd source row $i resurrected into the MERGE"))
+    (10L until 30L).foreach(i => assert(rows(i) === s"src$i"))
+    (30L until 50L).foreach(i => assert(rows(i) === s"old$i"))
+  }
+
   test("unsupported general shapes refuse loudly") {
     seed("p5", 10L)
     Seq((1L, "a")).toDF("id", "s").createOrReplaceTempView("p5_src")
@@ -274,7 +400,7 @@ class SnapshotMergeGeneralSpec extends SparkSpec {
                   |ON t.id = u.id AND t.q > 0
                   |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    assert(e1.getMessage.contains("single equi-join"))
+    assert(e1.getMessage.contains("conjunction of equi-joins"))
     // duplicate source keys refuse (cardinality), not last-wins
     Seq((1L, "a"), (1L, "b")).toDF("id", "s")
       .createOrReplaceTempView("p5_dup")
