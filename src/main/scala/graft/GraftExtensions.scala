@@ -100,6 +100,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         functions.AdcScore(children(0), children(1), children(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_count_in"),
+      new ExpressionInfo(classOf[functions.CountIn].getName, "graft_count_in"),
+      (children: Seq[Expression]) => functions.CountIn(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_h60"),
       new ExpressionInfo(classOf[functions.H60].getName, "graft_h60"),
       (children: Seq[Expression]) => functions.H60(children.head)))

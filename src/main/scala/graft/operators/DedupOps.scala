@@ -314,10 +314,20 @@ object DedupOps extends QueryModule {
       s"pair-banding is exact only for hamming <= ${CHUNKS - 2}")
     val chunkCols = (0 until CHUNKS).map(c =>
       shiftright(col("fp"), c * CHUNK_BITS).bitwiseAND((1 << CHUNK_BITS) - 1))
-    val pairIdx = for { i <- 0 until CHUNKS; j <- i + 1 until CHUNKS } yield (i, j)
-    val bandArr = array(pairIdx.zipWithIndex.map { case ((i, j), b) =>
+    // Complement banding, the WIDEST exact keep-set (round-14 opt): ≤ t
+    // flipped bits corrupt ≤ t chunks, so some (CHUNKS − t)-subset of
+    // chunks is fully clean and its band collides — recall 1.0 at any
+    // hammingT, like the pair scheme, but each key carries
+    // (CHUNKS − t)·15 bits instead of 30. At t = 2 this IS the old
+    // 6×pair-band layout; at t = 1 it is 4 bands of 45-bit keys, which
+    // on m05's low-entropy frame fingerprints collapsed the raw band
+    // join from 24.2M matched rows to the near-dup-proportional set
+    // (measured at sf0.1; the verify filter + distinct are unchanged,
+    // so the output set is identical).
+    val keepSets = (0 until CHUNKS).combinations(CHUNKS - hammingT).toSeq
+    val bandArr = array(keepSets.zipWithIndex.map { case (keep, b) =>
       struct(lit(b).as("band"),
-        (chunkCols(i) * (1L << CHUNK_BITS) + chunkCols(j)).as("bv"))
+        keep.map(chunkCols).reduce((a, c) => a * (1L << CHUNK_BITS) + c).as("bv"))
     }: _*)
     val bands = fp
       .select(col("doc_id"), col("fp"), explode(bandArr).as("b"))

@@ -404,7 +404,7 @@ object MediaOps extends QueryModule {
 
   /** The persisted m05 frame table, drift-token guarded like every
     * store artifact. */
-  private def persistedM05Frames(s: SparkSession, d: String): DataFrame = {
+  private[graft] def persistedM05Frames(s: SparkSession, d: String): DataFrame = {
     val (_, metaT) = phashTables(d)
     val want = PHASH_STORE_VER + ScaleOps.corpusToken(s, d, "documents.parquet")
     def token(): Option[String] =

@@ -38,8 +38,12 @@ object TextOps extends QueryModule {
   /** Per-language stopword hit-count columns (`<lang>_hits`) —
     * shared by t01 and the t25 one-pass annotator. */
   private def langHitCols: Seq[Column] = langWords.map { case (lang, words) =>
-    val arr = array(words.map(lit): _*)
-    size(filter(toks, t => array_contains(arr, t))).cast(LongType).as(s"${lang}_hits")
+    // native codegen'd membership count — bit-identical to
+    // size(filter(toks, t => array_contains(arr, t))).cast(long), which
+    // paid an interpreted per-token HOF lambda on every corpus scan
+    // (graft.functions.CountIn; CountInSpec pins the parity)
+    call_function("graft_count_in", toks, array(words.map(lit): _*))
+      .as(s"${lang}_hits")
   }
 
   /** Argmax-with-priority language prediction over the hit columns;
@@ -75,7 +79,9 @@ object TextOps extends QueryModule {
       .withColumn("n_tok", size(toks).cast(LongType))
       .withColumn("n_char", length(col("text")).cast(LongType))
       .withColumn("stop_hits",
-        size(filter(toks, t => array_contains(en, t))).cast(LongType))
+        // native count_in — same interpreted-HOF swap as langHitCols;
+        // this column rides EVERY quality-scored pass (16 call sites)
+        call_function("graft_count_in", toks, en))
       .withColumn("avg_word_len",
         (col("n_char") - (col("n_tok") - lit(1))).cast(DoubleType) / col("n_tok").cast(DoubleType))
       .withColumn("stop_ratio", col("stop_hits").cast(DoubleType) / col("n_tok").cast(DoubleType))
@@ -1822,7 +1828,7 @@ object TextOps extends QueryModule {
         size(regexp_extract_all(txt, lit("#|\\.\\.\\."), lit(0)))
           .cast(LongType).as("sym_cnt"),
         size(filter(tk, t => t.rlike("[a-zA-Z]"))).cast(LongType).as("alpha_words"),
-        size(filter(tk, t => array_contains(en, t))).cast(LongType).as("stop_hits"),
+        call_function("graft_count_in", tk, en).as("stop_hits"),
         size(lines).cast(LongType).as("n_lines"),
         size(filter(lines, l => l.rlike("^(- |\\* |• )")))
           .cast(LongType).as("bullet_lines"),
