@@ -329,9 +329,14 @@ object AdsQueries extends QueryModule {
     * dropped, collapsed to distinct-pair counts. One user-keyed
     * window exchange + one pair-keyed aggregation; shared by b13's
     * power iteration and b14's transition model. */
-  private[graft] def pageEdges(events: DataFrame): DataFrame = {
+  private[graft] def pageEdges(events: DataFrame): DataFrame =
+    pageEdgesOf(pageViews(events))
+
+  /** [[pageEdges]] over an already-built page-view frame (so callers
+    * that also need the node set share one scan+parse). */
+  private def pageEdgesOf(pv: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    pageViews(events)
+    pv
       .withColumn("src", lag(col("page"), 1).over(w))
       .where(col("src").isNotNull && col("src") =!= col("page"))
       .select(col("src"), col("page").as("dst"))
@@ -341,20 +346,34 @@ object AdsQueries extends QueryModule {
   /** [[b13Pagerank]] core over any (user_id, ts, event_id, props)
     * frame. Node set = every valid page VIEWED (isolated pages rank
     * at the teleport base). */
-  private[graft] def pagerank(events: DataFrame): DataFrame =
+  private[graft] def pagerank(events: DataFrame): DataFrame = {
+    // ONE events scan + JSON parse feeds BOTH the node set and the
+    // edge build (round-14 opt — the disjoint-lineage form re-scanned
+    // and re-parsed the log twice). Lazy checkpoint: the logical plan
+    // truncates immediately, materialization lands in the consuming
+    // job and the cached blocks serve both branches.
+    val pv = pageViews(events).localCheckpoint(false)
     pagerankEdges(
-      pageViews(events).select(col("page")).distinct(),
-      pageEdges(events))
+      pv.select(col("page")).distinct(),
+      pageEdgesOf(pv))
+  }
 
   /** The damped power iteration over an explicit node set and a
     * weighted edge list — b13's engine, also run by the standing
     * streaming job (graft.streaming.Jobs.pagerankIngest) against
     * its maintained edge store. */
   private[graft] def pagerankEdges(nodeSet: DataFrame, edgeList: DataFrame): DataFrame = {
-    val nodes = nodeSet.localCheckpoint()
+    // Lazy checkpoints (round-14 opt): every per-round eager
+    // localCheckpoint ran a dedicated materialize-only job — 5 jobs
+    // whose only purpose was lineage truncation. localCheckpoint(false)
+    // truncates the LOGICAL plan immediately (planning stays flat, the
+    // reason the checkpoints exist) while materialization fuses into
+    // the single output action; nodes/eo blocks cache on first compute
+    // and serve every round.
+    val nodes = nodeSet.localCheckpoint(false)
     val edges = edgeList
     val outw = edges.groupBy(col("src")).agg(sum(col("wt")).as("ow"))
-    val eo = edges.join(outw, "src").localCheckpoint()
+    val eo = edges.join(outw, "src").localCheckpoint(false)
     var scores = nodes.select(col("page"), lit(PR_R0).as("r"))
     for (_ <- 1 to PR_ITERS) {
       val contrib = eo
@@ -365,7 +384,7 @@ object AdsQueries extends QueryModule {
         .join(contrib.withColumnRenamed("dst", "page"), Seq("page"), "left")
         .select(col("page"),
           (lit(PR_BASE) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     scores.select(col("page"), col("r").as("rank_score"))
       .orderBy(col("rank_score").desc, col("page"))
@@ -391,7 +410,9 @@ object AdsQueries extends QueryModule {
   /** [[b14NextPage]] core over any (user_id, ts, event_id, props)
     * frame. */
   private[graft] def nextPage(events: DataFrame): DataFrame = {
-    val edges = pageEdges(events).localCheckpoint()
+    // lazy: the output action materializes; blocks serve both the
+    // outw aggregation and the join probe side (see pagerankEdges)
+    val edges = pageEdges(events).localCheckpoint(false)
     val outw = edges.groupBy(col("src")).agg(sum(col("wt")).as("ow"))
     val w = Window.partitionBy(col("src")).orderBy(col("wt").desc, col("dst"))
     edges.join(outw, "src")

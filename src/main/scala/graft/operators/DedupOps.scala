@@ -568,10 +568,12 @@ object DedupOps extends QueryModule {
     val edges = pairs
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint()
+    // lazy checkpoints: the per-round convergence count is the
+    // materializing action (see starEdges — one fewer job per round)
     var lbl = edges.select(col("da").as("node"), col("da").as("lbl"))
       .unionByName(edges.select(col("da").as("node"), col("db").as("lbl")))
       .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = 1L
     while (changed > 0) {
       val next = edges
@@ -579,7 +581,7 @@ object DedupOps extends QueryModule {
         .select(edges("da").as("node"), col("lbl"))
         .unionByName(lbl.select(col("node"), col("lbl")))
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.as("n").join(lbl.as("o"), "node")
         .filter(col("n.lbl") =!= col("o.lbl")).count()
       freeCheckpoint(lbl) // superseded round — next is materialized
@@ -704,11 +706,16 @@ object DedupOps extends QueryModule {
         .distinct()
     }
 
+    // LAZY local checkpoints throughout the loop (round-14 opt): the
+    // sig() aggregation that immediately follows each round is the
+    // materializing action, so the eager checkpoint's dedicated
+    // materialize-only job (one per round, pure overhead at any scale)
+    // is fused away; lineage still truncates at first computation.
     var e = pairs
       .select(greatest(col("da"), col("db")).as("hi"),
         least(col("da"), col("db")).as("lo"))
       .where(col("hi") =!= col("lo"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     // Per-round convergence screen: (count, order-independent XOR
     // checksum over
     // the canonical edge hashes) in ONE scalar aggregation. Set
@@ -727,8 +734,8 @@ object DedupOps extends QueryModule {
     while (!converged) {
       rounds += 1
       require(rounds <= 64, "large/small-star failed to converge in 64 rounds")
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextSig = sig(next)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val nextSig = sig(next) // materializes the lazy checkpoint
       converged = nextSig == eSig && next.except(e).isEmpty
       freeCheckpoint(e) // superseded round — next is materialized
       e = next
@@ -976,7 +983,7 @@ object DedupOps extends QueryModule {
     * same rebuild guard — identical rows to `c02MinhashLsh(s, d)
     * .select(da, db)`, read back at pair grain for the cluster
     * consumers. */
-  private def persistedNearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def persistedNearDupPairs(s: SparkSession, d: String): DataFrame = {
     val (_, _, _, metaT) = sigTables(d)
     val want = SIG_STORE_VER + ScaleOps.corpusToken(s, d, "documents.parquet")
     def token(): Option[String] =
