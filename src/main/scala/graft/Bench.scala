@@ -184,6 +184,15 @@ object Bench {
     operators.ScaleOps.ensureMultiStatsStore(spark, sfDir)
     operators.ScaleOps.ensureCatalogStore(spark, sfDir)
     operators.ScaleOps.ensureZorderStore(spark, sfDir)
+    // round-14 measurement fix (declared in OPTIMIZATION_r14.md): the
+    // round-13 late additions s21/s22/s23 built their snapshot-store
+    // fixtures lazily INSIDE the first timed call — on a fresh box the
+    // timed cold entry was the one-time 600k-doc fixture publish
+    // (29.4 / 13.9 / 6.2 s at sf0.1), not the operator. Same lifecycle
+    // rule as every ensure* above; steady-state numbers unchanged.
+    operators.ScaleOps.ensureStringStatsStore(spark, sfDir)
+    operators.ScaleOps.ensureDvStores(spark, sfDir)
+    operators.ScaleOps.ensureGeneralMergeStore(spark, sfDir)
     operators.MediaOps.buildPhashStore(spark, sfDir)
 
     val results = (headline ++ extras).map(n => n -> materialize(n))

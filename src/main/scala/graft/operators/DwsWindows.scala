@@ -92,19 +92,52 @@ object DwsWindows extends QueryModule {
         col("dur_sum").cast(DoubleType).as("dur_sum"))
       .orderBy(col("event_id"), col("uv_ct"))
 
-  /** A19-A21: 10s tumbling event-time window over the unioned measure
-    * rows, additive reduce, stt/edt formatted from the window bounds. */
-  def a20TumbleVisitor(s: SparkSession, d: String): DataFrame =
-    measureRows(s, d)
-      .groupBy(window(col("ts"), "10 seconds"), col("is_new"))
+  /** The AGGREGATED measure frame (window, is_new, uv/pv/sv/uj counts,
+    * exact dur sum) the a20/a20c/b9 reports read — round-14 shape: the
+    * union-of-4-projections form re-SCANNED the event log four times
+    * (once per measure source) to build rows a single aggregation
+    * immediately collapsed. Because every measure is an additive
+    * conditional over one event, the pv/sv/uj/dur sums come from ONE
+    * filtered scan, and only the uv measure (first qualifying view per
+    * user-day) keeps its views-only window pass — 4 corpus scans → 2,
+    * same exchanges, identical group set and values (groups exist iff
+    * ≥ 1 view/signup/error event lands in them, exactly the union's
+    * row sources; the left join's uv side is a subset of those groups,
+    * so coalesce(uv, 0) reproduces the union's summed zeros). The
+    * row-level a17 face keeps the reference's union shape. */
+  private def measureAgg(s: SparkSession, d: String, win: Column): DataFrame = {
+    val e = ev(s, d)
+    val base = e
+      .filter(col("event_type").isin("view", "signup", "error"))
+      .groupBy(win.as("window"), col("is_new"))
       .agg(
-        sum(col("uv_ct")).as("uv_ct"), sum(col("pv_ct")).as("pv_ct"),
-        sum(col("sv_ct")).as("sv_ct"), sum(col("uj_ct")).as("uj_ct"),
-        sum(col("dur_sum")).cast(DoubleType).as("dur_sum"))
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("pv_ct"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("sv_ct"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("uj_ct"),
+        sum(when(col("event_type") === "view", col("value").cast(dec2))
+          .otherwise(lit(0).cast(dec2))).as("dur_sum_exact"))
+    val w = Window.partitionBy(col("user_id"), col("dt"))
+      .orderBy(col("ts"), col("event_id"))
+    val uv = e.filter(col("event_type") === "view")
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(win.as("window"), col("is_new"))
+      .agg(count(lit(1)).as("uv_ct"))
+    base.join(uv, Seq("window", "is_new"), "left")
+      .select(col("window"), col("is_new"),
+        coalesce(col("uv_ct"), lit(0L)).as("uv_ct"),
+        col("pv_ct"), col("sv_ct"), col("uj_ct"), col("dur_sum_exact"))
+  }
+
+  /** A19-A21: 10s tumbling event-time window over the measure rows,
+    * additive reduce, stt/edt formatted from the window bounds. */
+  def a20TumbleVisitor(s: SparkSession, d: String): DataFrame =
+    measureAgg(s, d, window(col("ts"), "10 seconds"))
       .select(
         fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
         col("is_new"), col("uv_ct"), col("pv_ct"), col("sv_ct"), col("uj_ct"),
-        col("dur_sum"))
+        col("dur_sum_exact").cast(DoubleType).as("dur_sum"))
       .orderBy(col("stt"), col("is_new"))
 
   /** A20 in the reference's full keying: the 10s tumble grouped by
@@ -141,16 +174,11 @@ object DwsWindows extends QueryModule {
     * offset into its k-th window is k·10s + (ts mod 10s) < 20s, so
     * membership needs no extra filter. */
   def a20cSlidingVisitor(s: SparkSession, d: String): DataFrame =
-    measureRows(s, d)
-      .groupBy(window(col("ts"), "20 seconds", "10 seconds"), col("is_new"))
-      .agg(
-        sum(col("uv_ct")).as("uv_ct"), sum(col("pv_ct")).as("pv_ct"),
-        sum(col("sv_ct")).as("sv_ct"), sum(col("uj_ct")).as("uj_ct"),
-        sum(col("dur_sum")).cast(DoubleType).as("dur_sum"))
+    measureAgg(s, d, window(col("ts"), "20 seconds", "10 seconds"))
       .select(
         fmt(col("window.start")).as("stt"), fmt(col("window.end")).as("edt"),
         col("is_new"), col("uv_ct"), col("pv_ct"), col("sv_ct"), col("uj_ct"),
-        col("dur_sum"))
+        col("dur_sum_exact").cast(DoubleType).as("dur_sum"))
       .orderBy(col("stt"), col("is_new"))
 
   /** A21 internals with order_amount still DECIMAL-exact, so
@@ -233,9 +261,7 @@ object DwsWindows extends QueryModule {
     * reference-faithful count (what its dashboard actually showed),
     * `pv_ct`/`uv_ct` are the intended SUMs over the window slices. */
   def b9DailyTotals(s: SparkSession, d: String): DataFrame =
-    measureRows(s, d)
-      .groupBy(window(col("ts"), "10 seconds"), col("is_new"))
-      .agg(sum(col("uv_ct")).as("uv_ct"), sum(col("pv_ct")).as("pv_ct"))
+    measureAgg(s, d, window(col("ts"), "10 seconds"))
       .groupBy(date_format(col("window.start"), "yyyy-MM-dd").as("dt"))
       .agg(
         count(col("pv_ct")).as("stat_rows"),

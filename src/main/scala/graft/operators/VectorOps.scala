@@ -1165,12 +1165,19 @@ object VectorOps extends QueryModule {
       .filter(col("srk") <= MMR_SHORT)
       .drop("srk")
       .localCheckpoint()
+    // sel stays LAZY-checkpointed (round-14 opt): the plan truncates
+    // per round (flat planning — what the checkpoint is for) but the
+    // 5 shortlist-grain materialize-only jobs fuse into the output
+    // action. `short` above keeps the EAGER checkpoint: it is the
+    // expensive corpus-scan product consumed by several plan branches,
+    // and AQE runs independent stages concurrently — lazy there would
+    // recompute the scan per branch (measured on c14's shared pass).
     var sel = short
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("qid"), col("nid"), col("score"), col("emb"),
         lit(1L).as("mmr_rank"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (t <- 2 to MMR_K) {
       val cand = short.join(sel.select(col("qid"), col("nid")),
         Seq("qid", "nid"), "left_anti")
@@ -1187,7 +1194,7 @@ object VectorOps extends QueryModule {
         .filter(col("rn") === 1)
         .select(col("qid"), col("nid"), col("score"), col("emb"),
           lit(t.toLong).as("mmr_rank"))
-      sel = sel.unionByName(pick).localCheckpoint()
+      sel = sel.unionByName(pick).localCheckpoint(false)
     }
     sel.select(col("qid"), col("mmr_rank"), col("nid"), col("score"))
       .orderBy(col("qid"), col("mmr_rank"))
