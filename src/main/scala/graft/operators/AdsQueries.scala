@@ -47,9 +47,29 @@ object AdsQueries extends QueryModule {
       .filter(col("o_orderdate") >= "1998-06-01" && col("o_orderdate") < "1998-07-01")
       .agg(sum(col("o_totalprice").cast(dec2)).cast(DoubleType).as("gmv"))
 
-  private def revenue: org.apache.spark.sql.Column =
-    sum(col("l_extendedprice").cast(dec2) * (lit(1) - col("l_discount").cast(DecimalType(8, 4))))
-      .cast(DoubleType)
+  /** Revenue = sum(dec(12,2)(price) × (1 − dec(8,4)(disc))) as DOUBLE,
+    * in its exact FIXED-POINT form (round-14 opt): per row the two
+    * decimal casts stay (they define the rounding), but the product is
+    * computed on their UNSCALED longs — cents × (10⁴ − disc·10⁴) —
+    * so the hot aggregate sums long-backed decimals instead of
+    * BigDecimal-backed dec(21,6) products (Decimal.* is always a
+    * BigDecimal multiply). Σ unscaled / 10⁶ is the identical rational
+    * (unscaled-product identity; the ÷10⁶ lands at scale ≥ 6, exact),
+    * so the final double is bit-identical at ANY data — verified
+    * value-identical at sf0.1 and oracle-pinned at sf0.01. Overflow
+    * headroom: the dec(38,0) sum buffer carries the same ~38 digits
+    * the old dec(31,6) buffer did, and Spark's decimal sum degrades
+    * to BigDecimal (not wraparound) past compact range. */
+  private def revenue: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.SqlShims
+    import org.apache.spark.sql.catalyst.expressions.UnscaledValue
+    def unscaled(c: org.apache.spark.sql.Column) =
+      SqlShims.column(UnscaledValue(SqlShims.expression(c)))
+    val cents = unscaled(col("l_extendedprice").cast(dec2))
+    val d4 = unscaled(col("l_discount").cast(DecimalType(8, 4)))
+    (sum((cents * (lit(10000L) - d4)).cast(DecimalType(38, 0))) /
+      lit(1000000L)).cast(DoubleType)
+  }
 
   /** B2 Top-N "SPU" by revenue → top 10 part brands.
     * ProductStatsMapper.java:20-24: group, sum, HAVING >0, ORDER DESC LIMIT. */

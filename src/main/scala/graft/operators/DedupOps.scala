@@ -829,17 +829,31 @@ object DedupOps extends QueryModule {
     * existing = bucket < 80 (the "train" corpus), incoming = the
     * rest — so the split itself is reproducible in the oracle. */
   def incrementalDedup(docs: DataFrame): DataFrame = {
-    val newDocs = docs.filter(col("__new")).localCheckpoint()
-    val oldDocs = docs.filter(!col("__new"))
+    // ONE corpus scan feeds the split flag, the exact-dup hash AND the
+    // shingle sets (round-14 opt — the per-side form scanned and
+    // re-tokenized the corpus three times: newDocs checkpoint, then
+    // shingleDocsOf over each side). The checkpoint is eager: feats is
+    // consumed by several plan branches, and AQE runs independent
+    // stages concurrently (a lazy checkpoint would recompute the
+    // scan+hash per branch — measured on c14's shared pass).
+    // hashedShingles + the size(shs) > 0 guard reproduce
+    // shingleDocsOf's input contract exactly (docs under n tokens or
+    // with null text drop; c14 pins the same pattern).
+    val feats = docs
+      .withColumn("__toks", split(col("text"), "\\s+"))
+      .select(col("doc_id"), col("__new"), md5(norm(col("text"))).as("h"),
+        hashedShingles("__toks", 3).as("shs"))
+      .localCheckpoint()
+    val newDocs = feats.filter(col("__new"))
     val exactIds = newDocs
-      .select(col("doc_id"), md5(norm(col("text"))).as("h"))
-      .join(oldDocs.select(md5(norm(col("text"))).as("h")).distinct(),
+      .select(col("doc_id"), col("h"))
+      .join(feats.filter(!col("__new")).select(col("h")).distinct(),
         Seq("h"), "left_semi")
       .select(col("doc_id")).withColumn("__ex", lit(1))
-    // Each side's shingle frame is read twice (band probe + verify
-    // semi-join) — checkpoint so each side is scanned+hashed once.
-    val shNew = shingleDocsOf(newDocs, 3, hashed = true).localCheckpoint()
-    val shOld = shingleDocsOf(oldDocs, 3, hashed = true).localCheckpoint()
+    val shNew = newDocs.select(col("doc_id"), col("shs"))
+      .where(size(col("shs")) > 0)
+    val shOld = feats.filter(!col("__new")).select(col("doc_id"), col("shs"))
+      .where(size(col("shs")) > 0)
     val cand = bandKeys(shNew).as("x")
       .join(bandKeys(shOld).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))

@@ -50,6 +50,12 @@ object SqlShims {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** The inverse — a Column's catalyst Expression (the classic-API
+    * accessor is private[sql]). */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** A v1 BaseRelation as a DataFrame — the composed merge-on-read
     * read plan (graft.sources.SnapshotDvReadPlan) builds its DV'd
     * half as a HadoopFsRelation over a pruning FileIndex, the one
