@@ -104,6 +104,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.CountIn].getName, "graft_count_in"),
       (children: Seq[Expression]) => functions.CountIn(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_count_rlike"),
+      new ExpressionInfo(classOf[functions.CountRlike].getName, "graft_count_rlike"),
+      (children: Seq[Expression]) => functions.CountRlike(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sum_strlen"),
+      new ExpressionInfo(classOf[functions.SumStrLen].getName, "graft_sum_strlen"),
+      (children: Seq[Expression]) => functions.SumStrLen(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_h60"),
       new ExpressionInfo(classOf[functions.H60].getName, "graft_h60"),
       (children: Seq[Expression]) => functions.H60(children.head)))

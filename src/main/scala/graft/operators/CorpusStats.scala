@@ -318,9 +318,17 @@ object CorpusStats extends QueryModule {
     val docs = Tables.documents(s, d)
     val scored = TextOps.lmScore(docs, docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // Materialize ONCE (round-14 opt): binned feeds both the
+    // histogram→bucket-boundary branch (the broadcast build) and the
+    // final probe join — without the checkpoint the whole LM-scoring
+    // lineage (two bigram explosions + the model joins) ran twice,
+    // once per branch. Eager, not lazy: the two consumers are
+    // separate query stages under AQE, so a lazy checkpoint would
+    // still compute the scan per branch.
     val binned = scored.select(col("doc_id"), col("lang"), col("lm_score"),
       least(lit(PPL_BINS - 1L),
         floor(col("lm_score") * PPL_BINS).cast(LongType)).as("bin"))
+      .localCheckpoint()
     val hist = binned.groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("ct"))
     val wcum = Window.partitionBy(col("lang")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -212,7 +212,15 @@ object DedupOps extends QueryModule {
     * pass a shingle table ALREADY semi-joined to the candidate docs:
     * at 100 TB candidates are a tiny fraction of the corpus, so the
     * three uses below (sizes, sa, sb) touch bounded data instead of
-    * the full shingle explosion round 2 tried to cache(). */
+    * the full shingle explosion round 2 tried to cache().
+    *
+    * UNSORTED (round-14 opt): the presentation ORDER BY lives on the
+    * standalone query faces (c02/c04) — every composed consumer
+    * (c14's union→groupBy, c17/c17b/c08's dupIds.distinct(), c30's
+    * source rollup, c41's bin window, c13/c13b's status join,
+    * buildSigStore's table writes) immediately re-partitions, so the
+    * core's rangepartitioning exchange + sort (plus the range
+    * sampling pass) was pure discarded work in every composition. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, t: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
@@ -227,7 +235,6 @@ object DedupOps extends QueryModule {
         (col("inter").cast(DoubleType) /
           (col("za.n") + col("zb.n") - col("inter")).cast(DoubleType)).as("jac"))
       .filter(col("jac") >= t)
-      .orderBy(col("da"), col("db"))
   }
 
   /** The c02 candidate-pair stage over a built (doc_id, shs) shingle
@@ -271,7 +278,11 @@ object DedupOps extends QueryModule {
     verifyJaccard(cand, shCand, JACCARD_T)
   }
 
-  def c02MinhashLsh(s: SparkSession, d: String): DataFrame =
+  /** [[c02MinhashLshOf]] from parquet, UNSORTED — the shared core
+    * for composed consumers (c08/c30/c41) whose next operator
+    * re-partitions anyway; the c02 query face adds the presentation
+    * sort. */
+  private[graft] def c02MinhashPairs(s: SparkSession, d: String): DataFrame =
     // The hashed shingle frame is checkpointed so the corpus is
     // scanned + md5-shingled ONCE; the band build and the verify
     // semi-join both read the (text-free, longs-only) materialized
@@ -280,6 +291,9 @@ object DedupOps extends QueryModule {
     // 2's session-lifetime cache(), the blocks are freed by the
     // ContextCleaner as soon as the plan is collected.
     c02MinhashLshOf(shingleDocs(s, d, 3, hashed = true).localCheckpoint())
+
+  def c02MinhashLsh(s: SparkSession, d: String): DataFrame =
+    c02MinhashPairs(s, d).orderBy(col("da"), col("db"))
 
   // ---------------------------------------------------------------
   // c03 — SimHash (60-bit, term-frequency weighted, 4 blocking
@@ -466,8 +480,10 @@ object DedupOps extends QueryModule {
   def c04NgramJaccard(s: SparkSession, d: String): DataFrame =
     // Same one-scan contract as c02MinhashLsh: the 4-gram frame is
     // materialized once and feeds both the prefix-filter windows and
-    // the verify semi-join.
+    // the verify semi-join. Presentation sort here, not in the core
+    // (see verifyJaccard).
     c04NgramJaccardOf(shingleDocs(s, d, NGRAM_N, hashed = true).localCheckpoint())
+      .orderBy(col("da"), col("db"))
 
   // ---------------------------------------------------------------
   // c08 — corpus curation: the composed training-data pipeline
@@ -483,7 +499,7 @@ object DedupOps extends QueryModule {
     * operators benchmarked separately — this stage adds one anti-join
     * and one aggregation. */
   def c08CorpusCurate(s: SparkSession, d: String): DataFrame = {
-    val dupIds = c02MinhashLsh(s, d).select(col("db").as("doc_id")).distinct()
+    val dupIds = c02MinhashPairs(s, d).select(col("db").as("doc_id")).distinct()
     TextOps.withQualityCols(Tables.documents(s, d))
       .filter(col("quality") >= QUALITY_T)
       .join(dupIds, Seq("doc_id"), "left_anti")
@@ -1100,7 +1116,7 @@ object DedupOps extends QueryModule {
       shared.select(col("doc_id"), col("shs3").as("shs"))
         .where(size(col("shs")) > 0))
       .select(col("da"), col("db")).withColumn("method", lit("minhash"))
-    val sh = c03SimhashOf(
+    val sh = c03PairsOf(
       shared.select(col("doc_id"), col("fp")).where(col("fp").isNotNull))
       .select(col("da"), col("db")).withColumn("method", lit("simhash"))
     val ng = c04NgramJaccardOf(
@@ -1582,7 +1598,7 @@ object DedupOps extends QueryModule {
   def c41AuditSample(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("bin"))
       .orderBy(col("hk"), col("da"), col("db"))
-    c02MinhashLsh(s, d)
+    c02MinhashPairs(s, d)
       .withColumn("bin", expr("(20 * inter) div (na + nb - inter)"))
       .withColumn("hk", Portable.h60(concat_ws(":", lit("audit"),
         col("da").cast(StringType), col("db").cast(StringType))))
@@ -1861,7 +1877,7 @@ object DedupOps extends QueryModule {
     * |sources|² rows out, whatever the corpus. */
   def c30CrossSourceDup(s: SparkSession, d: String): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    c02MinhashLsh(s, d)
+    c02MinhashPairs(s, d)
       .select(col("da"), col("db"))
       .join(src.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
       .join(src.select(col("doc_id").as("db"), col("source").as("sb")), Seq("db"))

@@ -470,7 +470,9 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("n_bigrams"),
         (col("__sq").cast(DoubleType) / col("n_bigrams").cast(DoubleType) /
           lit(LM_Q).cast(DoubleType)).as("lm_score"))
-      .orderBy(col("doc_id"))
+    // UNSORTED core (round-14 opt): t15's query face adds the
+    // presentation sort; t22's bucket composition re-joins and
+    // re-sorts, so the core's range exchange was discarded work.
   }
 
   /** t15 — the fixture form: the corpus self-scored (ref = target),
@@ -479,7 +481,7 @@ object TextOps extends QueryModule {
     * Wikipedia) and `target` the crawl — same plan, two inputs. */
   def t15LmScore(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    lmScore(docs, docs)
+    lmScore(docs, docs).orderBy(col("doc_id"))
   }
 
   private val KN_D = 0.75   // absolute discount (the standard KN value)
@@ -1075,7 +1077,16 @@ object TextOps extends QueryModule {
   private[graft] def bpeLearn(s: SparkSession, words0: DataFrame,
       rounds: Int): DataFrame = {
     import scala.collection.mutable.ArrayBuffer
-    var words = words0.localCheckpoint()
+    // LAZY checkpoints (round-14 opt, the graph-loop pattern): each
+    // round's top-1 collect is the materializing action for the
+    // CURRENT word table, so the eager checkpoint's dedicated
+    // materialize-only job per round fuses away — and the final
+    // round's re-segmentation (whose output nothing reads) is never
+    // computed at all. A superseded round's blocks are freed only
+    // AFTER the next table materializes (the collect below), since
+    // the lazy next's lineage is truncated at the superseded frame.
+    var words = words0.localCheckpoint(false)
+    var prev: Option[DataFrame] = None
     val merges = ArrayBuffer[(Long, String, String, Long)]()
     var r = 0
     var exhausted = false
@@ -1087,6 +1098,10 @@ object TextOps extends QueryModule {
         .agg(sum(col("wc")).as("freq"))
         .orderBy(col("freq").desc, col("a"), col("b"))
         .limit(1).collect()
+      // `words` is materialized now — the previous round's blocks
+      // have no further reader
+      prev.foreach(DedupOps.freeCheckpoint)
+      prev = None
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -1102,8 +1117,9 @@ object TextOps extends QueryModule {
             concat(slice(acc, lit(1), size(acc) - 1),
               array(concat(lit(a), lit(b)))))
             .otherwise(concat(acc, array(x))))
-        val next = words.select(col("wc"), folded.as("toks")).localCheckpoint()
-        DedupOps.freeCheckpoint(words) // superseded round — next is materialized
+        val next = words.select(col("wc"), folded.as("toks"))
+          .localCheckpoint(false)
+        prev = Some(words)
         words = next
         r += 1
       }
@@ -1111,6 +1127,7 @@ object TextOps extends QueryModule {
     import s.implicits._
     // the merge table is already driver-side — the last round's
     // word-table blocks have no further reader
+    prev.foreach(DedupOps.freeCheckpoint)
     DedupOps.freeCheckpoint(words)
     merges.toSeq.toDF("rank", "a", "b", "freq")
       .orderBy(col("rank"))
@@ -1824,16 +1841,22 @@ object TextOps extends QueryModule {
     docs
       .select(col("doc_id"),
         size(tk).cast(LongType).as("n_tok"),
-        aggregate(tk, lit(0L), (a, t) => a + length(t)).as("wchars"),
+        // native codegen'd kernels (round-14 opt) — bit-identical to
+        // the interpreted HOF folds/filters they replace (the
+        // aggregate(+length) fold and three rlike filter-counts, four
+        // per-token/per-line lambda dispatches on every rule-gated
+        // document; CountRlikeSpec/SumStrLenSpec pin the parity incl.
+        // null poisoning and RLIKE find() semantics)
+        call_function("graft_sum_strlen", tk).as("wchars"),
         size(regexp_extract_all(txt, lit("#|\\.\\.\\."), lit(0)))
           .cast(LongType).as("sym_cnt"),
-        size(filter(tk, t => t.rlike("[a-zA-Z]"))).cast(LongType).as("alpha_words"),
+        call_function("graft_count_rlike", tk, lit("[a-zA-Z]")).as("alpha_words"),
         call_function("graft_count_in", tk, en).as("stop_hits"),
         size(lines).cast(LongType).as("n_lines"),
-        size(filter(lines, l => l.rlike("^(- |\\* |• )")))
-          .cast(LongType).as("bullet_lines"),
-        size(filter(lines, l => l.rlike("\\.\\.\\.$")))
-          .cast(LongType).as("ellipsis_lines"))
+        call_function("graft_count_rlike", lines, lit("^(- |\\* |• )"))
+          .as("bullet_lines"),
+        call_function("graft_count_rlike", lines, lit("\\.\\.\\.$"))
+          .as("ellipsis_lines"))
       .withColumn("r_words",
         (col("n_tok") >= 50 && col("n_tok") <= 100000).cast(LongType))
       .withColumn("r_meanlen",
