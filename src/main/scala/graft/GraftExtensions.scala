@@ -104,6 +104,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.CountIn].getName, "graft_count_in"),
       (children: Seq[Expression]) => functions.CountIn(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_filter_in"),
+      new ExpressionInfo(classOf[functions.FilterIn].getName, "graft_filter_in"),
+      (children: Seq[Expression]) => functions.FilterIn(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_count_rlike"),
       new ExpressionInfo(classOf[functions.CountRlike].getName, "graft_count_rlike"),
       (children: Seq[Expression]) => functions.CountRlike(children(0), children(1))))

@@ -86,12 +86,16 @@ object SearchOps extends QueryModule {
     // token count. 1 row, broadcast into the scoring join.
     val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("l"))
     // Postings restricted to the union of query terms BEFORE the tf
-    // aggregation: the array filter runs inside the scan's codegen
-    // stage, so only matched occurrences are exploded and shuffled.
+    // aggregation, via the native graft_filter_in kernel (round-14
+    // opt — the HOF filter paid an interpreted per-token lambda on
+    // the one corpus pass; the kernel is a fused byte-compare loop in
+    // the scan's codegen, bit-identical incl. null corners,
+    // FilterInSpec): only matched occurrences are exploded/shuffled.
     val terms = queries.flatMap(_._2).distinct
     val tf = docs
       .select(col("doc_id"), col("dl"),
-        explode(filter(col("toks"), t => t.isInCollection(terms))).as("w"))
+        explode(call_function("graft_filter_in",
+          col("toks"), typedlit(terms))).as("w"))
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
     // Document frequency per matched term: ≤ |terms| rows, broadcast.
@@ -129,7 +133,8 @@ object SearchOps extends QueryModule {
       .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
     val df = docs
       .select(col("doc_id"),
-        explode(filter(col("toks"), t => t.isInCollection(terms))).as("w"))
+        explode(call_function("graft_filter_in",
+          col("toks"), typedlit(terms))).as("w"))
       .distinct()
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

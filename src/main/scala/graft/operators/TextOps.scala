@@ -234,14 +234,19 @@ object TextOps extends QueryModule {
       lpad(col("doc_id").cast(StringType), 7, "0"))
     val redacted = regexp_replace(
       regexp_replace(aug, emailRe, "<EMAIL>"), longNumRe, "<NUM>")
+    // Sort BELOW the projection (t08's lesson, applied round 14): an
+    // orderBy on top makes the range partitioner's sampling pass
+    // evaluate the four regexp columns a second time; sorting the
+    // narrow (doc_id, text) rows first costs the same exchange, and
+    // the order-preserving projection runs once.
     Tables.documents(s, d)
+      .orderBy(col("doc_id"))
       .select(
         col("doc_id"),
         size(regexp_extract_all(aug, lit(emailRe), lit(0))).cast(LongType).as("n_emails"),
         size(regexp_extract_all(aug, lit(longNumRe), lit(0))).cast(LongType).as("n_long_nums"),
         length(redacted).cast(LongType).as("redacted_len"),
         md5(redacted).as("redacted_md5"))
-      .orderBy(col("doc_id"))
   }
 
   /** t08 — repetition/duplication quality signals (the Gopher-style

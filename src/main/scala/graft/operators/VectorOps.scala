@@ -1008,12 +1008,20 @@ object VectorOps extends QueryModule {
   def c34KnnGraph(s: SparkSession, d: String): DataFrame =
     c34KnnGraphProbes(s, d, GRAPH_PROBES)
 
-  /** The cell-bounded kNN search shared by c34 and c36: each query's
-    * top-GRAPH_K members of `assign`, searched inside the query's
-    * `nprobe` closest cells (probe selection and ranking use c07's
-    * portable struct-sort / rank-window discipline). `excludeSelf`
-    * guards the self-join case; the bipartite incremental case has
-    * disjoint sides and skips the comparison. */
+  /** The cell-bounded kNN search shared by c34, c35 and c36: each
+    * query's top-GRAPH_K members of `assign`, searched inside the
+    * query's `nprobe` closest cells (probe selection and ranking use
+    * c07's portable struct-sort / rank-window discipline).
+    * `excludeSelf` guards the self-join case; the bipartite
+    * incremental case has disjoint sides and skips the comparison.
+    *
+    * UNSORTED core (round-14 opt, the verifyJaccard pattern): the
+    * (qid, rank) presentation sort lives on the c34/c36 query faces —
+    * c35 re-aggregates the edges immediately, and its density fold
+    * holds an order-sensitive collect_list, so Catalyst's
+    * EliminateSorts could NOT remove the dead sort there; the range
+    * exchange (plus its sampling pass) over all N·GRAPH_K edges was
+    * discarded work in the composition. */
   private def knnSearch(q: DataFrame, assign: DataFrame,
       cents: Seq[(Int, Seq[Float])], nprobe: Int,
       excludeSelf: Boolean): DataFrame = {
@@ -1036,7 +1044,6 @@ object VectorOps extends QueryModule {
       .filter(col("rank") <= GRAPH_K)
       .select(col("qid"), col("rank").cast(LongType).as("rank"),
         col("nid"), col("score"))
-      .orderBy(col("qid"), col("rank"))
   }
 
   /** [[c34KnnGraph]] with an explicit nprobe — the recall/cost knob
@@ -1051,6 +1058,7 @@ object VectorOps extends QueryModule {
     knnSearch(
       e.select(col("vec_id").as("qid"), col("embedding").as("qemb")),
       cellAssign(e, cents), cents, nprobe, excludeSelf = true)
+      .orderBy(col("qid"), col("rank"))
   }
 
   private val PRUNE_PCT = 10 // densest percent pruned per cell
@@ -1125,6 +1133,7 @@ object VectorOps extends QueryModule {
         .select(col("vec_id").as("qid"), col("embedding").as("qemb")),
       cellAssign(e.filter(!col("__new")), cents), cents, GRAPH_PROBES,
       excludeSelf = false) // bipartite: sides are disjoint by the split
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** c40 MMR knobs: shortlist size, returned k, λ·10 (integer — the
