@@ -104,6 +104,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.CountIn].getName, "graft_count_in"),
       (children: Seq[Expression]) => functions.CountIn(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_clf_margin"),
+      new ExpressionInfo(classOf[functions.ClfMargin].getName, "graft_clf_margin"),
+      (children: Seq[Expression]) =>
+        functions.ClfMargin(children(0), children(1), children(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_filter_in"),
       new ExpressionInfo(classOf[functions.FilterIn].getName, "graft_filter_in"),
       (children: Seq[Expression]) => functions.FilterIn(children(0), children(1))))

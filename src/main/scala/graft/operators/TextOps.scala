@@ -1310,18 +1310,28 @@ object TextOps extends QueryModule {
     * t19 argument. Raw margins (not sigmoid probabilities): exp()
     * is not bit-portable across engines and the GATE only needs the
     * sign. */
+  /** t28's fixed stand-in weight table, materialized driver-side: the
+    * fold's nested hash `h60("clfw:" ∥ (h60(t) % B)) % (2Q+1) − Q`
+    * only depends on the token through its bucket `h60(t) % B`, so
+    * the outer hash is precomputable per bucket — the same numbers
+    * the per-row expression derived, now a 4096-long literal feeding
+    * the fused [[graft.functions.ClfMargin]] kernel (round-14 opt:
+    * the interpreted fold paid a lambda dispatch + string concat +
+    * TWO MD5s per token; the kernel runs ONE prefix-free MD5 per
+    * token inside the scan's codegen). Bit-identical — ClfMarginSpec
+    * pins the parity against the exact old fold. */
+  private lazy val t28Weights: Seq[Long] =
+    Seq.tabulate(CLF_B.toInt)(j =>
+      (graft.functions.H60.hashString("clfw:" + j) % (2 * CLF_Q + 1)) - CLF_Q)
+
   def t28ClassifierFilter(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("__toks", toks)
       .select(col("doc_id"),
         coalesce(size(col("__toks")), lit(0)).cast(LongType).as("n_tok"),
-        aggregate(
+        call_function("graft_clf_margin",
           coalesce(col("__toks"), array().cast(ArrayType(StringType))),
-          lit(0L),
-          (acc, t) => acc +
-            (Portable.h60(concat(lit("clfw:"),
-              (Portable.h60(t) % CLF_B).cast(StringType))) % (2 * CLF_Q + 1))
-            - CLF_Q)
+          lit(""), typedLit(t28Weights))
           .as("margin_fp"))
       .select(col("doc_id"), col("n_tok"), col("margin_fp"),
         when(col("n_tok") > 0,
@@ -1387,16 +1397,19 @@ object TextOps extends QueryModule {
     ensureClfModel(s, d)
     val w = s.table(clfTables(d)._1).orderBy(col("bucket"))
       .collect().map(_.getLong(1)) // exactly B rows — bounded
-    val wCol = array(w.toSeq.map(lit): _*)
+    // Fused margin kernel (round-14 opt, the t28 rationale): ONE
+    // MD5-per-token codegen loop over the learned 256-long literal,
+    // replacing the interpreted per-token fold + concat + element_at.
+    // array_remove is the codegen'd twin of the old
+    // `filter(…, t -> t =!= "")` — split output never carries nulls,
+    // the one input where the two differ.
     Tables.documents(s, d)
       .withColumn("__toks",
-        filter(split(coalesce(col("text"), lit("")), "\\s+"), t => t =!= ""))
+        array_remove(split(coalesce(col("text"), lit("")), "\\s+"), ""))
       .select(col("doc_id"),
         size(col("__toks")).cast(LongType).as("n_tok"),
-        aggregate(col("__toks"), lit(0L),
-          (acc, t) => acc + element_at(wCol,
-            (Portable.h60(concat(lit("clfb:"), t)) % CLF_TRAIN_B + 1L)
-              .cast(IntegerType)))
+        call_function("graft_clf_margin",
+          col("__toks"), lit("clfb:"), typedLit(w.toSeq))
           .as("margin_fp"))
       .select(col("doc_id"), col("n_tok"), col("margin_fp"),
         (col("margin_fp") >= 0L).cast(LongType).as("kept"))
